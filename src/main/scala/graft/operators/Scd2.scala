@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension Type 2 builders.
+  *
+  * The reference implements SCD2 as a BigQuery MERGE + two INSERTs per day
+  * (/root/reference/sql/core/dim/dim_customers.sql): expire changed current
+  * rows, insert new versions, allocate sequential surrogate keys. Spark-first
+  * that splits into:
+  *
+  *  - [[fromHistory]]: derive the full SCD2 version table from a change feed
+  *    in ONE pass — change-detection (`lag`) + validity intervals (`lead`)
+  *    inside a single `Window.partitionBy(key)`, i.e. exactly one shuffle on
+  *    the natural key no matter how long the history. This is the scale path:
+  *    rebuilding from history is embarrassingly parallel per key, while the
+  *    reference's per-day MERGE serializes on the warehouse.
+  *  - [[mergeSnapshot]]: the reference's incremental day-merge semantics
+  *    (current dim + today's snapshot → new dim) for pipelines that must
+  *    roll forward.
+  *  - [[snapshotDim]]: a single full snapshot as an all-current dim.
+  *
+  * Surrogate keys: the library default is `xxhash64(natural key, effective
+  * ts)` — deterministic, collision-checked at 64 bits, and requires no global
+  * ordering (a global `row_number` is a single-task bottleneck at 100 TB).
+  * A per-key `version` number is also emitted (cheap inside the existing
+  * window).
+  */
+object Scd2 {
+
+  /** SCD2 version table from an append-only change feed.
+    *
+    * @param history  change feed (one row per observation)
+    * @param key      natural key column
+    * @param ts       observation timestamp column
+    * @param tracked  attribute whose changes open a new version
+    * @param tieBreak extra ordering columns for deterministic order on ts ties
+    */
+  def fromHistory(history: DataFrame, key: String, ts: String,
+                  tracked: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val orderCols: Seq[Column] = col(ts) +: tieBreak.map(col)
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    // Keep only rows where the tracked attribute actually changed.
+    val changes = history
+      .withColumn("_prev", lag(col(tracked), 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col(tracked))
+      .drop("_prev")
+    // Validity interval + per-key version over the *filtered* rows.
+    val w2 = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    changes
+      .withColumn("effective_ts", col(ts))
+      .withColumn("expiration_ts", lead(col(ts), 1).over(w2))
+      .withColumn("is_current", col("expiration_ts").isNull)
+      .withColumn("version", row_number().over(w2))
+      .withColumn("sk", xxhash64(col(key), col("effective_ts")))
+  }
+
+  /** One full snapshot as an SCD2-shaped dimension: every row current,
+    * effective from `effectiveDate` (reference treats initial load this way).
+    * Surrogate key = dense sequential by natural key (dims are small enough
+    * to window; for huge dims swap in the hash key like [[fromHistory]]).
+    */
+  def snapshotDim(snapshot: DataFrame, naturalKey: String, skName: String,
+                  effectiveDate: String = "1970-01-01"): DataFrame = {
+    val w = Window.orderBy(col(naturalKey))
+    snapshot
+      .withColumn(skName, row_number().over(w))
+      .withColumn("effective_date", lit(effectiveDate).cast("date"))
+      .withColumn("expiration_date", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+  }
+
+  /** Reference MERGE semantics (dim_customers.sql:14-76): given the current
+    * SCD2 dim and a new day snapshot, expire changed rows as of `loadDate`
+    * and append new versions; unchanged rows pass through.
+    *
+    * One shuffle (outer join on the natural key); no MERGE/UPDATE needed —
+    * the new dim is written whole (or per-partition with dynamic partition
+    * overwrite for idempotent backfills).
+    */
+  def mergeSnapshot(dim: DataFrame, snapshot: DataFrame, naturalKey: String,
+                    attrs: Seq[String], loadDate: String): DataFrame = {
+    val k = col(naturalKey)
+    val snap = snapshot.select(naturalKey, attrs: _*)
+    val current = dim.where(col("is_current"))
+    val past = dim.where(!col("is_current"))
+
+    val changed = attrs.map(a => current(a) =!= snap(a)).reduce(_ || _)
+    val joined = current.join(snap, current(naturalKey) === snap(naturalKey), "full_outer")
+
+    val ld = lit(loadDate).cast("date")
+    // 1. untouched current rows (no snapshot row, or identical attributes)
+    val kept = joined.where(current(naturalKey).isNotNull && (snap(naturalKey).isNull || !changed))
+      .select(current.columns.map(current(_)): _*)
+    // 2. expired versions of changed rows
+    val expired = joined.where(current(naturalKey).isNotNull && snap(naturalKey).isNotNull && changed)
+      .select(current.columns.map(current(_)): _*)
+      .withColumn("expiration_date", ld)
+      .withColumn("is_current", lit(false))
+    // 3. new versions: brand-new keys + new versions of changed keys
+    val fresh = joined.where(snap(naturalKey).isNotNull && (current(naturalKey).isNull || changed))
+      .select(snap.columns.map(snap(_)): _*)
+      .withColumn("effective_date", ld)
+      .withColumn("expiration_date", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .withColumn("sk", xxhash64(k, ld))
+
+    val keptAligned = kept.withColumn("sk", xxhash64(k, col("effective_date")))
+    val expiredAligned = expired.withColumn("sk", xxhash64(k, col("effective_date")))
+    val cols = fresh.columns.toSeq
+    past.withColumn("sk", xxhash64(k, col("effective_date"))).selectExpr(cols: _*)
+      .unionByName(keptAligned.selectExpr(cols: _*))
+      .unionByName(expiredAligned.selectExpr(cols: _*))
+      .unionByName(fresh)
+  }
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** Star-schema core + datamart queries (reference surface) wired for the
+  * driver's verify/bench harness.
+  *
+  * Determinism contract with the DuckDB oracle (see SURVEY.md §4):
+  * per-row double arithmetic is emitted raw (identical IEEE ops on identical
+  * parquet values are bitwise-equal across engines); aggregated doubles are
+  * `round(_, 6)` on both sides; integer widths are explicitly cast; every
+  * query has a total-order `ORDER BY` replicated in the oracle SQL.
+  */
+object StarQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark only reads via
+    * the nanosAsLong legacy flag; normalize to µs TimestampType up front so
+    * all downstream logic (and the oracle, which CASTs to µs first) agree.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def dimDates(s: SparkSession, dir: String): DataFrame =
+    DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")
+      .orderBy("full_date")
+
+  def dimCustomers(s: SparkSession, dir: String): DataFrame =
+    Scd2.snapshotDim(
+        t(s, dir, "customer").select(
+          col("c_custkey").as("customer_id"),
+          col("c_name").as("name"),
+          col("c_nationkey").as("nation_key"),
+          col("c_acctbal").as("acct_bal"),
+          col("c_mktsegment").as("mkt_segment")),
+        "customer_id", "customer_sk")
+      .select("customer_sk", "customer_id", "name", "nation_key", "acct_bal",
+              "mkt_segment", "effective_date", "expiration_date", "is_current")
+      .orderBy("customer_id")
+
+  def dimParts(s: SparkSession, dir: String): DataFrame =
+    Scd2.snapshotDim(
+        t(s, dir, "part").select(
+          col("p_partkey").as("part_id"),
+          col("p_name").as("name"),
+          col("p_brand").as("brand"),
+          col("p_type").as("category"),
+          col("p_size").as("size"),
+          col("p_retailprice").as("retail_price")),
+        "part_id", "part_sk")
+      .select("part_sk", "part_id", "name", "brand", "category", "size",
+              "retail_price", "effective_date", "expiration_date", "is_current")
+      .orderBy("part_id")
+
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    Scd2.fromHistory(events(s, dir), "user_id", "ts", "event_type", Seq("event_id"))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        col("effective_ts"), col("expiration_ts"),
+        col("is_current"), col("version"))
+      .orderBy("user_id", "effective_ts")
+
+  def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val dim = Scd2.fromHistory(ev, "user_id", "ts", "event_type", Seq("event_id"))
+      .select(col("user_id").as("d_user_id"), col("event_type").as("state"),
+              col("effective_ts"), col("expiration_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    PointInTime.pitJoin(purchases, dim, "user_id", "d_user_id", "ts")
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("state"), col("value"))
+      .orderBy("event_id")
+  }
+
+  def factOrders(s: SparkSession, dir: String): DataFrame =
+    FactBuild.factOrders(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+      .orderBy("order_id", "line_number")
+
+  private def dimCustomersUnordered(s: SparkSession, dir: String): DataFrame =
+    Scd2.snapshotDim(
+      t(s, dir, "customer").select(
+        col("c_custkey").as("customer_id"), col("c_name").as("name"),
+        col("c_nationkey").as("nation_key"), col("c_acctbal").as("acct_bal"),
+        col("c_mktsegment").as("mkt_segment")),
+      "customer_id", "customer_sk")
+
+  private def dimPartsUnordered(s: SparkSession, dir: String): DataFrame =
+    Scd2.snapshotDim(
+      t(s, dir, "part").select(
+        col("p_partkey").as("part_id"), col("p_name").as("name"),
+        col("p_brand").as("brand"), col("p_type").as("category"),
+        col("p_size").as("size"), col("p_retailprice").as("retail_price")),
+      "part_id", "part_sk")
+
+  def salesSummary(s: SparkSession, dir: String): DataFrame = {
+    val fact = FactBuild.factOrders(
+      t(s, dir, "orders"), t(s, dir, "lineitem"),
+      dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+    Datamart.salesSummary(fact, dimPartsUnordered(s, dir),
+        DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate"))
+      .orderBy("date", "product_category")
+  }
+
+  def customerAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val fact = FactBuild.factOrders(
+      orders, t(s, dir, "lineitem"),
+      dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+    val anchor = orders.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+    Datamart.customerAnalytics(fact, dimCustomersUnordered(s, dir), anchor.toString)
+      .orderBy("customer_id")
+  }
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    // Deterministic synthetic update batch: bump totalprice on every 3rd key.
+    val updates = orders.where(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("o_orderstatus", lit("R"))
+    Upsert.merge(orders, updates, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"),
+              col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dim_dates" -> (dimDates _),
+    "dim_customers" -> (dimCustomers _),
+    "dim_parts" -> (dimParts _),
+    "scd2_history" -> (scd2History _),
+    "pit_join" -> (pitJoin _),
+    "fact_orders" -> (factOrders _),
+    "sales_summary" -> (salesSummary _),
+    "customer_analytics" -> (customerAnalytics _),
+    "merge_upsert" -> (mergeUpsert _)
+  )
+
+  /** DuckDB CTE fragments shared by several oracles. */
+  private val dimCustSql =
+    """dc AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk,
+      |  c_custkey AS customer_id, c_name AS name, c_nationkey AS nation_key,
+      |  c_acctbal AS acct_bal, c_mktsegment AS mkt_segment FROM customer)""".stripMargin
+  private val dimPartSql =
+    """dp AS (SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS part_sk,
+      |  p_partkey AS part_id, p_name AS name, p_brand AS brand, p_type AS category,
+      |  p_size AS size, p_retailprice AS retail_price FROM part)""".stripMargin
+  private val factSql =
+    """fact AS (
+      |  SELECT o.o_orderkey AS order_id, CAST(o.o_orderdate AS DATE) AS order_date,
+      |    dc.customer_sk, dp.part_sk, l.l_linenumber AS line_number,
+      |    l.l_quantity AS quantity, l.l_extendedprice AS extended_price,
+      |    l.l_discount AS discount,
+      |    l.l_extendedprice * (1.0 - l.l_discount) AS net_amount,
+      |    o.o_orderstatus AS status
+      |  FROM orders o
+      |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  JOIN dc ON o.o_custkey = dc.customer_id
+      |  JOIN dp ON l.l_partkey = dp.part_id)""".stripMargin
+  private val chgSql =
+    """ev AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id FROM (
+      |    SELECT user_id, event_type, ts, event_id,
+      |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM ev) WHERE prev IS NULL OR prev <> event_type)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dim_dates" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |d AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS full_date FROM b)
+        |SELECT CAST(year(full_date)*10000 + month(full_date)*100 + day(full_date) AS INT) AS date_id,
+        |  full_date,
+        |  CAST(year(full_date) AS INT) AS year,
+        |  CAST(quarter(full_date) AS INT) AS quarter,
+        |  CAST(month(full_date) AS INT) AS month,
+        |  monthname(full_date) AS month_name,
+        |  CAST(weekofyear(full_date) AS INT) AS week_of_year,
+        |  CAST(day(full_date) AS INT) AS day_of_month,
+        |  CAST(dayofweek(full_date) + 1 AS INT) AS day_of_week,
+        |  dayname(full_date) AS day_name,
+        |  dayofweek(full_date) IN (0, 6) AS is_weekend,
+        |  CAST(CASE WHEN month(full_date) >= 7 THEN year(full_date) ELSE year(full_date) - 1 END AS INT) AS fiscal_year,
+        |  CASE strftime(full_date, '%m-%d') WHEN '01-01' THEN 'New Year''s Day'
+        |       WHEN '07-04' THEN 'Independence Day' WHEN '12-25' THEN 'Christmas Day' END AS holiday_name,
+        |  strftime(full_date, '%m-%d') IN ('01-01','07-04','12-25') AS is_holiday
+        |FROM d ORDER BY full_date""".stripMargin,
+
+    "dim_customers" ->
+      s"""WITH $dimCustSql
+         |SELECT customer_sk, customer_id, name, nation_key, acct_bal, mkt_segment,
+         |  DATE '1970-01-01' AS effective_date, CAST(NULL AS DATE) AS expiration_date,
+         |  TRUE AS is_current
+         |FROM dc ORDER BY customer_id""".stripMargin,
+
+    "dim_parts" ->
+      s"""WITH $dimPartSql
+         |SELECT part_sk, part_id, name, brand, category, size, retail_price,
+         |  DATE '1970-01-01' AS effective_date, CAST(NULL AS DATE) AS expiration_date,
+         |  TRUE AS is_current
+         |FROM dp ORDER BY part_id""".stripMargin,
+
+    "scd2_history" ->
+      s"""WITH $chgSql
+         |SELECT user_id, event_type AS state,
+         |  ts AS effective_ts,
+         |  lead(ts) OVER w AS expiration_ts,
+         |  (lead(ts) OVER w) IS NULL AS is_current,
+         |  CAST(row_number() OVER w AS INT) AS version
+         |FROM chg
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, effective_ts""".stripMargin,
+
+    "pit_join" ->
+      s"""WITH $chgSql,
+         |dim AS (
+         |  SELECT user_id, event_type AS state, ts AS eff,
+         |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS exp
+         |  FROM chg)
+         |SELECT e.event_id, e.user_id, e.ts AS purchase_ts, d.state, e.value
+         |FROM ev e JOIN dim d
+         |  ON e.user_id = d.user_id AND e.ts >= d.eff AND (d.exp IS NULL OR e.ts < d.exp)
+         |WHERE e.event_type = 'purchase'
+         |ORDER BY event_id""".stripMargin,
+
+    "fact_orders" ->
+      s"""WITH $dimCustSql,
+         |$dimPartSql,
+         |$factSql
+         |SELECT * FROM fact ORDER BY order_id, line_number""".stripMargin,
+
+    "sales_summary" ->
+      s"""WITH $dimCustSql,
+         |$dimPartSql,
+         |$factSql,
+         |b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+         |dd AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS full_date FROM b)
+         |SELECT f.order_date AS date,
+         |  CAST(year(f.order_date) AS INT) AS year,
+         |  CAST(month(f.order_date) AS INT) AS month,
+         |  monthname(f.order_date) AS month_name,
+         |  p.category AS product_category,
+         |  round(sum(f.net_amount), 6) AS total_sales,
+         |  count(DISTINCT f.order_id) AS total_orders,
+         |  sum(f.quantity) AS total_quantity,
+         |  round(sum(f.net_amount), 6) / count(DISTINCT f.order_id) AS avg_order_value
+         |FROM fact f
+         |JOIN dp p ON f.part_sk = p.part_sk
+         |JOIN dd ON f.order_date = dd.full_date
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY date, product_category""".stripMargin,
+
+    "customer_analytics" ->
+      s"""WITH $dimCustSql,
+         |$dimPartSql,
+         |$factSql,
+         |anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS a FROM orders),
+         |per_cust AS (
+         |  SELECT c.customer_id, c.name, c.mkt_segment,
+         |    min(f.order_date) AS first_order_date,
+         |    max(f.order_date) AS last_order_date,
+         |    CAST(date_diff('day', max(f.order_date), (SELECT a FROM anchor)) AS INT) AS days_since_last_order,
+         |    count(DISTINCT f.order_id) AS total_orders,
+         |    round(sum(f.net_amount), 6) AS total_lifetime_value
+         |  FROM fact f JOIN dc c ON f.customer_sk = c.customer_sk
+         |  GROUP BY 1, 2, 3)
+         |SELECT *,
+         |  total_lifetime_value / total_orders AS average_order_value,
+         |  CASE
+         |    WHEN days_since_last_order <= 30 AND total_orders >= 3 AND total_lifetime_value >= 500 THEN 'VIP'
+         |    WHEN days_since_last_order <= 90 AND total_orders >= 2 THEN 'Loyal'
+         |    WHEN days_since_last_order <= 180 THEN 'Active'
+         |    WHEN days_since_last_order <= 365 THEN 'At Risk'
+         |    ELSE 'Inactive'
+         |  END AS customer_segment
+         |FROM per_cust ORDER BY customer_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |tagged AS (
+        |  SELECT *, 0 AS _src FROM orders
+        |  UNION ALL
+        |  SELECT * , 1 AS _src FROM updates)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _src DESC) AS _rn FROM tagged)
+        |WHERE _rn = 1 ORDER BY o_orderkey""".stripMargin
+  )
+}
