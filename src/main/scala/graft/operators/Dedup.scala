@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale shapes:
+  *  - exact: one hash-groupBy shuffle on the fingerprint.
+  *  - MinHash+LSH: signatures are map-side column expressions (one pass per
+  *    salt over the shingle array, no explode of shingles); only the 4
+  *    (band, band-hash) rows per doc shuffle — the self-join runs on LSH
+  *    buckets, never on all pairs. Candidate verification touches only the
+  *    bucket-collision set.
+  *  - SimHash: one explode+groupBy (64 conditional sums), then bit assembly.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: every doc mapped to the canonical
+    * (minimum) doc id of its fingerprint group. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    docs
+      .withColumn("fp", md5(normalized(col(textCol))))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  val NumHashes = 12
+  val NumBands = 4 // rows-per-band = 3
+
+  /** Per-doc MinHash signature columns sig0..sig11 over word 3-shingles.
+    * Docs with fewer than 3 words are dropped (no shingles to sketch). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .withColumn("_sh", shingles(words(col(textCol)), 3))
+      .where(size(col("_sh")) > 0)
+    (0 until NumHashes).foldLeft(base) {
+      case (df, k) => df.withColumn(s"sig$k", minhash(col("_sh"), k))
+    }.drop("_sh")
+  }
+
+  /** LSH band rows: (id, band, band_hash) — NumBands rows per doc. */
+  def lshBands(sigs: DataFrame, idCol: String): DataFrame = {
+    val rows = NumHashes / NumBands
+    val bandStructs = (0 until NumBands).map { b =>
+      val h = md5(concat((0 until rows).map(r => col(s"sig${b * rows + r}")): _*))
+      struct(lit(b).as("band"), h.as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs (i < j) sharing at least one LSH bucket, with the
+    * estimated similarity = fraction of matching signature components. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol)
+    val bands = lshBands(sigs, idCol)
+    val a = bands.select(col(idCol).as("i"), col("band"), col("band_hash"))
+    val b = bands.select(col(idCol).as("j"), col("band"), col("band_hash"))
+    val cand = a.join(b, Seq("band", "band_hash")).where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val si = sigs.select(col(idCol).as("i") +:
+      (0 until NumHashes).map(k => col(s"sig$k").as(s"si$k")): _*)
+    val sj = sigs.select(col(idCol).as("j") +:
+      (0 until NumHashes).map(k => col(s"sig$k").as(s"sj$k")): _*)
+    val matches = (0 until NumHashes)
+      .map(k => when(col(s"si$k") === col(s"sj$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(si, "i").join(sj, "j")
+      .withColumn("est_sim", matches.cast("double") / NumHashes)
+      .select("i", "j", "est_sim")
+  }
+
+  /** n-gram Jaccard verification of LSH candidates: exact shingle-set
+    * Jaccard for every candidate pair, thresholded. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val sh = docs
+      .withColumn("_sh", shingles(words(col(textCol)), 3))
+      .where(size(col("_sh")) > 0)
+      .select(col(idCol), col("_sh"))
+    val cand = minhashCandidates(docs, idCol, textCol).select("i", "j")
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    val uni = size(col("sh_i")) + size(col("sh_j")) - inter
+    cand
+      .join(sh.select(col(idCol).as("i"), col("_sh").as("sh_i")), "i")
+      .join(sh.select(col(idCol).as("j"), col("_sh").as("sh_j")), "j")
+      .withColumn("jaccard", inter.cast("double") / uni)
+      .where(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens (xxhash64-based —
+    * library-internal, verified by ScalaTest rather than the SQL oracle). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")
+    }
+    val aggCols = count(lit(1)).as("n") +: bitSums
+    val agg = tokens.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"s$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), sim.as("simhash"), col("n").as("n_tokens"))
+  }
+}

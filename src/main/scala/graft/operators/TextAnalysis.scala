@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All per-document map-side column expressions — zero shuffles, so they
+  * scale linearly with input splits and stay inside whole-stage codegen.
+  * Ratios divide exact integer counts, hence cross-engine bit-deterministic.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword markers for the n-gram/stopword language-ID
+    * heuristic (tiny on purpose: broadcastable as literals into codegen).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "es", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private def markerCount(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isin(markers(lang).map(lit(_)): _*)))
+
+  /** Language ID: argmax of per-language marker-word counts with a fixed
+    * priority order on ties; 'und' when nothing matches. */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val withScores = langs.foldLeft(docs.withColumn("_ws", ws)) {
+      case (df, l) => df.withColumn(s"score_$l", markerCount(col("_ws"), l))
+    }
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val predicted = langs.foldRight(lit("und"): Column) {
+      case (l, alt) => when(best > 0 && col(s"score_$l") === best, l).otherwise(alt)
+    }
+    // foldRight gives priority en > fr > es > de > zh on ties
+    withScores.withColumn("predicted_lang", predicted).drop("_ws")
+  }
+
+  /** Quality metrics: lengths, word stats, character-class ratios, a
+    * composite score. All ratios are exact-int divisions (deterministic). */
+  def quality(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nChars = length(t)
+    val nWords = size(ws)
+    val alphaChars = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val digitChars = length(regexp_replace(t, "[^0-9]", ""))
+    val punctChars = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    val stopCount = size(filter(ws, w => w.isin(markers("en").map(lit(_)): _*)))
+    docs
+      .withColumn("n_chars", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len",
+        aggregate(ws, lit(0), (acc, w) => acc + length(w)).cast("double") / nWords)
+      .withColumn("alpha_ratio", alphaChars.cast("double") / nChars)
+      .withColumn("digit_ratio", digitChars.cast("double") / nChars)
+      .withColumn("punct_ratio", punctChars.cast("double") / nChars)
+      .withColumn("stopword_ratio", stopCount.cast("double") / nWords)
+      // Composite: long-enough, alphabetic, low-punctuation text wins.
+      .withColumn("quality_score",
+        when(col("n_words") >= 5, lit(1.0)).otherwise(lit(0.0)) *
+        col("alpha_ratio") * (lit(1.0) - col("punct_ratio")))
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    docs
+      .withColumn("ws_tokens", size(words(t)))
+      .withColumn("re_tokens", size(regexp_extract_all(lower(t), lit(re), lit(0))))
+      .withColumn("chars_per_token",
+        length(t).cast("double") / col("re_tokens"))
+  }
+
+  /** Document fingerprints: md5 of normalized text (exact identity) plus
+    * 4 min-wise shingle hashes (stable near-identity sketch). */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    val sh = shingles(words(col(textCol)), 3)
+    (0 until 4).foldLeft(
+        docs.withColumn("fp", md5(normalized(col(textCol))))
+            .withColumn("_sh", sh)) {
+      case (df, k) => df.withColumn(s"mh$k", minhash(col("_sh"), k))
+    }.drop("_sh")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
+  * `ann_lsh` is rows-only (recall measured vs brute force in SimilaritySpec).
+  */
+object SimilarityQueries {
+
+  val K = 10
+  val QueryCount = 8
+  val NeardupThreshold = 0.35
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def queriesDf(e: DataFrame): DataFrame =
+    e.where(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e, queriesDf(e), "vec_id", "embedding",
+        "q_id", "q_vec", K)
+      .orderBy("q_id", "rank")
+  }
+
+  def embNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.neardupPairs(emb(s, dir), "vec_id", "embedding", NeardupThreshold)
+      .orderBy("i", "j")
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.lshTopK(e, queriesDf(e), "vec_id", "embedding",
+        "q_id", "q_vec", K, nTables = 12, planesPerTable = 4, dim = 64)
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (annTopK _),
+    "emb_neardup" -> (embNeardup _),
+    "ann_lsh" -> (annLsh _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $QueryCount)
+         |SELECT q_id, vec_id, cos_sim, rank FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS INT) AS rank
+         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin,
+
+    "emb_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT i, j, cos_sim FROM (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos_sim >= $NeardupThreshold ORDER BY i, j""".stripMargin
+  )
+}

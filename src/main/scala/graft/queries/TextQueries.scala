@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** Text-analysis / dedup / multimodal queries + DuckDB oracles
+  * (SURVEY.md §2 #19-31). `dedup_simhash` is rows-only (xxhash64 is not
+  * portable to DuckDB); everything else oracle-checked.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "text")
+      .select("doc_id", "lang", "score_en", "score_fr", "score_es",
+              "score_de", "score_zh", "predicted_lang")
+      .orderBy("doc_id")
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(s, dir).drop("n_chars"), "text")
+      .select("doc_id", "n_chars", "n_words", "avg_word_len", "alpha_ratio",
+              "digit_ratio", "punct_ratio", "stopword_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "text")
+      .select("doc_id", "ws_tokens", "re_tokens", "chars_per_token")
+      .orderBy("doc_id")
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, dir), "text")
+      .select("doc_id", "fp", "mh0", "mh1", "mh2", "mh3")
+      .orderBy("doc_id")
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .select("doc_id", "fp", "canonical_id", "group_size", "is_dup")
+      .orderBy("doc_id")
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir), "doc_id", "text")
+      .orderBy("i", "j")
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy("i", "j")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.binaryMeta(
+        docs(s, dir).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")
+      .orderBy("doc_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id" -> (langId _),
+    "text_quality" -> (quality _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (fingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "multimodal_meta" -> (multimodalMeta _)
+  )
+
+  private def markersIn(lang: String): String =
+    TextAnalysis.markers(lang).map(m => s"'$m'").mkString("(", ", ", ")")
+
+  /** Shared doc-words CTE. NOTE DuckDB regexp_replace needs the 'g' flag. */
+  private val wordsSql =
+    """w AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS ws
+      |       FROM documents)""".stripMargin
+
+  private val shinglesSql =
+    """sh AS (SELECT doc_id,
+      |  list_distinct([array_to_string(ws[x:x+2], ' ') for x in generate_series(1, len(ws)-2)]) AS s
+      |  FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  private val sigsSql =
+    """sigs AS (SELECT doc_id,
+      |  [list_min([md5(CAST(k AS VARCHAR) || '|' || x) for x in s]) for k in generate_series(0, 11)] AS sig
+      |  FROM sh WHERE len(s) > 0)""".stripMargin
+
+  private val candSql =
+    """bands AS (
+      |  SELECT doc_id, b, md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3]) AS bh
+      |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "lang_id" ->
+      s"""WITH $wordsSql,
+         |scored AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(ws, x -> x IN ${markersIn("en")})) AS INT) AS score_en,
+         |  CAST(len(list_filter(ws, x -> x IN ${markersIn("fr")})) AS INT) AS score_fr,
+         |  CAST(len(list_filter(ws, x -> x IN ${markersIn("es")})) AS INT) AS score_es,
+         |  CAST(len(list_filter(ws, x -> x IN ${markersIn("de")})) AS INT) AS score_de,
+         |  CAST(len(list_filter(ws, x -> x IN ${markersIn("zh")})) AS INT) AS score_zh
+         |  FROM w)
+         |SELECT doc_id, lang, score_en, score_fr, score_es, score_de, score_zh,
+         |  CASE WHEN greatest(score_en, score_fr, score_es, score_de, score_zh) = 0 THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'en'
+         |       WHEN score_fr = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'fr'
+         |       WHEN score_es = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'es'
+         |       WHEN score_de = greatest(score_en, score_fr, score_es, score_de, score_zh) THEN 'de'
+         |       ELSE 'zh' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $wordsSql
+         |SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(ws) AS INT) AS n_words,
+         |  CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws) AS avg_word_len,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(len(list_filter(ws, x -> x IN ${markersIn("en")})) AS DOUBLE) / len(ws) AS stopword_ratio,
+         |  (CASE WHEN len(ws) >= 5 THEN 1.0 ELSE 0.0 END)
+         |    * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+         |    * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) AS quality_score
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      s"""WITH $wordsSql
+         |SELECT doc_id,
+         |  CAST(len(ws) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS re_tokens,
+         |  CAST(length(text) AS DOUBLE)
+         |    / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS chars_per_token
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $wordsSql,
+         |$shinglesSql
+         |SELECT w.doc_id,
+         |  md5(lower(trim(regexp_replace(w.text, '\\s+', ' ', 'g')))) AS fp,
+         |  list_min([md5('0|' || x) for x in sh.s]) AS mh0,
+         |  list_min([md5('1|' || x) for x in sh.s]) AS mh1,
+         |  list_min([md5('2|' || x) for x in sh.s]) AS mh2,
+         |  list_min([md5('3|' || x) for x in sh.s]) AS mh3
+         |FROM w LEFT JOIN sh ON w.doc_id = sh.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  count(*) OVER (PARTITION BY fp) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $wordsSql,
+         |$shinglesSql,
+         |$sigsSql,
+         |$candSql
+         |SELECT cand.i, cand.j,
+         |  CAST(list_sum([CASE WHEN a.sig[k] = b.sig[k] THEN 1 ELSE 0 END
+         |                 for k in generate_series(1, 12)]) AS DOUBLE) / 12 AS est_sim
+         |FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
+         |ORDER BY i, j""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $wordsSql,
+         |$shinglesSql,
+         |$sigsSql,
+         |$candSql
+         |SELECT i, j, jaccard FROM (
+         |  SELECT cand.i, cand.j,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+         |  FROM cand JOIN sh sa ON cand.i = sa.doc_id JOIN sh sb ON cand.j = sb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  upper(hex(CAST(substr(text, 1, 4) AS BLOB))) AS magic_hex,
+        |  CASE WHEN upper(hex(CAST(substr(text, 1, 3) AS BLOB))) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN upper(hex(CAST(substr(text, 1, 4) AS BLOB))) = '89504E47' THEN 'png'
+        |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+        |       ELSE 'unknown' END AS sniffed_kind
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
