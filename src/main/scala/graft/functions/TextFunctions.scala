@@ -34,4 +34,8 @@ object TextFunctions {
   /** Normalized document text: lowercase, collapsed whitespace, trimmed. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Tokens of the normalized text — the dedup-side tokenization, so that
+    * case/whitespace noise never defeats near-dup detection. */
+  def normWords(text: Column): Column = split(normalized(text), " ")
 }

@@ -37,7 +37,7 @@ object Dedup {
     * Docs with fewer than 3 words are dropped (no shingles to sketch). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs
-      .withColumn("_sh", shingles(words(col(textCol)), 3))
+      .withColumn("_sh", shingles(normWords(col(textCol)), 3))
       .where(size(col("_sh")) > 0)
     (0 until NumHashes).foldLeft(base) {
       case (df, k) => df.withColumn(s"sig$k", minhash(col("_sh"), k))
@@ -81,7 +81,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
     val sh = docs
-      .withColumn("_sh", shingles(words(col(textCol)), 3))
+      .withColumn("_sh", shingles(normWords(col(textCol)), 3))
       .where(size(col("_sh")) > 0)
       .select(col(idCol), col("_sh"))
     val cand = minhashCandidates(docs, idCol, textCol).select("i", "j")
@@ -98,7 +98,7 @@ object Dedup {
   /** 64-bit SimHash per document over whitespace tokens (xxhash64-based —
     * library-internal, verified by ScalaTest rather than the SQL oracle). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val tokens = docs.select(col(idCol), explode(normWords(col(textCol))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")

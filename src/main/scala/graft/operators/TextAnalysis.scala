@@ -84,7 +84,7 @@ object TextAnalysis {
   /** Document fingerprints: md5 of normalized text (exact identity) plus
     * 4 min-wise shingle hashes (stable near-identity sketch). */
   def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
-    val sh = shingles(words(col(textCol)), 3)
+    val sh = shingles(normWords(col(textCol)), 3)
     (0 until 4).foldLeft(
         docs.withColumn("fp", md5(normalized(col(textCol))))
             .withColumn("_sh", sh)) {

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+/** Minimal DAG executor: the orchestration semantics the reference gets
+  * from Airflow (topological ordering, upstream gating, retries, backfill
+  * over logical dates), re-expressed as a library so a Spark job can embed
+  * its own pipeline. Cross-DAG sensors collapse into ordinary dependency
+  * edges (the reference's ExternalTaskSensor just waits for another DAG's
+  * `end` task — dags/process_core_sales.py:61-70).
+  *
+  * Tasks run sequentially in deterministic topological order (lexicographic
+  * among ready tasks). Spark supplies the intra-task parallelism; the DAG
+  * layer only sequences writes, mirroring the reference where each BigQuery
+  * job is itself massively parallel.
+  */
+object Dag {
+
+  final case class Task(id: String, deps: Seq[String] = Nil, retries: Int = 0)
+                       (val run: () => Unit)
+
+  sealed trait Status
+  case object Success extends Status
+  final case class Failed(attempts: Int, error: Throwable) extends Status
+  case object Skipped extends Status
+  final case class Report(statuses: Map[String, Status], order: Seq[String]) {
+    def succeeded: Boolean = statuses.values.forall(_ == Success)
+  }
+
+  def validate(tasks: Seq[Task]): Unit = {
+    val ids = tasks.map(_.id)
+    require(ids.distinct.size == ids.size, s"duplicate task ids in ${ids.sorted}")
+    val known = ids.toSet
+    for (t <- tasks; d <- t.deps)
+      require(known.contains(d), s"task ${t.id} depends on unknown task $d")
+  }
+
+  /** Run all tasks respecting dependencies; downstream of a failure is
+    * Skipped, independent branches still run. */
+  def run(tasks: Seq[Task]): Report = {
+    validate(tasks)
+    val byId = tasks.map(t => t.id -> t).toMap
+    val statuses = mutable.Map[String, Status]()
+    val order = mutable.ArrayBuffer[String]()
+    val pending = mutable.SortedSet[String]() ++ byId.keys
+
+    // Detect cycles: repeatedly pick the first ready task; if none is ready
+    // and tasks remain, the remainder is cyclic.
+    while (pending.nonEmpty) {
+      pending.find(id => byId(id).deps.forall(d => statuses.get(d).contains(Success))) match {
+        case Some(id) =>
+          pending -= id
+          order += id
+          statuses(id) = execute(byId(id))
+        case None =>
+          val blocked = pending.filter(id =>
+            byId(id).deps.exists(d => statuses.get(d).exists(_ != Success)))
+          if (blocked.nonEmpty) {
+            blocked.foreach { id => pending -= id; statuses(id) = Skipped; order += id }
+          } else {
+            throw new IllegalStateException(s"dependency cycle among ${pending.mkString(", ")}")
+          }
+      }
+    }
+    Report(statuses.toMap, order.toSeq)
+  }
+
+  private def execute(t: Task): Status = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= t.retries) {
+      try { t.run(); return Success }
+      catch { case e: Throwable => lastErr = e; attempt += 1 }
+    }
+    Failed(attempt, lastErr)
+  }
+
+  /** Backfill: run the date-parameterized pipeline once per logical date,
+    * in order (reference: airflow backfill over `{{ ds }}`). */
+  def backfill(dates: Seq[String])(mkTasks: String => Seq[Task]): Map[String, Report] =
+    dates.map(d => d -> run(mkTasks(d))).toMap
+}

@@ -80,10 +80,15 @@ object TextQueries {
     """w AS (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS ws
       |       FROM documents)""".stripMargin
 
+  /** Dedup-side tokenization: normalized text (lowercase, collapsed
+    * whitespace), matching TextFunctions.normWords. */
   private val shinglesSql =
-    """sh AS (SELECT doc_id,
+    """nw AS (SELECT doc_id,
+      |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
       |  list_distinct([array_to_string(ws[x:x+2], ' ') for x in generate_series(1, len(ws)-2)]) AS s
-      |  FROM w WHERE len(ws) >= 3)""".stripMargin
+      |  FROM nw WHERE len(ws) >= 3)""".stripMargin
 
   private val sigsSql =
     """sigs AS (SELECT doc_id,

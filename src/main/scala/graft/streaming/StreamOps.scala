@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch operators: the same event
+  * semantics (windowed aggregation, gap sessionization) expressed over an
+  * unbounded source with watermarks and state.
+  *
+  * Design: identical column contracts to the batch versions so a pipeline
+  * can swap `spark.read` for `spark.readStream` without changing consumers.
+  * Watermarks bound state: at 100 TB/day the window state is
+  * (windows × event_types), the session state is live-users only — both
+  * independent of total history.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type, late data bounded by the
+    * watermark. Append-mode compatible (emit on window close). */
+  def windowedEventAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
+                       windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, total_value: Double)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: a session
+    * closes (and is emitted) when no event arrives within `gapMinutes` of
+    * its last event — tracked with an event-time timeout so state for idle
+    * users is reclaimed by the watermark.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes.toLong * 60000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case null =>
+                  cur = SessionState(t, t, 1, e.value)
+                case s if t - s.end > gapMs =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = SessionState(t, t, 1, e.value)
+                case s =>
+                  cur = SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.end + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

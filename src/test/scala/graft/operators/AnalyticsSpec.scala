@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup: k rows per group, deterministic tie-break") {
+    val df = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 5.0), ("g", 4L, 1.0),
+                 ("h", 5L, 7.0))
+      .toDF("grp", "id", "score")
+    val out = Analytics.topKPerGroup(df, Seq("grp"), "score", "id", 2)
+      .orderBy("grp", "rank").select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1), (2L, 2), (5L, 1))) // tie 10.0/10.0 → lower id first
+  }
+
+  test("runningOrderStats: exact cents accumulation") {
+    val orders = Seq(
+      (1L, 10L, "2024-01-01", 10.50), (1L, 11L, "2024-01-02", 20.25)
+    ).toDF("o_custkey", "o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val out = Analytics.runningOrderStats(orders).orderBy("order_seq")
+      .select("total_cents", "running_cents", "avg3_cents")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1050L, 1050L, 1050.0), (2025L, 3075L, 1537.5)))
+  }
+
+  test("salesRollup produces leaf, subtotal and grand-total levels") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val p = spark.read.parquet(s"$sf001/part.parquet")
+    val out = Analytics.salesRollup(li, o, p).cache()
+    val grand = out.where($"year".isNull && $"category".isNull)
+    val yearLevels = out.where($"year".isNotNull && $"category".isNull)
+    assert(grand.count() == 1)
+    assert(yearLevels.count() == o.select(year($"o_orderdate")).distinct().count())
+    val total = grand.select("n_rows").as[Long].head()
+    assert(total == li.count())
+  }
+
+  test("statusPivot fills absent combinations with 0") {
+    val orders = Seq(("1-URGENT", "F"), ("1-URGENT", "F"), ("5-LOW", "O"))
+      .toDF("o_orderpriority", "o_orderstatus")
+    val out = Analytics.statusPivot(orders, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority").collect()
+    assert(out(0).getAs[Long]("F") == 2 && out(0).getAs[Long]("P") == 0)
+    assert(out(1).getAs[Long]("O") == 1 && out(1).getAs[Long]("F") == 0)
+  }
+
+  test("percentiles: interpolation matches hand computation") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
+    val out = Analytics.percentiles(df, "g", "v", Seq(0.5)).collect()(0)
+    assert(out.getAs[Double]("p50") == 2.5) // (n-1)*0.5 = 1.5 → 2 + 0.5
+    assert(out.getAs[Long]("n") == 4)
+  }
+
+  test("semiAntiCounts partitions customers exactly") {
+    val c = spark.read.parquet(s"$sf001/customer.parquet")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val out = Analytics.semiAntiCounts(c, o)
+    val tot = out.agg(sum("n_customers"), sum("n_with_orders") + sum("n_without_orders"))
+      .as[(Long, Long)].head()
+    assert(tot._1 == c.count() && tot._2 == c.count())
+  }
+
+  test("sessionize splits on gap") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0, 1L),
+      (1L, "2024-01-01 10:10:00", 2.0, 2L), // same session (10 min)
+      (1L, "2024-01-01 11:00:00", 3.0, 3L)  // 50 min gap → new session
+    ).toDF("user_id", "ts_s", "value", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Sessionize.sessionize(ev, "user_id", "ts", "value", 30, "event_id")
+      .orderBy("session_seq")
+      .select("n_events", "total_value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 3.0), (1L, 3.0)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine column expression matches hand computation") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(c - 1.0 / math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("graft_cosine native expression agrees with functions-composed cosine") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pairs = e.select(col("vec_id").as("i"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("v").as("vb")))
+      .where(col("i") < col("j")).limit(200)
+    val diff = pairs.select(
+        abs(call_function("graft_cosine", col("va"), col("vb")) -
+            Similarity.cosine(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(diff < 1e-12)
+  }
+
+  test("bruteForceTopK exact on a crafted corpus") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val out = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        "q_id", "q_vec", 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L)) // nearest then orthogonal; -1 last, self excluded
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "q_id", "q_vec", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", "q_id", "q_vec",
+        10, nTables = 12, planesPerTable = 4, dim = 64)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall degraded: $recall")
+  }
+
+  test("neardupPairs symmetric threshold filter") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.neardupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+}

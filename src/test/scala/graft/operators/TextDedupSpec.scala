@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc3 chosen so its shingle signature provably band-collides with doc1
+  // under the md5 scheme (jaccard 7/13, est_sim 10/12 — precomputed).
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  quick brown fox jumps over the lazy dog"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy dog and then it ran away fast"),
+    (4L, "completely different words appear here now")
+  ).toDF("doc_id", "text")
+
+  test("Dedup.exact groups normalized duplicates") {
+    val rows = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(rows(2L) == 1L && rows(1L) == 1L && rows(3L) == 3L && rows(4L) == 4L)
+  }
+
+  test("MinHash: identical docs est_sim 1.0; near-dups are candidates") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val m = cand.map { case (i, j, s) => (i, j) -> s }.toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) == 10.0 / 12.0) // near-dup bucketed, est matches sim
+    assert(!m.keySet.exists { case (i, j) => i == 4L || j == 4L })
+  }
+
+  test("ngramJaccard verifies true overlap") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc3 = doc1 + 6-word tail: 7 shared shingles of 13 union
+    assert(math.abs(pairs((1L, 3L)) - 7.0 / 13.0) < 1e-9)
+    assert(!pairs.keySet.exists { case (i, j) => i == 4L || j == 4L })
+  }
+
+  test("simhash: identical docs equal, unrelated docs differ") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("langId predicts marker-dominant language") {
+    val d = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "le chat et la maison des amis"),
+      (3L, "qwerty zzz xxx")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("quality ratios on crafted text") {
+    val d = Seq((1L, "abc 123 x!")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(d, "text").collect()(0)
+    assert(r.getAs[Int]("n_chars") == 10)
+    assert(r.getAs[Int]("n_words") == 3)
+    assert(r.getAs[Double]("alpha_ratio") == 0.4)   // a,b,c,x
+    assert(r.getAs[Double]("digit_ratio") == 0.3)   // 1,2,3
+    assert(r.getAs[Double]("punct_ratio") == 0.1)   // !
+    assert(r.getAs[Double]("quality_score") == 0.0) // < 5 words
+  }
+
+  test("tokenCounts: regex segmentation") {
+    val d = Seq((1L, "Hello42 world!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d, "text").collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 2)
+    assert(r.getAs[Int]("re_tokens") == 4) // hello | 42 | world | !
+  }
+
+  test("fingerprints stable under whitespace/case noise") {
+    val d = Seq((1L, "a b c d"), (2L, "A  b   c d")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "text")
+      .orderBy("doc_id").select("doc_id", "fp", "mh0").collect()
+    assert(fp(0).getAs[String]("fp") == fp(1).getAs[String]("fp"))
+  }
+}

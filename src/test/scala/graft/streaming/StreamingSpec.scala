@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Sessionize
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedEventAgg over a MemoryStream emits closed windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = StreamOps.windowedEventAgg(events, "5 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 10:50:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past 11:05 so the 10:00 window closes
+      mem.addData((ts("2024-01-01 12:00:00"), "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("event_type", "n_events", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize matches the batch operator on the same events") {
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      StreamOps.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+      StreamOps.Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+      StreamOps.Event(1L, ts("2024-01-01 11:30:00"), 3.0),
+      StreamOps.Event(2L, ts("2024-01-01 10:00:00"), 4.0))
+
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // push watermark far forward → every session times out and emits
+      mem.addData(StreamOps.Event(99L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+
+      val batch = Sessionize.sessionize(
+          data.toDF(), "user_id", "ts", "value", 30, "value")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}
