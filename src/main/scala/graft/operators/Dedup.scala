@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{MinHashSignature, ShingleSet}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for training-data pipelines.
@@ -34,46 +37,64 @@ object Dedup {
   val NumBands = 4 // rows-per-band = 3
 
   /** Per-doc MinHash signature columns sig0..sig11 over word 3-shingles.
-    * Docs with fewer than 3 words are dropped (no shingles to sketch). */
+    * Docs with fewer than 3 words are dropped (no shingles to sketch).
+    * Uses the fused [[graft.functions.MinHashSignature]] native expression
+    * (one pass over the shingles for all salts); values are identical to
+    * the per-salt `TextFunctions.minhash` composition and the SQL oracle.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs
-      .withColumn("_sh", shingles(normWords(col(textCol)), 3))
-      .where(size(col("_sh")) > 0)
+      .where(size(normWords(col(textCol))) >= 3)
+      .withColumn("_sigarr", Bridge.column(MinHashSignature(
+        Bridge.expression(normWords(col(textCol))), NumHashes, shingleSize = 3)))
     (0 until NumHashes).foldLeft(base) {
-      case (df, k) => df.withColumn(s"sig$k", minhash(col("_sh"), k))
-    }.drop("_sh")
+      case (df, k) => df.withColumn(s"sig$k", col("_sigarr").getItem(k))
+    }.drop("_sigarr")
   }
 
-  /** LSH band rows: (id, band, band_hash) — NumBands rows per doc. */
+  /** LSH band rows: (id, band, band_hash, sig…) — NumBands rows per doc.
+    * The signature columns RIDE ALONG through the band explosion so the
+    * candidate join can compute the similarity estimate inline — without
+    * this, Spark re-derives the whole minhash pipeline (12 md5 passes over
+    * every shingle) once per downstream reference. Carrying 12 hex strings
+    * per row through one bucket-local shuffle is far cheaper at any scale.
+    */
   def lshBands(sigs: DataFrame, idCol: String): DataFrame = {
     val rows = NumHashes / NumBands
     val bandStructs = (0 until NumBands).map { b =>
       val h = md5(concat((0 until rows).map(r => col(s"sig${b * rows + r}")): _*))
       struct(lit(b).as("band"), h.as("band_hash"))
     }
-    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    sigs.withColumn("bb", explode(array(bandStructs: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("band_hash", col("bb.band_hash"))
+      .drop("bb")
   }
 
   /** Candidate pairs (i < j) sharing at least one LSH bucket, with the
-    * estimated similarity = fraction of matching signature components. */
+    * estimated similarity = fraction of matching signature components.
+    *
+    * The band relation is persisted (MEMORY_AND_DISK) before the self-join:
+    * both join branches would otherwise re-derive the whole
+    * shingle→signature pipeline. Bands are ~4 rows × ~0.5 KB per doc —
+    * at petabyte text scale this spills to local disk, which is still far
+    * cheaper than recomputing the sketch; swap for a checkpoint if lineage
+    * length ever matters.
+    */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol)
-    val bands = lshBands(sigs, idCol)
-    val a = bands.select(col(idCol).as("i"), col("band"), col("band_hash"))
-    val b = bands.select(col(idCol).as("j"), col("band"), col("band_hash"))
-    val cand = a.join(b, Seq("band", "band_hash")).where(col("i") < col("j"))
-      .select("i", "j").distinct()
-    val si = sigs.select(col(idCol).as("i") +:
+    val bands = lshBands(minhashSignatures(docs, idCol, textCol), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bands.select(col(idCol).as("i") +: col("band") +: col("band_hash") +:
       (0 until NumHashes).map(k => col(s"sig$k").as(s"si$k")): _*)
-    val sj = sigs.select(col(idCol).as("j") +:
+    val b = bands.select(col(idCol).as("j") +: col("band") +: col("band_hash") +:
       (0 until NumHashes).map(k => col(s"sig$k").as(s"sj$k")): _*)
     val matches = (0 until NumHashes)
       .map(k => when(col(s"si$k") === col(s"sj$k"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(si, "i").join(sj, "j")
+    a.join(b, Seq("band", "band_hash")).where(col("i") < col("j"))
       .withColumn("est_sim", matches.cast("double") / NumHashes)
-      .select("i", "j", "est_sim")
+      // same pair can collide in several bands; est_sim is identical for all
+      .groupBy(col("i"), col("j")).agg(max(col("est_sim")).as("est_sim"))
   }
 
   /** n-gram Jaccard verification of LSH candidates: exact shingle-set
@@ -81,9 +102,11 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
     val sh = docs
-      .withColumn("_sh", shingles(normWords(col(textCol)), 3))
+      .withColumn("_sh", Bridge.column(ShingleSet(
+        Bridge.expression(normWords(col(textCol))), 3)))
       .where(size(col("_sh")) > 0)
       .select(col(idCol), col("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashCandidates(docs, idCol, textCol).select("i", "j")
     val inter = size(array_intersect(col("sh_i"), col("sh_j")))
     val uni = size(col("sh_i")) + size(col("sh_j")) - inter

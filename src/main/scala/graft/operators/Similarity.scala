@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.DotProduct
 
 /** Embedding similarity search.
   *
@@ -31,17 +34,29 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Unit-normalize a double-array column (one pass per VECTOR, not per
+    * pair) so pairwise cosine reduces to the codegen'd [[DotProduct]] —
+    * a third of the flops and no lambda dispatch on the O(n²)/O(n·q) path. */
+  private def unitNorm(c: Column): Column = {
+    val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    transform(c, x => x / norm)
+  }
+
+  private def dotCol(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries small DataFrame (q_id, q_vec) — broadcast.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String,
                      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val scored = corpus
-      .crossJoin(broadcast(queries))
+    val c = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
+    val q = queries.select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+    val scored = c
+      .crossJoin(broadcast(q))
       .where(col(idCol) =!= col(qIdCol))
-      .withColumn("cos_sim",
-        round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 6))
+      .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
@@ -52,10 +67,10 @@ object Similarity {
   /** All pairs (i < j) with cosine >= threshold (exact, self-join). */
   def neardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("i"), asDouble(col(vecCol)).as("va"))
-    val b = corpus.select(col(idCol).as("j"), asDouble(col(vecCol)).as("vb"))
+    val a = corpus.select(col(idCol).as("i"), unitNorm(asDouble(col(vecCol))).as("va"))
+    val b = corpus.select(col(idCol).as("j"), unitNorm(asDouble(col(vecCol))).as("vb"))
     a.join(b, col("i") < col("j"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(dotCol(col("va"), col("vb")), 6))
       .where(col("cos_sim") >= threshold)
       .select("i", "j", "cos_sim")
   }
@@ -112,10 +127,11 @@ object Similarity {
       .select(col(qIdCol), col(idCol)).distinct()
 
     val scored = cand
-      .join(broadcast(queries), Seq(qIdCol))
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .withColumn("cos_sim",
-        round(cosine(asDouble(col(qVecCol)), asDouble(col(vecCol))), 6))
+      .join(broadcast(queries.select(col(qIdCol),
+        unitNorm(asDouble(col(qVecCol))).as("_qn"))), Seq(qIdCol))
+      .join(corpus.select(col(idCol),
+        unitNorm(asDouble(col(vecCol))).as("_vn")), Seq(idCol))
+      .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
