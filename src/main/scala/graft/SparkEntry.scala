@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    StarQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    StarQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ ExtraQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    StarQueries.oracle ++ AnalyticsQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle
+    StarQueries.oracle ++ AnalyticsQueries.oracle ++ TextQueries.oracle ++
+      SimilarityQueries.oracle ++ ExtraQueries.oracle
 }

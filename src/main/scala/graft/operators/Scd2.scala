@@ -82,37 +82,41 @@ object Scd2 {
     */
   def mergeSnapshot(dim: DataFrame, snapshot: DataFrame, naturalKey: String,
                     attrs: Seq[String], loadDate: String): DataFrame = {
-    val k = col(naturalKey)
-    val snap = snapshot.select(naturalKey, attrs: _*)
+    // Snapshot columns are renamed up front: dim and snapshot often share
+    // lineage (yesterday's dim was built from the same source), and a join
+    // between them would otherwise hit Spark's ambiguous-self-join check.
+    def s(c: String) = s"_snap_$c"
+    val snap = snapshot.select((naturalKey +: attrs).map(c => col(c).as(s(c))): _*)
     val current = dim.where(col("is_current"))
     val past = dim.where(!col("is_current"))
 
-    val changed = attrs.map(a => current(a) =!= snap(a)).reduce(_ || _)
-    val joined = current.join(snap, current(naturalKey) === snap(naturalKey), "full_outer")
-
+    val joined = current.join(snap, col(naturalKey) === col(s(naturalKey)), "full_outer")
+    val changed = attrs.map(a => col(a) =!= col(s(a))).reduce(_ || _)
     val ld = lit(loadDate).cast("date")
+    val outCols = (naturalKey +: attrs) ++ Seq("effective_date", "expiration_date", "is_current")
+
     // 1. untouched current rows (no snapshot row, or identical attributes)
-    val kept = joined.where(current(naturalKey).isNotNull && (snap(naturalKey).isNull || !changed))
-      .select(current.columns.map(current(_)): _*)
+    val kept = joined
+      .where(col(naturalKey).isNotNull && (col(s(naturalKey)).isNull || !changed))
+      .select(outCols.map(col): _*)
     // 2. expired versions of changed rows
-    val expired = joined.where(current(naturalKey).isNotNull && snap(naturalKey).isNotNull && changed)
-      .select(current.columns.map(current(_)): _*)
+    val expired = joined
+      .where(col(naturalKey).isNotNull && col(s(naturalKey)).isNotNull && changed)
+      .select(outCols.map(col): _*)
       .withColumn("expiration_date", ld)
       .withColumn("is_current", lit(false))
     // 3. new versions: brand-new keys + new versions of changed keys
-    val fresh = joined.where(snap(naturalKey).isNotNull && (current(naturalKey).isNull || changed))
-      .select(snap.columns.map(snap(_)): _*)
+    val fresh = joined
+      .where(col(s(naturalKey)).isNotNull && (col(naturalKey).isNull || changed))
+      .select((naturalKey +: attrs).map(c => col(s(c)).as(c)): _*)
       .withColumn("effective_date", ld)
       .withColumn("expiration_date", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
-      .withColumn("sk", xxhash64(k, ld))
 
-    val keptAligned = kept.withColumn("sk", xxhash64(k, col("effective_date")))
-    val expiredAligned = expired.withColumn("sk", xxhash64(k, col("effective_date")))
-    val cols = fresh.columns.toSeq
-    past.withColumn("sk", xxhash64(k, col("effective_date"))).selectExpr(cols: _*)
-      .unionByName(keptAligned.selectExpr(cols: _*))
-      .unionByName(expiredAligned.selectExpr(cols: _*))
-      .unionByName(fresh)
+    past.select(outCols.map(col): _*)
+      .unionByName(kept)
+      .unionByName(expired.select(outCols.map(col): _*))
+      .unionByName(fresh.select(outCols.map(col): _*))
+      .withColumn("sk", xxhash64(col(naturalKey), col("effective_date")))
   }
 }

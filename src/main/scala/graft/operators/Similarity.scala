@@ -104,7 +104,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
               qIdCol: String, qVecCol: String,
-              k: Int, nTables: Int, planesPerTable: Int, dim: Int): DataFrame = {
+              k: Int, nTables: Int, planesPerTable: Int, dim: Int,
+              multiProbe: Boolean = false): DataFrame = {
     val tables = (0 until nTables).map(t =>
       hyperplanes(planesPerTable, dim, seed = 42L + t))
 
@@ -117,8 +118,18 @@ object Similarity {
         .drop("_b")
     }
 
-    val qBuckets = bucketRows(queries.select(col(qIdCol), col(qVecCol)),
-        asDouble(col(qVecCol)))
+    // Multi-probe: additionally look in every bucket one bit-flip away from
+    // the query's signature — (1 + planesPerTable)× more probe rows on the
+    // (tiny, broadcast) query side only, substantially higher recall without
+    // touching the corpus-side index.
+    def probeRows(df: DataFrame): DataFrame =
+      if (!multiProbe) df
+      else df.withColumn("sig",
+        explode(array((col("sig") +: (0 until planesPerTable).map(b =>
+          col("sig").bitwiseXOR(lit(1 << b)))): _*)))
+
+    val qBuckets = probeRows(
+        bucketRows(queries.select(col(qIdCol), col(qVecCol)), asDouble(col(qVecCol))))
       .select(col(qIdCol), col("tbl"), col("sig"))
     val cand = bucketRows(corpus.select(col(idCol), col(vecCol)), asDouble(col(vecCol)))
       .select(col(idCol), col("tbl"), col("sig"))

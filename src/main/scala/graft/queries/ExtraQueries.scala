@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** Round-1 extension queries: skew-salted aggregation, batch twin of the
+  * streaming window agg, incremental SCD2 merge, approximate sketches
+  * (SURVEY.md §2 additions; `q_approx` is rows-only — HLL/KLL internals are
+  * engine-specific, accuracy is asserted vs exact values in ScalaTest).
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Brand revenue via salted two-phase aggregation — value-identical to a
+    * plain GROUP BY (the oracle IS the plain GROUP BY). round(_,4): these
+    * are whole-table-scale sums, so leave a wider boundary margin than the
+    * per-day aggregates (SURVEY §4). */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Salting.saltedSum(li, Seq("p_brand"), "net", saltFrom = "l_orderkey")
+      .select(col("p_brand"), round(col("sum_net"), 4).as("revenue"), col("n_rows"))
+      .orderBy("p_brand")
+  }
+
+  /** Batch twin of StreamOps.windowedEventAgg (same 1-hour tumbling windows,
+    * same output contract, minus the watermark). */
+  def eventsWindowed(s: SparkSession, dir: String): DataFrame =
+    StarQueries.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** The reference's SCD2 day-merge (dim_customers.sql MERGE) through the
+    * gate: initial snapshot dim + a synthetic day-2 snapshot (acct_bal bump
+    * on every 7th customer) → expired versions + new current versions.
+    * Surrogate keys are excluded (xxhash64 is not oracle-portable). */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer").select(
+      col("c_custkey").as("customer_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation_key"), col("c_acctbal").as("acct_bal"),
+      col("c_mktsegment").as("mkt_segment"))
+    val dim0 = Scd2.snapshotDim(customer, "customer_id", "customer_sk")
+      .drop("customer_sk")
+    val snap = customer.withColumn("acct_bal",
+      when(col("customer_id") % 7 === 0, col("acct_bal") + 10.0).otherwise(col("acct_bal")))
+    Scd2.mergeSnapshot(dim0, snap, "customer_id",
+        Seq("name", "nation_key", "acct_bal", "mkt_segment"), "2024-01-01")
+      .drop("sk")
+      .select("customer_id", "name", "nation_key", "acct_bal", "mkt_segment",
+              "effective_date", "expiration_date", "is_current")
+      .orderBy("customer_id", "effective_date")
+  }
+
+  /** Approximate sketches (rows-only): HLL distinct + KLL-ish quantiles.
+    * Error bounds vs exact asserted in AnalyticsSpec. */
+  def approxSketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
+      .orderBy("l_returnflag")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (saltedAgg _),
+    "events_windowed" -> (eventsWindowed _),
+    "scd2_merge" -> (scd2Merge _),
+    "q_approx" -> (approxSketches _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT p.p_brand,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "events_windowed" ->
+      """WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM ev GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH c AS (SELECT c_custkey AS customer_id, c_name AS name,
+        |  c_nationkey AS nation_key, c_acctbal AS acct_bal, c_mktsegment AS mkt_segment
+        |  FROM customer),
+        |unchanged AS (
+        |  SELECT customer_id, name, nation_key, acct_bal, mkt_segment,
+        |    DATE '1970-01-01' AS effective_date, CAST(NULL AS DATE) AS expiration_date,
+        |    TRUE AS is_current
+        |  FROM c WHERE customer_id % 7 <> 0),
+        |expired AS (
+        |  SELECT customer_id, name, nation_key, acct_bal, mkt_segment,
+        |    DATE '1970-01-01' AS effective_date, DATE '2024-01-01' AS expiration_date,
+        |    FALSE AS is_current
+        |  FROM c WHERE customer_id % 7 = 0),
+        |fresh AS (
+        |  SELECT customer_id, name, nation_key, acct_bal + 10.0 AS acct_bal, mkt_segment,
+        |    DATE '2024-01-01' AS effective_date, CAST(NULL AS DATE) AS expiration_date,
+        |    TRUE AS is_current
+        |  FROM c WHERE customer_id % 7 = 0)
+        |SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM fresh
+        |ORDER BY customer_id, effective_date""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-shape assertions: plan properties that make or break 100 TB runs. */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables co-locate: join plan has no shuffle exchange") {
+    val wh = Files.createTempDirectory("graft-buckets")
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+    orders.write.format("parquet").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/orders_b")
+      .mode("overwrite").saveAsTable("orders_b")
+    lineitem.write.format("parquet").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/lineitem_b")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("saltedSum equals the plain aggregate") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val salted = Salting.saltedSum(li, Seq("l_returnflag"), "net", "l_orderkey")
+      .select(col("l_returnflag"), round(col("sum_net"), 4).as("s"), col("n_rows"))
+    val plain = li.groupBy("l_returnflag")
+      .agg(round(sum("net"), 4).as("s"), count(lit(1)).as("n_rows"))
+    assert(salted.orderBy("l_returnflag").collect().toSeq ==
+      plain.orderBy("l_returnflag").collect().toSeq)
+  }
+
+  test("multi-probe LSH recall >= single-probe recall") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "q_id", "q_vec", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(multiProbe: Boolean): Double = {
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", "q_id", "q_vec",
+          10, nTables = 12, planesPerTable = 4, dim = 64, multiProbe = multiProbe)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (brute & lsh).size.toDouble / brute.size
+    }
+    val single = recallOf(false)
+    val multi = recallOf(true)
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi >= 0.8, s"multi-probe recall too low: $multi")
+  }
+
+  test("approximate sketches stay within error bounds of exact") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val approx = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ad"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"))
+    val exact = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_orderkey")).as("ed"),
+      expr("percentile(l_extendedprice, 0.5)").as("em"))
+    val j = approx.join(exact, "l_returnflag").collect()
+    j.foreach { r =>
+      val (ad, ed) = (r.getAs[Long]("ad").toDouble, r.getAs[Long]("ed").toDouble)
+      assert(math.abs(ad - ed) / ed < 0.1, s"HLL off: $ad vs $ed")
+      val (am, em) = (r.getAs[Double]("am"), r.getAs[Double]("em"))
+      assert(math.abs(am - em) / em < 0.05, s"quantile off: $am vs $em")
+    }
+  }
+}

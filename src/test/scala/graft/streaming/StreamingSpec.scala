@@ -37,6 +37,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup twin: dropDuplicatesWithinWatermark drops replays") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("doc_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+                  (2L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:03:00"))) // replay within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch operator on the same events") {
     implicit val sq = spark.sqlContext
     val data = Seq(
