@@ -13,11 +13,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     StarQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ ExtraQueries.all
+      SimilarityQueries.all ++ ExtraQueries.all ++ TpchQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     StarQueries.oracle ++ AnalyticsQueries.oracle ++ TextQueries.oracle ++
-      SimilarityQueries.oracle ++ ExtraQueries.oracle
+      SimilarityQueries.oracle ++ ExtraQueries.oracle ++ TpchQueries.oracle
 }

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic TPC-H-shaped analytics (Q1/Q3/Q5 adapted to the testdata schema)
+  * — the "switchover completeness" set: a consumer of the reference's
+  * BigQuery layer runs exactly this class of query against the core layer.
+  *
+  * Determinism per SURVEY §4: whole-table sums round(4) (wider margin than
+  * the per-group round(6) aggregates), averages = rounded-sum / count (raw
+  * quotient), LIMIT always under a total ORDER.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q1: pricing summary report. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) <= lit("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (round(sum(col("l_extendedprice")), 4) / count(lit(1))).as("avg_price"),
+        (round(sum(col("l_discount")), 6) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3: shipping-priority candidates (top 10 by revenue). */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-03-15"
+    t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .where(to_date(col("o_orderdate")) < lit(cutoff))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(to_date(col("l_shipdate")) > lit(cutoff))
+      .groupBy(col("l_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5: local-supplier volume by nation within a region-year. */
+  def q5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").where(col("r_name") === "ASIA")
+      .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .where(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+             to_date(col("o_orderdate")) < lit("1997-01-01"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> (q1 _),
+    "tpch_q3" -> (q3 _),
+    "tpch_q5" -> (q5 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  round(sum(l_extendedprice), 4) / count(*) AS avg_price,
+        |  round(sum(l_discount), 6) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3" ->
+      """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+        |  o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+        |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM region r
+        |JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |JOIN customer c ON n.n_nationkey = c.c_nationkey
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}
