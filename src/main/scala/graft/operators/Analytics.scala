@@ -50,7 +50,9 @@ object Analytics {
             col("l_partkey") === col("p_partkey"))
       .rollup(col("year"), col("category"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("total_sales"),
+        // round(4), not (6): the grand-total level sums the whole table
+        // (~1e9 at sf0.1) — keep the rounding boundary ≫ reorder noise
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_sales"),
         count(lit(1)).as("n_rows"))
 
   /** Pivot: order counts by priority × status (fixed value list keeps the

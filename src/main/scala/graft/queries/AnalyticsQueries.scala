@@ -84,7 +84,7 @@ object AnalyticsQueries {
 
     "q_rollup" ->
       """SELECT CAST(year(o.o_orderdate) AS INT) AS year, p.p_type AS category,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS total_sales,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS total_sales,
         |  count(*) AS n_rows
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey

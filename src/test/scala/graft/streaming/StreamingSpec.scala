@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = mem.toDF().toDF("user_id", "ts", "value")
+      .join(dim, "user_id") // stream-static equi-join, no state needed
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 5.0),
+                  (2L, ts("2024-01-01 10:01:00"), 6.0),
+                  (9L, ts("2024-01-01 10:02:00"), 7.0)) // no dim row → dropped
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch operator on the same events") {
     implicit val sq = spark.sqlContext
     val data = Seq(
