@@ -19,15 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object PointInTime {
 
+  /** @param joinType "inner" drops facts with no valid version;
+    *                  "left_outer" keeps them with null dim columns
+    *                  (the reference's fact build is inner — fact_orders.sql). */
   def pitJoin(facts: DataFrame, dim: DataFrame,
               factKey: String, dimKey: String, factTs: String,
               effCol: String = "effective_ts", expCol: String = "expiration_ts",
-              broadcastDim: Boolean = false): DataFrame = {
+              broadcastDim: Boolean = false, joinType: String = "inner"): DataFrame = {
     val d = if (broadcastDim) broadcast(dim) else dim
     val cond: Column =
       facts(factKey) === d(dimKey) &&
       facts(factTs) >= d(effCol) &&
       (d(expCol).isNull || facts(factTs) < d(expCol))
-    facts.join(d, cond, "inner")
+    facts.join(d, cond, joinType)
   }
 }

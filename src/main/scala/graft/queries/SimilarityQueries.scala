@@ -36,7 +36,8 @@ object SimilarityQueries {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, queriesDf(e), "vec_id", "embedding",
-        "q_id", "q_vec", K, nTables = 12, planesPerTable = 4, dim = 64)
+        "q_id", "q_vec", K, nTables = 12, planesPerTable = 4, dim = 64,
+        multiProbe = true)
       .orderBy("q_id", "rank")
   }
 

@@ -32,9 +32,16 @@ object StreamOps {
         col("event_type"), col("n_events"), col("total_value"))
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionState(start: Timestamp, end: Timestamp, n: Long, total: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                      n_events: Long, total_value: Double)
+
+  /** Microsecond view of a Timestamp — java.sql.Timestamp.getTime is only
+    * ms-precise; state keeps the original Timestamps so emitted sessions are
+    * µs-identical to the batch operator (asserted on the full events table
+    * in StreamingSpec). */
+  private def us(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Stateful gap sessionization via flatMapGroupsWithState: a session
     * closes (and is emitted) when no event arrives within `gapMinutes` of
@@ -43,6 +50,7 @@ object StreamOps {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60000000L
     val gapMs = gapMinutes.toLong * 60000L
 
     events
@@ -54,25 +62,25 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+            Iterator(Session(userId, s.start, s.end, s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.value))
             var cur = state.getOption.orNull
             val closed = Seq.newBuilder[Session]
             for (e <- sorted) {
-              val t = e.ts.getTime
               cur match {
                 case null =>
-                  cur = SessionState(t, t, 1, e.value)
-                case s if t - s.end > gapMs =>
-                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-                  cur = SessionState(t, t, 1, e.value)
+                  cur = SessionState(e.ts, e.ts, 1, e.value)
+                case s if us(e.ts) - us(s.end) > gapUs =>
+                  closed += Session(userId, s.start, s.end, s.n, s.total)
+                  cur = SessionState(e.ts, e.ts, 1, e.value)
                 case s =>
-                  cur = SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value)
+                  val end = if (us(e.ts) > us(s.end)) e.ts else s.end
+                  cur = SessionState(s.start, end, s.n + 1, s.total + e.value)
               }
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.end + gapMs)
+            state.setTimeoutTimestamp(cur.end.getTime + gapMs)
             closed.result().iterator
           }
       }

@@ -5,10 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev probe: SQL surface of all registered graft functions. */
 object SqlProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .getOrCreate()
+    val spark = graft.Graft.session(master = "local[4]")
     spark.sparkContext.setLogLevel("ERROR")
     println(spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,

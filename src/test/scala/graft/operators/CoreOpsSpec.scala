@@ -25,6 +25,10 @@ class CoreOpsSpec extends SparkSpec {
     val out = PointInTime.pitJoin(facts, dim, "fk", "k", "fts")
       .select("fid", "ver").as[(Long, String)].collect().toMap
     assert(out == Map(100L -> "v1", 101L -> "v2"))
+
+    val outer = PointInTime.pitJoin(facts, dim, "fk", "k", "fts", joinType = "left_outer")
+    assert(outer.count() == 3)
+    assert(outer.where($"fid" === 102 && $"ver".isNull).count() == 1)
   }
 
   test("DateDim attributes: holidays, weekend, fiscal year") {

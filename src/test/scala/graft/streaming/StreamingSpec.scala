@@ -57,6 +57,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize == batch sessionize on the full sf0.001 events table") {
+    implicit val sq = spark.sqlContext
+    import graft.queries.StarQueries
+    val events = StarQueries.events(spark, sf001)
+      .select($"user_id", $"ts", $"value").as[StreamOps.Event]
+      .collect().toSeq.sortBy(_.ts.getTime)
+
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_full")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // sentinel far in the future closes every open session
+      mem.addData(StreamOps.Event(9999L, ts("2030-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_full")
+        .where($"user_id" =!= 9999L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+
+      val batch = Sessionize.sessionize(
+          StarQueries.events(spark, sf001), "user_id", "ts", "value", 30, "event_id")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size} sessions")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
