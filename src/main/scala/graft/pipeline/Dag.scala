@@ -35,9 +35,16 @@ object Dag {
       require(known.contains(d), s"task ${t.id} depends on unknown task $d")
   }
 
+  /** Lifecycle hooks — the reference wires MS Teams webhooks into Airflow's
+    * on_success_callback/on_failure_callback (plugins/ms_teams_notification
+    * .py); here any side channel plugs in as a function. */
+  final case class Callbacks(
+      onSuccess: String => Unit = _ => (),
+      onFailure: (String, Throwable) => Unit = (_, _) => ())
+
   /** Run all tasks respecting dependencies; downstream of a failure is
     * Skipped, independent branches still run. */
-  def run(tasks: Seq[Task]): Report = {
+  def run(tasks: Seq[Task], callbacks: Callbacks = Callbacks()): Report = {
     validate(tasks)
     val byId = tasks.map(t => t.id -> t).toMap
     val statuses = mutable.Map[String, Status]()
@@ -51,7 +58,11 @@ object Dag {
         case Some(id) =>
           pending -= id
           order += id
-          statuses(id) = execute(byId(id))
+          statuses(id) = execute(byId(id)) match {
+            case Success => callbacks.onSuccess(id); Success
+            case f @ Failed(_, e) => callbacks.onFailure(id, e); f
+            case other => other
+          }
         case None =>
           val blocked = pending.filter(id =>
             byId(id).deps.exists(d => statuses.get(d).exists(_ != Success)))

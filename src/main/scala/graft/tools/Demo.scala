@@ -39,14 +39,30 @@ object Demo {
         println(s"ERROR-PATH ok: ${e.getMessage.linesIterator.next()}")
     }
 
-    // 3. full star pipeline through the DAG runner
+    // 3. full star pipeline through the DAG runner, with notification hooks
     val wh = Files.createTempDirectory("graft-demo-wh").toString
-    val report = StarPipeline.run(spark, "/root/testdata/sf0.001", wh)
+    val cb = graft.pipeline.Dag.Callbacks(
+      onSuccess = id => println(s"notify: $id succeeded"),
+      onFailure = (id, e) => println(s"notify: $id FAILED ${e.getMessage}"))
+    val report = graft.pipeline.Dag.run(
+      StarPipeline.tasks(spark, "/root/testdata/sf0.001", wh), cb)
     println(s"pipeline order: ${report.order.mkString(" -> ")}")
     println(s"pipeline succeeded: ${report.succeeded}")
     val ss = spark.read.parquet(s"$wh/datamart/sales_summary")
     println(s"sales_summary rows: ${ss.count()}")
     ss.orderBy("date", "product_category").show(3, false)
+
+    // 4. failure path: config-driven domain with a missing CSV drop
+    import graft.pipeline.{Dag, DomainConfig, PipelineBuilder}
+    import graft.sources.CsvIngest.ColumnSpec
+    val emptyInbox = Files.createTempDirectory("graft-demo-inbox").toString
+    val badDomain = DomainConfig.Domain("ads",
+      raw = Seq(DomainConfig.RawTable("clicks", Seq(ColumnSpec("click_id", "STRING")))),
+      transforms = Seq(DomainConfig.Transform("core.counts", Nil)(s =>
+        s.read.parquet("/nonexistent"))))
+    val badReport = Dag.run(
+      PipelineBuilder.tasks(spark, badDomain, emptyInbox, s"$wh/ads", "2024-03-01"), cb)
+    println(s"failure-path statuses: ${badReport.statuses.toSeq.sortBy(_._1)}")
 
     spark.stop()
   }

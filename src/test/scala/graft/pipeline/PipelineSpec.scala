@@ -43,6 +43,47 @@ class PipelineSpec extends SparkSpec {
     assert(reports.values.forall(_.succeeded))
   }
 
+  test("Dag callbacks fire per task outcome") {
+    val events = scala.collection.mutable.ArrayBuffer[String]()
+    val cb = Dag.Callbacks(
+      onSuccess = id => events += s"ok:$id",
+      onFailure = (id, e) => events += s"fail:$id:${e.getMessage}")
+    Dag.run(Seq(
+      Dag.Task("good")(() => ()),
+      Dag.Task("bad")(() => throw new RuntimeException("boom"))), cb)
+    assert(events.toSet == Set("ok:good", "fail:bad:boom"))
+  }
+
+  test("config-driven domain: CSV inbox -> raw layer -> transform, with backfill") {
+    import graft.pipeline.DomainConfig._
+    import graft.sources.CsvIngest.ColumnSpec
+    import org.apache.spark.sql.functions._
+
+    val inbox = Files.createTempDirectory("graft-inbox")
+    val wh = Files.createTempDirectory("graft-domain-wh").toString
+    for (ds <- Seq("20240301", "20240302")) {
+      val d = inbox.resolve(s"clicks/$ds")
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"clicks_$ds.csv"),
+        s"click_id,n\nc${ds}a,1\nc${ds}b,2".getBytes)
+    }
+    val domain = Domain("ads",
+      raw = Seq(RawTable("clicks", Seq(ColumnSpec("click_id", "STRING"), ColumnSpec("n", "INTEGER")))),
+      transforms = Seq(Transform("core.click_counts", Nil) { s =>
+        s.read.parquet(s"$wh/raw/clicks")
+          .groupBy("ingestion_date").agg(sum("n").as("total"))
+      }))
+    val reports = PipelineBuilder.backfill(spark, domain, inbox.toString, wh,
+      Seq("2024-03-01", "2024-03-02"))
+    assert(reports.values.forall(_.succeeded), s"$reports")
+    val counts = spark.read.parquet(s"$wh/core/click_counts")
+      .orderBy("ingestion_date").collect()
+    assert(counts.map(_.getLong(1)).toSeq == Seq(3L, 3L))
+    // re-run one day: raw partition replaced, not duplicated
+    Dag.run(PipelineBuilder.tasks(spark, domain, inbox.toString, wh, "2024-03-02"))
+    assert(spark.read.parquet(s"$wh/raw/clicks").count() == 4)
+  }
+
   test("StarPipeline end-to-end at sf0.001, idempotent re-run") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val r1 = StarPipeline.run(spark, sf001, wh)
