@@ -118,6 +118,55 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Near-duplicate clusters: connected components over the verified
+    * near-dup pairs, labeling every doc with the minimum doc id reachable
+    * through near-dup edges (`cluster_id`); `is_canonical` marks the keeper.
+    * This is the step that turns pairwise detection into corpus dedup —
+    * "keep one representative per near-dup cluster".
+    *
+    * Min-label propagation: each iteration is one (edges ⋈ labels) shuffle;
+    * iterations = O(diameter of the largest cluster), and near-dup clusters
+    * are shallow in practice (bounded by `maxIterations`, convergence
+    * checked with a cheap count). At 100 TB the edge set is the (small)
+    * verified-pair output, not the corpus, so the loop is cheap; the final
+    * join back to all docs is one broadcast of the non-singleton labels.
+    */
+  def clusters(docs: DataFrame, idCol: String, textCol: String,
+               threshold: Double, maxIterations: Int = 10): DataFrame = {
+    val edges = ngramJaccard(docs, idCol, textCol, threshold)
+      .select(col("i"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symmetric adjacency
+    val adj = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = adj.select(col("i").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = adj
+        .join(labels.withColumnRenamed("node", "j").withColumnRenamed("lbl", "nlbl"),
+              Seq("j"))
+        .groupBy(col("i").as("node")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** 64-bit SimHash per document over whitespace tokens (xxhash64-based —
     * library-internal, verified by ScalaTest rather than the SQL oracle). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

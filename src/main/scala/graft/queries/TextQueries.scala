@@ -54,6 +54,10 @@ object TextQueries {
     Dedup.simhash(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(docs(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy("doc_id")
+
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(
         docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -68,6 +72,7 @@ object TextQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "multimodal_meta" -> (multimodalMeta _)
   )
@@ -189,6 +194,26 @@ object TextQueries {
          |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
          |  FROM cand JOIN sh sa ON cand.i = sa.doc_id JOIN sh sb ON cand.j = sb.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $wordsSql,
+         |$shinglesSql,
+         |$sigsSql,
+         |$candSql,
+         |verified AS (
+         |  SELECT i, j FROM (
+         |    SELECT cand.i, cand.j,
+         |      CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+         |    FROM cand JOIN sh sa ON cand.i = sa.doc_id JOIN sh sb ON cand.j = sb.doc_id)
+         |  WHERE jac >= 0.5),
+         |edges AS (SELECT i, j FROM verified UNION ALL SELECT j, i FROM verified),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i)
+         |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS is_canonical
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -41,6 +41,18 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (i, j) => i == 4L || j == 4L })
   }
 
+  test("clusters: transitive near-dups collapse to one canonical id") {
+    // 1≡2 (exact dup) and 1~3 (near dup) → {1,2,3} one cluster, 4 singleton
+    val out = Dedup.clusters(docs, "doc_id", "text", 0.3)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (1L, false))
+    assert(out(4L) == (4L, true))
+  }
+
   test("simhash: identical docs equal, unrelated docs differ") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
