@@ -69,10 +69,42 @@ object TpchQueries {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Q10: returned-item reporting — top 20 customers by lost revenue. */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .where(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+             to_date(col("o_orderdate")) < lit("1996-04-01"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q12: shipmode-ish priority classes per month (adapted: no shipmode
+    * column — classifies by order priority urgency instead). */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+             to_date(col("l_shipdate")) < lit("1998-01-01"))
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("ship_month")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (q1 _),
     "tpch_q3" -> (q3 _),
-    "tpch_q5" -> (q5 _)
+    "tpch_q5" -> (q5 _),
+    "tpch_q10" -> (q10 _),
+    "tpch_q12" -> (q12 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,6 +134,28 @@ object TpchQueries {
         |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "tpch_q12" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
 
     "tpch_q5" ->
       """SELECT n.n_name,
