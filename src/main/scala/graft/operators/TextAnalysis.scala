@@ -81,6 +81,38 @@ object TextAnalysis {
         length(t).cast("double") / col("re_tokens"))
   }
 
+  /** Training-data text cleaning: redact URLs and email addresses, collapse
+    * whitespace. Counts of removals ride along so a pipeline can filter or
+    * audit. Pure map-side; regexes kept to the Java∩RE2 common dialect so
+    * the oracle matches. */
+  def clean(docs: DataFrame, textCol: String): DataFrame = {
+    val urlRe = "https?://[^\\s]+"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val t = col(textCol)
+    docs
+      .withColumn("n_urls", size(regexp_extract_all(t, lit(urlRe), lit(0))))
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))))
+      .withColumn("clean_text",
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(t, urlRe, "<URL>"), emailRe, "<EMAIL>"),
+          "\\s+", " ")))
+  }
+
+  /** Per-source corpus statistics: the summary a pipeline reports after
+    * ingest (doc counts, length distribution, language spread). */
+  def corpusStats(docs: DataFrame, sourceCol: String, textCol: String,
+                  langCol: String): DataFrame =
+    docs
+      .withColumn("_len", length(col(textCol)))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("_len")).as("min_chars"),
+        max(col("_len")).as("max_chars"),
+        avg(col("_len")).as("avg_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        countDistinct(md5(normalized(col(textCol)))).as("n_unique_texts"))
+
   /** Document fingerprints: md5 of normalized text (exact identity) plus
     * 4 min-wise shingle hashes (stable near-identity sketch). */
   def fingerprints(docs: DataFrame, textCol: String): DataFrame = {

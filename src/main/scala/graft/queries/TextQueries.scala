@@ -54,6 +54,15 @@ object TextQueries {
     Dedup.simhash(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def textClean(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.clean(docs(s, dir), "text")
+      .select("doc_id", "n_urls", "n_emails", "clean_text")
+      .orderBy("doc_id")
+
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(docs(s, dir), "source", "text", "lang")
+      .orderBy("source")
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.clusters(docs(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy("doc_id")
@@ -73,6 +82,8 @@ object TextQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_clusters" -> (dedupClusters _),
+    "text_clean" -> (textClean _),
+    "corpus_stats" -> (corpusStats _),
     "dedup_simhash" -> (dedupSimhash _),
     "multimodal_meta" -> (multimodalMeta _)
   )
@@ -194,6 +205,26 @@ object TextQueries {
          |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
          |  FROM cand JOIN sh sa ON cand.i = sa.doc_id JOIN sh sb ON cand.j = sb.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+
+    "text_clean" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(min(length(text)) AS INT) AS min_chars,
+        |  CAST(max(length(text)) AS INT) AS max_chars,
+        |  avg(length(text)) AS avg_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_unique_texts
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $wordsSql,

@@ -89,6 +89,26 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Int]("re_tokens") == 4) // hello | 42 | world | !
   }
 
+  test("clean: redacts URLs and emails, counts removals") {
+    val d = Seq((1L, "see https://example.com/x and mail bob@test.org  now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.clean(d, "text").collect()(0)
+    assert(r.getAs[Int]("n_urls") == 1 && r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[String]("clean_text") == "see <URL> and mail <EMAIL> now")
+  }
+
+  test("corpusStats aggregates per source") {
+    val d = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a  b C", "fr", "s1"), (3L, "xyz", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusStats(d, "source", "text", "lang")
+      .orderBy("source").collect()
+    assert(r(0).getAs[Long]("n_docs") == 2)
+    assert(r(0).getAs[Long]("n_langs") == 2)
+    assert(r(0).getAs[Long]("n_unique_texts") == 1) // "a b c" ≡ "a  b C" normalized
+    assert(r(1).getAs[Long]("n_docs") == 1)
+  }
+
   test("fingerprints stable under whitespace/case noise") {
     val d = Seq((1L, "a b c d"), (2L, "A  b   c d")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(d, "text")
