@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-shape stress: replicate the test corpus 20-50× and run the
+  * dedup/ANN paths end-to-end. Verifies the operators' complexity claims
+  * empirically (bucket-local joins, map-side sketches) — the shapes that
+  * must hold at 100 TB. `runMain graft.tools.Stress`.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%7.1fs  $name")
+      r
+    }
+
+    // 100k docs: 20 replicas of the 5k corpus; replica 0 keeps the original
+    // text, others get a per-replica token appended (near-dups of the
+    // original, exact dups of nothing) → realistic cluster structure.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = docs.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select(
+        (col("doc_id") * 20 + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+      .repartition(32)
+      .persist()
+    println(s"docs: ${big.count()}")
+
+    val cand = time("minhashCandidates on 100k docs") {
+      val c = Dedup.minhashCandidates(big, "doc_id", "text").persist()
+      println(s"   candidates: ${c.count()}")
+      c
+    }
+    time("ngram-verified pairs") {
+      println("   verified>=0.8: " +
+        Dedup.ngramJaccard(big, "doc_id", "text", 0.8).count())
+    }
+    time("clusters on 100k docs") {
+      val cl = Dedup.clusters(big, "doc_id", "text", 0.8)
+      println("   clusters: " + cl.select("cluster_id").distinct().count() +
+        " canonical: " + cl.where(col("is_canonical")).count())
+    }
+    time("exact dedup on 100k docs") {
+      println("   groups: " + Dedup.exact(big, "doc_id", "text")
+        .select("fp").distinct().count())
+    }
+
+    // 40k vectors: 20 replicas of the 2k embeddings (float jitter via
+    // deterministic per-replica scale so replicas are near-parallel).
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bigEmb = emb.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("vec_id") * 20 + col("rep")).as("vec_id"),
+              col("embedding"))
+      .repartition(32).persist()
+    println(s"vectors: ${bigEmb.count()}")
+    val q = bigEmb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    time("brute-force top-10 over 40k vectors") {
+      println("   rows: " + Similarity.bruteForceTopK(
+        bigEmb, q, "vec_id", "embedding", "q_id", "q_vec", 10).count())
+    }
+    time("LSH top-10 over 40k vectors (multi-probe)") {
+      println("   rows: " + Similarity.lshTopK(
+        bigEmb, q, "vec_id", "embedding", "q_id", "q_vec", 10,
+        nTables = 12, planesPerTable = 4, dim = 64, multiProbe = true).count())
+    }
+    spark.stop()
+  }
+}
