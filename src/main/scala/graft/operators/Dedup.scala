@@ -132,17 +132,33 @@ object Dedup {
     * join back to all docs is one broadcast of the non-singleton labels.
     */
   def clusters(docs: DataFrame, idCol: String, textCol: String,
-               threshold: Double, maxIterations: Int = 10): DataFrame = {
-    val edges = ngramJaccard(docs, idCol, textCol, threshold)
-      .select(col("i"), col("j"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+               threshold: Double, maxIterations: Int = 10): DataFrame =
+    clustersFromEdges(docs,
+      ngramJaccard(docs, idCol, textCol, threshold).select(col("i"), col("j")),
+      idCol, maxIterations)
+
+  /** Same, over precomputed near-dup edges (columns i, j) — lets a pipeline
+    * that already ran [[ngramJaccard]] (or any pair source: embedding
+    * near-dups, simhash bands) cluster without re-deriving the sketch.
+    *
+    * Each iteration is `localCheckpoint`ed: iterative plans otherwise nest
+    * the previous iteration's plan several times over, and after ~10
+    * iterations the (exponentially grown) plan tree stalls planning/AQE —
+    * caching alone reuses DATA but not the PLAN. Checkpointing truncates
+    * lineage to the materialized blocks, keeping every iteration O(1) plan
+    * size. (Found live: a 257-edge, large-diameter graph hung the
+    * persist-only version.)
+    */
+  def clustersFromEdges(docs: DataFrame, edgesIn: DataFrame, idCol: String,
+                        maxIterations: Int = 30): DataFrame = {
+    val edges = edgesIn.select(col("i"), col("j")).localCheckpoint()
     // symmetric adjacency
     val adj = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     var labels = adj.select(col("i").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -150,12 +166,20 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "j").withColumnRenamed("lbl", "nlbl"),
               Seq("j"))
         .groupBy(col("i").as("node")).agg(min(col("nlbl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+      val stepped = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Pointer jumping: also adopt the label OF the current label, halving
+      // the remaining distance to the component minimum every iteration —
+      // convergence in O(log diameter) instead of O(diameter), which is what
+      // makes long chains (observed: a 500-node graph with diameter > 10)
+      // terminate quickly.
+      val next = stepped
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"), "left_outer")
+        .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
         .where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
