@@ -35,12 +35,27 @@ object Datamart {
         (round(sum(col("net_amount")), 6) / countDistinct(col("order_id"))).as("avg_order_value"))
   }
 
-  /** Customer-level RFM analytics (customer_analytics.sql). `anchorDate`
-    * replaces the reference's CURRENT_DATE for determinism — pass the max
-    * order date (or the pipeline's execution date).
+  /** Customer-level RFM analytics (customer_analytics.sql). The anchor date
+    * replaces the reference's CURRENT_DATE for determinism — pass the
+    * pipeline's execution date, or derive it in-plan with [[anchorOf]].
     */
-  def customerAnalytics(fact: DataFrame, dimCustomer: DataFrame, anchorDate: String): DataFrame = {
-    val anchor = lit(anchorDate).cast("date")
+  def customerAnalytics(fact: DataFrame, dimCustomer: DataFrame, anchorDate: String): DataFrame =
+    customerAnalytics(fact, dimCustomer,
+      fact.sparkSession.range(1).select(lit(anchorDate).cast("date").as("anchor_date")))
+
+  /** 1-row anchor relation: `max(dateCol)` of `table`, for deriving the RFM
+    * anchor in-plan (no driver-side `.head()` job — the extra full scan and
+    * the collect barrier both disappear; the 1-row side is broadcast).
+    */
+  def anchorOf(table: DataFrame, dateCol: String): DataFrame =
+    table.agg(max(to_date(col(dateCol))).as("anchor_date"))
+
+  /** In-plan variant: `anchor` is any 1-row relation with a DATE column
+    * `anchor_date` (see [[anchorOf]]). It joins AFTER the per-customer
+    * aggregate — a broadcast of 1 row against |customers| rows, so the fact
+    * table itself is never widened by the cross join.
+    */
+  def customerAnalytics(fact: DataFrame, dimCustomer: DataFrame, anchor: DataFrame): DataFrame = {
     val perCustomer = fact
       .join(broadcast(dimCustomer.where(col("is_current"))
               .select(col("customer_sk"), col("customer_id"), col("name"), col("mkt_segment"))),
@@ -49,10 +64,13 @@ object Datamart {
       .agg(
         min(col("order_date")).as("first_order_date"),
         max(col("order_date")).as("last_order_date"),
-        datediff(anchor, max(col("order_date"))).as("days_since_last_order"),
         countDistinct(col("order_id")).as("total_orders"),
         round(sum(col("net_amount")), 6).as("total_lifetime_value"))
     perCustomer
+      .crossJoin(broadcast(anchor))
+      .withColumn("days_since_last_order",
+        datediff(col("anchor_date"), col("last_order_date")))
+      .drop("anchor_date")
       .withColumn("average_order_value",
         col("total_lifetime_value") / col("total_orders"))
       .withColumn("customer_segment", rfmSegment(

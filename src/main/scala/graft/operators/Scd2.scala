@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   *    roll forward.
   *  - [[snapshotDim]]: a single full snapshot as an all-current dim.
   *
-  * Surrogate keys: the library default is `xxhash64(natural key, effective
-  * ts)` — deterministic, collision-checked at 64 bits, and requires no global
-  * ordering (a global `row_number` is a single-task bottleneck at 100 TB).
-  * A per-key `version` number is also emitted (cheap inside the existing
-  * window).
+  * Surrogate keys are hash-based everywhere — deterministic and map-side,
+  * never a global `row_number` (a no-partition window is a single-task
+  * bottleneck at 100 TB): `md5(natural key [, effective date])` on the
+  * snapshot/merge paths (portable across engines, used by the gated star
+  * queries), `xxhash64` on [[fromHistory]] (compact 8-byte key for the
+  * biggest dims). A per-key `version` number is also emitted where a
+  * windowed pass already exists.
   */
 object Scd2 {
 
@@ -59,14 +61,18 @@ object Scd2 {
 
   /** One full snapshot as an SCD2-shaped dimension: every row current,
     * effective from `effectiveDate` (reference treats initial load this way).
-    * Surrogate key = dense sequential by natural key (dims are small enough
-    * to window; for huge dims swap in the hash key like [[fromHistory]]).
+    *
+    * Surrogate key = `md5(natural key)`: purely map-side (no global
+    * `row_number` window, which would funnel the whole dim through one task
+    * at scale), deterministic, and portable across engines — the reference's
+    * sequential `ROW_NUMBER() + MAX(sk)` allocation
+    * (dim_customers.sql:5-9) serializes on the warehouse for no semantic
+    * gain; any stable unique id satisfies the star-schema contract.
     */
   def snapshotDim(snapshot: DataFrame, naturalKey: String, skName: String,
                   effectiveDate: String = "1970-01-01"): DataFrame = {
-    val w = Window.orderBy(col(naturalKey))
     snapshot
-      .withColumn(skName, row_number().over(w))
+      .withColumn(skName, md5(col(naturalKey).cast("string")))
       .withColumn("effective_date", lit(effectiveDate).cast("date"))
       .withColumn("expiration_date", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
@@ -117,6 +123,7 @@ object Scd2 {
       .unionByName(kept)
       .unionByName(expired.select(outCols.map(col): _*))
       .unionByName(fresh.select(outCols.map(col): _*))
-      .withColumn("sk", xxhash64(col(naturalKey), col("effective_date")))
+      .withColumn("sk", md5(concat_ws(":",
+        col(naturalKey).cast("string"), col("effective_date").cast("string"))))
   }
 }

@@ -58,12 +58,11 @@ object StarPipeline {
         "datamart/sales_summary"))
 
     val customerAnalytics = Dag.Task("datamart.customer_analytics",
-        deps = Seq("core.fact_orders"))(() => {
-      val anchor = t("orders").agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+        deps = Seq("core.fact_orders"))(() =>
       write(Datamart.customerAnalytics(
-        read("core/fact_orders"), read("core/dim_customers"), anchor.toString),
-        "datamart/customer_analytics")
-    })
+        read("core/fact_orders"), read("core/dim_customers"),
+        Datamart.anchorOf(t("orders"), "o_orderdate")),
+        "datamart/customer_analytics"))
 
     Seq(dimCustomers, dimParts, dimDates, factOrders, salesSummary, customerAnalytics)
   }

@@ -120,8 +120,10 @@ object StarQueries {
     val fact = FactBuild.factOrders(
       orders, t(s, dir, "lineitem"),
       dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
-    val anchor = orders.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
-    Datamart.customerAnalytics(fact, dimCustomersUnordered(s, dir), anchor.toString)
+    // Anchor derived in-plan (1-row aggregate, broadcast) — no driver-side
+    // .head() job scanning orders before the query proper runs.
+    Datamart.customerAnalytics(fact, dimCustomersUnordered(s, dir),
+        Datamart.anchorOf(orders, "o_orderdate"))
       .orderBy("customer_id")
   }
 
@@ -150,13 +152,16 @@ object StarQueries {
     "merge_upsert" -> (mergeUpsert _)
   )
 
-  /** DuckDB CTE fragments shared by several oracles. */
+  /** DuckDB CTE fragments shared by several oracles. Surrogate keys are
+    * md5(natural key) — the one hash with identical hex output in Spark and
+    * DuckDB (SURVEY.md §4), and map-side on the Spark side (no global
+    * row_number window). */
   private val dimCustSql =
-    """dc AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk,
+    """dc AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS customer_sk,
       |  c_custkey AS customer_id, c_name AS name, c_nationkey AS nation_key,
       |  c_acctbal AS acct_bal, c_mktsegment AS mkt_segment FROM customer)""".stripMargin
   private val dimPartSql =
-    """dp AS (SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS part_sk,
+    """dp AS (SELECT md5(CAST(p_partkey AS VARCHAR)) AS part_sk,
       |  p_partkey AS part_id, p_name AS name, p_brand AS brand, p_type AS category,
       |  p_size AS size, p_retailprice AS retail_price FROM part)""".stripMargin
   private val factSql =
