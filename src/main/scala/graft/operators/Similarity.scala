@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, Hyperplanes, HyperplaneSignatures}
 
 /** Embedding similarity search.
   *
@@ -75,13 +75,47 @@ object Similarity {
       .select("i", "j", "cos_sim")
   }
 
-  /** Deterministic ±1 random hyperplanes (seeded) as literal arrays. */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  /** Bucketed near-dup pairs — the 100 TB shape for [[neardupPairs]]:
+    * candidates are pairs sharing at least one (table, hyperplane-signature)
+    * bucket, exact-rescored with the codegen'd dot product over
+    * pre-normalized vectors and thresholded. The self-join is bucket-local
+    * (an equi-join on (tbl, sig) — never BroadcastNestedLoop), so work
+    * scales with bucket occupancy instead of n². Recall vs the exact
+    * all-pairs variant is (1-(1-p^P)^T) per pair, p = 1 - θ/π — tune
+    * `planesPerTable` up for high-similarity dedup corpora (see SCALING.md).
+    *
+    * The bucket relation is persisted: both self-join branches would
+    * otherwise recompute normalization + signatures for the whole corpus.
+    */
+  def neardupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nTables: Int, planesPerTable: Int,
+                      dim: Int, seed: Long = 42L): DataFrame = {
+    val buckets = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("_vd"))
+      .withColumn("_vn", unitNorm(col("_vd")))
+      // signatures from the RAW vector (what the oracle sees) — signs are
+      // normalization-invariant mathematically, this keeps them bitwise so
+      .withColumn("_sigs", lshSignatures(col("_vd"), nTables, planesPerTable, dim, seed))
+      .select(col(idCol), col("_vn"), posexplode(col("_sigs")).as(Seq("tbl", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = buckets.select(col(idCol).as("i"), col("_vn").as("va"), col("tbl"), col("sig"))
+    val b = buckets.select(col(idCol).as("j"), col("_vn").as("vb"), col("tbl"), col("sig"))
+    a.join(b, Seq("tbl", "sig")).where(col("i") < col("j"))
+      .withColumn("_cs", round(dotCol(col("va"), col("vb")), 6))
+      .where(col("_cs") >= threshold)
+      // a pair can collide in several tables; the rescored value is identical
+      .groupBy(col("i"), col("j")).agg(max(col("_cs")).as("cos_sim"))
   }
 
-  /** Sign-bucket signature for a vector column under the given planes. */
+  /** Deterministic ±1 random hyperplanes (seeded) as literal arrays. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] =
+    Hyperplanes.planes(nPlanes, dim, seed).toSeq
+
+  /** Sign-bucket signature for a vector column under the given planes —
+    * the `functions`-composed REFERENCE implementation (one interpreted
+    * lambda walk per plane). The hot paths use the fused
+    * [[graft.functions.HyperplaneSignatures]]; this stays as the
+    * equivalence check in SimilaritySpec. */
   def lshSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit(_)): _*)
@@ -90,6 +124,13 @@ object Similarity {
     }
     bits.reduce((x, y) => x.bitwiseOR(y)).cast("int")
   }
+
+  /** All `nTables` bucket signatures of a (double-array) vector column in
+    * one fused pass (native expression). Table `t` uses seed `seed + t`. */
+  def lshSignatures(vec: Column, nTables: Int, planesPerTable: Int,
+                    dim: Int, seed: Long = 42L): Column =
+    Bridge.column(HyperplaneSignatures(
+      Bridge.expression(vec), nTables, planesPerTable, dim, seed))
 
   /** ANN top-k via multi-table random-hyperplane LSH with exact rescoring.
     *
@@ -106,17 +147,10 @@ object Similarity {
               qIdCol: String, qVecCol: String,
               k: Int, nTables: Int, planesPerTable: Int, dim: Int,
               multiProbe: Boolean = false): DataFrame = {
-    val tables = (0 until nTables).map(t =>
-      hyperplanes(planesPerTable, dim, seed = 42L + t))
-
-    def bucketRows(df: DataFrame, vec: Column): DataFrame = {
-      val buckets = tables.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("tbl"), lshSignature(vec, planes).as("sig"))
-      }
-      df.withColumn("_b", explode(array(buckets: _*)))
-        .withColumn("tbl", col("_b.tbl")).withColumn("sig", col("_b.sig"))
-        .drop("_b")
-    }
+    def bucketRows(df: DataFrame, vec: Column): DataFrame =
+      df.withColumn("_sigs", lshSignatures(vec, nTables, planesPerTable, dim))
+        .select(col("*"), posexplode(col("_sigs")).as(Seq("tbl", "sig")))
+        .drop("_sigs")
 
     // Multi-probe: additionally look in every bucket one bit-flip away from
     // the query's signature — (1 + planesPerTable)× more probe rows on the
