@@ -66,10 +66,19 @@ case class HyperplaneSignatures(child: Expression, nTables: Int,
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
+    // Fail fast on length mismatch: silently truncating (or zero-padding)
+    // would diverge from the oracle SQL, which indexes v[1..dim] and folds
+    // out-of-range NULLs to bit 0. Same for null elements.
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"hyperplane_signatures: expected array of length $dim, got ${v.numElements()}")
+    val n = dim
     val vec = new Array[Double](n)
     var i = 0
-    while (i < n) { vec(i) = v.getDouble(i); i += 1 }
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"hyperplane_signatures: null element at index $i")
+      vec(i) = v.getDouble(i); i += 1
+    }
     val sigs = new Array[Int](nTables)
     var t = 0
     while (t < nTables) {

@@ -84,8 +84,15 @@ object Similarity {
     * all-pairs variant is (1-(1-p^P)^T) per pair, p = 1 - θ/π — tune
     * `planesPerTable` up for high-similarity dedup corpora (see SCALING.md).
     *
-    * The bucket relation is persisted: both self-join branches would
-    * otherwise recompute normalization + signatures for the whole corpus.
+    * The bucket relation is materialized once via a lazy `localCheckpoint`
+    * (both self-join branches would otherwise recompute normalization +
+    * signatures for the whole corpus). Unlike `persist`, which pins an entry
+    * in the session CacheManager until someone explicitly unpersists it, the
+    * checkpoint blocks are released by the ContextCleaner as soon as the
+    * returned plan is unreferenced — a builder that leaks executor storage
+    * per call would defeat its own 100 TB purpose. (Caveat shared with
+    * [[Dedup.clustersFromEdges]]: `localCheckpoint` is not executor-loss
+    * safe; on a real cluster prefer a reliable checkpoint dir for long jobs.)
     */
   def neardupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nTables: Int, planesPerTable: Int,
@@ -97,7 +104,7 @@ object Similarity {
       // normalization-invariant mathematically, this keeps them bitwise so
       .withColumn("_sigs", lshSignatures(col("_vd"), nTables, planesPerTable, dim, seed))
       .select(col(idCol), col("_vn"), posexplode(col("_sigs")).as(Seq("tbl", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val a = buckets.select(col(idCol).as("i"), col("_vn").as("va"), col("tbl"), col("sig"))
     val b = buckets.select(col(idCol).as("j"), col("_vn").as("vb"), col("tbl"), col("sig"))
     a.join(b, Seq("tbl", "sig")).where(col("i") < col("j"))

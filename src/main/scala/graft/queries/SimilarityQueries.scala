@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Hyperplanes
 import graft.operators.Similarity
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
@@ -14,6 +15,10 @@ object SimilarityQueries {
   val K = 10
   val QueryCount = 8
   val NeardupThreshold = 0.35
+  val Dim = 64
+  val LshTables = 12
+  val LshPlanes = 4
+  val LshSeed = 42L
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -33,6 +38,16 @@ object SimilarityQueries {
     Similarity.neardupPairs(emb(s, dir), "vec_id", "embedding", NeardupThreshold)
       .orderBy("i", "j")
 
+  /** The 100 TB twin of [[embNeardup]]: bucket-local LSH candidates + exact
+    * rescore. Output ⊆ the exact pair set with identical `cos_sim`; the
+    * DuckDB oracle re-derives the seeded ±1 hyperplane signatures in SQL
+    * ([[Hyperplanes.signatureSql]]) so the gate checks the WHOLE procedure
+    * (signatures, bucket join, rescore, threshold), not just the rescore. */
+  def embNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.neardupPairsLsh(emb(s, dir), "vec_id", "embedding",
+        NeardupThreshold, LshTables, LshPlanes, Dim, LshSeed)
+      .orderBy("i", "j")
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Similarity.lshTopK(e, queriesDf(e), "vec_id", "embedding",
@@ -44,8 +59,31 @@ object SimilarityQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "emb_neardup" -> (embNeardup _),
+    "emb_neardup_lsh" -> (embNeardupLsh _),
     "ann_lsh" -> (annLsh _)
   )
+
+  /** DuckDB re-derivation of [[embNeardupLsh]]: per-table signatures as
+    * inline ±v[i] sums (bitwise-equal to the fused expression's sequential
+    * fold), bucket equi-join, exact rescore, same threshold. */
+  private def embNeardupLshOracle: String = {
+    val tables = Hyperplanes.tables(LshTables, LshPlanes, Dim, LshSeed)
+    val sigBranches = tables.zipWithIndex.map { case (planes, t) =>
+      s"SELECT vec_id, v, $t AS tbl, ${Hyperplanes.signatureSql(planes, "v")} AS sig FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |$sigBranches
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT i, j, max(cs) AS cos_sim FROM cand
+       |WHERE cs >= $NeardupThreshold
+       |GROUP BY i, j ORDER BY i, j""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "ann_topk" ->
@@ -65,6 +103,8 @@ object SimilarityQueries {
          |  SELECT a.vec_id AS i, b.vec_id AS j,
          |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |WHERE cos_sim >= $NeardupThreshold ORDER BY i, j""".stripMargin
+         |WHERE cos_sim >= $NeardupThreshold ORDER BY i, j""".stripMargin,
+
+    "emb_neardup_lsh" -> embNeardupLshOracle
   )
 }

@@ -51,6 +51,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall degraded: $recall")
   }
 
+  test("fused HyperplaneSignatures == interpreted lshSignature bitwise, per table") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val interp = (0 until 12).map(t =>
+      Similarity.lshSignature(col("v"), Similarity.hyperplanes(4, 64, 42L + t)))
+    val mismatches = e
+      .where(Similarity.lshSignatures(col("v"), 12, 4, 64, 42L) =!= array(interp: _*))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("neardupPairsLsh agrees with exact neardupPairs (subset, identical scores)") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val exact = Similarity.neardupPairs(e, "vec_id", "embedding", 0.35)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    val lsh = Similarity.neardupPairsLsh(e, "vec_id", "embedding", 0.35,
+        nTables = 12, planesPerTable = 4, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (i, j, c) =>
+      assert(exact.get((i, j)).contains(c),
+        s"LSH pair ($i,$j,$c) not in exact set with identical score")
+    }
+    val recall = lsh.length.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH pair recall degraded: $recall (${lsh.length}/${exact.size})")
+  }
+
+  test("neardupPairsLsh plan is a bucket-local equi-join, never BroadcastNestedLoop") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val plan = Similarity.neardupPairsLsh(e, "vec_id", "embedding", 0.35,
+        nTables = 12, planesPerTable = 4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join in plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join found in plan:\n$plan")
+  }
+
+  test("HyperplaneSignatures fails fast on length mismatch instead of truncating") {
+    val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.lshSignatures(col("v"), 2, 4, 64, 42L)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(ex).contains("expected array of length 64"))
+  }
+
   test("neardupPairs symmetric threshold filter") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f))
