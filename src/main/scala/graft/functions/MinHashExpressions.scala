@@ -135,7 +135,7 @@ case class ShingleSet(child: Expression, shingleSize: Int)
 }
 
 object MinHashSignature {
-  private val digest = new ThreadLocal[MessageDigest] {
+  private[functions] val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 

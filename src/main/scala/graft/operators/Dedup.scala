@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.{MinHashSignature, ShingleSet}
+import graft.functions.{MinHashSignature, ShingleSet, SimHash64}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for training-data pipelines.
@@ -18,7 +18,7 @@ import graft.functions.TextFunctions._
   *    (band, band-hash) rows per doc shuffle — the self-join runs on LSH
   *    buckets, never on all pairs. Candidate verification touches only the
   *    bucket-collision set.
-  *  - SimHash: one explode+groupBy (64 conditional sums), then bit assembly.
+  *  - SimHash: one fused map-side expression per doc — zero shuffles.
   */
 object Dedup {
 
@@ -191,19 +191,18 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
-  /** 64-bit SimHash per document over whitespace tokens (xxhash64-based —
-    * library-internal, verified by ScalaTest rather than the SQL oracle). */
+  /** 64-bit SimHash per document over normalized whitespace tokens — ONE
+    * fused map-side expression ([[graft.functions.SimHash64]]), zero
+    * shuffles. The previous formulation exploded every token of the corpus
+    * through a 65-column groupBy (a full-corpus shuffle at 100 TB); this is
+    * a scalar projection. md5-derived bits, so the DuckDB oracle re-derives
+    * the sketch exactly (gate query `dedup_simhash`). Docs with an empty
+    * token array are dropped, matching the explode formulation. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol), explode(normWords(col(textCol))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"s$b")
-    }
-    val aggCols = count(lit(1)).as("n") +: bitSums
-    val agg = tokens.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"s$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col(idCol), sim.as("simhash"), col("n").as("n_tokens"))
+    val w = normWords(col(textCol))
+    docs.select(col(idCol),
+        Bridge.column(SimHash64(Bridge.expression(w))).as("simhash"),
+        size(w).cast("long").as("n_tokens"))
+      .where(col("simhash").isNotNull)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleSet}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64}
 
 /** SparkSessionExtensions registration for graft's native expressions
   * (SURVEY.md §2 #35). Activate with either:
@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children.head,
           intLit(children(1), "numHashes"), intLit(children(2), "shingleSize"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash(words) takes exactly 1 argument")
+        SimHash64(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

@@ -7,8 +7,9 @@ import graft.Tables
 import graft.operators._
 
 /** Text-analysis / dedup / multimodal queries + DuckDB oracles
-  * (SURVEY.md §2 #19-31). `dedup_simhash` is rows-only (xxhash64 is not
-  * portable to DuckDB); everything else oracle-checked.
+  * (SURVEY.md §2 #19-31) — all oracle-checked, including `dedup_simhash`
+  * (md5-nibble bits; emitted as two positive 32-bit halves so bit 63 never
+  * lands in BIGINT sign territory on either engine).
   */
 object TextQueries {
 
@@ -52,6 +53,10 @@ object TextQueries {
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        shiftrightunsigned(col("simhash"), 32).as("simhash_hi"),
+        col("simhash").bitwiseAND(lit(0xFFFFFFFFL)).as("simhash_lo"),
+        col("n_tokens"))
       .orderBy("doc_id")
 
   def textClean(s: SparkSession, dir: String): DataFrame =
@@ -119,7 +124,38 @@ object TextQueries {
       |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
 
+  /** `dedup_simhash` oracle: re-derive the md5-nibble SimHash in SQL —
+    * bit `i` = bit `(i%4)` of hex nibble `i/4` of `md5(token)`, majority
+    * vote per doc, assembled as two positive 32-bit halves. Generated (64
+    * bit-sums) rather than hand-written. */
+  private def simhashOracle: String = {
+    def bitSum(i: Int) = {
+      val pos = i / 4 + 1
+      val j = i % 4
+      "sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, " + pos + ", 1)) - 1) >> " +
+        j + ") & 1) = 1 THEN 1 ELSE 0 END) AS s" + i
+    }
+    val sums = (0 until 64).map(bitSum).mkString(",\n  ")
+    def half(lo: Int): String =
+      (lo until lo + 32).map(i => s"(CASE WHEN 2 * s$i > n THEN ${1L << (i - lo)} ELSE 0 END)")
+        .mkString("CAST((", " + ", ") AS BIGINT)")
+    s"""WITH nw AS (SELECT doc_id,
+       |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, md5(w) AS h
+       |        FROM (SELECT doc_id, unnest(ws) AS w FROM nw)),
+       |agg AS (SELECT doc_id, count(*) AS n,
+       |  $sums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |  ${half(32)} AS simhash_hi,
+       |  ${half(0)} AS simhash_lo,
+       |  CAST(n AS BIGINT) AS n_tokens
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "lang_id" ->
       s"""WITH $wordsSql,
          |scored AS (SELECT doc_id, lang,

@@ -60,6 +60,21 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(1L) != sh(4L))
   }
 
+  test("simhash bit convention: single-token doc equals its md5-nibble hash") {
+    // one token = one vote: the sketch IS the token's 64-bit hash, so this
+    // pins the bit convention the DuckDB oracle reads from the hex string
+    val d = Seq((1L, "hello")).toDF("doc_id", "text")
+    val got = Dedup.simhash(d, "doc_id", "text").select("simhash").as[Long].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    var expected = 0L
+    for (i <- 0 until 64) {
+      val nib = Integer.parseInt(hex.substring(i / 4, i / 4 + 1), 16)
+      if (((nib >> (i % 4)) & 1) == 1) expected |= 1L << i
+    }
+    assert(got == expected)
+  }
+
   test("langId predicts marker-dominant language") {
     val d = Seq(
       (1L, "the cat and the dog of a house"),
