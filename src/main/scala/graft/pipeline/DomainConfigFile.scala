@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.CsvIngest.ColumnSpec
+
+/** File-based domain onboarding — the reference's YAML config contract
+  * (`config/sales_config.yaml`, loaded by `utils/sql_utils.py:100`
+  * `get_table_config`), so a new domain is a config file, not a recompile.
+  *
+  * A `tables:` entry with a `schema:` is a raw CSV ingest; entries typed
+  * `dimension`/`fact` become `core.<name>` transform nodes and `datamart`
+  * entries `datamart.<name>` nodes. Transform BODIES stay code (the
+  * reference keeps them as per-table SQL files; here they're DataFrame
+  * builders) — the file contributes the graph: which tables exist, their
+  * schemas, and their `dependencies:` edges, resolved against a build
+  * registry at [[toDomain]] time.
+  */
+object DomainConfigFile {
+
+  /** Typed view of one `tables:` entry (reference `get_table_config`). */
+  final case class TableEntry(
+      name: String,
+      kind: String, // "raw" | "dimension" | "fact" | "datamart"
+      schema: Seq[ColumnSpec],
+      sourcePath: Option[String],
+      sourceTable: Option[String],
+      scdType: Option[Int],
+      primaryKey: Option[String],
+      dependencies: Seq[String],
+      maxBadRecords: Int)
+
+  final case class DomainFile(domain: String, tables: Seq[TableEntry],
+                              config: Yaml.YMap) {
+    /** Reference `get_table_config(domain, table_name)` semantics,
+      * including the error on an unknown table. */
+    def tableConfig(name: String): TableEntry =
+      tables.find(_.name == name).getOrElse(
+        throw new NoSuchElementException(s"Table $name not found in config"))
+  }
+
+  /** Parse `<domain>_config.yaml` (domain derived from the filename, like
+    * the reference's `config/{domain}_config.yaml` convention). */
+  def load(path: Path): DomainFile = {
+    val cfg = Yaml.parse(Files.readString(path))
+    val domain = path.getFileName.toString
+      .stripSuffix(".yaml").stripSuffix(".yml").stripSuffix("_config")
+    val tables = cfg.map("tables").map(_.fields).getOrElse(Vector.empty).map {
+      case (name, m: Yaml.YMap) => tableEntry(name, m)
+      case (name, other) =>
+        throw new IllegalArgumentException(s"table $name: expected a map, got $other")
+    }
+    DomainFile(domain, tables, cfg)
+  }
+
+  private def tableEntry(name: String, m: Yaml.YMap): TableEntry = {
+    val schema = m.seq("schema").map {
+      case col: Yaml.YMap => ColumnSpec(
+        col.str("name").getOrElse(
+          throw new IllegalArgumentException(s"table $name: schema column without a name")),
+        col.str("type").getOrElse("STRING"))
+      case other =>
+        throw new IllegalArgumentException(s"table $name: bad schema entry $other")
+    }
+    TableEntry(
+      name = name,
+      kind = m.str("type").getOrElse(if (schema.nonEmpty) "raw" else "datamart"),
+      schema = schema,
+      sourcePath = m.map("source").flatMap(_.str("path")),
+      sourceTable = m.str("source_table"),
+      scdType = m.int("scd_type"),
+      primaryKey = m.str("primary_key"),
+      dependencies = m.seq("dependencies").collect { case Yaml.YStr(d) => d },
+      maxBadRecords = m.int("max_bad_records").getOrElse(0))
+  }
+
+  /** Reference dep strings (`raw.sales.customers`, `core.dim.dim_customers`,
+    * `core.fact.fact_orders`) → graft task ids (`raw.customers`,
+    * `core.dim_customers`, …). */
+  def taskId(dep: String): String = dep.split('.') match {
+    case Array("raw", _, table) => s"raw.$table"
+    case Array("core", _, table) => s"core.$table"
+    case Array(layer, table) => s"$layer.$table"
+    case Array(table) => table
+    case _ => throw new IllegalArgumentException(s"unmappable dependency '$dep'")
+  }
+
+  private def nodeId(t: TableEntry): String = t.kind match {
+    case "raw" => s"raw.${t.name}"
+    case "dimension" | "fact" => s"core.${t.name}"
+    case "datamart" => s"datamart.${t.name}"
+    case other => throw new IllegalArgumentException(
+      s"table ${t.name}: unknown type '$other'")
+  }
+
+  /** Assemble the runnable [[DomainConfig.Domain]]: raw entries become
+    * CSV-ingest tasks; transform entries resolve their builder from
+    * `builds` by task id. Fails fast on a transform with no builder —
+    * a config that names a table nobody implemented is an onboarding
+    * error, not a runtime surprise. */
+  def toDomain(file: DomainFile,
+               builds: Map[String, SparkSession => DataFrame]): DomainConfig.Domain = {
+    val raw = file.tables.filter(t => t.kind == "raw" || t.schema.nonEmpty).map { t =>
+      DomainConfig.RawTable(t.name, t.schema, t.maxBadRecords)
+    }
+    val transforms = file.tables.filter(t => t.kind != "raw" && t.schema.isEmpty).map { t =>
+      val id = nodeId(t)
+      val build = builds.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"no builder registered for transform '$id' (have: ${builds.keys.toSeq.sorted.mkString(", ")})"))
+      DomainConfig.Transform(id, t.dependencies.map(taskId))(build)
+    }
+    DomainConfig.Domain(file.domain, raw, transforms)
+  }
+
+  /** One-call onboarding: file + builder registry → runnable domain. */
+  def loadDomain(path: Path,
+                 builds: Map[String, SparkSession => DataFrame]): DomainConfig.Domain =
+    toDomain(load(path), builds)
+}

@@ -84,6 +84,103 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/raw/clicks").count() == 4)
   }
 
+  val salesLikeYaml: String =
+    """# Ads domain configuration
+      |project_id: "some-project"
+      |raw_dataset: "raw_ads"
+      |
+      |default:
+      |  location: "EU"
+      |  partition_field: "date"
+      |
+      |sources:
+      |  gcs:
+      |    bucket: "ads-raw-bucket"
+      |    file_format: "CSV"
+      |
+      |tables:
+      |  clicks:
+      |    source:
+      |      type: "gcs"
+      |      path: "ads/clicks/*.csv"
+      |    schema:
+      |      - name: "click_id"
+      |        type: "STRING"
+      |      - name: "n"
+      |        type: "INTEGER"
+      |  dim_campaigns:
+      |    type: "dimension"
+      |    scd_type: 2
+      |    source_table: "generated" # no raw feed
+      |  click_counts:
+      |    type: "datamart"
+      |    dependencies:
+      |      - "raw.ads.clicks"
+      |""".stripMargin
+
+  test("DomainConfigFile parses the reference YAML grammar + get_table_config semantics") {
+    val f = Files.createTempFile("ads_config", ".yaml")
+    Files.writeString(f, salesLikeYaml)
+    val cfg = DomainConfigFile.load(f)
+    assert(cfg.domain == "ads_config" || cfg.domain.startsWith("ads_config")) // tempfile suffix
+    assert(cfg.config.str("project_id").contains("some-project"))
+    assert(cfg.config.map("default").flatMap(_.str("location")).contains("EU"))
+    assert(cfg.config.map("sources").flatMap(_.map("gcs")).flatMap(_.str("bucket"))
+      .contains("ads-raw-bucket"))
+    val clicks = cfg.tableConfig("clicks")
+    assert(clicks.kind == "raw" && clicks.sourcePath.contains("ads/clicks/*.csv"))
+    assert(clicks.schema.map(c => (c.name, c.colType)) ==
+      Seq(("click_id", "STRING"), ("n", "INTEGER")))
+    val dim = cfg.tableConfig("dim_campaigns")
+    assert(dim.kind == "dimension" && dim.scdType.contains(2) &&
+      dim.sourceTable.contains("generated")) // comment stripped after quoted value
+    assert(cfg.tableConfig("click_counts").dependencies == Seq("raw.ads.clicks"))
+    intercept[NoSuchElementException](cfg.tableConfig("nope"))
+  }
+
+  test("config-file domain builds the same DAG as the hand-built one and runs") {
+    import graft.pipeline.DomainConfig._
+    import graft.sources.CsvIngest.ColumnSpec
+    import org.apache.spark.sql.functions._
+
+    val inbox = Files.createTempDirectory("graft-cfg-inbox")
+    val wh = Files.createTempDirectory("graft-cfg-wh").toString
+    val ds = "20240401"
+    val d = inbox.resolve(s"clicks/$ds")
+    Files.createDirectories(d)
+    Files.write(d.resolve(s"clicks_$ds.csv"), "click_id,n\nca,1\ncb,2".getBytes)
+
+    def countBuild(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$wh/raw/clicks").groupBy("ingestion_date").agg(sum("n").as("total"))
+    val handBuilt = Domain("ads",
+      raw = Seq(RawTable("clicks",
+        Seq(ColumnSpec("click_id", "STRING"), ColumnSpec("n", "INTEGER")))),
+      transforms = Seq(Transform("datamart.click_counts", Seq("raw.clicks"))(countBuild)))
+
+    val f = Files.createTempFile("ads_config", ".yaml")
+    Files.writeString(f, salesLikeYaml)
+    val cfg = DomainConfigFile.load(f)
+    // drop the builder-less generated dimension for the runnable comparison
+    val loaded = DomainConfigFile.toDomain(
+      cfg.copy(tables = cfg.tables.filter(_.name != "dim_campaigns")),
+      Map("datamart.click_counts" -> countBuild _))
+
+    def shape(dom: Domain) = PipelineBuilder.tasks(spark, dom, inbox.toString, wh, "2024-04-01")
+      .map(t => (t.id, t.deps.toList))
+    assert(shape(loaded) == shape(handBuilt))
+
+    // unknown transform fails fast at assembly, not at runtime
+    val err = intercept[IllegalArgumentException](
+      DomainConfigFile.toDomain(cfg.copy(tables = cfg.tables.filter(_.name != "dim_campaigns")),
+        Map.empty))
+    assert(err.getMessage.contains("datamart.click_counts"))
+
+    val report = Dag.run(PipelineBuilder.tasks(spark, loaded, inbox.toString, wh, "2024-04-01"))
+    assert(report.succeeded, s"$report")
+    assert(spark.read.parquet(s"$wh/datamart/click_counts").collect()
+      .map(_.getLong(1)).toSeq == Seq(3L))
+  }
+
   test("StarPipeline end-to-end at sf0.001, idempotent re-run") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val r1 = StarPipeline.run(spark, sf001, wh)
