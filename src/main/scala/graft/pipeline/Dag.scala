@@ -16,7 +16,8 @@ import scala.collection.mutable
   */
 object Dag {
 
-  final case class Task(id: String, deps: Seq[String] = Nil, retries: Int = 0)
+  final case class Task(id: String, deps: Seq[String] = Nil, retries: Int = 0,
+                        retryDelay: java.time.Duration = java.time.Duration.ZERO)
                        (val run: () => Unit)
 
   sealed trait Status
@@ -43,8 +44,13 @@ object Dag {
       onFailure: (String, Throwable) => Unit = (_, _) => ())
 
   /** Run all tasks respecting dependencies; downstream of a failure is
-    * Skipped, independent branches still run. */
-  def run(tasks: Seq[Task], callbacks: Callbacks = Callbacks()): Report = {
+    * Skipped, independent branches still run.
+    *
+    * @param sleep how to wait out a task's `retryDelay` between attempts
+    *              (reference `retry_delay=timedelta(minutes=5)`) —
+    *              injectable so schedule tests never really sleep. */
+  def run(tasks: Seq[Task], callbacks: Callbacks = Callbacks(),
+          sleep: Long => Unit = Thread.sleep): Report = {
     validate(tasks)
     val byId = tasks.map(t => t.id -> t).toMap
     val statuses = mutable.Map[String, Status]()
@@ -58,7 +64,7 @@ object Dag {
         case Some(id) =>
           pending -= id
           order += id
-          statuses(id) = execute(byId(id)) match {
+          statuses(id) = execute(byId(id), sleep) match {
             case Success => callbacks.onSuccess(id); Success
             case f @ Failed(_, e) => callbacks.onFailure(id, e); f
             case other => other
@@ -76,12 +82,17 @@ object Dag {
     Report(statuses.toMap, order.toSeq)
   }
 
-  private def execute(t: Task): Status = {
+  private def execute(t: Task, sleep: Long => Unit): Status = {
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt <= t.retries) {
       try { t.run(); return Success }
-      catch { case e: Throwable => lastErr = e; attempt += 1 }
+      catch {
+        case e: Throwable =>
+          lastErr = e; attempt += 1
+          if (attempt <= t.retries && !t.retryDelay.isZero)
+            sleep(t.retryDelay.toMillis) // back off before the next attempt
+      }
     }
     Failed(attempt, lastErr)
   }

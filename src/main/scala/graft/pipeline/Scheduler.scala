@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import java.time.{Duration, LocalDate, LocalDateTime}
+import java.time.temporal.ChronoUnit
+
+import scala.collection.mutable
+
+/** Schedule semantics the reference gets from Airflow's scheduler
+  * (`dags/ingest_raw_sales.py:44-52`): a cron `schedule_interval`,
+  * `start_date`, `catchup`, `max_active_runs`, modeled as an explicit
+  * clock-driven state machine — `tick(now)` is the scheduler heartbeat, so
+  * tests (and embedding jobs) drive simulated time instead of sleeping.
+  *
+  * Airflow's interval model is kept: the run for logical date T executes
+  * once its schedule interval has CLOSED, i.e. at the next cron fire after
+  * T; `{{ ds }}` = T's date. `catchup=false` skips the pre-existing backlog
+  * except the most recent closed interval (exactly Airflow's behavior on
+  * unpause); after the first run, every newly closed interval runs.
+  * `max_active_runs` caps how many backlog runs one tick may dispatch —
+  * execution inside a tick is serial, so 1 (the reference's setting) means
+  * one logical date per heartbeat even mid-catchup.
+  */
+object Scheduler {
+
+  /** 5-field cron subset: each field `*` or a single integer — the grammar
+    * the reference's DAGs use (`'0 0 * * *'`). dow: 0 = Sunday. */
+  final case class Cron(minute: Option[Int], hour: Option[Int], dom: Option[Int],
+                        month: Option[Int], dow: Option[Int]) {
+
+    def matches(t: LocalDateTime): Boolean =
+      minute.forall(_ == t.getMinute) && hour.forall(_ == t.getHour) &&
+      dom.forall(_ == t.getDayOfMonth) && month.forall(_ == t.getMonthValue) &&
+      dow.forall(_ == t.getDayOfWeek.getValue % 7)
+
+    /** First fire time STRICTLY after `after`. Jumps whole days/hours when
+      * the date/hour fields rule them out, so even a Feb-29 cron resolves
+      * in a few thousand steps. */
+    def next(after: LocalDateTime): LocalDateTime = {
+      var t = after.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
+      var guard = 0
+      while (!matches(t)) {
+        guard += 1
+        require(guard < 20000, s"cron $this: no fire time within bound after $after")
+        if (month.exists(_ != t.getMonthValue) || dom.exists(_ != t.getDayOfMonth) ||
+            dow.exists(_ != t.getDayOfWeek.getValue % 7))
+          t = t.toLocalDate.plusDays(1).atStartOfDay
+        else if (hour.exists(_ != t.getHour))
+          t = t.plusHours(1).withMinute(0)
+        else
+          t = t.plusMinutes(1)
+      }
+      t
+    }
+  }
+
+  object Cron {
+    def parse(expr: String): Cron = {
+      val f = expr.trim.split("\\s+")
+      require(f.length == 5, s"cron '$expr': expected 5 fields, got ${f.length}")
+      def p(s: String, lo: Int, hi: Int, what: String): Option[Int] =
+        if (s == "*") None
+        else {
+          val v = s.toInt
+          require(v >= lo && v <= hi, s"cron '$expr': $what=$v out of [$lo,$hi]")
+          Some(v)
+        }
+      Cron(p(f(0), 0, 59, "minute"), p(f(1), 0, 23, "hour"), p(f(2), 1, 31, "dom"),
+           p(f(3), 1, 12, "month"), p(f(4), 0, 6, "dow"))
+    }
+  }
+
+  final case class ScheduleSpec(
+      schedule: Cron,
+      startDate: LocalDate,
+      catchup: Boolean = false,
+      maxActiveRuns: Int = 1,
+      retries: Int = 0,
+      retryDelay: Duration = Duration.ZERO) {
+    require(maxActiveRuns >= 1, "maxActiveRuns must be >= 1")
+  }
+
+  object ScheduleSpec {
+    def daily(startDate: String, catchup: Boolean = false): ScheduleSpec =
+      ScheduleSpec(Cron.parse("0 0 * * *"), LocalDate.parse(startDate), catchup)
+  }
+
+  final case class RunResult(executionDate: LocalDateTime, ds: String, report: Dag.Report)
+
+  /** One scheduled DAG. `mkTasks(ds)` builds the run's tasks (reference
+    * `{{ ds }}` templating); the spec's `retries`/`retryDelay` are applied
+    * as defaults to tasks that declare none (Airflow `default_args`). */
+  final class Scheduled(spec: ScheduleSpec, mkTasks: String => Seq[Dag.Task],
+                        callbacks: Dag.Callbacks = Dag.Callbacks(),
+                        sleep: Long => Unit = Thread.sleep) {
+
+    private var lastScheduled: Option[LocalDateTime] = None
+    private val backlog = mutable.Queue.empty[LocalDateTime]
+    private val results = mutable.ArrayBuffer.empty[RunResult]
+
+    def runs: Seq[RunResult] = results.toSeq
+
+    /** Advance the scheduler clock to `now`: enqueue every newly closed
+      * interval, then execute up to `maxActiveRuns` queued runs in order.
+      * Returns the runs executed by THIS tick. */
+    def tick(now: LocalDateTime): Seq[RunResult] = {
+      enqueueDue(now)
+      val batch = (0 until math.min(spec.maxActiveRuns, backlog.size)).map { _ =>
+        val execDate = backlog.dequeue()
+        val ds = execDate.toLocalDate.toString
+        val tasks = mkTasks(ds).map { t =>
+          if (t.retries == 0 && t.retryDelay.isZero && spec.retries > 0)
+            Dag.Task(t.id, t.deps, spec.retries, spec.retryDelay)(t.run)
+          else t
+        }
+        val result = RunResult(execDate, ds, Dag.run(tasks, callbacks, sleep))
+        results += result
+        result
+      }
+      batch
+    }
+
+    /** Drain: tick until no backlog remains at `now` (multi-heartbeat
+      * catchup in one call — test convenience). */
+    def drain(now: LocalDateTime): Seq[RunResult] = {
+      val out = mutable.ArrayBuffer.empty[RunResult]
+      var batch = tick(now)
+      while (batch.nonEmpty) { out ++= batch; batch = tick(now) }
+      out.toSeq
+    }
+
+    private def enqueueDue(now: LocalDateTime): Unit = {
+      val start = spec.startDate.atStartOfDay
+      var exec = lastScheduled match {
+        case Some(l) => spec.schedule.next(l)
+        case None => if (spec.schedule.matches(start)) start else spec.schedule.next(start)
+      }
+      val due = mutable.ArrayBuffer.empty[LocalDateTime]
+      // the run for execution date `exec` is due once its interval closes
+      while (!spec.schedule.next(exec).isAfter(now)) {
+        due += exec
+        exec = spec.schedule.next(exec)
+      }
+      if (due.nonEmpty) {
+        val kept = if (spec.catchup || lastScheduled.nonEmpty) due.toSeq else Seq(due.last)
+        backlog ++= kept
+        lastScheduled = Some(due.last)
+      }
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.time.{Duration, LocalDateTime}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SchedulerSpec extends AnyFunSuite {
+  import Scheduler._
+
+  test("Cron: parse, match, next for the reference's '0 0 * * *'") {
+    val c = Cron.parse("0 0 * * *")
+    assert(c.next(LocalDateTime.parse("2024-03-01T10:30")) ==
+      LocalDateTime.parse("2024-03-02T00:00"))
+    assert(c.next(LocalDateTime.parse("2024-03-02T00:00")) ==
+      LocalDateTime.parse("2024-03-03T00:00")) // strictly after
+    intercept[IllegalArgumentException](Cron.parse("0 0 * *"))
+    intercept[IllegalArgumentException](Cron.parse("61 0 * * *"))
+  }
+
+  test("Cron: weekly and monthly fields jump correctly") {
+    val monday630 = Cron.parse("30 6 * * 1")
+    // 2024-03-01 is a Friday; next Monday is 2024-03-04
+    assert(monday630.next(LocalDateTime.parse("2024-03-01T00:00")) ==
+      LocalDateTime.parse("2024-03-04T06:30"))
+    val feb29 = Cron.parse("0 12 29 2 *")
+    assert(feb29.next(LocalDateTime.parse("2024-03-01T00:00")) ==
+      LocalDateTime.parse("2028-02-29T12:00"))
+  }
+
+  test("catchup=true backfills every closed interval, one per tick at max_active_runs=1") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failOnce = true
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01", catchup = true),
+      ds => Seq(Dag.Task("load")(() => {
+        if (ds == "2024-03-02" && failOnce) { failOnce = false; throw new RuntimeException("bad day") }
+        ran += ds
+      })),
+      sleep = _ => fail("must not sleep"))
+    val now = LocalDateTime.parse("2024-03-05T00:30")
+    // intervals 03-01..03-04 closed; one dispatched per heartbeat
+    assert(sched.tick(now).map(_.ds) == Seq("2024-03-01"))
+    assert(sched.tick(now).map(_.ds) == Seq("2024-03-02"))
+    assert(sched.tick(now).map(_.ds) == Seq("2024-03-03"))
+    assert(sched.tick(now).map(_.ds) == Seq("2024-03-04"))
+    assert(sched.tick(now).isEmpty) // backlog drained, nothing new closed
+    // the failed day is reported failed, later days still ran
+    assert(ran.toSeq == Seq("2024-03-01", "2024-03-03", "2024-03-04"))
+    assert(!sched.runs.find(_.ds == "2024-03-02").get.report.succeeded)
+    assert(sched.runs.count(_.report.succeeded) == 3)
+  }
+
+  test("catchup=false runs only the latest closed interval, then stays incremental") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01"),
+      ds => Seq(Dag.Task("load")(() => ran += ds)))
+    assert(sched.drain(LocalDateTime.parse("2024-03-05T00:30")).map(_.ds) ==
+      Seq("2024-03-04")) // backlog 03-01..03-03 skipped
+    assert(sched.drain(LocalDateTime.parse("2024-03-07T01:00")).map(_.ds) ==
+      Seq("2024-03-05", "2024-03-06")) // post-start intervals all run
+  }
+
+  test("max_active_runs>1 dispatches a bounded batch per tick") {
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01", catchup = true).copy(maxActiveRuns = 3),
+      ds => Seq(Dag.Task("load")(() => ())))
+    val now = LocalDateTime.parse("2024-03-05T00:30")
+    assert(sched.tick(now).map(_.ds) == Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+    assert(sched.tick(now).map(_.ds) == Seq("2024-03-04"))
+  }
+
+  test("retry backoff waits retry_delay between attempts via the injected clock") {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var attempts = 0
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01")
+        .copy(retries = 2, retryDelay = Duration.ofMinutes(5)),
+      _ => Seq(Dag.Task("flaky")(() => {
+        attempts += 1
+        if (attempts < 3) throw new RuntimeException("flaky")
+      })),
+      sleep = ms => slept += ms)
+    val runs = sched.drain(LocalDateTime.parse("2024-03-02T00:00"))
+    assert(runs.map(_.ds) == Seq("2024-03-01"))
+    assert(runs.head.report.succeeded && attempts == 3)
+    assert(slept.toSeq == Seq(300000L, 300000L)) // two backoffs, zero real sleep
+  }
+
+  test("a task's own retry config wins over the spec defaults") {
+    var attempts = 0
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01").copy(retries = 5, retryDelay = Duration.ofMinutes(5)),
+      _ => Seq(Dag.Task("once", retries = 1)(() => { attempts += 1; throw new RuntimeException("no") })),
+      sleep = _ => fail("task declared no delay"))
+    val runs = sched.drain(LocalDateTime.parse("2024-03-02T00:00"))
+    assert(!runs.head.report.succeeded && attempts == 2) // 1 retry, not 5
+  }
+}
