@@ -141,24 +141,34 @@ object Dedup {
     * that already ran [[ngramJaccard]] (or any pair source: embedding
     * near-dups, simhash bands) cluster without re-deriving the sketch.
     *
-    * Each iteration is `localCheckpoint`ed: iterative plans otherwise nest
-    * the previous iteration's plan several times over, and after ~10
-    * iterations the (exponentially grown) plan tree stalls planning/AQE —
-    * caching alone reuses DATA but not the PLAN. Checkpointing truncates
-    * lineage to the materialized blocks, keeping every iteration O(1) plan
-    * size. (Found live: a 257-edge, large-diameter graph hung the
-    * persist-only version.)
+    * Each iteration is checkpointed: iterative plans otherwise nest the
+    * previous iteration's plan several times over, and after ~10 iterations
+    * the (exponentially grown) plan tree stalls planning/AQE — caching
+    * alone reuses DATA but not the PLAN. Checkpointing truncates lineage to
+    * the materialized blocks, keeping every iteration O(1) plan size.
+    * (Found live: a 257-edge, large-diameter graph hung the persist-only
+    * version.)
+    *
+    * @param reliableCheckpoint use `checkpoint()` (to
+    *   `spark.sparkContext.setCheckpointDir`, which the CALLER must have
+    *   set — typically durable storage) instead of `localCheckpoint()`.
+    *   Local blocks die with their executor, which on a long cluster run
+    *   means one lost node re-runs the whole loop; the reliable variant
+    *   trades a write per iteration (the label relation is doc_id+label —
+    *   tiny next to the corpus) for executor-loss safety. Keep the default
+    *   for local / short-lived jobs.
     */
   def clustersFromEdges(docs: DataFrame, edgesIn: DataFrame, idCol: String,
-                        maxIterations: Int = 30): DataFrame = {
-    val edges = edgesIn.select(col("i"), col("j")).localCheckpoint()
+                        maxIterations: Int = 30,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    val edges = cp(edgesIn.select(col("i"), col("j")))
     // symmetric adjacency
-    val adj = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
-      .localCheckpoint()
+    val adj = cp(edges.union(edges.select(col("j").as("i"), col("i").as("j"))))
 
-    var labels = adj.select(col("i").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
+    var labels = cp(adj.select(col("i").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -173,11 +183,10 @@ object Dedup {
       // convergence in O(log diameter) instead of O(diameter), which is what
       // makes long chains (observed: a 500-node graph with diameter > 10)
       // terminate quickly.
-      val next = stepped
+      val next = cp(stepped
         .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")),
               Seq("lbl"), "left_outer")
-        .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
         .where(col("lbl") =!= col("old")).count()
       labels = next

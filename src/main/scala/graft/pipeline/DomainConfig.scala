@@ -43,9 +43,10 @@ object PipelineBuilder {
     val ingest = domain.raw.map { rt =>
       Dag.Task(s"raw.${rt.name}")(() => {
         val path = s"$inbox/${rt.name}/$dsNodash/${rt.name}_$dsNodash.csv"
-        val df = CsvIngest.load(spark, path, rt.schema,
-          maxBadRecords = rt.maxBadRecords, ingestionDate = ds)
-        RawLayer.appendPartitioned(df, s"$warehouse/raw/${rt.name}")
+        CsvIngest.load(spark, path, rt.schema,
+            maxBadRecords = rt.maxBadRecords, ingestionDate = ds)
+          .writeRaw(s"$warehouse/raw/${rt.name}")
+        ()
       })
     }
     val rawNames = domain.raw.map(rt => s"raw.${rt.name}")

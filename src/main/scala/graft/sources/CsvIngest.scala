@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   *
   * Re-expresses the reference's GCSBigQueryOperator
   * (/root/reference/utils/operators.py:11-96): declared schema, write
-  * dispositions, header/delimiter handling, bad-record tolerance, and an
+  * dispositions, delimiter/leading-row handling, jagged-row / quoted-newline
+  * / unknown-value tolerance, bad-record limits, and an
   * `ingestion_timestamp` partition column — but Spark-first: the CSV scan is
-  * distributed, PERMISSIVE-mode corrupt rows are counted instead of
-  * trusted, and the "table" is a date-partitioned parquet directory where
-  * idempotent re-loads use dynamic partition overwrite instead of MERGE.
+  * distributed, PERMISSIVE-mode corrupt rows are counted via an
+  * [[Observation]] on the SAME scan that writes (no cache of the raw input,
+  * no second pass — at 100 TB/day a side-count must not cost a
+  * materialization), and the "table" is a date-partitioned parquet
+  * directory where idempotent re-loads use dynamic partition overwrite
+  * instead of MERGE.
   */
 object CsvIngest {
 
@@ -32,35 +36,117 @@ object CsvIngest {
   def schemaOf(cols: Seq[ColumnSpec]): StructType =
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
 
-  /** Load a CSV batch with a declared schema.
+  /** A lazily-loaded CSV batch. `df` is the clean, stamped output; the
+    * corrupt-row count rides the first action on it (one scan total).
+    * The bad-record LIMIT is therefore enforced after that action — with
+    * partition-grain overwrite the failed run's output is replaced by the
+    * re-run, so post-hoc enforcement keeps idempotency (BigQuery aborts the
+    * load job instead; same observable contract for the pipeline, the
+    * difference is when the partition's bytes exist).
+    */
+  final class LoadedCsv private[sources](val df: DataFrame, obs: Observation,
+                                         path: String, maxBadRecords: Int) {
+    /** Corrupt/intolerable row count — call after an action on `df`
+      * (blocks until one completes). */
+    def badRecords: Long = obs.get("n_bad").asInstanceOf[Long]
+
+    /** Rows scanned (kept + dropped). */
+    def rowsScanned: Long = obs.get("n_rows").asInstanceOf[Long]
+
+    /** Enforce `maxBadRecords` (reference semantics) — call after an
+      * action; returns the bad count when within the limit. */
+    def enforceBadLimit(): Long = {
+      val bad = badRecords
+      if (bad > maxBadRecords)
+        throw new IllegalStateException(
+          s"CSV load of $path: $bad corrupt records > maxBadRecords=$maxBadRecords")
+      bad
+    }
+
+    /** Write to the raw layer and enforce the bad-record limit on the same
+      * single scan. Returns the bad count. */
+    def writeRaw(outPath: String): Long = {
+      RawLayer.appendPartitioned(df, outPath)
+      enforceBadLimit()
+    }
+  }
+
+  /** Load a CSV batch with a declared schema — one scan, lazy.
     *
-    * @param maxBadRecords fail the load when more rows are corrupt than this
-    *                      (reference max_bad_records); corrupt rows are
-    *                      dropped otherwise.
+    * @param skipLeadingRows reference `skip_leading_rows`: 1 = first line is
+    *   a header (Spark's header option), 0 = data starts at byte 0. Values
+    *   > 1 are refused: Spark's distributed CSV split has no "skip N
+    *   arbitrary lines" notion, and silently approximating it would drop
+    *   data rows.
+    * @param allowQuotedNewlines reference `allow_quoted_newlines`: parse
+    *   newlines inside quoted fields (Spark `multiLine`). NOTE this makes
+    *   each file single-split on read, same as BigQuery's loader — keep
+    *   files small when enabling.
+    * @param allowJaggedRows reference `allow_jagged_rows`: tolerate rows
+    *   with FEWER fields than the schema (missing trailing values read as
+    *   null) instead of counting them corrupt.
+    * @param ignoreUnknownValues reference `ignore_unknown_values`: tolerate
+    *   rows with MORE fields than the schema (extras discarded).
+    * @param maxBadRecords fail the load when more rows than this remain
+    *   corrupt after the tolerances; corrupt rows are dropped otherwise.
     * @param ingestionDate the load's logical date (reference `{{ ds }}`) —
-    *                      stamped, not wall-clock, so backfills are
-    *                      deterministic and re-runs idempotent.
+    *   stamped, not wall-clock, so backfills are deterministic and re-runs
+    *   idempotent.
     */
   def load(spark: SparkSession, path: String, cols: Seq[ColumnSpec],
-           delimiter: String = ",", header: Boolean = true,
-           maxBadRecords: Int = 0, ingestionDate: String): DataFrame = {
+           delimiter: String = ",", skipLeadingRows: Int = 1,
+           maxBadRecords: Int = 0, allowJaggedRows: Boolean = false,
+           allowQuotedNewlines: Boolean = false,
+           ignoreUnknownValues: Boolean = false,
+           ingestionDate: String): LoadedCsv = {
+    require(skipLeadingRows == 0 || skipLeadingRows == 1,
+      s"skipLeadingRows=$skipLeadingRows unsupported: a distributed CSV split " +
+        "cannot skip arbitrary leading lines; preprocess the file instead")
+    require(cols.nonEmpty, "CSV schema must declare at least one column")
     val schema = schemaOf(cols).add("_corrupt_record", StringType)
     val raw = spark.read
       .schema(schema)
-      .option("header", header.toString)
+      .option("header", (skipLeadingRows == 1).toString)
       .option("sep", delimiter)
+      .option("multiLine", allowQuotedNewlines.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
-      .cache() // corrupt-count + clean pass share one scan
-    val bad = raw.where(col("_corrupt_record").isNotNull).count()
-    if (bad > maxBadRecords)
-      throw new IllegalStateException(
-        s"CSV load of $path: $bad corrupt records > maxBadRecords=$maxBadRecords")
-    raw.where(col("_corrupt_record").isNull)
+
+    // Field-count heuristic on the raw record distinguishes jagged/extra
+    // rows (tolerable by option) from genuine parse failures. PERMISSIVE
+    // mode has already null-padded short rows and truncated long ones, so
+    // "tolerate" is just "keep". (The naive split miscounts delimiters
+    // inside quoted fields; such rows stay classified corrupt — the
+    // conservative direction.)
+    val nFields = size(split(col("_corrupt_record"),
+      java.util.regex.Pattern.quote(delimiter)))
+    var tolerated = lit(false)
+    if (allowJaggedRows) tolerated = tolerated || nFields < cols.size
+    if (ignoreUnknownValues) tolerated = tolerated || nFields > cols.size
+    val keep = col("_corrupt_record").isNull || tolerated
+
+    // The _pin metric references EVERY data column on purpose, for two
+    // parser-pruning reasons: (1) CSV scans whose only required column is
+    // `_corrupt_record` are disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    // which is what a count-pruned action on the filtered frame would
+    // otherwise need; (2) the CSV parser only type-checks the columns it is
+    // asked for, so a pruned scan would MISS corrupt rows — the bad count
+    // must reflect the full declared schema on every action, like the
+    // BigQuery load it mirrors. (Must not be a count(non-nullable): that
+    // gets optimized to count(1), erasing the references.)
+    val obs = Observation()
+    val observed = raw.observe(obs,
+      count(when(!keep, 1)).as("n_bad"),
+      count(lit(1)).as("n_rows"),
+      max(length(concat_ws("", cols.map(c => col(c.name).cast("string")): _*)))
+        .as("_pin"))
+    val out = observed
+      .where(keep)
       .drop("_corrupt_record")
       .withColumn("ingestion_date", lit(ingestionDate).cast("date"))
       .withColumn("ingestion_timestamp", lit(s"$ingestionDate 00:00:00").cast("timestamp"))
+    new LoadedCsv(out, obs, path, maxBadRecords)
   }
 }
 

@@ -60,6 +60,21 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(1L) != sh(4L))
   }
 
+  test("clustersFromEdges reliable-checkpoint path matches the local path") {
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    def run(reliable: Boolean) =
+      Dedup.clustersFromEdges(ids, edges, "doc_id", reliableCheckpoint = reliable)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val local = run(reliable = false)
+    assert(run(reliable = true) == local)
+    assert(local == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
   test("simhash bit convention: single-token doc equals its md5-nibble hash") {
     // one token = one vote: the sketch IS the token's 64-bit hash, so this
     // pins the bit convention the DuckDB oracle reads from the hex string

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import graft.SparkSpec
 import graft.sources.CsvIngest.ColumnSpec
@@ -11,38 +11,101 @@ class CsvIngestSpec extends SparkSpec {
     ColumnSpec("order_id", "STRING"), ColumnSpec("amount", "FLOAT"),
     ColumnSpec("n", "INTEGER"))
 
-  private def writeCsv(lines: String*): String = {
+  private def writeCsv(lines: String*): String = writeHeadless(
+    ("order_id,amount,n" +: lines): _*)
+
+  private def writeHeadless(lines: String*): String = {
     val dir = Files.createTempDirectory("graft-csv")
-    Files.write(dir.resolve("batch.csv"),
-      ("order_id,amount,n" +: lines).mkString("\n").getBytes)
+    Files.write(dir.resolve("batch.csv"), lines.mkString("\n").getBytes)
     dir.toString
   }
 
   test("schema-driven load stamps the logical ingestion date") {
     val path = writeCsv("o1,10.5,3", "o2,20.0,4")
-    val df = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+    val df = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01").df
     assert(df.count() == 2)
     assert(df.columns.toSeq ==
       Seq("order_id", "amount", "n", "ingestion_date", "ingestion_timestamp"))
     assert(df.select("ingestion_date").distinct().collect()(0).getDate(0).toString == "2024-03-01")
   }
 
-  test("bad records dropped under threshold, load fails above it") {
+  test("bad records dropped under threshold, load fails above it — one scan, no cache") {
     val path = writeCsv("o1,10.5,3", "o2,not_a_number,oops")
     val ok = CsvIngest.load(spark, path, cols, maxBadRecords = 1, ingestionDate = "2024-03-01")
-    assert(ok.count() == 1)
+    assert(ok.df.count() == 1)
+    assert(ok.enforceBadLimit() == 1 && ok.rowsScanned == 2)
+    // the clean pass neither caches nor re-scans: no InMemoryRelation
+    assert(!ok.df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    val over = CsvIngest.load(spark, path, cols, maxBadRecords = 0, ingestionDate = "2024-03-02")
+    over.df.count()
+    intercept[IllegalStateException](over.enforceBadLimit())
+  }
+
+  test("writeRaw enforces the limit on the write's own scan") {
+    val path = writeCsv("o1,10.5,3", "bad,row")
+    val out = Files.createTempDirectory("graft-raw-w").toString
     intercept[IllegalStateException] {
-      CsvIngest.load(spark, path, cols, maxBadRecords = 0, ingestionDate = "2024-03-02").count()
+      CsvIngest.load(spark, path, cols, maxBadRecords = 0, ingestionDate = "2024-03-01")
+        .writeRaw(out)
     }
+    // idempotency net: a re-run with a fixed file replaces the partition
+    val fixed = writeCsv("o1,10.5,3", "o2,20.0,4")
+    val bad = CsvIngest.load(spark, fixed, cols, ingestionDate = "2024-03-01").writeRaw(out)
+    assert(bad == 0 && spark.read.parquet(out).count() == 2)
+  }
+
+  test("skip_leading_rows=0 reads data from the first line; >1 is refused") {
+    val path = writeHeadless("o1,10.5,3", "o2,20.0,4")
+    val b = CsvIngest.load(spark, path, cols, skipLeadingRows = 0, ingestionDate = "2024-03-01")
+    assert(b.df.count() == 2 && b.badRecords == 0)
+    intercept[IllegalArgumentException](
+      CsvIngest.load(spark, path, cols, skipLeadingRows = 2, ingestionDate = "2024-03-01"))
+  }
+
+  test("allow_jagged_rows tolerates short rows as trailing nulls") {
+    val path = writeCsv("o1,10.5,3", "o2,7.5") // second row missing n
+    val strict = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+    assert(strict.df.count() == 1 && strict.badRecords == 1)
+    val jagged = CsvIngest.load(spark, path, cols, allowJaggedRows = true,
+      maxBadRecords = 0, ingestionDate = "2024-03-01")
+    val rows = jagged.df.orderBy("order_id").collect()
+    assert(jagged.badRecords == 0 && rows.length == 2)
+    assert(rows(1).getString(0) == "o2" && rows(1).isNullAt(2)) // n is null
+    // a genuine type error is still corrupt even with jagged tolerance
+    val mixed = writeCsv("o1,10.5,3", "o2,7.5", "o3,zzz,1")
+    val m = CsvIngest.load(spark, mixed, cols, allowJaggedRows = true,
+      maxBadRecords = 1, ingestionDate = "2024-03-01")
+    assert(m.df.count() == 2 && m.badRecords == 1)
+  }
+
+  test("ignore_unknown_values tolerates extra trailing fields") {
+    val path = writeCsv("o1,10.5,3,EXTRA", "o2,20.0,4")
+    val strict = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+    assert(strict.df.count() == 1 && strict.badRecords == 1)
+    val loose = CsvIngest.load(spark, path, cols, ignoreUnknownValues = true,
+      ingestionDate = "2024-03-01")
+    val rows = loose.df.orderBy("order_id").collect()
+    assert(loose.badRecords == 0 && rows.length == 2)
+    assert(rows(0).getString(0) == "o1" && rows(0).getLong(2) == 3L) // extras dropped
+  }
+
+  test("allow_quoted_newlines parses embedded newlines via multiLine") {
+    val dir = Files.createTempDirectory("graft-csv-ml")
+    Files.write(dir.resolve("batch.csv"),
+      "order_id,amount,n\n\"o1\nwrapped\",10.5,3\no2,20.0,4".getBytes)
+    val b = CsvIngest.load(spark, dir.toString, cols, allowQuotedNewlines = true,
+      ingestionDate = "2024-03-01")
+    val ids = b.df.orderBy("order_id").select("order_id").collect().map(_.getString(0))
+    assert(b.badRecords == 0 && ids.length == 2 && ids(0) == "o1\nwrapped")
   }
 
   test("appendPartitioned: re-running a date replaces, not duplicates") {
     val path = writeCsv("o1,10.5,3", "o2,20.0,4")
     val out = Files.createTempDirectory("graft-raw").toString
-    val d1 = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+    val d1 = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01").df
     RawLayer.appendPartitioned(d1, out)
     RawLayer.appendPartitioned(d1, out) // idempotent re-run
-    val d2 = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-02")
+    val d2 = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-02").df
     RawLayer.appendPartitioned(d2, out) // new partition appends
     val all = spark.read.parquet(out)
     assert(all.count() == 4)
