@@ -214,4 +214,38 @@ object Dedup {
         size(w).cast("long").as("n_tokens"))
       .where(col("simhash").isNotNull)
   }
+
+  val SimhashBands = 4 // 16 bits each
+
+  /** SimHash near-dup pairs (i < j) within `maxHamming` bit flips — the
+    * pairing half of the Charikar sketch, in the 100 TB shape: the 64-bit
+    * signature splits into [[SimhashBands]] 16-bit bands; by pigeonhole,
+    * any pair within `maxHamming` ≤ 3 differing bits agrees EXACTLY on at
+    * least one band, so band-equality candidates lose no true pair (the
+    * guarantee holds whenever maxHamming < SimhashBands). The self-join is
+    * a bucket-local equi-join on (band, band-bits) — never all-pairs —
+    * and the exact rescore is one codegen'd `bit_count(xor)` per candidate.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimhashBands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands for the pigeonhole " +
+        s"guarantee; raise SimhashBands or lower the threshold")
+    val bandStructs = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bits"))
+    }
+    val banded = simhash(docs, idCol, textCol)
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.select(col(idCol).as("i"), col("simhash").as("sim_i"),
+      col("band"), col("bits"))
+    val b = banded.select(col(idCol).as("j"), col("simhash").as("sim_j"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits")).where(col("i") < col("j"))
+      .withColumn("hamming", bit_count(col("sim_i").bitwiseXOR(col("sim_j"))))
+      .where(col("hamming") <= maxHamming)
+      // a close pair can agree on several bands; the distance is identical
+      .groupBy("i", "j").agg(min("hamming").as("hamming"))
+  }
 }

@@ -44,7 +44,8 @@ object ExtraQueries {
   /** The reference's SCD2 day-merge (dim_customers.sql MERGE) through the
     * gate: initial snapshot dim + a synthetic day-2 snapshot (acct_bal bump
     * on every 7th customer) → expired versions + new current versions.
-    * Surrogate keys are excluded (xxhash64 is not oracle-portable). */
+    * The merge-path surrogate key is gated too — `mergeSnapshot` emits
+    * `md5(key:effective_date)`, which DuckDB reproduces verbatim. */
   def scd2Merge(s: SparkSession, dir: String): DataFrame = {
     val customer = t(s, dir, "customer").select(
       col("c_custkey").as("customer_id"), col("c_name").as("name"),
@@ -56,9 +57,8 @@ object ExtraQueries {
       when(col("customer_id") % 7 === 0, col("acct_bal") + 10.0).otherwise(col("acct_bal")))
     Scd2.mergeSnapshot(dim0, snap, "customer_id",
         Seq("name", "nation_key", "acct_bal", "mkt_segment"), "2024-01-01")
-      .drop("sk")
       .select("customer_id", "name", "nation_key", "acct_bal", "mkt_segment",
-              "effective_date", "expiration_date", "is_current")
+              "effective_date", "expiration_date", "is_current", "sk")
       .orderBy("customer_id", "effective_date")
   }
 
@@ -114,7 +114,9 @@ object ExtraQueries {
         |    DATE '2024-01-01' AS effective_date, CAST(NULL AS DATE) AS expiration_date,
         |    TRUE AS is_current
         |  FROM c WHERE customer_id % 7 = 0)
-        |SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM fresh
+        |SELECT *, md5(customer_id::VARCHAR || ':' || effective_date::VARCHAR) AS sk
+        |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired
+        |      UNION ALL SELECT * FROM fresh)
         |ORDER BY customer_id, effective_date""".stripMargin
   )
 }

@@ -51,6 +51,10 @@ object TextQueries {
     Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy("i", "j")
 
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("i", "j")
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
       .select(col("doc_id"),
@@ -90,6 +94,7 @@ object TextQueries {
     "text_clean" -> (textClean _),
     "corpus_stats" -> (corpusStats _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 
@@ -124,11 +129,10 @@ object TextQueries {
       |  SELECT DISTINCT a.doc_id AS i, c.doc_id AS j
       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
 
-  /** `dedup_simhash` oracle: re-derive the md5-nibble SimHash in SQL —
-    * bit `i` = bit `(i%4)` of hex nibble `i/4` of `md5(token)`, majority
-    * vote per doc, assembled as two positive 32-bit halves. Generated (64
-    * bit-sums) rather than hand-written. */
-  private def simhashOracle: String = {
+  /** Shared SimHash re-derivation CTEs: md5-nibble bits (bit `i` = bit
+    * `(i%4)` of hex nibble `i/4` of `md5(token)`), majority vote per doc —
+    * 64 generated bit-sums ending in an `agg(doc_id, n, s0..s63)` CTE. */
+  private def simhashCtes: String = {
     def bitSum(i: Int) = {
       val pos = i / 4 + 1
       val j = i % 4
@@ -136,26 +140,52 @@ object TextQueries {
         j + ") & 1) = 1 THEN 1 ELSE 0 END) AS s" + i
     }
     val sums = (0 until 64).map(bitSum).mkString(",\n  ")
-    def half(lo: Int): String =
-      (lo until lo + 32).map(i => s"(CASE WHEN 2 * s$i > n THEN ${1L << (i - lo)} ELSE 0 END)")
-        .mkString("CAST((", " + ", ") AS BIGINT)")
-    s"""WITH nw AS (SELECT doc_id,
+    s"""nw AS (SELECT doc_id,
        |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
        |  FROM documents),
        |tok AS (SELECT doc_id, md5(w) AS h
        |        FROM (SELECT doc_id, unnest(ws) AS w FROM nw)),
        |agg AS (SELECT doc_id, count(*) AS n,
        |  $sums
-       |  FROM tok GROUP BY doc_id)
+       |  FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
+  /** One positive 32-bit half of the majority-vote signature (`lo` = 0 or
+    * 32) — keeps bit 63 out of BIGINT sign territory on either engine. */
+  private def simhashHalf(lo: Int): String =
+    (lo until lo + 32).map(i => s"(CASE WHEN 2 * s$i > n THEN ${1L << (i - lo)} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes
        |SELECT doc_id,
-       |  ${half(32)} AS simhash_hi,
-       |  ${half(0)} AS simhash_lo,
+       |  ${simhashHalf(32)} AS simhash_hi,
+       |  ${simhashHalf(0)} AS simhash_lo,
        |  CAST(n AS BIGINT) AS n_tokens
        |FROM agg ORDER BY doc_id""".stripMargin
-  }
+
+  /** `dedup_simhash_pairs` oracle: same signature derivation, banded into
+    * four 16-bit buckets (from the hi/lo halves), bucket self-join, exact
+    * Hamming rescore as bit_count(xor) per half. */
+  private def simhashPairsOracle: String =
+    s"""WITH $simhashCtes,
+       |sh AS (SELECT doc_id, ${simhashHalf(32)} AS hi, ${simhashHalf(0)} AS lo FROM agg),
+       |bands AS (
+       |  SELECT doc_id, hi, lo, 0 AS band, lo & 65535 AS bits FROM sh
+       |  UNION ALL SELECT doc_id, hi, lo, 1, (lo >> 16) & 65535 FROM sh
+       |  UNION ALL SELECT doc_id, hi, lo, 2, hi & 65535 FROM sh
+       |  UNION ALL SELECT doc_id, hi, lo, 3, (hi >> 16) & 65535 FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS ham
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+       |SELECT i, j, CAST(min(ham) AS INT) AS hamming FROM cand
+       |WHERE ham <= 3 GROUP BY i, j ORDER BY i, j""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "lang_id" ->
       s"""WITH $wordsSql,
          |scored AS (SELECT doc_id, lang,

@@ -75,6 +75,31 @@ class TextDedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("simhashPairs: banding loses no pair within the hamming threshold (pigeonhole)") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet")
+    val sigs = Dedup.simhash(real, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    val expected = (for {
+      (i, si) <- sigs.iterator
+      (j, sj) <- sigs.iterator if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j) -> h).toMap
+    val got = Dedup.simhashPairs(real, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map { case (i, j, h) => (i, j) -> h }.toMap
+    assert(got == expected) // exact: candidates via bands, nothing missed
+    assert(expected.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("simhashPairs plan is a bucket-local equi-join, never BroadcastNestedLoop") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet")
+    val plan = Dedup.simhashPairs(real, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(real, "doc_id", "text", maxHamming = 4)) // needs > 4 bands
+  }
+
   test("simhash bit convention: single-token doc equals its md5-nibble hash") {
     // one token = one vote: the sketch IS the token's 64-bit hash, so this
     // pins the bit convention the DuckDB oracle reads from the hex string
