@@ -97,19 +97,28 @@ object DomainConfigFile {
 
   /** Assemble the runnable [[DomainConfig.Domain]]: raw entries become
     * CSV-ingest tasks; transform entries resolve their builder from
-    * `builds` by task id. Fails fast on a transform with no builder —
-    * a config that names a table nobody implemented is an onboarding
-    * error, not a runtime surprise. */
+    * `builds` by task id, falling back to a SQL file in the reference's
+    * `sql/<layer>/...` layout under `sqlDir` (with `{{key}}` params) when
+    * one exists. Fails fast on a transform with neither — a config that
+    * names a table nobody implemented is an onboarding error, not a
+    * runtime surprise. */
   def toDomain(file: DomainFile,
-               builds: Map[String, SparkSession => DataFrame]): DomainConfig.Domain = {
+               builds: Map[String, SparkSession => DataFrame],
+               sqlDir: Option[Path] = None,
+               sqlParams: Map[String, String] = Map.empty): DomainConfig.Domain = {
     val raw = file.tables.filter(t => t.kind == "raw" || t.schema.nonEmpty).map { t =>
       DomainConfig.RawTable(t.name, t.schema, t.maxBadRecords)
     }
     val transforms = file.tables.filter(t => t.kind != "raw" && t.schema.isEmpty).map { t =>
       val id = nodeId(t)
-      val build = builds.getOrElse(id,
-        throw new IllegalArgumentException(
-          s"no builder registered for transform '$id' (have: ${builds.keys.toSeq.sorted.mkString(", ")})"))
+      val sqlFile = sqlDir.map(SqlTransforms.sqlPathFor(_, file.domain, t))
+        .filter(Files.exists(_))
+      val build = builds.get(id)
+        .orElse(sqlFile.map(SqlTransforms.sqlBuild(_, sqlParams)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no builder registered and no SQL file for transform '$id' " +
+            s"(registry: ${builds.keys.toSeq.sorted.mkString(", ")}; " +
+            s"looked for: ${sqlDir.map(SqlTransforms.sqlPathFor(_, file.domain, t)).getOrElse("-")})"))
       DomainConfig.Transform(id, t.dependencies.map(taskId))(build)
     }
     DomainConfig.Domain(file.domain, raw, transforms)

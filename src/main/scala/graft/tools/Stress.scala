@@ -36,7 +36,11 @@ object Stress {
         when(col("rep") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
       .repartition(32)
-      .persist()
+      // localCheckpoint (not persist): the corpus is FABRICATED via a
+      // crossJoin, and a cached plan would leak that BroadcastNestedLoop
+      // into every downstream executedPlan string, tripping the
+      // plan-shape asserts below on the wrong join.
+      .localCheckpoint()
     println(s"docs: ${big.count()}")
 
     val cand = time("minhashCandidates on 100k docs") {
@@ -57,6 +61,13 @@ object Stress {
       println("   groups: " + Dedup.exact(big, "doc_id", "text")
         .select("fp").distinct().count())
     }
+    time("simhashPairs (hamming<=3) on 100k docs") {
+      val p = Dedup.simhashPairs(big, "doc_id", "text", maxHamming = 3)
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "simhashPairs went all-pairs!")
+      println("   pairs: " + p.count() + " (band equi-join; all-pairs space = " +
+        (100000L * 99999L / 2) + ")")
+    }
 
     // 40k vectors: 20 replicas of the 2k embeddings (float jitter via
     // deterministic per-replica scale so replicas are near-parallel).
@@ -64,7 +75,7 @@ object Stress {
     val bigEmb = emb.crossJoin(spark.range(20).select(col("id").as("rep")))
       .select((col("vec_id") * 20 + col("rep")).as("vec_id"),
               col("embedding"))
-      .repartition(32).persist()
+      .repartition(32).localCheckpoint()
     println(s"vectors: ${bigEmb.count()}")
     val q = bigEmb.where(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -76,6 +87,22 @@ object Stress {
       println("   rows: " + Similarity.lshTopK(
         bigEmb, q, "vec_id", "embedding", "q_id", "q_vec", 10,
         nTables = 12, planesPerTable = 4, dim = 64, multiProbe = true).count())
+    }
+
+    // Embedding near-dup at self-join scale: every vector has 19 EXACT
+    // replicas (cos = 1.0), distinct originals top out near cos 0.55 — so
+    // the θ=0.9 truth set is exactly 2000 × C(20,2) = 380,000 pairs.
+    // Self-join LSH needs more planes than the 8-query ANN path: 2^12
+    // buckets/table bounds occupancy (identical vectors still share every
+    // bucket, so duplicate recall stays 1.0 by construction).
+    time("neardupPairsLsh (cos>=0.9) over 40k vectors, 8x12 config") {
+      val p = Similarity.neardupPairsLsh(bigEmb, "vec_id", "embedding",
+        threshold = 0.9, nTables = 8, planesPerTable = 12, dim = 64)
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "neardupPairsLsh went all-pairs!")
+      val n = p.count()
+      println(s"   pairs: $n of 380000 expected (recall ${n / 380000.0}); " +
+        s"all-pairs space = ${40000L * 39999L / 2}")
     }
     spark.stop()
   }

@@ -181,6 +181,43 @@ class PipelineSpec extends SparkSpec {
       .map(_.getLong(1)).toSeq == Seq(3L))
   }
 
+  test("SQL-file transforms: reference layout + {{param}} substitution") {
+    val sqlDir = Files.createTempDirectory("graft-sql")
+    // reference layout: sql/datamart/<domain>/<table>.sql
+    val dmDir = sqlDir.resolve("datamart/ads")
+    Files.createDirectories(dmDir)
+    Files.writeString(dmDir.resolve("click_counts.sql"),
+      """SELECT ingestion_date, sum(n) AS total
+        |FROM parquet.`{{warehouse}}/raw/clicks`
+        |GROUP BY ingestion_date""".stripMargin)
+
+    assert(SqlTransforms.sqlPath(sqlDir, "core", Some("dim"), "dim_x").toString
+      .endsWith("core/dim/dim_x.sql"))
+    intercept[IllegalArgumentException](
+      SqlTransforms.sqlPath(sqlDir, "lake", None, "t"))
+
+    val inbox = Files.createTempDirectory("graft-sql-inbox")
+    val wh = Files.createTempDirectory("graft-sql-wh").toString
+    val ds = "20240501"
+    val d = inbox.resolve(s"clicks/$ds")
+    Files.createDirectories(d)
+    Files.write(d.resolve(s"clicks_$ds.csv"), "click_id,n\nca,4\ncb,5".getBytes)
+
+    val f = Files.createTempDirectory("graft-sql-cfg").resolve("ads_config.yaml")
+    Files.writeString(f, salesLikeYaml)
+    val cfg = DomainConfigFile.load(f)
+    assert(cfg.domain == "ads") // {domain}_config.yaml convention
+    // no Scala builder registry at all: click_counts resolves to its SQL file
+    val domain = DomainConfigFile.toDomain(
+      cfg.copy(tables = cfg.tables.filter(_.name != "dim_campaigns")),
+      builds = Map.empty, sqlDir = Some(sqlDir),
+      sqlParams = Map("warehouse" -> wh))
+    val report = Dag.run(PipelineBuilder.tasks(spark, domain, inbox.toString, wh, "2024-05-01"))
+    assert(report.succeeded, s"$report")
+    assert(spark.read.parquet(s"$wh/datamart/click_counts").collect()
+      .map(_.getLong(1)).toSeq == Seq(9L))
+  }
+
   test("StarPipeline end-to-end at sf0.001, idempotent re-run") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val r1 = StarPipeline.run(spark, sf001, wh)
