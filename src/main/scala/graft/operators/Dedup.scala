@@ -235,9 +235,14 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bits"))
     }
+    // lazy localCheckpoint: both self-join branches share one materialized
+    // relation (otherwise the corpus is scanned and simhashed TWICE), and
+    // the blocks are released when the plan is dropped — same treatment as
+    // Similarity.neardupPairsLsh's bucket relation.
     val banded = simhash(docs, idCol, textCol)
       .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .localCheckpoint(false)
     val a = banded.select(col(idCol).as("i"), col("simhash").as("sim_i"),
       col("band"), col("bits"))
     val b = banded.select(col(idCol).as("j"), col("simhash").as("sim_j"),

@@ -16,6 +16,12 @@ import scala.collection.mutable
   */
 object Dag {
 
+  /** Explicit opt-out from scheduler-level retry defaults: `retries = 0`
+    * reads as "unspecified" to [[Scheduler.Scheduled]]'s default_args
+    * application; a task that must NEVER retry (non-idempotent side
+    * effects) under a retrying spec declares `retries = Dag.NeverRetry`. */
+  val NeverRetry: Int = -1
+
   final case class Task(id: String, deps: Seq[String] = Nil, retries: Int = 0,
                         retryDelay: java.time.Duration = java.time.Duration.ZERO)
                        (val run: () => Unit)
@@ -83,14 +89,15 @@ object Dag {
   }
 
   private def execute(t: Task, sleep: Long => Unit): Status = {
+    val maxRetries = math.max(0, t.retries) // NeverRetry (-1) still runs once
     var attempt = 0
     var lastErr: Throwable = null
-    while (attempt <= t.retries) {
+    while (attempt <= maxRetries) {
       try { t.run(); return Success }
       catch {
         case e: Throwable =>
           lastErr = e; attempt += 1
-          if (attempt <= t.retries && !t.retryDelay.isZero)
+          if (attempt <= maxRetries && !t.retryDelay.isZero)
             sleep(t.retryDelay.toMillis) // back off before the next attempt
       }
     }

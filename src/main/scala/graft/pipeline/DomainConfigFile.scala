@@ -106,10 +106,21 @@ object DomainConfigFile {
                builds: Map[String, SparkSession => DataFrame],
                sqlDir: Option[Path] = None,
                sqlParams: Map[String, String] = Map.empty): DomainConfig.Domain = {
-    val raw = file.tables.filter(t => t.kind == "raw" || t.schema.nonEmpty).map { t =>
+    // Reject ambiguous entries up front: a transform-typed table with a
+    // schema would otherwise silently become a raw ingest (and its
+    // transform node would never exist); a raw table without a schema
+    // would only fail at task runtime.
+    file.tables.foreach { t =>
+      if (t.kind != "raw" && t.schema.nonEmpty) throw new IllegalArgumentException(
+        s"table ${t.name}: type '${t.kind}' must not declare a schema " +
+          "(schemas belong to raw CSV tables)")
+      if (t.kind == "raw" && t.schema.isEmpty) throw new IllegalArgumentException(
+        s"table ${t.name}: raw table without a schema")
+    }
+    val raw = file.tables.filter(_.kind == "raw").map { t =>
       DomainConfig.RawTable(t.name, t.schema, t.maxBadRecords)
     }
-    val transforms = file.tables.filter(t => t.kind != "raw" && t.schema.isEmpty).map { t =>
+    val transforms = file.tables.filter(_.kind != "raw").map { t =>
       val id = nodeId(t)
       val sqlFile = sqlDir.map(SqlTransforms.sqlPathFor(_, file.domain, t))
         .filter(Files.exists(_))

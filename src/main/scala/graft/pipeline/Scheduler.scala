@@ -27,10 +27,19 @@ object Scheduler {
   final case class Cron(minute: Option[Int], hour: Option[Int], dom: Option[Int],
                         month: Option[Int], dow: Option[Int]) {
 
+    /** Standard-cron day rule: when BOTH day-of-month and day-of-week are
+      * restricted they combine with OR, not AND (`13 * 5` = the 13th OR
+      * any Friday). */
+    private def dayMatches(t: LocalDateTime): Boolean = (dom, dow) match {
+      case (Some(d), Some(w)) =>
+        t.getDayOfMonth == d || t.getDayOfWeek.getValue % 7 == w
+      case _ =>
+        dom.forall(_ == t.getDayOfMonth) && dow.forall(_ == t.getDayOfWeek.getValue % 7)
+    }
+
     def matches(t: LocalDateTime): Boolean =
       minute.forall(_ == t.getMinute) && hour.forall(_ == t.getHour) &&
-      dom.forall(_ == t.getDayOfMonth) && month.forall(_ == t.getMonthValue) &&
-      dow.forall(_ == t.getDayOfWeek.getValue % 7)
+      month.forall(_ == t.getMonthValue) && dayMatches(t)
 
     /** First fire time STRICTLY after `after`. Jumps whole days/hours when
       * the date/hour fields rule them out, so even a Feb-29 cron resolves
@@ -41,8 +50,7 @@ object Scheduler {
       while (!matches(t)) {
         guard += 1
         require(guard < 20000, s"cron $this: no fire time within bound after $after")
-        if (month.exists(_ != t.getMonthValue) || dom.exists(_ != t.getDayOfMonth) ||
-            dow.exists(_ != t.getDayOfWeek.getValue % 7))
+        if (month.exists(_ != t.getMonthValue) || !dayMatches(t))
           t = t.toLocalDate.plusDays(1).atStartOfDay
         else if (hour.exists(_ != t.getHour))
           t = t.plusHours(1).withMinute(0)

@@ -47,14 +47,19 @@ object Yaml {
   }
 
   /** Drop a trailing comment: `#` at line start or preceded by whitespace,
-    * outside single/double quotes (`source_table: "generated" # comment`). */
+    * outside single/double quotes (`source_table: "generated" # comment`).
+    * A quote OPENS a region only at a value boundary (line start or after
+    * whitespace/`:`/`,`/`[`/`-`) — an apostrophe inside an unquoted scalar
+    * (`owner: o'brien # x`) is plain text, not a quote. */
   private def stripComment(line: String): String = {
+    def opensAt(i: Int): Boolean =
+      i == 0 || " \t:,[-".indexOf(line.charAt(i - 1)) >= 0
     var inS = false; var inD = false
     var i = 0
     while (i < line.length) {
       line.charAt(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD => if (inS) inS = false else if (opensAt(i)) inS = true
+        case '"' if !inS => if (inD) inD = false else if (opensAt(i)) inD = true
         case '#' if !inS && !inD && (i == 0 || line.charAt(i - 1).isWhitespace) =>
           return line.substring(0, i)
         case _ =>
@@ -114,8 +119,10 @@ object Yaml {
         val (node, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
         items :+= node
         i = next
-      } else if (rest.takeWhile(c => c != ':').nonEmpty && rest.contains(':') &&
+      } else if (!rest.startsWith("\"") && !rest.startsWith("'") &&
+                 rest.takeWhile(c => c != ':').nonEmpty && rest.contains(':') &&
                  (rest.endsWith(":") || rest.contains(": "))) {
+        // (a QUOTED item is always a scalar, even if it contains ': ')
         // `- key: value` inline map item; continuation keys sit at the
         // column where `key` starts (dash column + 2). Splice the rewritten
         // first line in place and parse a map from there.

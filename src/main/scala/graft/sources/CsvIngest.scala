@@ -46,12 +46,27 @@ object CsvIngest {
     */
   final class LoadedCsv private[sources](val df: DataFrame, obs: Observation,
                                          path: String, maxBadRecords: Int) {
-    /** Corrupt/intolerable row count — call after an action on `df`
-      * (blocks until one completes). */
-    def badRecords: Long = obs.get("n_bad").asInstanceOf[Long]
+    private def metric(name: String): Long = {
+      // Bounded wait: the metrics listener is async (a short wait after an
+      // action is normal), but Observation.get blocks FOREVER when no
+      // action ever ran — fail with a usable message instead.
+      import org.apache.spark.sql.graft.Bridge.observedMetrics
+      var waited = 0L
+      while (observedMetrics(obs).isEmpty && waited < 2000) {
+        Thread.sleep(50); waited += 50
+      }
+      val m = observedMetrics(obs)
+      if (m.isEmpty) throw new IllegalStateException(
+        s"CSV load of $path: no action has completed on df — run one " +
+          "(or use writeRaw) before reading load metrics")
+      m(name).asInstanceOf[Long]
+    }
+
+    /** Corrupt/intolerable row count — call after an action on `df`. */
+    def badRecords: Long = metric("n_bad")
 
     /** Rows scanned (kept + dropped). */
-    def rowsScanned: Long = obs.get("n_rows").asInstanceOf[Long]
+    def rowsScanned: Long = metric("n_rows")
 
     /** Enforce `maxBadRecords` (reference semantics) — call after an
       * action; returns the bad count when within the limit. */
@@ -116,14 +131,21 @@ object CsvIngest {
     // Field-count heuristic on the raw record distinguishes jagged/extra
     // rows (tolerable by option) from genuine parse failures. PERMISSIVE
     // mode has already null-padded short rows and truncated long ones, so
-    // "tolerate" is just "keep". (The naive split miscounts delimiters
-    // inside quoted fields; such rows stay classified corrupt — the
-    // conservative direction.)
-    val nFields = size(split(col("_corrupt_record"),
-      java.util.regex.Pattern.quote(delimiter)))
+    // "tolerate" is just "keep" — but ONLY when every field that IS
+    // present parsed (or was empty): BigQuery's jagged/unknown tolerances
+    // never forgive a type error in a declared column, and neither must
+    // this. (The naive split miscounts delimiters inside quoted fields;
+    // such rows stay classified corrupt — the conservative direction.)
+    val rawFields = split(col("_corrupt_record"),
+      java.util.regex.Pattern.quote(delimiter))
+    val nFields = size(rawFields)
+    val presentParsed = cols.zipWithIndex.map { case (c, i) =>
+      lit(i) >= nFields || col(c.name).isNotNull ||
+        length(element_at(rawFields, i + 1)) === 0
+    }.reduce(_ && _)
     var tolerated = lit(false)
-    if (allowJaggedRows) tolerated = tolerated || nFields < cols.size
-    if (ignoreUnknownValues) tolerated = tolerated || nFields > cols.size
+    if (allowJaggedRows) tolerated = tolerated || (nFields < cols.size && presentParsed)
+    if (ignoreUnknownValues) tolerated = tolerated || (nFields > cols.size && presentParsed)
     val keep = col("_corrupt_record").isNull || tolerated
 
     // The _pin metric references EVERY data column on purpose, for two

@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an Observation's metrics — empty when no action
+    * has completed. (`Observation.get` blocks forever in that case, and
+    * 4.1.2's `getOrEmpty` NPEs on its own null-row default instead of
+    * returning empty — `getRowOrEmpty.getOrElse(null).schema`.) */
+  def observedMetrics(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    try obs.getOrEmpty
+    catch { case _: NullPointerException => Map.empty }
 }

@@ -138,6 +138,37 @@ class PipelineSpec extends SparkSpec {
     intercept[NoSuchElementException](cfg.tableConfig("nope"))
   }
 
+  test("Yaml: quoted colon-scalars stay scalars; apostrophes don't open quotes") {
+    val m = Yaml.parse(
+      """owner: o'brien  # comment stripped
+        |notes:
+        |  - "note: keep this"
+        |  - plain
+        |""".stripMargin)
+    assert(m.str("owner").contains("o'brien"))
+    assert(m.seq("notes").collect { case Yaml.YStr(s) => s } ==
+      Vector("note: keep this", "plain"))
+  }
+
+  test("toDomain rejects ambiguous table entries up front") {
+    import graft.sources.CsvIngest.ColumnSpec
+    val f = Files.createTempFile("ads_config", ".yaml")
+    Files.writeString(f, salesLikeYaml)
+    val cfg = DomainConfigFile.load(f)
+    // transform-typed table with a schema: would silently become raw ingest
+    val withSchema = cfg.copy(tables = cfg.tables.map(t =>
+      if (t.name == "dim_campaigns") t.copy(schema = Seq(ColumnSpec("x", "STRING"))) else t))
+    val e1 = intercept[IllegalArgumentException](
+      DomainConfigFile.toDomain(withSchema, Map.empty))
+    assert(e1.getMessage.contains("must not declare a schema"))
+    // raw table without a schema: would only fail at task runtime
+    val noSchema = cfg.copy(tables = cfg.tables.map(t =>
+      if (t.name == "clicks") t.copy(schema = Nil) else t))
+    val e2 = intercept[IllegalArgumentException](
+      DomainConfigFile.toDomain(noSchema, Map.empty))
+    assert(e2.getMessage.contains("raw table without a schema"))
+  }
+
   test("config-file domain builds the same DAG as the hand-built one and runs") {
     import graft.pipeline.DomainConfig._
     import graft.sources.CsvIngest.ColumnSpec

@@ -27,6 +27,33 @@ class SchedulerSpec extends AnyFunSuite {
       LocalDateTime.parse("2028-02-29T12:00"))
   }
 
+  test("Cron: restricted dom AND dow combine with OR (standard cron day rule)") {
+    val c = Cron.parse("0 0 13 * 5")
+    // 2024-09-01 is a Sunday: next fires are Fri 09-06, then the 13th
+    // (which is also a Friday), then Fri 09-20
+    assert(c.next(LocalDateTime.parse("2024-09-01T00:00")) ==
+      LocalDateTime.parse("2024-09-06T00:00"))
+    assert(c.next(LocalDateTime.parse("2024-09-06T00:00")) ==
+      LocalDateTime.parse("2024-09-13T00:00"))
+    assert(c.next(LocalDateTime.parse("2024-09-13T00:00")) ==
+      LocalDateTime.parse("2024-09-20T00:00"))
+    // and a non-Friday 13th still fires: 2024-10-13 is a Sunday
+    assert(c.next(LocalDateTime.parse("2024-10-12T00:00")) ==
+      LocalDateTime.parse("2024-10-13T00:00"))
+  }
+
+  test("Dag.NeverRetry opts a task out of spec-level retry defaults") {
+    var attempts = 0
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01").copy(retries = 3, retryDelay = Duration.ofMinutes(5)),
+      _ => Seq(Dag.Task("no-retry", retries = Dag.NeverRetry)(() => {
+        attempts += 1; throw new RuntimeException("side-effecting")
+      })),
+      sleep = _ => fail("must not back off a never-retry task"))
+    val runs = sched.drain(LocalDateTime.parse("2024-03-02T00:00"))
+    assert(!runs.head.report.succeeded && attempts == 1)
+  }
+
   test("catchup=true backfills every closed interval, one per tick at max_active_runs=1") {
     val ran = scala.collection.mutable.ArrayBuffer.empty[String]
     var failOnce = true

@@ -76,6 +76,23 @@ class CsvIngestSpec extends SparkSpec {
     val m = CsvIngest.load(spark, mixed, cols, allowJaggedRows = true,
       maxBadRecords = 1, ingestionDate = "2024-03-01")
     assert(m.df.count() == 2 && m.badRecords == 1)
+    // ... including a type error in a PRESENT field of a short row
+    val shortBad = writeCsv("o1,10.5,3", "o2,zzz")
+    val sb = CsvIngest.load(spark, shortBad, cols, allowJaggedRows = true,
+      maxBadRecords = 1, ingestionDate = "2024-03-01")
+    assert(sb.df.count() == 1 && sb.badRecords == 1)
+    // an EMPTY present field is a null, not a type error
+    val shortEmpty = writeCsv("o1,10.5,3", "o2,")
+    val se = CsvIngest.load(spark, shortEmpty, cols, allowJaggedRows = true,
+      ingestionDate = "2024-03-01")
+    assert(se.df.count() == 2 && se.badRecords == 0)
+  }
+
+  test("metrics before any action fail fast instead of hanging") {
+    val path = writeCsv("o1,10.5,3")
+    val b = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+    val e = intercept[IllegalStateException](b.badRecords)
+    assert(e.getMessage.contains("no action"))
   }
 
   test("ignore_unknown_values tolerates extra trailing fields") {
@@ -87,6 +104,11 @@ class CsvIngestSpec extends SparkSpec {
     val rows = loose.df.orderBy("order_id").collect()
     assert(loose.badRecords == 0 && rows.length == 2)
     assert(rows(0).getString(0) == "o1" && rows(0).getLong(2) == 3L) // extras dropped
+    // a type error in a declared column is still corrupt despite extras
+    val longBad = writeCsv("o1,zzz,3,EXTRA", "o2,20.0,4")
+    val lb = CsvIngest.load(spark, longBad, cols, ignoreUnknownValues = true,
+      maxBadRecords = 1, ingestionDate = "2024-03-01")
+    assert(lb.df.count() == 1 && lb.badRecords == 1)
   }
 
   test("allow_quoted_newlines parses embedded newlines via multiLine") {
