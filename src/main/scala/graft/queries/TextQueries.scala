@@ -76,6 +76,11 @@ object TextQueries {
     Dedup.clusters(docs(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy("doc_id")
 
+  def corpusCurate(s: SparkSession, dir: String): DataFrame =
+    Curate.curate(docs(s, dir), "doc_id", "text",
+        minQuality = 0.5, lang = Some("en"), jaccardThreshold = 0.5)
+      .orderBy("doc_id")
+
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(
         docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -95,6 +100,7 @@ object TextQueries {
     "corpus_stats" -> (corpusStats _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "corpus_curate" -> (corpusCurate _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 
@@ -107,14 +113,20 @@ object TextQueries {
       |       FROM documents)""".stripMargin
 
   /** Dedup-side tokenization: normalized text (lowercase, collapsed
-    * whitespace), matching TextFunctions.normWords. */
-  private val shinglesSql =
-    """nw AS (SELECT doc_id,
-      |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
-      |  FROM documents),
-      |sh AS (SELECT doc_id,
+    * whitespace), matching TextFunctions.normWords. Parameterized by the
+    * source relation so composed pipelines (corpus_curate) can shingle a
+    * FILTERED corpus. */
+  private def normWordsFrom(src: String): String =
+    s"""nw AS (SELECT doc_id,
+       |  string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws
+       |  FROM $src)""".stripMargin
+
+  private val shOnlySql =
+    """sh AS (SELECT doc_id,
       |  list_distinct([array_to_string(ws[x:x+2], ' ') for x in generate_series(1, len(ws)-2)]) AS s
       |  FROM nw WHERE len(ws) >= 3)""".stripMargin
+
+  private val shinglesSql = normWordsFrom("documents") + ",\n" + shOnlySql
 
   private val sigsSql =
     """sigs AS (SELECT doc_id,
@@ -183,9 +195,76 @@ object TextQueries {
        |SELECT i, j, CAST(min(ham) AS INT) AS hamming FROM cand
        |WHERE ham <= 3 GROUP BY i, j ORDER BY i, j""".stripMargin
 
+  /** `corpus_curate` oracle: the whole curation chain re-derived in SQL —
+    * quality + language flags, exact dedup over the survivors, MinHash →
+    * n-gram → recursive-CTE clustering over THOSE survivors, one verdict
+    * row per input doc with the same reason precedence as the operator. */
+  private def curateOracle: String = {
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val scoreCols = langs.map(l =>
+      s"len(list_filter(ws, x -> x IN ${markersIn(l)})) AS s_$l").mkString(",\n    ")
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val predicted = langs.foldRight("'und'") { (l, alt) =>
+      s"CASE WHEN $best > 0 AND s_$l = $best THEN '$l' ELSE $alt END"
+    }
+    s"""WITH RECURSIVE
+       |bw AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |       FROM documents),
+       |scored AS (SELECT doc_id, text,
+       |    (CASE WHEN len(ws) >= 5 THEN 1.0 ELSE 0.0 END)
+       |      * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+       |      * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)) AS q,
+       |    $scoreCols
+       |  FROM bw),
+       |flags AS (SELECT doc_id, text,
+       |    coalesce(q, -1.0) < 0.5 AS lowq,
+       |    ($predicted) <> 'en' AS wlang
+       |  FROM scored),
+       |passed AS (SELECT doc_id, text FROM flags WHERE NOT lowq AND NOT wlang),
+       |ex AS (SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY
+       |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS ex_canon
+       |  FROM passed),
+       |exsurv AS (SELECT p.doc_id, p.text FROM passed p JOIN ex ON p.doc_id = ex.doc_id
+       |           WHERE ex.doc_id = ex.ex_canon),
+       |${normWordsFrom("exsurv")},
+       |$shOnlySql,
+       |$sigsSql,
+       |$candSql,
+       |verified AS (
+       |  SELECT i, j FROM (
+       |    SELECT cand.i, cand.j,
+       |      CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+       |    FROM cand JOIN sh sa ON cand.i = sa.doc_id JOIN sh sb ON cand.j = sb.doc_id)
+       |  WHERE jac >= 0.5),
+       |edges AS (SELECT i, j FROM verified UNION ALL SELECT j, i FROM verified),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM exsurv
+       |  UNION
+       |  SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i),
+       |clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |verdict AS (SELECT f.doc_id,
+       |    CASE WHEN f.lowq THEN 'low_quality'
+       |         WHEN f.wlang THEN 'wrong_language'
+       |         WHEN ex.doc_id IS NOT NULL AND ex.doc_id <> ex.ex_canon THEN 'exact_duplicate'
+       |         WHEN clus.cluster_id IS NOT NULL AND clus.cluster_id <> f.doc_id THEN 'near_duplicate'
+       |         ELSE 'kept' END AS reason,
+       |    ex.ex_canon, clus.cluster_id
+       |  FROM flags f
+       |  LEFT JOIN ex ON f.doc_id = ex.doc_id
+       |  LEFT JOIN clus ON f.doc_id = clus.doc_id)
+       |SELECT doc_id, reason = 'kept' AS kept, reason,
+       |  CASE WHEN reason = 'exact_duplicate' THEN ex_canon
+       |       WHEN reason = 'near_duplicate' THEN cluster_id
+       |       WHEN reason = 'kept' THEN doc_id END AS canonical_id
+       |FROM verdict ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
+    "corpus_curate" -> curateOracle,
     "lang_id" ->
       s"""WITH $wordsSql,
          |scored AS (SELECT doc_id, lang,
