@@ -84,6 +84,45 @@ object TpchQueries {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q4: order-priority checking — orders with at least one flagged
+    * lineitem (EXISTS → left-semi join; adapted: the testdata has no
+    * l_commitdate, so "late" becomes "returned"). */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .where(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+             to_date(col("o_orderdate")) < lit("1996-04-01"))
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q6: revenue-change forecast — one selective scan, no join. The filter
+    * must reach the parquet scan (PushedFilters), which is the point. */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+             to_date(col("l_shipdate")) < lit("1997-01-01") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** Q14: promotion effect — conditional aggregation over a join. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit("1996-03-01") &&
+             to_date(col("l_shipdate")) < lit("1996-04-01"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    joined.agg(
+      (lit(100.0) *
+        round(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))), 4) /
+        round(sum(rev), 4)).as("promo_revenue_pct"))
+  }
+
   /** Q12: shipmode-ish priority classes per month (adapted: no shipmode
     * column — classifies by order priority urgency instead). */
   def q12(s: SparkSession, dir: String): DataFrame =
@@ -102,9 +141,12 @@ object TpchQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (q1 _),
     "tpch_q3" -> (q3 _),
+    "tpch_q4" -> (q4 _),
     "tpch_q5" -> (q5 _),
+    "tpch_q6" -> (q6 _),
     "tpch_q10" -> (q10 _),
-    "tpch_q12" -> (q12 _)
+    "tpch_q12" -> (q12 _),
+    "tpch_q14" -> (q14 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -156,6 +198,33 @@ object TpchQueries {
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
         |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q14" ->
+      """SELECT 100.0
+        |  * round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |                   THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                   ELSE 0.0 END), 4)
+        |  / round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin,
 
     "tpch_q5" ->
       """SELECT n.n_name,
