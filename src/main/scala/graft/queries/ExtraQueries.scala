@@ -41,6 +41,23 @@ object ExtraQueries {
               col("event_type"), col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Batch twin of StreamOps.intervalJoin (identical operator code path —
+    * watermarks no-op on batch): click → purchase attribution within 30
+    * minutes per user. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = StarQueries.events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.streaming.StreamOps.intervalJoin(clicks, purchases, "user_id", "30 minutes")
+      .select(col("user_id"),
+        col("event_id").as("click_id"), col("r_event_id").as("purchase_id"),
+        col("ts").as("click_ts"), col("r_ts").as("purchase_ts"),
+        col("r_value").as("value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** The reference's SCD2 day-merge (dim_customers.sql MERGE) through the
     * gate: initial snapshot dim + a synthetic day-2 snapshot (acct_bal bump
     * on every 7th customer) → expired versions + new current versions.
@@ -75,6 +92,7 @@ object ExtraQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (saltedAgg _),
     "events_windowed" -> (eventsWindowed _),
+    "events_attribution" -> (eventsAttribution _),
     "scd2_merge" -> (scd2Merge _),
     "q_approx" -> (approxSketches _)
   )
@@ -94,6 +112,17 @@ object ExtraQueries {
         |  event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
         |FROM ev GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "events_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value AS value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "scd2_merge" ->
       """WITH c AS (SELECT c_custkey AS customer_id, c_name AS name,

@@ -31,6 +31,31 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events sharing `key` whose `ts` falls in
+    * [left.ts, left.ts + within]. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so Spark can prove
+    * state eviction — the requirement that makes an unbounded join runnable
+    * at 100 TB (state = in-flight interval per key, not history).
+    *
+    * Right-side columns come back prefixed `r_` (including its `ts`); the
+    * right key column is dropped after the equi-match. Works unchanged on
+    * batch frames (watermarks skipped) so the gate can oracle-check the
+    * exact join semantics the stream runs — same column contract both ways.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String, watermarkDelay: String = "10 minutes"): DataFrame = {
+    def wm(df: DataFrame, tsCol: String) =
+      if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
+    val r = wm(right.toDF(right.columns.map(c => s"r_$c"): _*), "r_ts")
+    wm(left, "ts")
+      .join(r,
+        col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $within"))
+      .drop(s"r_$key")
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Timestamp, end: Timestamp, n: Long, total: Double)
   case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,

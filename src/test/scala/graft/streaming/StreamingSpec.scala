@@ -57,6 +57,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream pairs events within the window, drops outside") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.intervalJoin(
+        clicks.toDF().toDF("user_id", "ts", "event_id"),
+        purchases.toDF().toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "30 minutes", "10 minutes")
+      .select("user_id", "event_id", "r_event_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), 100L),
+                     (2L, ts("2024-01-01 10:00:00"), 101L))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:20:00"), 200L, 9.99), // within 30 min -> pair
+        (2L, ts("2024-01-01 11:30:00"), 201L, 5.0),  // outside -> dropped
+        (3L, ts("2024-01-01 10:05:00"), 202L, 1.0))  // no matching click
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((9L, ts("2024-01-01 13:00:00"), 999L))
+      purchases.addData((9L, ts("2024-01-01 13:00:00"), 998L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").where($"user_id" < 9)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize == batch sessionize on the full sf0.001 events table") {
     implicit val sq = spark.sqlContext
     import graft.queries.StarQueries
