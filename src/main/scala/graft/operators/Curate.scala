@@ -26,22 +26,29 @@ object Curate {
              minQuality: Double = 0.5, lang: Option[String] = Some("en"),
              jaccardThreshold: Double = 0.5): DataFrame = {
     val base = docs.select(col(idCol), col(textCol))
+    // Every stage output feeds BOTH the next stage and the final verdict
+    // join — lazy localCheckpoints make each one compute once (and keep the
+    // clustering loop's own checkpoints from re-deriving the text scoring),
+    // with storage released when the returned plan is dropped.
     val scored = TextAnalysis.quality(TextAnalysis.langId(base, textCol), textCol)
       .select(col(idCol), col(textCol),
         // null score (empty/degenerate text) counts as unusable, not kept
         (coalesce(col("quality_score"), lit(-1.0)) < minQuality).as("_lowq"),
         lang.map(l => col("predicted_lang") =!= l).getOrElse(lit(false)).as("_wlang"))
+      .localCheckpoint(false)
 
     val passed = scored.where(!col("_lowq") && !col("_wlang"))
       .select(col(idCol), col(textCol))
     val exact = Dedup.exact(passed, idCol, textCol)
       .select(col(idCol), col("canonical_id").as("_ex_canon"),
         col("is_dup").as("_exdup"))
+      .localCheckpoint(false)
     val exactSurvivors = passed.join(
       exact.where(!col("_exdup")).select(col(idCol)), Seq(idCol))
     val clusters = Dedup.clusters(exactSurvivors, idCol, textCol, jaccardThreshold)
       .select(col(idCol), col("cluster_id").as("_cluster"),
         (!col("is_canonical")).as("_neardup"))
+      .localCheckpoint(false)
 
     base.select(col(idCol))
       .join(scored.select(col(idCol), col("_lowq"), col("_wlang")), Seq(idCol), "left")

@@ -22,24 +22,28 @@ import scala.collection.mutable
   */
 object Scheduler {
 
-  /** 5-field cron subset: each field `*` or a single integer — the grammar
-    * the reference's DAGs use (`'0 0 * * *'`). dow: 0 = Sunday. */
-  final case class Cron(minute: Option[Int], hour: Option[Int], dom: Option[Int],
-                        month: Option[Int], dow: Option[Int]) {
+  /** Standard 5-field cron: each field is `*`, a value, an `a-b` range, a
+    * stepped range (`a-b/n`, or step-over-all written asterisk-slash-n),
+    * or a comma list of those (`None` = `*`, `Some(set)` = the allowed
+    * values). dow: 0 = Sunday. */
+  final case class Cron(minute: Option[Set[Int]], hour: Option[Set[Int]],
+                        dom: Option[Set[Int]], month: Option[Set[Int]],
+                        dow: Option[Set[Int]]) {
 
     /** Standard-cron day rule: when BOTH day-of-month and day-of-week are
       * restricted they combine with OR, not AND (`13 * 5` = the 13th OR
       * any Friday). */
     private def dayMatches(t: LocalDateTime): Boolean = (dom, dow) match {
       case (Some(d), Some(w)) =>
-        t.getDayOfMonth == d || t.getDayOfWeek.getValue % 7 == w
+        d.contains(t.getDayOfMonth) || w.contains(t.getDayOfWeek.getValue % 7)
       case _ =>
-        dom.forall(_ == t.getDayOfMonth) && dow.forall(_ == t.getDayOfWeek.getValue % 7)
+        dom.forall(_.contains(t.getDayOfMonth)) &&
+        dow.forall(_.contains(t.getDayOfWeek.getValue % 7))
     }
 
     def matches(t: LocalDateTime): Boolean =
-      minute.forall(_ == t.getMinute) && hour.forall(_ == t.getHour) &&
-      month.forall(_ == t.getMonthValue) && dayMatches(t)
+      minute.forall(_.contains(t.getMinute)) && hour.forall(_.contains(t.getHour)) &&
+      month.forall(_.contains(t.getMonthValue)) && dayMatches(t)
 
     /** First fire time STRICTLY after `after`. Jumps whole days/hours when
       * the date/hour fields rule them out, so even a Feb-29 cron resolves
@@ -50,9 +54,9 @@ object Scheduler {
       while (!matches(t)) {
         guard += 1
         require(guard < 20000, s"cron $this: no fire time within bound after $after")
-        if (month.exists(_ != t.getMonthValue) || !dayMatches(t))
+        if (month.exists(!_.contains(t.getMonthValue)) || !dayMatches(t))
           t = t.toLocalDate.plusDays(1).atStartOfDay
-        else if (hour.exists(_ != t.getHour))
+        else if (hour.exists(!_.contains(t.getHour)))
           t = t.plusHours(1).withMinute(0)
         else
           t = t.plusMinutes(1)
@@ -65,13 +69,27 @@ object Scheduler {
     def parse(expr: String): Cron = {
       val f = expr.trim.split("\\s+")
       require(f.length == 5, s"cron '$expr': expected 5 fields, got ${f.length}")
-      def p(s: String, lo: Int, hi: Int, what: String): Option[Int] =
+      def p(s: String, lo: Int, hi: Int, what: String): Option[Set[Int]] =
         if (s == "*") None
-        else {
-          val v = s.toInt
-          require(v >= lo && v <= hi, s"cron '$expr': $what=$v out of [$lo,$hi]")
-          Some(v)
-        }
+        else Some(s.split(',').iterator.flatMap { part =>
+          val (rangePart, step) = part.split('/') match {
+            case Array(r) => (r, 1)
+            case Array(r, st) => (r, st.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"cron '$expr': bad step syntax '$part'")
+          }
+          require(step >= 1, s"cron '$expr': step must be >= 1 in '$part'")
+          val (a, b) = rangePart match {
+            case "*" => (lo, hi)
+            case r if r.contains('-') =>
+              val Array(x, y) = r.split('-'); (x.toInt, y.toInt)
+            // bare value with a step ("5/15") starts there and runs to max
+            case x => val v = x.toInt; if (step == 1) (v, v) else (v, hi)
+          }
+          require(a >= lo && b <= hi && a <= b,
+            s"cron '$expr': $what range $a-$b out of [$lo,$hi]")
+          a to b by step
+        }.toSet)
       Cron(p(f(0), 0, 59, "minute"), p(f(1), 0, 23, "hour"), p(f(2), 1, 31, "dom"),
            p(f(3), 1, 12, "month"), p(f(4), 0, 6, "dow"))
     }

@@ -27,6 +27,26 @@ class SchedulerSpec extends AnyFunSuite {
       LocalDateTime.parse("2028-02-29T12:00"))
   }
 
+  test("Cron: lists, ranges, and steps") {
+    val q = Cron.parse("*/15 * * * *")
+    assert(q.next(LocalDateTime.parse("2024-03-01T10:07")) ==
+      LocalDateTime.parse("2024-03-01T10:15"))
+    assert(q.next(LocalDateTime.parse("2024-03-01T10:45")) ==
+      LocalDateTime.parse("2024-03-01T11:00"))
+    val weekdays = Cron.parse("30 6 * * 1-5")
+    // 2024-03-01 is a Friday; from Friday 07:00 the next weekday 06:30 is Monday
+    assert(weekdays.next(LocalDateTime.parse("2024-03-01T07:00")) ==
+      LocalDateTime.parse("2024-03-04T06:30"))
+    val paydays = Cron.parse("0 0 1,15 * *")
+    assert(paydays.next(LocalDateTime.parse("2024-03-02T00:00")) ==
+      LocalDateTime.parse("2024-03-15T00:00"))
+    val everyOtherHour = Cron.parse("0 8-16/4 * * *")
+    assert(everyOtherHour.next(LocalDateTime.parse("2024-03-01T09:00")) ==
+      LocalDateTime.parse("2024-03-01T12:00"))
+    intercept[IllegalArgumentException](Cron.parse("0 25-30 * * *"))
+    intercept[IllegalArgumentException](Cron.parse("0/0 * * * *"))
+  }
+
   test("Cron: restricted dom AND dow combine with OR (standard cron day rule)") {
     val c = Cron.parse("0 0 13 * 5")
     // 2024-09-01 is a Sunday: next fires are Fri 09-06, then the 13th
