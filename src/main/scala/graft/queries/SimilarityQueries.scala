@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hyperplanes
-import graft.operators.Similarity
+import graft.operators.{Ivf, Similarity}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
   * `ann_lsh` is rows-only (recall measured vs brute force in SimilaritySpec).
@@ -56,11 +56,22 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF ANN (rows-only like `ann_lsh`: the k-means quantizer is not
+    * DuckDB-reproducible; recall vs brute force asserted in
+    * SimilaritySpec). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ivf.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, nCells = 16, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),
-    "ann_lsh" -> (annLsh _)
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _)
   )
 
   /** DuckDB re-derivation of [[embNeardupLsh]]: per-table signatures as

@@ -99,6 +99,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rootMsg(ex).contains("expected array of length 64"))
   }
 
+  test("IVF topK: recall vs brute force; probe join is cell-local") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "q_id", "q_vec", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.topK(e, q, "vec_id", "embedding", "q_id", "q_vec",
+      k = 10, nCells = 16, nProbe = 4)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs probe:\n$plan")
+    val got = ivf.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.size == brute.size) // 8 queries x 10 = full result set
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall degraded: $recall")
+  }
+
   test("neardupPairs symmetric threshold filter") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f))
