@@ -70,4 +70,35 @@ object Multimodal {
         explode(sequence(lit(0), col("nFrames") - 1)))
       .where(col("frame_idx") % everyNth === 0)
   }
+
+  /** Resize plumbing: aspect-preserving fit into a target box — the
+    * per-item geometry a real resizer needs, computed map-side from the
+    * decoded dims (the real implementation would also carry the resized
+    * tensor; the arithmetic and schema are the contract). */
+  def resizePlan(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW).cast("double") / col("width"),
+                      lit(maxH).cast("double") / col("height"), lit(1.0))
+    features.toDF()
+      .withColumn("scale", scale)
+      .withColumn("out_w", greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+      .withColumn("out_h", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
+  }
+
+  /** Feature-extract stub: a deterministic pseudo-embedding per payload —
+    * the `array<float>` a vision/audio encoder would emit, derived from
+    * md5(content) bytes so it is stable across runs and engines. Plugs
+    * straight into the similarity operators ([[Similarity.bruteForceTopK]],
+    * [[Ivf.topK]]), which is the point: the binary → embedding → ANN
+    * pipeline is runnable end-to-end with only the encoder stubbed. */
+  def embedStub(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 1024, s"dim=$dim out of [1,1024]")
+    // md5 gives 16 bytes; tile it across `dim` with a per-tile salt,
+    // mapping each hex pair to a float in [-1, 1)
+    val hexes = (0 until dim).map { i =>
+      val h = md5(concat(lit(i / 16 + ":"), col(binCol)))
+      val pair = substring(h, (i % 16) * 2 + 1, 2)
+      ((conv(pair, 16, 10).cast("int") - lit(128)) / lit(128.0)).cast("float")
+    }
+    df.select(col(idCol), array(hexes: _*).as("embedding"))
+  }
 }

@@ -34,4 +34,31 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(feats, everyNth = 2)
     assert(frames.count() == (0 until n count (_ % 2 == 0)))
   }
+
+  test("resizePlan: aspect-preserving fit, never upscales") {
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, 64, 32, 1, 0.5), // wide: limited by width
+      Multimodal.MediaFeatures(2L, 8, 8, 1, 0.5)    // small: untouched
+    ).toDS()
+    val out = Multimodal.resizePlan(feats, maxW = 32, maxH = 32)
+      .select("id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((32, 16)))
+    assert(out(2L) == ((8, 8)))
+  }
+
+  test("embedStub: deterministic unit-range embeddings feed the ANN operators") {
+    val df = Seq((1L, jpeg), (2L, png), (3L, riff), (4L, jpeg))
+      .toDF("id", "payload")
+    val emb = Multimodal.embedStub(df, "id", "payload", dim = 32)
+    val vals = emb.select(explode(col("embedding"))).as[Float].collect()
+    assert(vals.forall(v => v >= -1.0f && v < 1.0f))
+    // identical payloads embed identically; the whole binary -> embedding
+    // -> ANN pipeline runs with only the encoder stubbed
+    val q = emb.where(col("id") === 1L)
+      .select(col("id").as("q_id"), col("embedding").as("q_vec"))
+    val nn = Similarity.bruteForceTopK(emb, q, "id", "embedding", "q_id", "q_vec", 1)
+      .select("id", "cos_sim").as[(Long, Double)].head()
+    assert(nn == ((4L, 1.0))) // the duplicate jpeg is its own nearest neighbor
+  }
 }
