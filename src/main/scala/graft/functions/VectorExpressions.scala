@@ -125,3 +125,26 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Shared vector column helpers — ONE definition of the cast/normalize/dot
+  * pipeline so every similarity operator (brute force, LSH, IVF) stays
+  * bitwise-comparable: the fold order and rounding here are what the
+  * cross-operator agreement tests and the DuckDB oracles rely on.
+  */
+object VectorOps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.graft.Bridge
+
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Unit-normalize a double-array column (one pass per VECTOR, not per
+    * pair) so pairwise cosine reduces to the codegen'd [[DotProduct]]. */
+  def unitNorm(c: Column): Column = {
+    val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+    transform(c, x => x / norm)
+  }
+
+  def dotCol(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  val Reasons = Seq("low_quality", "wrong_language", "exact_duplicate",
-    "near_duplicate", "kept")
+  /** Disqualification reasons in precedence order, paired with the internal
+    * flag column that triggers each — this list DRIVES the verdict
+    * when-chain, so order here is the contract. */
+  private val disqualFlags = Seq(
+    "low_quality" -> "_lowq",
+    "wrong_language" -> "_wlang",
+    "exact_duplicate" -> "_exdup",
+    "near_duplicate" -> "_neardup")
+
+  val Reasons: Seq[String] = disqualFlags.map(_._1) :+ "kept"
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.5, lang: Option[String] = Some("en"),
@@ -50,19 +58,26 @@ object Curate {
         (!col("is_canonical")).as("_neardup"))
       .localCheckpoint(false)
 
+    // An exact duplicate's canonical may ITSELF have been discarded as a
+    // near-duplicate; chase one hop through the cluster map so canonical_id
+    // always lands on a kept doc (a cluster's minimum is kept by
+    // construction, so one hop suffices).
+    val canonFinal = clusters.select(col(idCol).as("_ex_canon"),
+      col("_cluster").as("_ex_canon_final"))
+
+    val reason = disqualFlags.foldRight(lit("kept")) {
+      case ((r, flag), alt) => when(col(flag), r).otherwise(alt)
+    }
     base.select(col(idCol))
       .join(scored.select(col(idCol), col("_lowq"), col("_wlang")), Seq(idCol), "left")
       .join(exact, Seq(idCol), "left")
       .join(clusters, Seq(idCol), "left")
-      .withColumn("reason",
-        when(col("_lowq"), "low_quality")
-          .when(col("_wlang"), "wrong_language")
-          .when(col("_exdup"), "exact_duplicate")
-          .when(col("_neardup"), "near_duplicate")
-          .otherwise("kept"))
+      .join(canonFinal, Seq("_ex_canon"), "left")
+      .withColumn("reason", reason)
       .withColumn("kept", col("reason") === "kept")
       .withColumn("canonical_id",
-        when(col("reason") === "exact_duplicate", col("_ex_canon"))
+        when(col("reason") === "exact_duplicate",
+          coalesce(col("_ex_canon_final"), col("_ex_canon")))
           .when(col("reason") === "near_duplicate", col("_cluster"))
           .when(col("kept"), col(idCol)))
       .select(col(idCol), col("kept"), col("reason"), col("canonical_id"))

@@ -25,15 +25,7 @@ import graft.functions.DotProduct
   */
 object Ivf {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def unitNorm(c: Column): Column = {
-    val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
-    transform(c, x => x / norm)
-  }
-
-  private def dotCol(a: Column, b: Column): Column =
-    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
 
   /** Assign every corpus vector to its k-means cell. Returns the inverted
     * index (id, cell, unit-normalized vector) and the cell centroids. */
@@ -52,7 +44,12 @@ object Ivf {
 
   /** ANN top-k: probe the `nProbe` nearest cells per query (ranked by
     * euclidean distance to the centroid — the quantizer's own metric),
-    * rescore candidates exactly, keep the top k by cosine. */
+    * rescore candidates exactly, keep the top k by cosine.
+    *
+    * NOTE: unlike the purely-declarative operators, BUILDING this plan
+    * trains the quantizer (KMeans.fit is eager by nature) — a plan-only
+    * audit pays the training job. For repeated querying call [[assign]]
+    * once, persist the assigned index (bucket by cell), and probe that. */
   def topK(corpus: DataFrame, queries: DataFrame,
            idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
            k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {

@@ -32,18 +32,9 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
-  /** Unit-normalize a double-array column (one pass per VECTOR, not per
-    * pair) so pairwise cosine reduces to the codegen'd [[DotProduct]] —
-    * a third of the flops and no lambda dispatch on the O(n²)/O(n·q) path. */
-  private def unitNorm(c: Column): Column = {
-    val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
-    transform(c, x => x / norm)
-  }
-
-  private def dotCol(a: Column, b: Column): Column =
-    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  // cast/normalize/dot shared with Ivf so every similarity operator stays
+  // bitwise-comparable — see graft.functions.VectorOps
+  import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
 
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries small DataFrame (q_id, q_vec) — broadcast.

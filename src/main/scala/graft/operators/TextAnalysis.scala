@@ -44,10 +44,14 @@ object TextAnalysis {
   }
 
   /** Quality metrics: lengths, word stats, character-class ratios, a
-    * composite score. All ratios are exact-int divisions (deterministic). */
+    * composite score. All ratios are exact-int divisions (deterministic).
+    * Denominators null out at zero (empty/degenerate text → null ratios,
+    * null score) instead of tripping ANSI DIVIDE_BY_ZERO — callers like
+    * [[Curate]] treat a null score as unusable. */
   def quality(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val ws = words(t)
+    def nz(c: Column): Column = when(c =!= 0, c) // null when zero
     val nChars = length(t)
     val nWords = size(ws)
     val alphaChars = length(regexp_replace(t, "[^A-Za-z]", ""))
@@ -58,11 +62,11 @@ object TextAnalysis {
       .withColumn("n_chars", nChars)
       .withColumn("n_words", nWords)
       .withColumn("avg_word_len",
-        aggregate(ws, lit(0), (acc, w) => acc + length(w)).cast("double") / nWords)
-      .withColumn("alpha_ratio", alphaChars.cast("double") / nChars)
-      .withColumn("digit_ratio", digitChars.cast("double") / nChars)
-      .withColumn("punct_ratio", punctChars.cast("double") / nChars)
-      .withColumn("stopword_ratio", stopCount.cast("double") / nWords)
+        aggregate(ws, lit(0), (acc, w) => acc + length(w)).cast("double") / nz(nWords))
+      .withColumn("alpha_ratio", alphaChars.cast("double") / nz(nChars))
+      .withColumn("digit_ratio", digitChars.cast("double") / nz(nChars))
+      .withColumn("punct_ratio", punctChars.cast("double") / nz(nChars))
+      .withColumn("stopword_ratio", stopCount.cast("double") / nz(nWords))
       // Composite: long-enough, alphabetic, low-punctuation text wins.
       .withColumn("quality_score",
         when(col("n_words") >= 5, lit(1.0)).otherwise(lit(0.0)) *
@@ -78,7 +82,7 @@ object TextAnalysis {
       .withColumn("ws_tokens", size(words(t)))
       .withColumn("re_tokens", size(regexp_extract_all(lower(t), lit(re), lit(0))))
       .withColumn("chars_per_token",
-        length(t).cast("double") / col("re_tokens"))
+        length(t).cast("double") / when(col("re_tokens") =!= 0, col("re_tokens")))
   }
 
   /** Training-data text cleaning: redact URLs and email addresses, collapse

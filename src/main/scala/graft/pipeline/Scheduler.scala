@@ -69,29 +69,37 @@ object Scheduler {
     def parse(expr: String): Cron = {
       val f = expr.trim.split("\\s+")
       require(f.length == 5, s"cron '$expr': expected 5 fields, got ${f.length}")
+      def bad(part: String): Nothing =
+        throw new IllegalArgumentException(s"cron '$expr': bad field '$part'")
       def p(s: String, lo: Int, hi: Int, what: String): Option[Set[Int]] =
         if (s == "*") None
         else Some(s.split(',').iterator.flatMap { part =>
-          val (rangePart, step) = part.split('/') match {
-            case Array(r) => (r, 1)
-            case Array(r, st) => (r, st.toInt)
-            case _ => throw new IllegalArgumentException(
-              s"cron '$expr': bad step syntax '$part'")
-          }
-          require(step >= 1, s"cron '$expr': step must be >= 1 in '$part'")
-          val (a, b) = rangePart match {
-            case "*" => (lo, hi)
-            case r if r.contains('-') =>
-              val Array(x, y) = r.split('-'); (x.toInt, y.toInt)
-            // bare value with a step ("5/15") starts there and runs to max
-            case x => val v = x.toInt; if (step == 1) (v, v) else (v, hi)
-          }
-          require(a >= lo && b <= hi && a <= b,
-            s"cron '$expr': $what range $a-$b out of [$lo,$hi]")
-          a to b by step
+          // malformed syntax surfaces as IllegalArgumentException with the
+          // expression in the message, never MatchError/NumberFormatException
+          try {
+            val (rangePart, step) = part.split('/') match {
+              case Array(r) => (r, 1)
+              case Array(r, st) => (r, st.toInt)
+              case _ => bad(part)
+            }
+            require(step >= 1, s"cron '$expr': step must be >= 1 in '$part'")
+            val (a, b) = rangePart match {
+              case "*" => (lo, hi)
+              case r if r.contains('-') => r.split('-') match {
+                case Array(x, y) => (x.toInt, y.toInt)
+                case _ => bad(part)
+              }
+              // bare value with a step ("5/15") starts there and runs to max
+              case x => val v = x.toInt; if (step == 1) (v, v) else (v, hi)
+            }
+            require(a >= lo && b <= hi && a <= b,
+              s"cron '$expr': $what range $a-$b out of [$lo,$hi]")
+            a to b by step
+          } catch { case _: NumberFormatException => bad(part) }
         }.toSet)
+      // vixie cron: dow accepts 7 as Sunday — normalize to 0
       Cron(p(f(0), 0, 59, "minute"), p(f(1), 0, 23, "hour"), p(f(2), 1, 31, "dom"),
-           p(f(3), 1, 12, "month"), p(f(4), 0, 6, "dow"))
+           p(f(3), 1, 12, "month"), p(f(4), 0, 7, "dow").map(_.map(_ % 7)))
     }
   }
 

@@ -250,12 +250,13 @@ object TextQueries {
        |         WHEN ex.doc_id IS NOT NULL AND ex.doc_id <> ex.ex_canon THEN 'exact_duplicate'
        |         WHEN clus.cluster_id IS NOT NULL AND clus.cluster_id <> f.doc_id THEN 'near_duplicate'
        |         ELSE 'kept' END AS reason,
-       |    ex.ex_canon, clus.cluster_id
+       |    coalesce(cx.cluster_id, ex.ex_canon) AS ex_canon_final, clus.cluster_id
        |  FROM flags f
        |  LEFT JOIN ex ON f.doc_id = ex.doc_id
-       |  LEFT JOIN clus ON f.doc_id = clus.doc_id)
+       |  LEFT JOIN clus ON f.doc_id = clus.doc_id
+       |  LEFT JOIN clus cx ON ex.ex_canon = cx.doc_id)
        |SELECT doc_id, reason = 'kept' AS kept, reason,
-       |  CASE WHEN reason = 'exact_duplicate' THEN ex_canon
+       |  CASE WHEN reason = 'exact_duplicate' THEN ex_canon_final
        |       WHEN reason = 'near_duplicate' THEN cluster_id
        |       WHEN reason = 'kept' THEN doc_id END AS canonical_id
        |FROM verdict ORDER BY doc_id""".stripMargin

@@ -41,6 +41,28 @@ class CurateSpec extends SparkSpec {
     assert(out(1L) == "low_quality" && out(2L) == "low_quality")
   }
 
+  test("curate: exact dup whose canonical is itself a near-dup chains to the kept doc") {
+    val base = "the cat and the dog walked to the house in the morning sun"
+    val docs = Seq(
+      0L -> base,                        // kept: cluster canonical
+      1L -> (base + " with more words"), // near_duplicate of 0
+      2L -> (base + " with more words")  // exact dup of 1 -> canonical must be 0, not 1
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(docs, "doc_id", "text", jaccardThreshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(0L) == (("kept", 0L)))
+    assert(out(1L) == (("near_duplicate", 0L)))
+    assert(out(2L) == (("exact_duplicate", 0L))) // chained through discarded 1
+  }
+
+  test("curate: empty/degenerate text is low_quality, not a crash (ANSI divide-by-zero)") {
+    val docs = Seq(1L -> "", 2L -> "   ",
+      3L -> "the cat and the dog walked to the house").toDF("doc_id", "text")
+    val out = Curate.curate(docs, "doc_id", "text", lang = None)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(out(1L) == "low_quality" && out(2L) == "low_quality" && out(3L) == "kept")
+  }
+
   test("curate: lang=None disables the language filter") {
     val docs = Seq(
       1L -> "le chat et la maison des amis dans le jardin pres de la mer"

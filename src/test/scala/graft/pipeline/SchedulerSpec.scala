@@ -45,6 +45,20 @@ class SchedulerSpec extends AnyFunSuite {
       LocalDateTime.parse("2024-03-01T12:00"))
     intercept[IllegalArgumentException](Cron.parse("0 25-30 * * *"))
     intercept[IllegalArgumentException](Cron.parse("0/0 * * * *"))
+    // malformed syntax is IllegalArgumentException, never MatchError/NFE
+    intercept[IllegalArgumentException](Cron.parse("0 1-2-3 * * *"))
+    intercept[IllegalArgumentException](Cron.parse("0 1,,2 * * *"))
+    intercept[IllegalArgumentException](Cron.parse("x 0 * * *"))
+  }
+
+  test("Cron: dow 7 is Sunday (vixie), including in ranges") {
+    val sunday7 = Cron.parse("0 0 * * 7")
+    // 2024-03-03 is a Sunday
+    assert(sunday7.next(LocalDateTime.parse("2024-03-01T00:00")) ==
+      LocalDateTime.parse("2024-03-03T00:00"))
+    val friToSun = Cron.parse("0 0 * * 5-7")
+    assert(friToSun.next(LocalDateTime.parse("2024-03-03T00:00")) ==
+      LocalDateTime.parse("2024-03-08T00:00")) // next Friday
   }
 
   test("Cron: restricted dom AND dow combine with OR (standard cron day rule)") {
