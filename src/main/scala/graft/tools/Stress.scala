@@ -61,6 +61,13 @@ object Stress {
       println("   groups: " + Dedup.exact(big, "doc_id", "text")
         .select("fp").distinct().count())
     }
+    time("corpus_curate end-to-end on 100k docs") {
+      val out = graft.operators.Curate.curate(big, "doc_id", "text",
+        minQuality = 0.5, lang = Some("en"), jaccardThreshold = 0.8)
+      val byReason = out.groupBy("reason").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"   verdicts: $byReason")
+    }
     time("simhashPairs (hamming<=3) on 100k docs") {
       val p = Dedup.simhashPairs(big, "doc_id", "text", maxHamming = 3)
       val plan = p.queryExecution.executedPlan.toString
