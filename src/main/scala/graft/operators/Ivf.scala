@@ -36,6 +36,10 @@ object Ivf {
       .withColumn("_feat", array_to_vector(col("_vn")))
     val model = new KMeans()
       .setK(nCells).setSeed(seed)
+      // a COARSE quantizer: cell boundaries only gate which candidates get
+      // exact rescoring, so a loose fit costs recall marginally while a
+      // full convergence run costs a training pass per epoch — cap it
+      .setMaxIter(5)
       .setFeaturesCol("_feat").setPredictionCol("cell")
       .fit(vecs)
     val assigned = model.transform(vecs).select(col(idCol), col("cell"), col("_vn"))
