@@ -123,6 +123,55 @@ object TpchQueries {
         round(sum(rev), 4)).as("promo_revenue_pct"))
   }
 
+  /** Q7: volume shipping between two nations — revenue by (supplier
+    * nation, customer nation, year) for a nation pair, either direction. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_9"
+    val n2 = "NATION_10"
+    val custNation = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val suppNation = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    t(s, dir, "supplier")
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+             (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8: national market share — a nation's revenue fraction within a
+    * region-restricted part market, per order year. Ratio of two rounded
+    * sums (SURVEY §4: round the sums, emit the raw quotient). */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val asiaCustomers = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").where(col("p_type").startsWith("ECONOMY"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCustomers, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((round(sum(when(col("supp_nation") === "NATION_9", rev).otherwise(lit(0.0))), 4) /
+            round(sum(rev), 4)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Q12: shipmode-ish priority classes per month (adapted: no shipmode
     * column — classifies by order priority urgency instead). */
   def q12(s: SparkSession, dir: String): DataFrame =
@@ -144,6 +193,8 @@ object TpchQueries {
     "tpch_q4" -> (q4 _),
     "tpch_q5" -> (q5 _),
     "tpch_q6" -> (q6 _),
+    "tpch_q7" -> (q7 _),
+    "tpch_q8" -> (q8 _),
     "tpch_q10" -> (q10 _),
     "tpch_q12" -> (q12 _),
     "tpch_q14" -> (q14 _)
@@ -215,6 +266,38 @@ object TpchQueries {
         |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM supplier s
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10')
+        |   OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9')
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_9'
+        |                 THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                 ELSE 0.0 END), 4)
+        |    / round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE p.p_type LIKE 'ECONOMY%'
+        |  AND EXISTS (SELECT 1 FROM customer c
+        |              JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |              JOIN region r ON n.n_regionkey = r.r_regionkey
+        |              WHERE c.c_custkey = o.o_custkey AND r.r_name = 'ASIA')
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     "tpch_q14" ->
       """SELECT 100.0
