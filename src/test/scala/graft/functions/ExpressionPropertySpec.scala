@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import org.apache.spark.sql.graft.Bridge
+
+/** Randomized-property tests: every fused native expression must agree
+  * with an INDEPENDENT plain-Scala reference implementation on random
+  * inputs (seeded, 30 cases each) — the hand-written hot loops (salted
+  * minima, nibble bit packing, signed projections) are exactly where an
+  * off-by-one survives example tests.
+  */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  private def randWords(): List[String] =
+    List.fill(3 + rnd.nextInt(9))(
+      LazyList.continually(rnd.alphanumeric.head).take(1 + rnd.nextInt(8)).mkString)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("MinHashSignature == per-salt min over md5 of k-shingles (random corpora)") {
+    for (_ <- 1 to 30) {
+      val ws = randWords()
+      val expected = (0 until 12).map { k =>
+        ws.sliding(3).map(sh => md5hex(s"$k|${sh.mkString(" ")}")).min
+      }
+      val got = Seq(Tuple1(ws.toArray)).toDF("ws")
+        .select(Bridge.column(MinHashSignature(
+          Bridge.expression(col("ws")), 12, shingleSize = 3)).as("sig"))
+        .as[Seq[String]].head()
+      assert(got == expected, s"words: $ws")
+    }
+  }
+
+  test("ShingleSet == distinct sliding windows in first-occurrence order") {
+    for (_ <- 1 to 30) {
+      val ws = randWords()
+      val expected = ws.sliding(3).map(_.mkString(" ")).toList.distinct
+      val got = Seq(Tuple1(ws.toArray)).toDF("ws")
+        .select(Bridge.column(ShingleSet(
+          Bridge.expression(col("ws")), 3)).as("sh"))
+        .as[Seq[String]].head()
+      assert(got == expected, s"words: $ws")
+    }
+  }
+
+  test("SimHash64 == bit-majority reference on random token lists") {
+    for (_ <- 1 to 30) {
+      val ws = randWords()
+      val counts = new Array[Int](64)
+      for (w <- ws) {
+        val hex = md5hex(w)
+        for (i <- 0 until 64) {
+          val nib = Integer.parseInt(hex.substring(i / 4, i / 4 + 1), 16)
+          if (((nib >> (i % 4)) & 1) == 1) counts(i) += 1
+        }
+      }
+      var expected = 0L
+      for (i <- 0 until 64) if (2L * counts(i) > ws.size) expected |= 1L << i
+      val got = Seq(Tuple1(ws.toArray)).toDF("ws")
+        .select(Bridge.column(SimHash64(Bridge.expression(col("ws")))).as("sh"))
+        .as[Long].head()
+      assert(got == expected, s"words: $ws")
+    }
+  }
+
+  test("HyperplaneSignatures == sign-projection reference on random vectors") {
+    val tables = Hyperplanes.tables(4, 6, 8, 42L)
+    for (_ <- 1 to 30) {
+      val v = Array.fill(8)(rnd.nextDouble() * 10.0 - 5.0)
+      val expected = tables.map { planes =>
+        planes.zipWithIndex.foldLeft(0) { case (sig, (plane, b)) =>
+          // identical fold order to the expression: sequential ascending dot
+          var dot = 0.0
+          var i = 0
+          while (i < 8) { dot += v(i) * plane(i); i += 1 }
+          if (dot >= 0) sig | (1 << b) else sig
+        }
+      }.toSeq
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(Bridge.column(HyperplaneSignatures(
+          Bridge.expression(col("v")), 4, 6, 8, 42L)).as("sigs"))
+        .as[Seq[Int]].head()
+      assert(got == expected, s"vec: ${v.toSeq}")
+    }
+  }
+}
