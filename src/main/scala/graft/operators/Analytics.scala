@@ -55,6 +55,59 @@ object Analytics {
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_sales"),
         count(lit(1)).as("n_rows"))
 
+  /** CUBE over (year, priority): every subtotal combination in ONE
+    * two-phase aggregation pass (4 grouping sets share the shuffle). */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders
+      .select(year(col("o_orderdate")).as("year"),
+        col("o_orderpriority").as("priority"),
+        (round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .cube(col("year"), col("priority"))
+      .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_orders"))
+
+  /** Period-over-period: monthly revenue with previous-month delta and
+    * ratio via lag(), PARTITIONED by year (January's prev is null) — a
+    * global-order lag would funnel everything through one task; per-year
+    * partitions keep the window distributed and the semantics honest
+    * ("within-year month-over-month"). Money in cents (exact); the ratio
+    * divides two exact BIGINTs raw (deterministic per SURVEY §4). */
+  def monthlyDelta(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("yr")).orderBy(col("month"))
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .withColumn("yr", year(col("month")))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      .withColumn("mom_ratio", col("cents").cast("double") / col("prev_cents"))
+      .drop("yr")
+  }
+
+  /** Spend quartiles WITHOUT a global-sort ntile (a single-task window at
+    * scale): quartile boundaries come from one 3-value percentile
+    * aggregate, broadcast back, and membership is a map-side CASE —
+    * quartile 1 = top spenders. */
+  def spendQuartiles(orders: DataFrame): DataFrame = {
+    val spend = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("spend_cents"))
+    val bounds = spend.agg(
+      expr("percentile(spend_cents, 0.25)").as("b1"),
+      expr("percentile(spend_cents, 0.5)").as("b2"),
+      expr("percentile(spend_cents, 0.75)").as("b3"))
+    spend.crossJoin(broadcast(bounds))
+      .withColumn("quartile",
+        when(col("spend_cents") > col("b3"), 1)
+          .when(col("spend_cents") > col("b2"), 2)
+          .when(col("spend_cents") > col("b1"), 3)
+          .otherwise(4))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_cents")).as("quartile_cents"),
+        min(col("spend_cents")).as("min_cents"),
+        max(col("spend_cents")).as("max_cents"))
+  }
+
   /** Pivot: order counts by priority × status (fixed value list keeps the
     * plan static — no extra values-discovery job at 100 TB). */
   def statusPivot(orders: DataFrame, statuses: Seq[String]): DataFrame =

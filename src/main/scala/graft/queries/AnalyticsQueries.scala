@@ -48,6 +48,18 @@ object AnalyticsQueries {
         gapMinutes = 30, tieBreak = "event_id")
       .orderBy("user_id", "session_seq")
 
+  def cube(s: SparkSession, dir: String): DataFrame =
+    Analytics.ordersCube(t(s, dir, "orders"))
+      .orderBy(asc_nulls_first("year"), asc_nulls_first("priority"))
+
+  def monthlyDelta(s: SparkSession, dir: String): DataFrame =
+    Analytics.monthlyDelta(t(s, dir, "orders"))
+      .orderBy("month")
+
+  def spendQuartiles(s: SparkSession, dir: String): DataFrame =
+    Analytics.spendQuartiles(t(s, dir, "orders"))
+      .orderBy("quartile")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
     "q_window_running" -> (windowRunning _),
@@ -55,7 +67,10 @@ object AnalyticsQueries {
     "q_pivot" -> (pivot _),
     "q_percentiles" -> (percentiles _),
     "q_semi_anti" -> (semiAnti _),
-    "q_sessionize" -> (sessionize _)
+    "q_sessionize" -> (sessionize _),
+    "q_cube" -> (cube _),
+    "q_monthly_delta" -> (monthlyDelta _),
+    "q_spend_quartiles" -> (spendQuartiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +123,45 @@ object AnalyticsQueries {
         |  min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS year, o_orderpriority AS priority,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(1, 2)
+        |ORDER BY year NULLS FIRST, priority NULLS FIRST""".stripMargin,
+
+    "q_monthly_delta" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, cents,
+        |  lag(cents) OVER w AS prev_cents,
+        |  cents - lag(cents) OVER w AS delta_cents,
+        |  CAST(cents AS DOUBLE) / lag(cents) OVER w AS mom_ratio
+        |FROM m
+        |WINDOW w AS (PARTITION BY year(month) ORDER BY month)
+        |ORDER BY month""".stripMargin,
+
+    "q_spend_quartiles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT quantile_cont(spend_cents, 0.25) AS b1,
+        |  quantile_cont(spend_cents, 0.5) AS b2,
+        |  quantile_cont(spend_cents, 0.75) AS b3 FROM spend)
+        |SELECT CASE WHEN spend_cents > b3 THEN 1
+        |            WHEN spend_cents > b2 THEN 2
+        |            WHEN spend_cents > b1 THEN 3
+        |            ELSE 4 END AS quartile,
+        |  count(*) AS n_customers,
+        |  CAST(sum(spend_cents) AS BIGINT) AS quartile_cents,
+        |  min(spend_cents) AS min_cents, max(spend_cents) AS max_cents
+        |FROM spend CROSS JOIN bounds
+        |GROUP BY 1 ORDER BY quartile""".stripMargin,
 
     "q_semi_anti" ->
       """WITH w AS (SELECT DISTINCT o_custkey FROM orders)
