@@ -41,12 +41,35 @@ object DomainConfigFile {
         throw new NoSuchElementException(s"Table $name not found in config"))
   }
 
-  /** Parse `<domain>_config.yaml` (domain derived from the filename, like
-    * the reference's `config/{domain}_config.yaml` convention). */
+  /** JSON configs parse through Spark's bundled jackson into the same node
+    * model the YAML parser produces — one downstream path for both. */
+  private def fromJson(text: String): Yaml.YMap = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    def conv(n: JsonNode): Yaml.Node =
+      if (n.isObject)
+        Yaml.YMap(n.properties().asScala.toVector.map(e => e.getKey -> conv(e.getValue)))
+      else if (n.isArray) Yaml.YSeq(n.elements().asScala.toVector.map(conv))
+      else if (n.isNull) Yaml.YStr("")
+      else Yaml.YStr(n.asText())
+    conv(new ObjectMapper().readTree(text)) match {
+      case m: Yaml.YMap => m
+      case other => throw new IllegalArgumentException(
+        s"config: top level must be an object, got $other")
+    }
+  }
+
+  /** Parse `<domain>_config.yaml` / `.yml` / `.json` (domain derived from
+    * the filename, like the reference's `config/{domain}_config.yaml`
+    * convention). */
   def load(path: Path): DomainFile = {
-    val cfg = Yaml.parse(Files.readString(path))
+    val text = Files.readString(path)
+    val cfg =
+      if (path.getFileName.toString.endsWith(".json")) fromJson(text)
+      else Yaml.parse(text)
     val domain = path.getFileName.toString
-      .stripSuffix(".yaml").stripSuffix(".yml").stripSuffix("_config")
+      .stripSuffix(".yaml").stripSuffix(".yml").stripSuffix(".json")
+      .stripSuffix("_config")
     val tables = cfg.map("tables").map(_.fields).getOrElse(Vector.empty).map {
       case (name, m: Yaml.YMap) => tableEntry(name, m)
       case (name, other) =>

@@ -150,6 +150,29 @@ class PipelineSpec extends SparkSpec {
       Vector("note: keep this", "plain"))
   }
 
+  test("JSON config parses to the identical domain file as YAML") {
+    val json =
+      """{"project_id": "some-project",
+        | "tables": {
+        |   "clicks": {"source": {"type": "gcs", "path": "ads/clicks/*.csv"},
+        |              "schema": [{"name": "click_id", "type": "STRING"},
+        |                         {"name": "n", "type": "INTEGER"}]},
+        |   "dim_campaigns": {"type": "dimension", "scd_type": 2,
+        |                     "source_table": "generated"},
+        |   "click_counts": {"type": "datamart",
+        |                    "dependencies": ["raw.ads.clicks"]}}}""".stripMargin
+    val dir = Files.createTempDirectory("graft-json-cfg")
+    val jf = dir.resolve("ads_config.json")
+    Files.writeString(jf, json)
+    val yf = dir.resolve("ads2_config.yaml")
+    Files.writeString(yf, salesLikeYaml)
+    val fromJson = DomainConfigFile.load(jf)
+    val fromYaml = DomainConfigFile.load(yf)
+    assert(fromJson.domain == "ads")
+    assert(fromJson.tables == fromYaml.tables) // identical typed view
+    assert(fromJson.config.str("project_id").contains("some-project"))
+  }
+
   test("toDomain rejects ambiguous table entries up front") {
     import graft.sources.CsvIngest.ColumnSpec
     val f = Files.createTempFile("ads_config", ".yaml")
