@@ -52,7 +52,11 @@ object DomainConfigFile {
       else if (n.isArray) Yaml.YSeq(n.elements().asScala.toVector.map(conv))
       else if (n.isNull) Yaml.YStr("")
       else Yaml.YStr(n.asText())
-    conv(new ObjectMapper().readTree(text)) match {
+    val mapper = new ObjectMapper()
+    // match the YAML parser's duplicate-key rejection — Jackson otherwise
+    // keeps the LAST duplicate silently, diverging the two formats
+    mapper.enable(com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION)
+    conv(mapper.readTree(text)) match {
       case m: Yaml.YMap => m
       case other => throw new IllegalArgumentException(
         s"config: top level must be an object, got $other")

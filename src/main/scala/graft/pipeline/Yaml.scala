@@ -90,6 +90,8 @@ object Yaml {
       val colon = text.indexOf(':')
       require(colon > 0, s"yaml: expected 'key: value' or 'key:', got '$text'")
       val key = unquote(text.substring(0, colon))
+      require(!fields.exists(_._1 == key),
+        s"yaml: duplicate key '$key' (duplicate siblings are a config error)")
       val rest = text.substring(colon + 1).trim
       if (rest.nonEmpty) {
         fields :+= key -> YStr(unquote(rest))

@@ -128,9 +128,12 @@ object TpchQueries {
   def q7(s: SparkSession, dir: String): DataFrame = {
     val n1 = "NATION_9"
     val n2 = "NATION_10"
-    val custNation = t(s, dir, "nation")
+    // pre-filter BOTH nation dims to the pair before the big joins — the
+    // direction OR below can't push through a 5-way join, and without this
+    // every nation's suppliers/customers would flow through the chain
+    val custNation = t(s, dir, "nation").where(col("n_name").isin(n1, n2))
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    val suppNation = t(s, dir, "nation")
+    val suppNation = t(s, dir, "nation").where(col("n_name").isin(n1, n2))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     t(s, dir, "supplier")
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))

@@ -173,6 +173,15 @@ class PipelineSpec extends SparkSpec {
     assert(fromJson.config.str("project_id").contains("some-project"))
   }
 
+  test("duplicate config keys are rejected identically in YAML and JSON") {
+    intercept[IllegalArgumentException](
+      Yaml.parse("tables:\n  a:\n    type: \"datamart\"\n  a:\n    type: \"fact\"\n"))
+    val dir = Files.createTempDirectory("graft-dup-cfg")
+    val jf = dir.resolve("dup_config.json")
+    Files.writeString(jf, """{"tables": {"a": {"type": "datamart"}, "a": {"type": "fact"}}}""")
+    intercept[Exception](DomainConfigFile.load(jf)) // jackson strict duplicates
+  }
+
   test("toDomain rejects ambiguous table entries up front") {
     import graft.sources.CsvIngest.ColumnSpec
     val f = Files.createTempFile("ads_config", ".yaml")
