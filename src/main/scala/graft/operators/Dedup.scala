@@ -74,16 +74,18 @@ object Dedup {
   /** Candidate pairs (i < j) sharing at least one LSH bucket, with the
     * estimated similarity = fraction of matching signature components.
     *
-    * The band relation is persisted (MEMORY_AND_DISK) before the self-join:
-    * both join branches would otherwise re-derive the whole
-    * shingle→signature pipeline. Bands are ~4 rows × ~0.5 KB per doc —
-    * at petabyte text scale this spills to local disk, which is still far
-    * cheaper than recomputing the sketch; swap for a checkpoint if lineage
-    * length ever matters.
+    * The band relation is materialized once via a lazy `localCheckpoint`
+    * before the self-join: both branches would otherwise re-derive the
+    * whole shingle→signature pipeline (12 md5 passes over every shingle).
+    * Unlike `persist`, which pins a CacheManager entry until an explicit
+    * unpersist — so a pipeline calling this repeatedly accumulates pinned
+    * band relations across calls — the checkpoint blocks are released by
+    * the ContextCleaner as soon as the returned plan is unreferenced.
+    * Same treatment as [[simhashPairs]] / `Similarity.neardupPairsLsh`.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bands = lshBands(minhashSignatures(docs, idCol, textCol), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val a = bands.select(col(idCol).as("i") +: col("band") +: col("band_hash") +:
       (0 until NumHashes).map(k => col(s"sig$k").as(s"si$k")): _*)
     val b = bands.select(col(idCol).as("j") +: col("band") +: col("band_hash") +:
@@ -101,12 +103,15 @@ object Dedup {
     * Jaccard for every candidate pair, thresholded. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
+    // lazy localCheckpoint (not persist): the shingle relation feeds two
+    // joins; checkpoint blocks release with the plan instead of pinning a
+    // CacheManager entry per call — see minhashCandidates
     val sh = docs
       .withColumn("_sh", Bridge.column(ShingleSet(
         Bridge.expression(normWords(col(textCol))), 3)))
       .where(size(col("_sh")) > 0)
       .select(col(idCol), col("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val cand = minhashCandidates(docs, idCol, textCol).select("i", "j")
     val inter = size(array_intersect(col("sh_i"), col("sh_j")))
     val uni = size(col("sh_i")) + size(col("sh_j")) - inter
