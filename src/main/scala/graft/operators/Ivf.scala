@@ -46,20 +46,63 @@ object Ivf {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
-  /** ANN top-k: probe the `nProbe` nearest cells per query (ranked by
-    * euclidean distance to the centroid — the quantizer's own metric),
-    * rescore candidates exactly, keep the top k by cosine.
+  /** A built IVF index: the cell-assigned, unit-normalized corpus persisted
+    * (MEMORY_AND_DISK, pre-shuffled by `cell` so a probe touches few
+    * partitions) plus the centroids. This is the build-once/probe-many
+    * artifact a 100 TB deployment keeps hot: [[build]] pays training +
+    * assignment exactly once, every [[probe]] is a broadcast equi-join on
+    * `cell` against the persisted relation. The persist is deliberate
+    * (unlike the dedup sketch relations, an index's lifetime is the
+    * CALLER's decision) — release it with [[unpersist]] when done. */
+  final case class Index private[Ivf](assigned: DataFrame,
+                                      centers: Array[Array[Double]],
+                                      idCol: String, nCells: Int) {
+    def unpersist(): Unit = assigned.unpersist()
+  }
+
+  /** Build the probe-ready index: train + assign + persist + materialize.
+    * All eager cost lives HERE so [[probe]] plans are training-free. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            nCells: Int, seed: Long = 42L): Index = {
+    val (assigned, centers) = assign(corpus, idCol, vecCol, nCells, seed)
+    val idx = assigned.repartition(col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // materialize now — probes must never re-trigger training
+    Index(idx, centers, idCol, nCells)
+  }
+
+  /** Probe a built [[Index]]: per query, rank cells by euclidean distance
+    * to the centroid (the quantizer's own metric), probe the `nProbe`
+    * nearest, rescore candidates exactly with the codegen'd dot product,
+    * keep the top k by cosine. The probe side is tiny (queries × nProbe
+    * rows) and broadcast; the corpus side is the persisted index — no
+    * training, no corpus shuffle. */
+  def probe(index: Index, queries: DataFrame, qIdCol: String, qVecCol: String,
+            k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.nCells,
+      s"nProbe=$nProbe out of [1,${index.nCells}]")
+    probePlan(index.assigned, index.centers, index.idCol, queries,
+      qIdCol, qVecCol, k, nProbe)
+  }
+
+  /** ANN top-k in one shot: train + assign + probe, nothing retained.
     *
     * NOTE: unlike the purely-declarative operators, BUILDING this plan
     * trains the quantizer (KMeans.fit is eager by nature) — a plan-only
-    * audit pays the training job. For repeated querying call [[assign]]
-    * once, persist the assigned index (bucket by cell), and probe that. */
+    * audit pays the training job. For repeated querying use [[build]] once
+    * and [[probe]] many. */
   def topK(corpus: DataFrame, queries: DataFrame,
            idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
            k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1,$nCells]")
     val (assigned, centers) = assign(corpus, idCol, vecCol, nCells, seed)
+    probePlan(assigned, centers, idCol, queries, qIdCol, qVecCol, k, nProbe)
+  }
 
+  private def probePlan(assigned: DataFrame, centers: Array[Array[Double]],
+                        idCol: String, queries: DataFrame,
+                        qIdCol: String, qVecCol: String,
+                        k: Int, nProbe: Int): DataFrame = {
     // (cell, centroid) rows against the (small, broadcast) query side
     val centerRows = array(centers.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("ctr"))

@@ -115,6 +115,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall degraded: $recall")
   }
 
+  test("IVF build/probe: probe == one-shot topK; plan probes the persisted index, no training") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val oneShot = Ivf.topK(e, q, "vec_id", "embedding", "q_id", "q_vec",
+        k = 10, nCells = 16, nProbe = 4)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val index = Ivf.build(e, "vec_id", "embedding", nCells = 16)
+    try {
+      val probe = Ivf.probe(index, q, "q_id", "q_vec", k = 10, nProbe = 4)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the probe must hit the persisted index (cache scan), join on cell
+      // as an equi-join, and carry no KMeans/training operator
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        s"probe does not scan the persisted index:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs probe:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"no equi-join in probe plan:\n$plan")
+      val got = probe.select("q_id", "vec_id", "cos_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(got == oneShot, "probe of built index diverged from one-shot topK")
+    } finally index.unpersist()
+  }
+
   test("neardupPairs symmetric threshold filter") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f))
