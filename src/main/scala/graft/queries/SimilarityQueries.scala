@@ -8,7 +8,9 @@ import graft.functions.Hyperplanes
 import graft.operators.{Ivf, Similarity}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
-  * `ann_lsh` is rows-only (recall measured vs brute force in SimilaritySpec).
+  * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
+  * `ann_lsh` is fully oracled — the SQL re-derives the seeded hyperplane
+  * signatures, multi-probe expansion, bucket join, and rescore.
   */
 object SimilarityQueries {
 
@@ -56,13 +58,42 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF ANN (rows-only like `ann_lsh`: the k-means quantizer is not
+  /** IVF ANN, one-shot (rows-only: the k-means quantizer is not
     * DuckDB-reproducible; recall vs brute force asserted in
-    * SimilaritySpec). */
+    * SimilaritySpec). Trains per execution — the honest "cold" cost;
+    * the deployment shape is [[annIvfProbe]]. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Ivf.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
         K, nCells = 16, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  val IvfCells = 16
+  val IvfSeed = 42L
+
+  // Build-once index cache, keyed per (session, corpus dir): the 100 TB
+  // deployment shape is "train + assign + persist the index once, probe it
+  // per query batch" (Ivf.build scaladoc). Keying on the session too keeps
+  // a stale persisted plan from leaking across SparkSessions in tests.
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ivf.Index]
+
+  /** The session's built IVF index for `dir` — training + assignment +
+    * materialization run on FIRST access only ([[Bench]] prewarms this
+    * outside its timed region, the way a serving deployment builds the
+    * index before opening the query path). */
+  def ivfIndex(s: SparkSession, dir: String): Ivf.Index =
+    ivfIndexes.getOrElseUpdate((s, dir),
+      Ivf.build(emb(s, dir), "vec_id", "embedding", IvfCells, IvfSeed))
+
+  /** IVF ANN, probe-only — the build-once/probe-many half of [[annIvf]]:
+    * same results (same quantizer seed), but the plan is a broadcast
+    * equi-join on `cell` against the persisted index; no training job.
+    * Rows-only like `ann_ivf`, same recall assertion in SimilaritySpec. */
+  def annIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ivf.probe(ivfIndex(s, dir), queriesDf(e), "q_id", "q_vec", K, nProbe = 4)
       .orderBy("q_id", "rank")
   }
 
@@ -71,7 +102,8 @@ object SimilarityQueries {
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _)
+    "ann_ivf" -> (annIvf _),
+    "ann_ivf_probe" -> (annIvfProbe _)
   )
 
   /** DuckDB re-derivation of [[embNeardupLsh]]: per-table signatures as
@@ -96,7 +128,42 @@ object SimilarityQueries {
        |GROUP BY i, j ORDER BY i, j""".stripMargin
   }
 
+  /** DuckDB re-derivation of [[annLsh]] (the whole procedure, like
+    * [[embNeardupLshOracle]]): per-table signatures for the corpus; the
+    * query side reuses them (queries ARE the vec_id < QueryCount corpus
+    * rows) expanded by multi-probe — xor with 0 (the signature itself) and
+    * each single-bit flip; bucket equi-join for distinct candidates; exact
+    * rescore; per-query top-k. */
+  private def annLshOracle: String = {
+    val tables = Hyperplanes.tables(LshTables, LshPlanes, Dim, LshSeed)
+    val sigBranches = tables.zipWithIndex.map { case (planes, t) =>
+      s"SELECT vec_id, $t AS tbl, ${Hyperplanes.signatureSql(planes, "v")} AS sig FROM e"
+    }.mkString("\nUNION ALL\n")
+    val flips = (0 +: (0 until LshPlanes).map(1 << _)).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $QueryCount),
+       |csigs AS (
+       |$sigBranches
+       |),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, tbl, xor(sig, f.f) AS sig
+       |  FROM csigs CROSS JOIN (SELECT unnest($flips) AS f) f
+       |  WHERE vec_id < $QueryCount),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, c.vec_id
+       |  FROM qprobe p JOIN csigs c ON p.tbl = c.tbl AND p.sig = c.sig
+       |  WHERE c.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, cos_sim, rank FROM (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY cand.q_id
+       |      ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, cand.vec_id) AS INT) AS rank
+       |  FROM cand JOIN q ON cand.q_id = q.q_id JOIN e ON cand.vec_id = e.vec_id)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_lsh" -> annLshOracle,
     "ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $QueryCount)
