@@ -4,19 +4,22 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Schema-driven CSV ingestion into the parquet raw layer.
+/** Schema-driven file ingestion into the parquet raw layer.
   *
   * Re-expresses the reference's GCSBigQueryOperator
-  * (/root/reference/utils/operators.py:11-96): declared schema, write
-  * dispositions, delimiter/leading-row handling, jagged-row / quoted-newline
-  * / unknown-value tolerance, bad-record limits, and an
-  * `ingestion_timestamp` partition column — but Spark-first: the CSV scan is
-  * distributed, PERMISSIVE-mode corrupt rows are counted via an
+  * (/root/reference/utils/operators.py:11-96): declared schema, source
+  * formats, create/write dispositions, delimiter/leading-row handling,
+  * jagged-row / quoted-newline / unknown-value tolerance, bad-record
+  * limits, and an `ingestion_timestamp` partition column — but Spark-first:
+  * the scan is distributed, PERMISSIVE-mode corrupt rows are counted via an
   * [[Observation]] on the SAME scan that writes (no cache of the raw input,
   * no second pass — at 100 TB/day a side-count must not cost a
   * materialization), and the "table" is a date-partitioned parquet
-  * directory where idempotent re-loads use dynamic partition overwrite
-  * instead of MERGE.
+  * directory where idempotent re-loads use partition-grain replacement
+  * instead of MERGE. Writes stage under a hidden `_staging_*` prefix and
+  * publish per-partition only after the bad-record limit passes, so a
+  * failed load never leaves partial data visible to raw-layer readers
+  * (BigQuery aborts the load job atomically; this is the parquet analogue).
   */
 object CsvIngest {
 
@@ -35,56 +38,6 @@ object CsvIngest {
 
   def schemaOf(cols: Seq[ColumnSpec]): StructType =
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
-
-  /** A lazily-loaded CSV batch. `df` is the clean, stamped output; the
-    * corrupt-row count rides the first action on it (one scan total).
-    * The bad-record LIMIT is therefore enforced after that action — with
-    * partition-grain overwrite the failed run's output is replaced by the
-    * re-run, so post-hoc enforcement keeps idempotency (BigQuery aborts the
-    * load job instead; same observable contract for the pipeline, the
-    * difference is when the partition's bytes exist).
-    */
-  final class LoadedCsv private[sources](val df: DataFrame, obs: Observation,
-                                         path: String, maxBadRecords: Int) {
-    private def metric(name: String): Long = {
-      // Bounded wait: the metrics listener is async (a short wait after an
-      // action is normal), but Observation.get blocks FOREVER when no
-      // action ever ran — fail with a usable message instead.
-      import org.apache.spark.sql.graft.Bridge.observedMetrics
-      var waited = 0L
-      while (observedMetrics(obs).isEmpty && waited < 2000) {
-        Thread.sleep(50); waited += 50
-      }
-      val m = observedMetrics(obs)
-      if (m.isEmpty) throw new IllegalStateException(
-        s"CSV load of $path: no action has completed on df — run one " +
-          "(or use writeRaw) before reading load metrics")
-      m(name).asInstanceOf[Long]
-    }
-
-    /** Corrupt/intolerable row count — call after an action on `df`. */
-    def badRecords: Long = metric("n_bad")
-
-    /** Rows scanned (kept + dropped). */
-    def rowsScanned: Long = metric("n_rows")
-
-    /** Enforce `maxBadRecords` (reference semantics) — call after an
-      * action; returns the bad count when within the limit. */
-    def enforceBadLimit(): Long = {
-      val bad = badRecords
-      if (bad > maxBadRecords)
-        throw new IllegalStateException(
-          s"CSV load of $path: $bad corrupt records > maxBadRecords=$maxBadRecords")
-      bad
-    }
-
-    /** Write to the raw layer and enforce the bad-record limit on the same
-      * single scan. Returns the bad count. */
-    def writeRaw(outPath: String): Long = {
-      RawLayer.appendPartitioned(df, outPath)
-      enforceBadLimit()
-    }
-  }
 
   /** Load a CSV batch with a declared schema — one scan, lazy.
     *
@@ -113,7 +66,7 @@ object CsvIngest {
            maxBadRecords: Int = 0, allowJaggedRows: Boolean = false,
            allowQuotedNewlines: Boolean = false,
            ignoreUnknownValues: Boolean = false,
-           ingestionDate: String): LoadedCsv = {
+           ingestionDate: String): Loaded = {
     require(skipLeadingRows == 0 || skipLeadingRows == 1,
       s"skipLeadingRows=$skipLeadingRows unsupported: a distributed CSV split " +
         "cannot skip arbitrary leading lines; preprocess the file instead")
@@ -161,14 +114,210 @@ object CsvIngest {
     val observed = raw.observe(obs,
       count(when(!keep, 1)).as("n_bad"),
       count(lit(1)).as("n_rows"),
-      max(length(concat_ws("", cols.map(c => col(c.name).cast("string")): _*)))
+      max(length(concat_ws("", cols.map(c => col(c.name).cast("string")): _*)))
         .as("_pin"))
     val out = observed
       .where(keep)
       .drop("_corrupt_record")
       .withColumn("ingestion_date", lit(ingestionDate).cast("date"))
       .withColumn("ingestion_timestamp", lit(s"$ingestionDate 00:00:00").cast("timestamp"))
-    new LoadedCsv(out, obs, path, maxBadRecords)
+    new Loaded(out, obs, "CSV", path, maxBadRecords)
+  }
+}
+
+/** Newline-delimited JSON ingestion with the same contract as
+  * [[CsvIngest.load]] (reference `source_format='NEWLINE_DELIMITED_JSON'`,
+  * `utils/operators.py:20,57`): declared schema, PERMISSIVE corrupt
+  * counting on the single scan, `ignore_unknown_values`, bad-record limit,
+  * stamped partition columns, staged partitioned write.
+  */
+object JsonIngest {
+
+  import CsvIngest.{ColumnSpec, schemaOf}
+
+  /** Load a JSON-lines batch — one distributed text scan, lazy.
+    *
+    * Parsing runs through `from_json` over a text scan (not the JSON
+    * reader) so the raw line stays available for the unknown-key check:
+    * BigQuery counts a row with keys outside the declared schema as bad
+    * unless `ignore_unknown_values` — Spark's JSON reader silently drops
+    * unknown keys and could not express the strict side. Blank lines are
+    * skipped (BigQuery ignores them). Missing keys and JSON nulls read as
+    * SQL nulls (BigQuery NULLABLE semantics); a malformed line or a type
+    * error in a DECLARED column is corrupt.
+    */
+  def load(spark: SparkSession, path: String, cols: Seq[ColumnSpec],
+           maxBadRecords: Int = 0, ignoreUnknownValues: Boolean = false,
+           ingestionDate: String): Loaded = {
+    require(cols.nonEmpty, "JSON schema must declare at least one column")
+    val schema = schemaOf(cols).add("_corrupt_record", StringType)
+    val raw = spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .withColumn("_p", from_json(col("value"), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")))
+
+    // json_object_keys is null for anything but a JSON object — a scalar /
+    // array / malformed top level is corrupt regardless of tolerances.
+    val keys = json_object_keys(col("value"))
+    val declared = array(cols.map(c => lit(c.name)): _*)
+    val unknown = size(array_except(keys, declared)) > 0
+    val parseOk = keys.isNotNull && col("_p._corrupt_record").isNull
+    val keep = parseOk && (if (ignoreUnknownValues) lit(true) else !unknown)
+
+    // Same single-scan observe contract as the CSV loader. No _pin needed:
+    // every metric references _p/value, and a text scan has exactly one
+    // physical column, so no pruning can skip the parse.
+    val obs = Observation()
+    val observed = raw.observe(obs,
+      count(when(!keep, 1)).as("n_bad"),
+      count(lit(1)).as("n_rows"))
+    val out = observed
+      .where(keep)
+      .select(cols.map(c => col(s"_p.${c.name}").as(c.name)): _*)
+      .withColumn("ingestion_date", lit(ingestionDate).cast("date"))
+      .withColumn("ingestion_timestamp", lit(s"$ingestionDate 00:00:00").cast("timestamp"))
+    new Loaded(out, obs, "JSON", path, maxBadRecords)
+  }
+}
+
+/** `source_format` dispatcher — the reference's
+  * `getattr(bigquery.SourceFormat, source_format)` (`utils/operators.py:57`)
+  * over the formats this engine supports. CSV-only options are accepted and
+  * applied only for CSV, exactly like the reference (`operators.py:64-68`).
+  */
+object Ingest {
+
+  import CsvIngest.{ColumnSpec, schemaOf}
+
+  def load(spark: SparkSession, path: String, cols: Seq[ColumnSpec],
+           sourceFormat: String = "CSV",
+           delimiter: String = ",", skipLeadingRows: Int = 1,
+           maxBadRecords: Int = 0, allowJaggedRows: Boolean = false,
+           allowQuotedNewlines: Boolean = false,
+           ignoreUnknownValues: Boolean = false,
+           ingestionDate: String): Loaded = sourceFormat match {
+    case "CSV" =>
+      CsvIngest.load(spark, path, cols, delimiter, skipLeadingRows,
+        maxBadRecords, allowJaggedRows, allowQuotedNewlines,
+        ignoreUnknownValues, ingestionDate)
+    case "NEWLINE_DELIMITED_JSON" =>
+      JsonIngest.load(spark, path, cols, maxBadRecords, ignoreUnknownValues,
+        ingestionDate)
+    case "PARQUET" =>
+      // Parquet is self-describing: the scan enforces declared types
+      // (schema projection fails on an incompatible file); corrupt-row
+      // counting does not apply — n_bad is structurally 0, like BigQuery
+      // parquet loads which fail the whole job on schema mismatch.
+      val obs = Observation()
+      val out = spark.read.schema(schemaOf(cols)).parquet(path)
+        .observe(obs, count(when(lit(false), 1)).as("n_bad"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("ingestion_date", lit(ingestionDate).cast("date"))
+        .withColumn("ingestion_timestamp",
+          lit(s"$ingestionDate 00:00:00").cast("timestamp"))
+      new Loaded(out, obs, "PARQUET", path, maxBadRecords)
+    case "AVRO" =>
+      // Honest gap: the spark-avro connector module is not on this
+      // classpath (only Avro core). Fail fast with the remedy rather than
+      // letting the DataSource lookup throw something cryptic.
+      throw new UnsupportedOperationException(
+        "source_format=AVRO needs the spark-avro connector on the classpath " +
+          "(org.apache.spark:spark-avro); add it and route through " +
+          "spark.read.format(\"avro\")")
+    case other => throw new IllegalArgumentException(
+      s"unknown source_format '$other' (supported: CSV, " +
+        "NEWLINE_DELIMITED_JSON, PARQUET)")
+  }
+}
+
+/** A lazily-loaded ingest batch. `df` is the clean, stamped output; the
+  * corrupt-row count rides the first action on it (one scan total).
+  * [[writeRaw]] stages the write and publishes only after the bad-record
+  * limit passes, so raw-layer readers never observe a failed load.
+  *
+  * Metric caveat: read metrics after a plain action (count, write). An
+  * action whose plan re-executes the scan subtree — e.g. a global sort,
+  * where AQE's range-partitioner sample is a second pass — accumulates the
+  * observe counters once per pass and inflates the counts.
+  */
+final class Loaded private[sources](val df: DataFrame, obs: Observation,
+                                    kind: String, path: String,
+                                    maxBadRecords: Int) {
+  private def metric(name: String): Long = {
+    // Bounded wait: the metrics listener is async, so a short lag after an
+    // action is normal (and on a busy driver can exceed seconds) — but
+    // Observation.get blocks FOREVER when no action ever ran. Poll
+    // generously, overridable for hostile schedulers, then fail with a
+    // usable message.
+    import org.apache.spark.sql.graft.Bridge.observedMetrics
+    val maxWait = sys.props.get("graft.ingest.metricsWaitMs").map(_.toLong)
+      .getOrElse(30000L)
+    var waited = 0L
+    while (observedMetrics(obs).isEmpty && waited < maxWait) {
+      Thread.sleep(50); waited += 50
+    }
+    val m = observedMetrics(obs)
+    if (m.isEmpty) throw new IllegalStateException(
+      s"$kind load of $path: no action has completed on df — run one " +
+        "(or use writeRaw) before reading load metrics")
+    m(name).asInstanceOf[Long]
+  }
+
+  /** Corrupt/intolerable row count — call after an action on `df`. */
+  def badRecords: Long = metric("n_bad")
+
+  /** Rows scanned (kept + dropped). */
+  def rowsScanned: Long = metric("n_rows")
+
+  /** Enforce `maxBadRecords` (reference semantics) — call after an
+    * action; returns the bad count when within the limit. */
+  def enforceBadLimit(): Long = {
+    val bad = badRecords
+    if (bad > maxBadRecords)
+      throw new IllegalStateException(
+        s"$kind load of $path: $bad corrupt records > maxBadRecords=$maxBadRecords")
+    bad
+  }
+
+  /** Write to the raw layer and enforce the bad-record limit on the same
+    * single scan. The batch lands under a hidden `_staging_` prefix first
+    * (invisible to partition discovery); partitions move into place only
+    * after the limit passes, and the staging dir is removed on failure —
+    * so out-of-band readers of the raw path never consume a failed load's
+    * output, matching BigQuery's atomic load-job abort. (Per-partition
+    * rename is atomic on HDFS/POSIX; on object stores it degrades to
+    * copy+delete — still publish-after-validate, just not instantaneous.)
+    *
+    * @param createDisposition reference `create_disposition`
+    *   (`utils/operators.py:22`): CREATE_IF_NEEDED creates the target
+    *   directory; CREATE_NEVER fails fast when it does not already exist.
+    * @return the bad-record count.
+    */
+  def writeRaw(outPath: String,
+               createDisposition: String = "CREATE_IF_NEEDED"): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val dest = new org.apache.hadoop.fs.Path(outPath)
+    val fs = dest.getFileSystem(hconf)
+    createDisposition match {
+      case "CREATE_IF_NEEDED" => ()
+      case "CREATE_NEVER" =>
+        if (!fs.exists(dest)) throw new IllegalStateException(
+          s"$kind load of $path: create_disposition=CREATE_NEVER and raw " +
+            s"target $outPath does not exist")
+      case other => throw new IllegalArgumentException(
+        s"unknown create_disposition '$other'")
+    }
+    val staging = new org.apache.hadoop.fs.Path(dest,
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").partitionBy("ingestion_date")
+      .parquet(staging.toString)
+    val bad =
+      try enforceBadLimit()
+      catch { case e: Throwable => fs.delete(staging, true); throw e }
+    RawLayer.publishPartitions(fs, staging, dest)
+    bad
   }
 }
 
@@ -192,4 +341,22 @@ object RawLayer {
   /** WRITE_TRUNCATE: full refresh (datamart layer). */
   def truncateWrite(df: DataFrame, outPath: String): Unit =
     df.write.mode("overwrite").parquet(outPath)
+
+  /** Move every `col=value` partition directory from `staging` into `dest`,
+    * replacing same-name partitions (partition-grain overwrite, the publish
+    * half of the staged [[Loaded.writeRaw]]), then drop the staging dir. */
+  private[sources] def publishPartitions(fs: org.apache.hadoop.fs.FileSystem,
+                                         staging: org.apache.hadoop.fs.Path,
+                                         dest: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(dest)
+    fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        val target = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
+        if (fs.exists(target)) fs.delete(target, true)
+        if (!fs.rename(st.getPath, target)) throw new java.io.IOException(
+          s"publish: rename ${st.getPath} -> $target failed")
+      }
+    fs.delete(staging, true)
+  }
 }

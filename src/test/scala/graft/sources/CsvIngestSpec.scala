@@ -121,6 +121,135 @@ class CsvIngestSpec extends SparkSpec {
     assert(b.badRecords == 0 && ids.length == 2 && ids(0) == "o1\nwrapped")
   }
 
+  test("JSON lines: declared schema, corrupt lines counted, blank lines skipped") {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.write(dir.resolve("batch.json"), Seq(
+      """{"order_id": "o1", "amount": 10.5, "n": 3}""",
+      "",
+      """{"order_id": "o2", "n": 4}""", // missing key -> null, not corrupt
+      """{"order_id": "o3", "amount": "zzz", "n": 1}""", // type error -> corrupt
+      """not json at all""",
+      """[1, 2, 3]""" // non-object top level -> corrupt
+    ).mkString("\n").getBytes)
+    val b = JsonIngest.load(spark, dir.toString, cols, maxBadRecords = 3,
+      ingestionDate = "2024-03-01")
+    // collect unsorted: orderBy would add AQE's range-sample pass over the
+    // observed scan and double the accumulated metrics
+    val rows = b.df.collect().sortBy(_.getString(0))
+    assert(rows.length == 2 && b.badRecords == 3 && b.rowsScanned == 5)
+    assert(rows(0).getString(0) == "o1" && rows(0).getDouble(1) == 10.5)
+    assert(rows(1).getString(0) == "o2" && rows(1).isNullAt(1))
+    assert(b.df.columns.toSeq ==
+      Seq("order_id", "amount", "n", "ingestion_date", "ingestion_timestamp"))
+    // same single-scan contract as CSV: no second pass, no cache
+    assert(!b.df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+  }
+
+  test("JSON lines: unknown keys corrupt unless ignore_unknown_values") {
+    val dir = Files.createTempDirectory("graft-json-uk")
+    Files.write(dir.resolve("batch.json"), Seq(
+      """{"order_id": "o1", "amount": 10.5, "n": 3, "extra": true}""",
+      """{"order_id": "o2", "amount": 20.0, "n": 4}"""
+    ).mkString("\n").getBytes)
+    val strict = JsonIngest.load(spark, dir.toString, cols,
+      maxBadRecords = 1, ingestionDate = "2024-03-01")
+    assert(strict.df.count() == 1 && strict.badRecords == 1)
+    val loose = JsonIngest.load(spark, dir.toString, cols,
+      ignoreUnknownValues = true, ingestionDate = "2024-03-01")
+    val rows = loose.df.orderBy("order_id").collect()
+    assert(loose.badRecords == 0 && rows.length == 2)
+    assert(rows(0).getString(0) == "o1" && rows(0).getLong(2) == 3L) // extra dropped
+    // a type error in a declared column is still corrupt despite extras
+    Files.write(dir.resolve("batch.json"),
+      """{"order_id": "o3", "amount": "zzz", "n": 1, "extra": 1}""".getBytes)
+    val lb = JsonIngest.load(spark, dir.toString, cols, ignoreUnknownValues = true,
+      maxBadRecords = 2, ingestionDate = "2024-03-01")
+    lb.df.count()
+    assert(lb.badRecords >= 1)
+  }
+
+  test("JSON writeRaw: over-limit load publishes nothing; fixed re-run lands") {
+    val dir = Files.createTempDirectory("graft-json-w")
+    Files.write(dir.resolve("batch.json"), Seq(
+      """{"order_id": "o1", "amount": 10.5, "n": 3}""",
+      """broken"""
+    ).mkString("\n").getBytes)
+    val out = Files.createTempDirectory("graft-json-raw").toString
+    intercept[IllegalStateException] {
+      JsonIngest.load(spark, dir.toString, cols, maxBadRecords = 0,
+        ingestionDate = "2024-03-01").writeRaw(out)
+    }
+    // staged publish: the failed load left NO data (and no staging debris)
+    assert(new java.io.File(out).listFiles() == null ||
+      new java.io.File(out).listFiles().isEmpty)
+    Files.write(dir.resolve("batch.json"),
+      """{"order_id": "o1", "amount": 10.5, "n": 3}""".getBytes)
+    val bad = JsonIngest.load(spark, dir.toString, cols,
+      ingestionDate = "2024-03-01").writeRaw(out)
+    assert(bad == 0 && spark.read.parquet(out).count() == 1)
+  }
+
+  test("Ingest dispatcher routes by source_format; AVRO and unknown fail fast") {
+    val csvPath = writeCsv("o1,10.5,3")
+    val viaCsv = Ingest.load(spark, csvPath, cols, sourceFormat = "CSV",
+      ingestionDate = "2024-03-01")
+    assert(viaCsv.df.count() == 1)
+    val jdir = Files.createTempDirectory("graft-json-fmt")
+    Files.write(jdir.resolve("b.json"),
+      """{"order_id": "o1", "amount": 1.0, "n": 2}""".getBytes)
+    val viaJson = Ingest.load(spark, jdir.toString, cols,
+      sourceFormat = "NEWLINE_DELIMITED_JSON", ingestionDate = "2024-03-01")
+    assert(viaJson.df.count() == 1 && viaJson.badRecords == 0)
+    // PARQUET: self-describing, n_bad structurally 0
+    val pdir = Files.createTempDirectory("graft-pq-fmt").toString + "/t"
+    viaJson.df.drop("ingestion_date", "ingestion_timestamp").write.parquet(pdir)
+    val viaPq = Ingest.load(spark, pdir, cols, sourceFormat = "PARQUET",
+      ingestionDate = "2024-03-02")
+    assert(viaPq.df.count() == 1 && viaPq.badRecords == 0)
+    intercept[UnsupportedOperationException](
+      Ingest.load(spark, csvPath, cols, sourceFormat = "AVRO",
+        ingestionDate = "2024-03-01"))
+    intercept[IllegalArgumentException](
+      Ingest.load(spark, csvPath, cols, sourceFormat = "ORC",
+        ingestionDate = "2024-03-01"))
+  }
+
+  test("create_disposition: CREATE_NEVER fails on a missing target, passes on existing") {
+    val path = writeCsv("o1,10.5,3")
+    val missing = Files.createTempDirectory("graft-cd").toString + "/nope"
+    intercept[IllegalStateException] {
+      CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+        .writeRaw(missing, createDisposition = "CREATE_NEVER")
+    }
+    assert(!new java.io.File(missing).exists()) // fail-fast, nothing written
+    val existing = Files.createTempDirectory("graft-cd-ok").toString
+    val bad = CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+      .writeRaw(existing, createDisposition = "CREATE_NEVER")
+    assert(bad == 0 && spark.read.parquet(existing).count() == 1)
+    intercept[IllegalArgumentException] {
+      CsvIngest.load(spark, path, cols, ingestionDate = "2024-03-01")
+        .writeRaw(existing, createDisposition = "CREATE_WHENEVER")
+    }
+  }
+
+  test("writeRaw staged publish: failed CSV load leaves the raw layer untouched") {
+    val out = Files.createTempDirectory("graft-stage").toString
+    val good = writeCsv("o1,10.5,3", "o2,20.0,4")
+    CsvIngest.load(spark, good, cols, ingestionDate = "2024-03-01").writeRaw(out)
+    assert(spark.read.parquet(out).count() == 2)
+    // an over-limit day 2 load must not disturb day 1's published data
+    val broken = writeCsv("o3,zzz,9")
+    intercept[IllegalStateException] {
+      CsvIngest.load(spark, broken, cols, maxBadRecords = 0,
+        ingestionDate = "2024-03-02").writeRaw(out)
+    }
+    val after = spark.read.parquet(out)
+    assert(after.count() == 2 &&
+      after.select("ingestion_date").distinct().count() == 1)
+    // no staging debris either
+    assert(!new java.io.File(out).listFiles().map(_.getName).exists(_.startsWith("_staging")))
+  }
+
   test("appendPartitioned: re-running a date replaces, not duplicates") {
     val path = writeCsv("o1,10.5,3", "o2,20.0,4")
     val out = Files.createTempDirectory("graft-raw").toString
