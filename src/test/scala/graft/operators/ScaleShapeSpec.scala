@@ -66,6 +66,25 @@ class ScaleShapeSpec extends SparkSpec {
     assert(multi >= 0.8, s"multi-probe recall too low: $multi")
   }
 
+  test("TPC-H date filters reach the parquet scan as pushed predicates") {
+    // The queries write `to_date(l_shipdate) >= lit(...)` for readability;
+    // Catalyst rewrites that into a plain timestamp comparison, so the range
+    // must appear in the scan's PushedFilters — a regression here means every
+    // scan reads the full fact table at 100 TB.
+    import org.apache.spark.sql.execution.ExplainMode
+    def scanOf(name: String, pushed: String): Unit = {
+      val df = graft.queries.TpchQueries.all(name)(spark, sf001)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains(pushed), s"$name missing pushed filter $pushed:\n$plan")
+      assert(!plan.contains("to_date"),
+        s"$name: to_date survived optimization (blocks pushdown):\n$plan")
+    }
+    scanOf("tpch_q6", "GreaterThanOrEqual(l_shipdate,1996-01-01T00:00)")
+    scanOf("tpch_q12", "GreaterThanOrEqual(l_shipdate,1997-01-01T00:00)")
+    scanOf("tpch_q12", "LessThan(l_shipdate,1998-01-01T00:00)")
+    scanOf("tpch_q14", "GreaterThanOrEqual(l_shipdate,1996-03-01T00:00)")
+  }
+
   test("approximate sketches stay within error bounds of exact") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val approx = li.groupBy("l_returnflag").agg(
