@@ -5,9 +5,10 @@ import scala.collection.mutable
 /** Minimal DAG executor: the orchestration semantics the reference gets
   * from Airflow (topological ordering, upstream gating, retries, backfill
   * over logical dates), re-expressed as a library so a Spark job can embed
-  * its own pipeline. Cross-DAG sensors collapse into ordinary dependency
-  * edges (the reference's ExternalTaskSensor just waits for another DAG's
-  * `end` task — dags/process_core_sales.py:61-70).
+  * its own pipeline. Within one schedule, cross-DAG sensors collapse into
+  * ordinary dependency edges; across schedules (the reference's
+  * ExternalTaskSensor waiting on another DAG's `end` task —
+  * dags/process_core_sales.py:58-66) use [[Scheduler.ExternalSensor]].
   *
   * Tasks run sequentially in deterministic topological order (lexicographic
   * among ready tasks). Spark supplies the intra-task parallelism; the DAG

@@ -120,37 +120,117 @@ object Scheduler {
 
   final case class RunResult(executionDate: LocalDateTime, ds: String, report: Dag.Report)
 
+  /** Cross-schedule coupling — the reference's ExternalTaskSensor
+    * (`dags/process_core_sales.py:58-66`: core@02:00 waits on raw@00:00's
+    * `end` task, reschedule mode, 1 h timeout). The downstream run for
+    * execution date E is held in the backlog until `upstream` has a
+    * SUCCESSFUL run for execution date `E - executionDelta` (Airflow's
+    * `execution_delta`; 2 h couples a `0 2 * * *` run to the same day's
+    * `0 0 * * *` run). Reschedule-mode polling becomes "stays queued,
+    * later dates still dispatch" (`depends_on_past=False`), and `timeout`
+    * becomes a recorded failed run whose real tasks never fired. Recovery
+    * is Airflow's too: [[Scheduled.clear]] the failed upstream day, let
+    * both schedulers tick, and the held downstream run fires. */
+  final case class ExternalSensor(name: String, upstream: Scheduled,
+                                  executionDelta: Duration = Duration.ZERO,
+                                  timeout: Duration = Duration.ofHours(1)) {
+    def satisfied(execDate: LocalDateTime): Boolean = {
+      val target = execDate.minus(executionDelta)
+      upstream.runs.exists(r => r.executionDate == target && r.report.succeeded)
+    }
+  }
+
   /** One scheduled DAG. `mkTasks(ds)` builds the run's tasks (reference
     * `{{ ds }}` templating); the spec's `retries`/`retryDelay` are applied
     * as defaults to tasks that declare none (Airflow `default_args`). */
   final class Scheduled(spec: ScheduleSpec, mkTasks: String => Seq[Dag.Task],
                         callbacks: Dag.Callbacks = Dag.Callbacks(),
-                        sleep: Long => Unit = Thread.sleep) {
+                        sleep: Long => Unit = Thread.sleep,
+                        sensors: Seq[ExternalSensor] = Nil) {
 
     private var lastScheduled: Option[LocalDateTime] = None
-    private val backlog = mutable.Queue.empty[LocalDateTime]
+    private val backlog = mutable.ArrayBuffer.empty[LocalDateTime]
     private val results = mutable.ArrayBuffer.empty[RunResult]
+    // first tick that found the run sensor-blocked — timeout anchor
+    private val pokedAt = mutable.Map.empty[LocalDateTime, LocalDateTime]
 
     def runs: Seq[RunResult] = results.toSeq
 
     /** Advance the scheduler clock to `now`: enqueue every newly closed
       * interval, then execute up to `maxActiveRuns` queued runs in order.
-      * Returns the runs executed by THIS tick. */
+      * A sensor-blocked run stays queued without consuming a slot (later
+      * dates dispatch past it); a run blocked past its sensor timeout is
+      * recorded failed without its tasks firing. Returns the runs executed
+      * or timed out by THIS tick. */
     def tick(now: LocalDateTime): Seq[RunResult] = {
       enqueueDue(now)
-      val batch = (0 until math.min(spec.maxActiveRuns, backlog.size)).map { _ =>
-        val execDate = backlog.dequeue()
-        val ds = execDate.toLocalDate.toString
-        val tasks = mkTasks(ds).map { t =>
-          if (t.retries == 0 && t.retryDelay.isZero && spec.retries > 0)
-            Dag.Task(t.id, t.deps, spec.retries, spec.retryDelay)(t.run)
-          else t
+      val batch = mutable.ArrayBuffer.empty[RunResult]
+      var i = 0
+      while (i < backlog.size && batch.size < spec.maxActiveRuns) {
+        val execDate = backlog(i)
+        val blocking = sensors.filterNot(_.satisfied(execDate))
+        if (blocking.isEmpty) {
+          backlog.remove(i)
+          pokedAt.remove(execDate)
+          batch += execute(execDate)
+        } else {
+          val since = pokedAt.getOrElseUpdate(execDate, now)
+          val timedOut = blocking.filter(s => !now.isBefore(since.plus(s.timeout)))
+          if (timedOut.nonEmpty) {
+            backlog.remove(i)
+            pokedAt.remove(execDate)
+            batch += senseTimeout(execDate, timedOut, since)
+          } else i += 1 // reschedule mode: hold this date, try the next
         }
-        val result = RunResult(execDate, ds, Dag.run(tasks, callbacks, sleep))
-        results += result
-        result
       }
-      batch
+      batch.toSeq
+    }
+
+    private def execute(execDate: LocalDateTime): RunResult = {
+      val ds = execDate.toLocalDate.toString
+      val tasks = mkTasks(ds).map { t =>
+        if (t.retries == 0 && t.retryDelay.isZero && spec.retries > 0)
+          Dag.Task(t.id, t.deps, spec.retries, spec.retryDelay)(t.run)
+        else t
+      }
+      val result = RunResult(execDate, ds, Dag.run(tasks, callbacks, sleep))
+      results += result
+      result
+    }
+
+    /** Sensor timeout = the run fails with the sensor task Failed and every
+      * real task Skipped (Airflow: the sensor task times out, downstream of
+      * it never schedules). */
+    private def senseTimeout(execDate: LocalDateTime,
+                             timedOut: Seq[ExternalSensor],
+                             since: LocalDateTime): RunResult = {
+      val ds = execDate.toLocalDate.toString
+      val statuses = mutable.Map.empty[String, Dag.Status]
+      val order = mutable.ArrayBuffer.empty[String]
+      timedOut.foreach { s =>
+        val err = new IllegalStateException(
+          s"sensor ${s.name}: no successful upstream run for " +
+            s"${execDate.minus(s.executionDelta)} within ${s.timeout} (first poked $since)")
+        statuses(s.name) = Dag.Failed(1, err)
+        order += s.name
+        callbacks.onFailure(s.name, err)
+      }
+      mkTasks(ds).foreach { t => statuses(t.id) = Dag.Skipped; order += t.id }
+      val result = RunResult(execDate, ds, Dag.Report(statuses.toMap, order.toSeq))
+      results += result
+      result
+    }
+
+    /** Airflow "clear": forget a recorded (typically failed) run and
+      * re-queue its execution date, so the next tick re-executes it — the
+      * standard recovery that un-blocks downstream sensors waiting on it. */
+    def clear(execDate: LocalDateTime): Unit = {
+      val idx = results.indexWhere(_.executionDate == execDate)
+      require(idx >= 0, s"clear: no run recorded for $execDate")
+      results.remove(idx)
+      pokedAt.remove(execDate)
+      backlog += execDate
+      backlog.sortInPlace()(Ordering.fromLessThan[LocalDateTime](_ isBefore _))
     }
 
     /** Drain: tick until no backlog remains at `now` (multi-heartbeat

@@ -148,6 +148,78 @@ class SchedulerSpec extends AnyFunSuite {
     assert(slept.toSeq == Seq(300000L, 300000L)) // two backoffs, zero real sleep
   }
 
+  test("external sensor couples raw@00:00 -> core@02:00 across a failure day") {
+    // Reference layout: ingest_raw_sales fires at 00:00, process_core_sales
+    // at 02:00 and its first task senses raw's run for the same day
+    // (execution_delta = 2h maps core's 02:00 logical date onto raw's 00:00).
+    val rawRan = scala.collection.mutable.ArrayBuffer.empty[String]
+    val coreRan = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rawFails = Set("2024-03-02")
+    val raw = new Scheduled(
+      ScheduleSpec(Cron.parse("0 0 * * *"), java.time.LocalDate.parse("2024-03-01"), catchup = true),
+      ds => Seq(Dag.Task("load")(() => {
+        if (rawFails(ds)) throw new RuntimeException(s"raw bad day $ds")
+        rawRan += ds
+      })))
+    val core = new Scheduled(
+      ScheduleSpec(Cron.parse("0 2 * * *"), java.time.LocalDate.parse("2024-03-01"), catchup = true),
+      ds => Seq(Dag.Task("dims")(() => coreRan += ds)),
+      sensors = Seq(ExternalSensor("wait_for_raw", raw,
+        executionDelta = Duration.ofHours(2), timeout = Duration.ofHours(72))))
+
+    // Day 1 closes: raw runs 03-01, then core's 03-01 sensor is satisfied.
+    val d2 = LocalDateTime.parse("2024-03-02T02:30")
+    assert(raw.drain(d2).map(_.ds) == Seq("2024-03-01"))
+    assert(core.drain(d2).map(_.ds) == Seq("2024-03-01"))
+
+    // Day 2 closes: raw's 03-02 run FAILS -> core's 03-02 must hold.
+    val d3 = LocalDateTime.parse("2024-03-03T02:30")
+    assert(!raw.drain(d3).head.report.succeeded)
+    assert(core.drain(d3).isEmpty) // blocked on the failed upstream day
+    assert(!coreRan.contains("2024-03-02"))
+
+    // Day 3 closes: raw's 03-03 is green, so core's 03-03 dispatches PAST
+    // the held 03-02 (depends_on_past=False).
+    val d4 = LocalDateTime.parse("2024-03-04T02:30")
+    assert(raw.drain(d4).map(_.ds) == Seq("2024-03-03"))
+    assert(core.drain(d4).map(_.ds) == Seq("2024-03-03"))
+    assert(!coreRan.contains("2024-03-02"))
+
+    // Recovery: clear raw's failed day, let both catch up -> core's held
+    // 03-02 fires once the upstream day is green.
+    rawFails = Set.empty
+    raw.clear(LocalDateTime.parse("2024-03-02T00:00"))
+    assert(raw.drain(d4).map(_.ds) == Seq("2024-03-02"))
+    assert(core.drain(d4).map(_.ds) == Seq("2024-03-02"))
+    assert(rawRan.toSeq.sorted == Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+    assert(coreRan.toSeq.sorted == Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+    assert(core.runs.forall(_.report.succeeded))
+  }
+
+  test("external sensor timeout records a failed run whose tasks never fired") {
+    val raw = new Scheduled(
+      ScheduleSpec.daily("2024-03-01", catchup = true),
+      _ => Seq(Dag.Task("load")(() => throw new RuntimeException("always down"))))
+    var coreFired = false
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val core = new Scheduled(
+      ScheduleSpec(Cron.parse("0 2 * * *"), java.time.LocalDate.parse("2024-03-01"), catchup = true),
+      _ => Seq(Dag.Task("dims")(() => coreFired = true)),
+      callbacks = Dag.Callbacks(onFailure = (id, _) => failures += id),
+      sensors = Seq(ExternalSensor("wait_for_raw", raw,
+        executionDelta = Duration.ofHours(2), timeout = Duration.ofHours(1))))
+
+    val t0 = LocalDateTime.parse("2024-03-02T02:30")
+    raw.drain(t0)
+    assert(core.tick(t0).isEmpty) // blocked, within timeout -> held
+    val later = core.tick(t0.plusHours(2)) // past the 1h sensor timeout
+    assert(later.map(_.ds) == Seq("2024-03-01"))
+    assert(!later.head.report.succeeded && !coreFired)
+    assert(later.head.report.statuses("wait_for_raw").isInstanceOf[Dag.Failed])
+    assert(later.head.report.statuses("dims") == Dag.Skipped)
+    assert(failures.toSeq == Seq("wait_for_raw"))
+  }
+
   test("a task's own retry config wins over the spec defaults") {
     var attempts = 0
     val sched = new Scheduled(
