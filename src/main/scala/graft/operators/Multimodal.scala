@@ -11,10 +11,11 @@ import org.apache.spark.sql.types._
   * (`mapPartitions` over an iterator — the Scala analogue of mapInPandas
   * batches): partitions stream, nothing collects, and batch size is the
   * Spark partition, so a 100 TB binary corpus decodes embarrassingly
-  * parallel. The actual codec is STUBBED (no image/audio libs in this
-  * environment) behind [[DecodeStub]] — a deterministic fake that yields
-  * plausible metadata; the Spark plumbing (schema, batching, partitioning)
-  * is real and tested.
+  * parallel. The codec is pluggable behind [[MediaDecoder]]:
+  * [[ImageIoDecoder]] really decodes PNG/JPEG via the JDK-bundled
+  * `javax.imageio` (no external libs needed); [[DecodeStub]] is the
+  * deterministic fake for modalities whose codecs aren't on this classpath
+  * (audio/video) and for parquet-only corpora where stable fixtures matter.
   */
 object Multimodal {
 
@@ -35,11 +36,18 @@ object Multimodal {
   case class MediaFeatures(id: Long, width: Int, height: Int, nFrames: Int,
                            meanLuma: Double)
 
-  /** The codec boundary. Swap for a real implementation (JNI/javacv) in a
-    * full environment; deterministic fake here so tests are stable. */
-  object DecodeStub {
+  /** The codec boundary: runs executor-side inside `mapPartitions`, so an
+    * implementation must be serializable and must never throw on a bad
+    * payload (at 100 TB some payloads WILL be truncated — degrade, don't
+    * kill the stage). */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic fake: derives "features" from content, not randomness —
+    * stable fixtures for modalities whose codecs aren't on the classpath. */
+  object DecodeStub extends MediaDecoder {
     def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-      // Deterministic fake: derive "features" from content, not randomness.
       val n = if (bytes == null) 0 else bytes.length
       val sum = if (n == 0) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
       MediaFeatures(id, width = 16 + (n % 64), height = 16 + (sum % 64).toInt,
@@ -47,15 +55,50 @@ object Multimodal {
     }
   }
 
-  /** Batched decode over (id, binary) rows: one stub call per row, streamed
-    * per partition. Repartition first if the binary payloads are skewed. */
-  def decodeFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+  /** Real still-image decoding via the JDK-bundled `javax.imageio` (PNG,
+    * JPEG, GIF, BMP — whatever the JVM's registered readers handle): true
+    * dimensions and the BT.601 mean luma (0..255, the same scale as the
+    * stub's byte average). Payloads no reader accepts — other modalities,
+    * truncated files — fall back to [[DecodeStub]] so a mixed corpus
+    * processes instead of failing the stage. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val img =
+        if (bytes == null || bytes.length == 0) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+      if (img == null) DecodeStub.decode(id, bytes)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(id, w, h, nFrames = 1, meanLuma = sum / (w.toDouble * h))
+      }
+    }
+  }
+
+  /** Batched decode over (id, binary) rows: one decoder call per row,
+    * streamed per partition. Repartition first if the binary payloads are
+    * skewed. */
+  def decodeFeatures(df: DataFrame, idCol: String, binCol: String,
+                     decoder: MediaDecoder = DecodeStub): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
-          DecodeStub.decode(r.getLong(0),
+          decoder.decode(r.getLong(0),
             if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
         }
       }

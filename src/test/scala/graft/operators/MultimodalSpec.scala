@@ -47,6 +47,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == ((8, 8)))
   }
 
+  test("ImageIoDecoder decodes real PNG/JPEG bytes; non-images fall back to the stub") {
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, out))
+      out.toByteArray
+    }
+    val whitePng = imageBytes(40, 24, 0xFFFFFF, "png")
+    val blackJpg = imageBytes(8, 8, 0x000000, "jpg")
+    val df = Seq((1L, whitePng), (2L, blackJpg), (3L, riff))
+      .toDF("id", "payload").repartition(2)
+
+    val feats = Multimodal.decodeFeatures(df, "id", "payload",
+      Multimodal.ImageIoDecoder).collect().map(f => f.id -> f).toMap
+    assert(feats(1L).width == 40 && feats(1L).height == 24)
+    assert(feats(1L).meanLuma > 254.0) // solid white, BT.601 luma ~255
+    assert(feats(2L).width == 8 && feats(2L).height == 8)
+    assert(feats(2L).meanLuma < 5.0) // solid black (JPEG may not hit 0 exactly)
+    assert(feats(3L) == Multimodal.DecodeStub.decode(3L, riff)) // RIFF: stub fallback
+
+    // real bytes flow through the downstream plumbing: aspect-preserving
+    // resize off TRUE dims, then the stub encoder into ANN-ready embeddings
+    val spark2 = spark
+    import spark2.implicits._
+    val resized = Multimodal.resizePlan(
+        Multimodal.decodeFeatures(df, "id", "payload", Multimodal.ImageIoDecoder),
+        maxW = 20, maxH = 20)
+      .select("id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(resized(1L) == ((20, 12))) // 40x24 fit into 20x20
+    assert(resized(2L) == ((8, 8)))   // never upscaled
+    assert(Multimodal.embedStub(df, "id", "payload", dim = 16).count() == 3)
+  }
+
   test("embedStub: deterministic unit-range embeddings feed the ANN operators") {
     val df = Seq((1L, jpeg), (2L, png), (3L, riff), (4L, jpeg))
       .toDF("id", "payload")
