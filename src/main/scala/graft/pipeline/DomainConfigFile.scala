@@ -46,11 +46,22 @@ object DomainConfigFile {
   private def fromJson(text: String): Yaml.YMap = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     import scala.jdk.CollectionConverters._
+    // JSON null == key absent (matching a YAML file where the key is
+    // omitted), so downstream optional-field handling sees one shape for
+    // both formats instead of a "" that later dies as a bare
+    // NumberFormatException in an int field. A null ELEMENT has no
+    // absent-key reading — reject it with the path to fix.
     def conv(n: JsonNode): Yaml.Node =
       if (n.isObject)
-        Yaml.YMap(n.properties().asScala.toVector.map(e => e.getKey -> conv(e.getValue)))
-      else if (n.isArray) Yaml.YSeq(n.elements().asScala.toVector.map(conv))
-      else if (n.isNull) Yaml.YStr("")
+        Yaml.YMap(n.properties().asScala.toVector
+          .filterNot(_.getValue.isNull)
+          .map(e => e.getKey -> conv(e.getValue)))
+      else if (n.isArray) {
+        val elems = n.elements().asScala.toVector
+        require(!elems.exists(_.isNull),
+          "config: null array element — drop it or use an empty string")
+        Yaml.YSeq(elems.map(conv))
+      }
       else Yaml.YStr(n.asText())
     val mapper = new ObjectMapper()
     // match the YAML parser's duplicate-key rejection — Jackson otherwise

@@ -38,21 +38,34 @@ object StreamOps {
     * state eviction — the requirement that makes an unbounded join runnable
     * at 100 TB (state = in-flight interval per key, not history).
     *
-    * Right-side columns come back prefixed `r_` (including its `ts`); the
-    * right key column is dropped after the equi-match. Works unchanged on
-    * batch frames (watermarks skipped) so the gate can oracle-check the
-    * exact join semantics the stream runs — same column contract both ways.
+    * Right-side columns come back prefixed `r_` (including its event-time
+    * column); the right key column is dropped after the equi-match. Works
+    * unchanged on batch frames (watermarks skipped) so the gate can
+    * oracle-check the exact join semantics the stream runs — same column
+    * contract both ways.
+    *
+    * @param tsCol each side's event-time column (left uses it as-is; the
+    *   right side's is read as `r_tsCol` after prefixing). Validated up
+    *   front: watermarking or joining on a wrong-but-present column would
+    *   silently bound state on unrelated times.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   within: String, watermarkDelay: String = "10 minutes"): DataFrame = {
-    def wm(df: DataFrame, tsCol: String) =
-      if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay) else df
-    val r = wm(right.toDF(right.columns.map(c => s"r_$c"): _*), "r_ts")
-    wm(left, "ts")
+                   within: String, watermarkDelay: String = "10 minutes",
+                   tsCol: String = "ts"): DataFrame = {
+    require(left.columns.contains(tsCol),
+      s"intervalJoin: left side has no event-time column '$tsCol' " +
+        s"(columns: ${left.columns.mkString(", ")})")
+    require(right.columns.contains(tsCol),
+      s"intervalJoin: right side has no event-time column '$tsCol' " +
+        s"(columns: ${right.columns.mkString(", ")})")
+    def wm(df: DataFrame, c: String) =
+      if (df.isStreaming) df.withWatermark(c, watermarkDelay) else df
+    val r = wm(right.toDF(right.columns.map(c => s"r_$c"): _*), s"r_$tsCol")
+    wm(left, tsCol)
       .join(r,
         col(key) === col(s"r_$key") &&
-        col("r_ts") >= col("ts") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $within"))
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $within"))
       .drop(s"r_$key")
   }
 

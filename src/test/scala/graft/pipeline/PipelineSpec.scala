@@ -173,6 +173,24 @@ class PipelineSpec extends SparkSpec {
     assert(fromJson.config.str("project_id").contains("some-project"))
   }
 
+  test("JSON null reads as an absent key, matching YAML omission") {
+    val dir = Files.createTempDirectory("graft-null-cfg")
+    val jf = dir.resolve("ads_config.json")
+    // scd_type/max_bad_records null must behave like keys never written,
+    // not become "" and die later as a bare NumberFormatException
+    Files.writeString(jf,
+      """{"tables": {"dim_x": {"type": "dimension", "scd_type": null,
+        |                      "max_bad_records": null,
+        |                      "source_table": "generated"}}}""".stripMargin)
+    val entry = DomainConfigFile.load(jf).tableConfig("dim_x")
+    assert(entry.scdType.isEmpty && entry.maxBadRecords == 0)
+    val bad = dir.resolve("bad_config.json")
+    Files.writeString(bad,
+      """{"tables": {"f": {"type": "datamart", "dependencies": ["a", null]}}}""")
+    val e = intercept[IllegalArgumentException](DomainConfigFile.load(bad))
+    assert(e.getMessage.contains("null array element"))
+  }
+
   test("duplicate config keys are rejected identically in YAML and JSON") {
     intercept[IllegalArgumentException](
       Yaml.parse("tables:\n  a:\n    type: \"datamart\"\n  a:\n    type: \"fact\"\n"))

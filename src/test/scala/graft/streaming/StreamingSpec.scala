@@ -86,6 +86,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: custom event-time column name; missing column fails up front") {
+    // batch frames exercise the same join shape (watermarks skipped)
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "occurred_at")
+    val r = Seq((1L, ts("2024-01-01 10:10:00"))).toDF("user_id", "occurred_at")
+    val joined = StreamOps.intervalJoin(l, r, "user_id", "30 minutes",
+      tsCol = "occurred_at")
+    assert(joined.columns.toSeq == Seq("user_id", "occurred_at", "r_occurred_at"))
+    assert(joined.count() == 1)
+    val e = intercept[IllegalArgumentException](
+      StreamOps.intervalJoin(l, r, "user_id", "30 minutes")) // default 'ts' absent
+    assert(e.getMessage.contains("no event-time column 'ts'"))
+  }
+
   test("streaming sessionize == batch sessionize on the full sf0.001 events table") {
     implicit val sq = spark.sqlContext
     import graft.queries.StarQueries
