@@ -102,6 +102,88 @@ object TextAnalysis {
           "\\s+", " ")))
   }
 
+  /** Repetition / document-shape signals from the public Gopher (Rae et
+    * al. 2021, Appendix A) and C4 curation rules, each a linear map-side
+    * expression (no per-doc quadratic n-gram scans, no shuffles):
+    * duplicate-line and duplicate-word fractions, symbol-to-word ratio
+    * (# and ellipses), bullet-/ellipsis-line fractions, alphabetic-word
+    * fraction, distinct-stopword hits — plus a composite `gopher_keep`
+    * verdict with thresholds adapted to short web documents. All ratios
+    * divide exact integer counts (cross-engine deterministic). */
+  def gopherSignals(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val lw = transform(ws, w => lower(w))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def nz(c: Column): Column = when(c =!= 0, c)
+    val nWords = size(ws)
+    val nLines = size(lines)
+    val symbolCount =
+      (length(t) - length(regexp_replace(t, "#", ""))) +
+      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val stopHits = size(filter(
+      array(markers("en").map(lit(_)): _*), m => array_contains(lw, m)))
+    val out = docs
+      .withColumn("n_words", nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("mean_word_len",
+        aggregate(ws, lit(0), (a, w) => a + length(w)).cast("double") / nz(nWords))
+      .withColumn("dup_word_frac",
+        lit(1.0) - size(array_distinct(lw)).cast("double") / nz(nWords))
+      .withColumn("dup_line_frac",
+        lit(1.0) - size(array_distinct(lines)).cast("double") / nz(nLines))
+      .withColumn("symbol_word_ratio", symbolCount.cast("double") / nz(nWords))
+      .withColumn("bullet_line_frac",
+        size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
+          .cast("double") / nz(nLines))
+      .withColumn("ellipsis_line_frac",
+        size(filter(lines, l => l.endsWith("..."))).cast("double") / nz(nLines))
+      .withColumn("alpha_word_frac",
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nz(nWords))
+      .withColumn("n_stop_hits", stopHits)
+    out.withColumn("gopher_keep",
+      col("n_words") >= 5 &&
+      col("mean_word_len").between(2.0, 12.0) &&
+      col("symbol_word_ratio") <= 0.1 &&
+      col("dup_word_frac") <= 0.5 &&
+      coalesce(col("dup_line_frac") <= 0.3, lit(true)) &&
+      coalesce(col("bullet_line_frac") <= 0.9, lit(true)) &&
+      coalesce(col("ellipsis_line_frac") <= 0.3, lit(true)) &&
+      col("alpha_word_frac") >= 0.7 &&
+      col("n_stop_hits") >= 2)
+  }
+
+  /** PII redaction for training corpora: emails, URLs, IPv4 addresses,
+    * phone-shaped numbers, and long id-like digit runs are counted and
+    * replaced with typed placeholder tags, in a fixed order on the
+    * progressively redacted text (so a phone never re-matches as an id
+    * run). Regexes stay in the Java∩RE2 common dialect; counts are exact
+    * ints. Pure map-side — linear at 100 TB. */
+  def piiRedact(docs: DataFrame, textCol: String): DataFrame = {
+    val urlRe = "https?://[^\\s]+"
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phoneRe = "\\+?[0-9]{0,2}[- ]?\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}"
+    val idRe = "\\b[0-9]{13,19}\\b"
+    val t = col(textCol)
+    val afterUrl = regexp_replace(regexp_replace(t, urlRe, "<URL>"),
+      emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterUrl, ipRe, "<IP>")
+    val afterPhone = regexp_replace(afterIp, phoneRe, "<PHONE>")
+    docs
+      .withColumn("n_urls", size(regexp_extract_all(t, lit(urlRe), lit(0))))
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(afterUrl, lit(ipRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))))
+      .withColumn("n_idnums",
+        size(regexp_extract_all(afterPhone, lit(idRe), lit(0))))
+      .withColumn("redacted_text",
+        trim(regexp_replace(regexp_replace(afterPhone, idRe, "<NUM>"),
+          "\\s+", " ")))
+  }
+
   /** Per-source corpus statistics: the summary a pipeline reports after
     * ingest (doc counts, length distribution, language spread). */
   def corpusStats(docs: DataFrame, sourceCol: String, textCol: String,

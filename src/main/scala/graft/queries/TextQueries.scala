@@ -81,6 +81,32 @@ object TextQueries {
         minQuality = 0.5, lang = Some("en"), jaccardThreshold = 0.5)
       .orderBy("doc_id")
 
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherSignals(docs(s, dir), "text")
+      .select("doc_id", "n_words", "n_lines", "mean_word_len",
+        "dup_word_frac", "dup_line_frac", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_stop_hits", "gopher_keep")
+      .orderBy("doc_id")
+
+  /** PII redaction exercised on REAL redactable content: the corpus text
+    * is augmented with deterministic doc_id-derived fake PII (email, phone,
+    * IP, 16-digit account) that the oracle reproduces in SQL — so the gate
+    * checks every redaction class actually fires, not just counts of
+    * zero. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = docs(s, dir).withColumn("aug_text",
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id"), lit("@mail.example or +1 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 acct "),
+        lpad((col("doc_id") % 100000).cast("string"), 16, "9")))
+    TextAnalysis.piiRedact(aug, "aug_text")
+      .select("doc_id", "n_urls", "n_emails", "n_ips", "n_phones",
+        "n_idnums", "redacted_text")
+      .orderBy("doc_id")
+  }
+
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(
         docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -101,6 +127,8 @@ object TextQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "corpus_curate" -> (corpusCurate _),
+    "gopher_quality" -> (gopherQuality _),
+    "pii_redact" -> (piiRedact _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 
@@ -401,6 +429,83 @@ object TextQueries {
         |       WHEN upper(hex(CAST(substr(text, 1, 4) AS BLOB))) = '89504E47' THEN 'png'
         |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
         |       ELSE 'unknown' END AS sniffed_kind
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "gopher_quality" ->
+      s"""WITH $wordsSql,
+         | d AS (SELECT doc_id, text, ws,
+         |         [lower(x) for x in ws] AS lw,
+         |         list_filter([trim(x) for x in string_split(text, chr(10))],
+         |                     x -> length(x) > 0) AS lines
+         |       FROM w),
+         | sig AS (SELECT doc_id,
+         |   CAST(len(ws) AS INT) AS n_words,
+         |   CAST(len(lines) AS INT) AS n_lines,
+         |   CASE WHEN len(ws) = 0 THEN NULL ELSE
+         |     CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws) END
+         |     AS mean_word_len,
+         |   CASE WHEN len(ws) = 0 THEN NULL ELSE
+         |     1.0 - CAST(len(list_distinct(lw)) AS DOUBLE) / len(ws) END
+         |     AS dup_word_frac,
+         |   CASE WHEN len(lines) = 0 THEN NULL ELSE
+         |     1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END
+         |     AS dup_line_frac,
+         |   CASE WHEN len(ws) = 0 THEN NULL ELSE
+         |     CAST(length(text) - length(replace(text, '#', ''))
+         |          + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |       / len(ws) END AS symbol_word_ratio,
+         |   CASE WHEN len(lines) = 0 THEN NULL ELSE
+         |     CAST(len(list_filter(lines, x -> substr(x, 1, 1) IN ('-', '*', '•')))
+         |          AS DOUBLE) / len(lines) END AS bullet_line_frac,
+         |   CASE WHEN len(lines) = 0 THEN NULL ELSE
+         |     CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+         |       / len(lines) END AS ellipsis_line_frac,
+         |   CASE WHEN len(ws) = 0 THEN NULL ELSE
+         |     CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+         |          AS DOUBLE) / len(ws) END AS alpha_word_frac,
+         |   CAST(len(list_filter(['the', 'and', 'of', 'to', 'a', 'in', 'is', 'it'],
+         |                        m -> list_contains(lw, m))) AS INT) AS n_stop_hits
+         |  FROM d)
+         |SELECT sig.*,
+         |  (n_words >= 5 AND mean_word_len BETWEEN 2.0 AND 12.0
+         |   AND symbol_word_ratio <= 0.1 AND dup_word_frac <= 0.5
+         |   AND coalesce(dup_line_frac <= 0.3, true)
+         |   AND coalesce(bullet_line_frac <= 0.9, true)
+         |   AND coalesce(ellipsis_line_frac <= 0.3, true)
+         |   AND alpha_word_frac >= 0.7 AND n_stop_hits >= 2) AS gopher_keep
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example or +1 555-123-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 acct '
+        |      || lpad(CAST(doc_id % 100000 AS VARCHAR), 16, '9') AS t
+        |  FROM documents),
+        | s1 AS (SELECT doc_id, t,
+        |   regexp_replace(regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS a1 FROM aug),
+        | s2 AS (SELECT *, regexp_replace(a1,
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS a2
+        |   FROM s1),
+        | s3 AS (SELECT *, regexp_replace(a2,
+        |   '\+?[0-9]{0,2}[- ]?\(?[0-9]{3}\)?[- ][0-9]{3}[- ][0-9]{4}',
+        |   '<PHONE>', 'g') AS a3 FROM s2)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+        |       AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a1,
+        |       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |       AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(a2,
+        |       '\+?[0-9]{0,2}[- ]?\(?[0-9]{3}\)?[- ][0-9]{3}[- ][0-9]{4}'))
+        |       AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(a3, '\b[0-9]{13,19}\b')) AS INT) AS n_idnums,
+        |  trim(regexp_replace(regexp_replace(a3, '\b[0-9]{13,19}\b', '<NUM>', 'g'),
+        |       '\s+', ' ', 'g')) AS redacted_text
+        |FROM s3 ORDER BY doc_id""".stripMargin
   )
 }

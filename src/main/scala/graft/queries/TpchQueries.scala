@@ -190,7 +190,151 @@ object TpchQueries {
           .as("low_line_count"))
       .orderBy("ship_month")
 
+  /** Q13: customer order-count distribution — left join preserving
+    * zero-order customers, then a histogram of counts. Two shuffles
+    * (custkey, then count) — both on shrinking data. */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q15: top supplier — quarter revenue per supplier, keep the max via a
+    * broadcast one-row join (no global sort, no second scan of lineitem). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+             to_date(col("l_shipdate")) < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    rev.join(broadcast(rev.agg(max(col("total_revenue")).as("m"))),
+        col("total_revenue") === col("m"))
+      .drop("m")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17: small-quantity-order revenue — the correlated per-part AVG
+    * subquery becomes a partial aggregate joined back on partkey (computed
+    * only over the brand's parts, which the outer filter restricts to
+    * anyway). l_quantity is integral so the 0.2*avg threshold is exact IEEE
+    * on both engines. Adapted: p_size <= 5 stands in for the container
+    * filter (no p_container column). */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(
+      t(s, dir, "part").where(col("p_brand") === "Brand#3" && col("p_size") <= 5)
+        .select(col("p_partkey")))
+    val li = t(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("p_partkey").as("t_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
+    li.join(broadcast(perPart), col("p_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < col("qty_threshold"))
+      .agg((round(sum(col("l_extendedprice")), 4) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q18: large-volume customers — HAVING on an order-grain rollup, then
+    * enrich with customer/order detail. The rollup shrinks lineitem to
+    * qualifying orderkeys BEFORE the joins. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 150)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q19: discounted revenue — three disjunctive brand/size/quantity
+    * branches. The OR of ANDs stays a single scan+broadcast-join; the
+    * shared l_quantity bounds push to the parquet scan. Adapted: p_size
+    * ranges stand in for the container lists. */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+
+  /** Q21: suppliers who kept orders waiting — adapted to the reduced
+    * schema: within finished ('F') orders, count per supplier the returned
+    * lineitems where ANOTHER supplier also shipped on the order (EXISTS →
+    * left-semi) but NO OTHER supplier returned (NOT EXISTS → left-anti).
+    * Both probes are equi-joins on orderkey, candidate-only. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      col("l_returnflag"))
+    val failed = li.where(col("l_returnflag") === "R")
+    val others = li.select(col("l_orderkey").as("o2_ok"), col("l_suppkey").as("o2_sk"))
+    val othersReturned = failed.select(col("l_orderkey").as("o3_ok"),
+      col("l_suppkey").as("o3_sk"))
+    failed
+      .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(others, col("l_orderkey") === col("o2_ok") &&
+        col("l_suppkey") =!= col("o2_sk"), "left_semi")
+      .join(othersReturned, col("l_orderkey") === col("o3_ok") &&
+        col("l_suppkey") =!= col("o3_sk"), "left_anti")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Q22: global sales opportunity — rich-but-inactive customers per
+    * nation. The positive-balance average rides as a broadcast one-row
+    * join; cents-exact integer sums make the threshold engine-portable
+    * (c_acctbal is 2dp, so round(bal*100) sums exactly). The no-orders
+    * probe is a left-anti join. Adapted: c_nationkey stands in for the
+    * phone country code, and "inactive" means no order since 2000-01-01
+    * (every customer in this corpus has SOME order, so the literal
+    * no-orders-ever predicate selects nothing). */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(1, 3, 5, 7, 9, 11, 13)
+    val cust = t(s, dir, "customer").where(col("c_nationkey").isin(keys: _*))
+    val avgCents = cust.where(col("c_acctbal") > 0.0)
+      .agg((sum(round(col("c_acctbal") * 100, 0).cast("long")) /
+            count(lit(1))).as("avg_cents"))
+    cust
+      .join(broadcast(avgCents),
+        round(col("c_acctbal") * 100, 0).cast("long") > col("avg_cents"))
+      .join(t(s, dir, "orders")
+          .where(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 4).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q13" -> (q13 _),
+    "tpch_q15" -> (q15 _),
+    "tpch_q17" -> (q17 _),
+    "tpch_q18" -> (q18 _),
+    "tpch_q19" -> (q19 _),
+    "tpch_q21" -> (q21 _),
+    "tpch_q22" -> (q22 _),
     "tpch_q1" -> (q1 _),
     "tpch_q3" -> (q3 _),
     "tpch_q4" -> (q4 _),
@@ -204,6 +348,89 @@ object TpchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "tpch_q17" ->
+      """WITH pr AS (SELECT p_partkey FROM part
+        |            WHERE p_brand = 'Brand#3' AND p_size <= 5),
+        | li AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |        FROM lineitem l JOIN pr ON l.l_partkey = pr.p_partkey),
+        | th AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+        |        FROM li GROUP BY 1)
+        |SELECT round(sum(li.l_extendedprice), 4) / 7.0 AS avg_yearly
+        |FROM li JOIN th ON li.l_partkey = th.l_partkey
+        |WHERE li.l_quantity < th.qty_threshold""".stripMargin,
+
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS order_date,
+        |       o.o_totalprice, b.total_qty
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q21" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "tpch_q22" ->
+      """WITH cust AS (SELECT * FROM customer
+        |              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        | a AS (SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 1.0
+        |              / count(*) AS avg_cents
+        |       FROM cust WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       round(sum(c_acctbal), 4) AS totacctbal
+        |FROM cust, a
+        |WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > a.avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cust.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY cntrycode""".stripMargin,
+
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

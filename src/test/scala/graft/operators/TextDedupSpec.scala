@@ -170,4 +170,45 @@ class TextDedupSpec extends SparkSpec {
       .orderBy("doc_id").select("doc_id", "fp", "mh0").collect()
     assert(fp(0).getAs[String]("fp") == fp(1).getAs[String]("fp"))
   }
+
+  test("gopherSignals: repetition and shape filters discriminate") {
+    val d = Seq(
+      // clean English prose: keep
+      (1L, "the cat sat on the mat and it is a good day in the sun"),
+      // same line over and over: dup_line_frac kills it
+      (2L, Seq.fill(10)("the cat is in the hat today").mkString("\n")),
+      // same word over and over: dup_word_frac kills it
+      (3L, ("the " * 40).trim),
+      // symbol soup: symbol_word_ratio kills it
+      (4L, "the # is ## a ### in ... it ... and ... of ... to #"),
+      // numeric table: alpha_word_frac kills it
+      (5L, "the 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 is"),
+      // no stopwords: n_stop_hits kills it
+      (6L, "quantum flux resonator calibrates phased emitter arrays nicely"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherSignals(d, "text")
+      .select("doc_id", "gopher_keep").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false))
+    val sig = TextAnalysis.gopherSignals(d, "text").where($"doc_id" === 2L)
+      .select("dup_line_frac").as[Double].head()
+    assert(sig == 0.9) // 10 identical lines -> 1 distinct
+  }
+
+  test("piiRedact: every class redacts and counts, in order") {
+    val d = Seq((1L,
+      "mail bob@x.io visit https://x.io/a?b=1 call +1 555-123-4567 " +
+        "from 192.168.0.1 card 4111111111111111 end")).toDF("doc_id", "text")
+    val row = TextAnalysis.piiRedact(d, "text").head()
+    assert(row.getAs[Int]("n_emails") == 1 && row.getAs[Int]("n_urls") == 1 &&
+      row.getAs[Int]("n_ips") == 1 && row.getAs[Int]("n_phones") == 1 &&
+      row.getAs[Int]("n_idnums") == 1)
+    assert(row.getAs[String]("redacted_text") ==
+      "mail <EMAIL> visit <URL> call <PHONE> from <IP> card <NUM> end")
+    // clean text passes through untouched
+    val clean = TextAnalysis.piiRedact(
+      Seq((2L, "no sensitive content here")).toDF("doc_id", "text"), "text").head()
+    assert(clean.getAs[String]("redacted_text") == "no sensitive content here")
+    assert(clean.getAs[Int]("n_phones") == 0 && clean.getAs[Int]("n_idnums") == 0)
+  }
 }
