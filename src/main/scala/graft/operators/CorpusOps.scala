@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-level training-data operations beyond per-document scoring:
+  * benchmark decontamination, deterministic stratified sampling, and
+  * token-budget shard packing — the steps between "curated documents" and
+  * "training mixture on disk".
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: find training documents sharing at least
+    * `minOverlap` distinct word n-grams with any document of an evaluation
+    * set (the published practice for decontaminating pretraining corpora
+    * against test sets — n-gram collision, not fuzzy similarity, so a
+    * verbatim leaked passage cannot hide behind paraphrase-level scores).
+    *
+    * Scale shape: both sides explode to distinct n-grams and meet in ONE
+    * equi-join keyed by the n-gram — never doc×eval pairs. The join input
+    * is |corpus n-grams| + |eval n-grams| rows; the eval side is tiny by
+    * definition (benchmarks, not corpora), so at 100 TB Spark broadcasts
+    * it and the corpus side never shuffles at all. Common n-grams cannot
+    * skew the join beyond eval-side multiplicity, and raising `n` makes
+    * collisions rarer, not hotter.
+    *
+    * @return one row per contaminated (doc, eval doc) pair with the shared
+    *         count and the fraction of the doc's n-grams that leaked.
+    */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, evalIdCol: String, evalTextCol: String,
+                    n: Int = 5, minOverlap: Int = 2): DataFrame = {
+    require(n >= 2, s"n=$n: decontamination n-grams need n >= 2")
+    require(minOverlap >= 1, s"minOverlap=$minOverlap must be >= 1")
+    // Grams via index explode: the generator's child is a cheap int
+    // sequence and each gram is assembled once per OUTPUT row from the
+    // materialized words array. Exploding a higher-order-function-built
+    // shingle array instead measures ~7x slower here — HOF expressions
+    // under Generate fall out of codegen and get re-evaluated wholesale —
+    // so the corpus side deliberately emits non-distinct grams and the
+    // aggregate counts distinct, rather than paying array_distinct inside
+    // a generator child.
+    def grams(df: DataFrame, id: Column, text: Column, idName: String) =
+      df.select(id.as(idName), normWords(text).as("_ws"))
+        .withColumn("n_grams", size(shingles(col("_ws"), n)))
+        .select(col(idName), col("n_grams"), col("_ws"),
+          explode(sequence(lit(1), greatest(size(col("_ws")) - (n - 1), lit(0))))
+            .as("_i"))
+        .select(col(idName), col("n_grams"),
+          concat_ws(" ", slice(col("_ws"), col("_i"), lit(n))).as("gram"))
+    val corpusGrams = grams(corpus, col(idCol), col(textCol), "doc_id_")
+    val evalGrams = grams(eval, col(evalIdCol), col(evalTextCol), "eval_id_")
+      .select(col("eval_id_"), col("gram")).distinct()
+    corpusGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id_").as(idCol), col("eval_id_").as("eval_id"),
+        col("n_grams"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+      .select(col(idCol), col("eval_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
+  /** Deterministic stratified sampling: keep each row iff the first 8 hex
+    * chars of md5(salt|id) fall below the per-stratum rate threshold.
+    * Sampling by content hash (not `rand()`) means the sample is
+    * reproducible across runs, engines, and partitionings — the property a
+    * training mixture needs for auditability — and changing one stratum's
+    * rate never reshuffles another's sample. Pure map-side filter: at
+    * 100 TB it rides the scan, no shuffle, and the parquet reader prunes
+    * whole strata whose rate is 0 only if the caller also filters — rates
+    * here gate rows, not files.
+    *
+    * Threshold compare is STRING order on fixed-width lowercase hex ==
+    * unsigned numeric order, portable to any engine with md5.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       salt: String = "sample"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"sampling rate $r outside [0,1]"))
+    def hexThreshold(rate: Double): String =
+      f"${math.min((rate * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
+    val bucket = substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
+    val threshold = rates.foldRight(lit(hexThreshold(defaultRate)): Column) {
+      case ((stratum, rate), alt) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(alt)
+    }
+    df.withColumn("sample_bucket", bucket).where(col("sample_bucket") < threshold)
+  }
+
+  /** Token-budget shard packing: assign documents to training shards of
+    * ~`budgetTokens` whitespace tokens each. A document lands in the shard
+    * where its running token offset starts — shard
+    * floor(tokens_before_it / budget) — so every shard holds at least the
+    * budget's worth of starts and overflows by at most one document
+    * (strict capping would be a sequential scan; offset sharding is the
+    * standard distributed approximation, and deterministic in `idCol`
+    * order).
+    *
+    * Scale: the running sum is windowed PER STRATUM (`strataCol`), so
+    * window width is one stratum, not the corpus; shard ids are
+    * (stratum, local shard). A single giant stratum should be pre-split
+    * by a hash prefix before packing — the operator requires a stratum
+    * column rather than silently running one global window, because an
+    * unpartitioned window is the classic 100 TB funnel.
+    */
+  def packShards(df: DataFrame, idCol: String, textCol: String,
+                 strataCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(words(col(textCol))).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("_cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      .drop("_cum")
+  }
+}

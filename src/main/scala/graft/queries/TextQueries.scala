@@ -107,6 +107,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Decontamination against an "eval set" carved deterministically out of
+    * the corpus (every 50th doc): planted near-dups guarantee non-trivial
+    * cross-doc overlap; self-pairs are excluded. n=3 (not the 8-13 grams
+    * of production decontamination) because the synthetic docs are short —
+    * the machinery under test is identical. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusOps.decontaminate(d, d.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2)
+      .where(col("doc_id") =!= col("eval_id"))
+      .orderBy("doc_id", "eval_id")
+  }
+
+  def corpusSample(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedSample(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.0), defaultRate = 0.25)
+      .select("doc_id", "source", "sample_bucket")
+      .orderBy("doc_id")
+
+  def packShards(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.packShards(docs(s, dir), "doc_id", "text", "source",
+        budgetTokens = 2000)
+      .select("doc_id", "source", "n_tokens", "shard_id")
+      .orderBy("doc_id")
+
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(
         docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -129,6 +154,9 @@ object TextQueries {
     "corpus_curate" -> (corpusCurate _),
     "gopher_quality" -> (gopherQuality _),
     "pii_redact" -> (piiRedact _),
+    "decontaminate" -> (decontaminate _),
+    "corpus_sample" -> (corpusSample _),
+    "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _)
   )
 
@@ -506,6 +534,47 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(a3, '\b[0-9]{13,19}\b')) AS INT) AS n_idnums,
         |  trim(regexp_replace(regexp_replace(a3, '\b[0-9]{13,19}\b', '<NUM>', 'g'),
         |       '\s+', ' ', 'g')) AS redacted_text
-        |FROM s3 ORDER BY doc_id""".stripMargin
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | g AS (SELECT doc_id,
+         |   list_distinct([array_to_string(ws[x:x+2], ' ')
+         |                  for x in generate_series(1, len(ws)-2)]) AS sh
+         |   FROM nw WHERE len(ws) >= 3),
+         | cg AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM g),
+         | eg AS (SELECT doc_id AS eval_id, unnest(sh) AS gram FROM g
+         |        WHERE doc_id % 50 = 0)
+         |SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared,
+         |  CAST(count(*) AS DOUBLE) / cg.n_grams AS overlap_frac
+         |FROM cg JOIN eg ON cg.gram = eg.gram
+         |WHERE cg.doc_id <> eg.eval_id
+         |GROUP BY cg.doc_id, eg.eval_id, cg.n_grams
+         |HAVING count(*) >= 2
+         |ORDER BY doc_id, eval_id""".stripMargin,
+
+    "corpus_sample" ->
+      """SELECT doc_id, source, bucket AS sample_bucket FROM (
+        |  SELECT doc_id, source,
+        |    substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket,
+        |    CASE source WHEN 'src0' THEN 'cccccccc'
+        |                WHEN 'src1' THEN '80000000'
+        |                WHEN 'src2' THEN '00000000'
+        |                ELSE '40000000' END AS threshold
+        |  FROM documents)
+        |WHERE bucket < threshold ORDER BY doc_id""".stripMargin,
+
+    "pack_shards" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_id
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |            AS n_tokens
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin
   )
 }

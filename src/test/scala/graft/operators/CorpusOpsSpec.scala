@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags verbatim n-gram leaks, not shared vocabulary") {
+    val corpus = Seq(
+      (1L, "the secret benchmark answer is forty two exactly"), // leaked verbatim run
+      (2L, "benchmark the answer forty secret is two words"),   // same words, shuffled
+      (3L, "completely unrelated text about gardens and rain")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "we note the secret benchmark answer is forty two exactly here")
+    ).toDF("eval_id", "etext")
+    val hits = CorpusOps.decontaminate(corpus, eval, "doc_id", "text",
+        "eval_id", "etext", n = 4, minOverlap = 2)
+      .select("doc_id", "eval_id", "n_shared").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc 1 shares the 4-gram run; docs 2/3 share no 4-gram at all
+    assert(hits.map(h => (h._1, h._2)) == Seq((1L, 100L)))
+    assert(hits.head._3 >= 2)
+    val frac = CorpusOps.decontaminate(corpus, eval, "doc_id", "text",
+        "eval_id", "etext", n = 4, minOverlap = 2)
+      .select("overlap_frac").as[Double].head()
+    assert(frac == 1.0) // every 4-gram of doc 1 appears in the eval doc
+  }
+
+  test("decontaminate never builds doc × eval pairs — the join is on the gram") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val plan = CorpusOps.decontaminate(corpus, eval, "doc_id", "text",
+        "doc_id", "text", n = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decontaminate must stay an equi-join:\n$plan")
+  }
+
+  test("stratifiedSample: deterministic, rate-proportional, stratum-independent") {
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val rates = Map("src0" -> 0.8, "src1" -> 0.25, "src2" -> 0.0)
+    def run() = CorpusOps.stratifiedSample(df, "id", "src", rates, defaultRate = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val counts = run()
+    assert(counts == run()) // reproducible, not rand()
+    assert(!counts.contains("src2")) // rate 0 keeps nothing
+    assert(math.abs(counts("src0") - 800.0) < 80, s"src0: ${counts("src0")}")
+    assert(math.abs(counts("src1") - 250.0) < 80, s"src1: ${counts("src1")}")
+    assert(math.abs(counts("src3") - 500.0) < 80, s"src3 default: ${counts("src3")}")
+    // changing one stratum's rate must not change another stratum's sample
+    val kept1 = CorpusOps.stratifiedSample(df, "id", "src", rates, 0.5)
+      .where($"src" === "src1").select("id").as[Long].collect().toSet
+    val kept1b = CorpusOps.stratifiedSample(df, "id", "src",
+        rates.updated("src0", 0.1), 0.5)
+      .where($"src" === "src1").select("id").as[Long].collect().toSet
+    assert(kept1 == kept1b)
+  }
+
+  test("packShards: offset sharding fills to budget, overflow bounded by one doc") {
+    val docs = (1L to 30L).map(i => (i, Seq.fill(100)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val shards = CorpusOps.packShards(docs, "doc_id", "text", "source", 250)
+      .select("doc_id", "n_tokens", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(shards.forall(_._2 == 100))
+    // offsets 0,100,200 -> shard 0; 300,400 -> shard 1 ...
+    assert(shards.take(5).map(_._3).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    // every shard's token total is in [budget - maxDoc + 1, budget + maxDoc)
+    val perShard = shards.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    perShard.toSeq.sortBy(_._1).init.foreach { case (sid, tot) =>
+      assert(tot > 250 - 100 && tot < 250 + 100, s"shard $sid holds $tot tokens")
+    }
+    // shards restart per stratum
+    val two = CorpusOps.packShards(
+        Seq((1L, "a b c", "x"), (2L, "d e f", "y")).toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", 2)
+      .select("source", "shard_id").as[(String, Long)].collect().toMap
+    assert(two == Map("x" -> 0L, "y" -> 0L))
+  }
+}
