@@ -85,6 +85,38 @@ class ScaleShapeSpec extends SparkSpec {
     scanOf("tpch_q14", "GreaterThanOrEqual(l_shipdate,1996-03-01T00:00)")
   }
 
+  test("AQE splits a skewed join at runtime (the no-manual-salting path)") {
+    // One key holds ~100x the rows of any other. With thresholds tuned to
+    // this toy size, AQE's OptimizeSkewedJoin must split the hot partition
+    // — the runtime answer to skew when salting isn't baked into the
+    // query. (q_salted_agg covers the explicit-salting alternative.)
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val skewed = spark.range(0, 60000)
+        .select(when($"id" < 50000, 0L).otherwise($"id" % 97).as("k"),
+          concat(lit("payload-padding-for-bytes-"), $"id").as("v"))
+      val other = spark.range(0, 97).select($"id".as("k"), lit("dim").as("d"))
+      val joined = skewed.join(other, "k")
+      // collect() executes THIS queryExecution, so its adaptive plan is the
+      // final one (a count() would build a separate execution)
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approximate sketches stay within error bounds of exact") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     val approx = li.groupBy("l_returnflag").agg(
