@@ -7,6 +7,71 @@ import graft.SparkSpec
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  private val rnd = new scala.util.Random(11)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("decontaminate == plain-Scala n-gram set intersection (random corpora)") {
+    // small vocabulary forces real collisions
+    def randDoc(): String =
+      List.fill(5 + rnd.nextInt(20))(s"w${rnd.nextInt(12)}").mkString(" ")
+    for (_ <- 1 to 10) {
+      val corpus = (1L to 8L).map(i => (i, randDoc()))
+      val eval = (101L to 103L).map(i => (i, randDoc()))
+      def gramsOf(t: String) = t.split(" ").toList.sliding(3)
+        .filter(_.size == 3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ci, ct) <- corpus; (ei, et) <- eval
+        shared = (gramsOf(ct) & gramsOf(et)).size if shared >= 2
+      } yield (ci, ei) -> ((shared.toLong, shared.toDouble / gramsOf(ct).size))).toMap
+      val got = CorpusOps.decontaminate(corpus.toDF("doc_id", "text"),
+          eval.toDF("eval_id", "etext"), "doc_id", "text", "eval_id", "etext",
+          n = 3, minOverlap = 2)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(got == expected, s"corpus: $corpus eval: $eval")
+    }
+  }
+
+  test("stratifiedSample membership == md5-threshold reference, row by row") {
+    val rates = Map("a" -> 0.3, "b" -> 0.85)
+    def hexT(rate: Double) = f"${(rate * (1L << 32)).toLong}%08x"
+    for (_ <- 1 to 10) {
+      val rows = List.fill(200)((rnd.nextLong().abs % 100000, if (rnd.nextBoolean()) "a" else "b"))
+        .distinct
+      val expected = rows.filter { case (id, s) =>
+        md5hex(s"sample|$id").take(8) < hexT(rates(s))
+      }.map(_._1).toSet
+      val got = CorpusOps.stratifiedSample(rows.toDF("id", "src"), "id", "src",
+          rates, defaultRate = 0.0)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected)
+    }
+  }
+
+  test("packShards shard ids == running-offset reference per stratum") {
+    for (_ <- 1 to 10) {
+      val rows = (1L to 50L).map { i =>
+        (i, List.fill(1 + rnd.nextInt(30))("t").mkString(" "), s"s${i % 3}")
+      }
+      val expected = rows.groupBy(_._3).flatMap { case (_, docs) =>
+        var cum = 0L
+        docs.sortBy(_._1).map { case (id, text, _) =>
+          val n = text.split(" ").length.toLong
+          val shard = (cum / 7)
+          cum += n
+          id -> shard
+        }
+      }
+      val got = CorpusOps.packShards(rows.toDF("doc_id", "text", "source"),
+          "doc_id", "text", "source", budgetTokens = 7)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("decontaminate flags verbatim n-gram leaks, not shared vocabulary") {
     val corpus = Seq(
       (1L, "the secret benchmark answer is forty two exactly"), // leaked verbatim run
