@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.CsvIngest.ColumnSpec
-import graft.sources.{CsvIngest, RawLayer}
+import graft.sources.{Ingest, RawLayer}
 
 /** Config-driven pipeline onboarding — the reference's
   * `config/sales_config.yaml` + the per-table loops in its DAG scripts, as a
@@ -14,11 +14,20 @@ import graft.sources.{CsvIngest, RawLayer}
   */
 object DomainConfig {
 
-  /** A raw table fed from date-partitioned CSV drops
-    * (`<inbox>/<table>/<date>/<table>_<date>.csv` — the reference's GCS
-    * layout, README "GCS File Structure"). */
+  /** A raw table fed from date-partitioned file drops
+    * (`<inbox>/<table>/<date>/<table>_<date>.<ext>` — the reference's GCS
+    * layout, README "GCS File Structure"). `sourceFormat` mirrors the
+    * loader's `source_format` (CSV / NEWLINE_DELIMITED_JSON / PARQUET) and
+    * picks the inbox extension. */
   final case class RawTable(name: String, schema: Seq[ColumnSpec],
-                            maxBadRecords: Int = 0)
+                            maxBadRecords: Int = 0,
+                            sourceFormat: String = "CSV") {
+    def extension: String = sourceFormat match {
+      case "NEWLINE_DELIMITED_JSON" => "json"
+      case "PARQUET" => "parquet"
+      case _ => "csv"
+    }
+  }
 
   /** A transform layer node: reads whatever it needs via the session,
     * writes one output table; deps name other nodes. */
@@ -42,8 +51,8 @@ object PipelineBuilder {
     val dsNodash = ds.replace("-", "")
     val ingest = domain.raw.map { rt =>
       Dag.Task(s"raw.${rt.name}")(() => {
-        val path = s"$inbox/${rt.name}/$dsNodash/${rt.name}_$dsNodash.csv"
-        CsvIngest.load(spark, path, rt.schema,
+        val path = s"$inbox/${rt.name}/$dsNodash/${rt.name}_$dsNodash.${rt.extension}"
+        Ingest.load(spark, path, rt.schema, sourceFormat = rt.sourceFormat,
             maxBadRecords = rt.maxBadRecords, ingestionDate = ds)
           .writeRaw(s"$warehouse/raw/${rt.name}")
         ()

@@ -30,7 +30,9 @@ object DomainConfigFile {
       scdType: Option[Int],
       primaryKey: Option[String],
       dependencies: Seq[String],
-      maxBadRecords: Int)
+      maxBadRecords: Int,
+      sourceType: Option[String] = None,
+      sourceFormat: Option[String] = None)
 
   final case class DomainFile(domain: String, tables: Seq[TableEntry],
                               config: Yaml.YMap) {
@@ -111,7 +113,9 @@ object DomainConfigFile {
       scdType = m.int("scd_type"),
       primaryKey = m.str("primary_key"),
       dependencies = m.seq("dependencies").collect { case Yaml.YStr(d) => d },
-      maxBadRecords = m.int("max_bad_records").getOrElse(0))
+      maxBadRecords = m.int("max_bad_records").getOrElse(0),
+      sourceType = m.map("source").flatMap(_.str("type")),
+      sourceFormat = m.map("source").flatMap(_.str("format")))
   }
 
   /** Reference dep strings (`raw.sales.customers`, `core.dim.dim_customers`,
@@ -155,8 +159,20 @@ object DomainConfigFile {
       if (t.kind == "raw" && t.schema.isEmpty) throw new IllegalArgumentException(
         s"table ${t.name}: raw table without a schema")
     }
+    // Per-table `source.format` wins; otherwise the corpus-level default
+    // `sources.<type>.file_format` (reference sales_config.yaml:16); CSV
+    // when neither speaks.
+    def formatOf(t: TableEntry): String =
+      t.sourceFormat
+        .orElse(for {
+          srcType <- t.sourceType
+          sources <- file.config.map("sources")
+          src <- sources.map(srcType)
+          fmt <- src.str("file_format")
+        } yield fmt)
+        .getOrElse("CSV")
     val raw = file.tables.filter(_.kind == "raw").map { t =>
-      DomainConfig.RawTable(t.name, t.schema, t.maxBadRecords)
+      DomainConfig.RawTable(t.name, t.schema, t.maxBadRecords, formatOf(t))
     }
     val transforms = file.tables.filter(_.kind != "raw").map { t =>
       val id = nodeId(t)

@@ -84,6 +84,54 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/raw/clicks").count() == 4)
   }
 
+  test("config source_format routes a raw table through the JSON-lines loader") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-fmt-cfg")
+    val yf = dir.resolve("logs_config.yaml")
+    // corpus default CSV; the events table overrides per-table
+    Files.writeString(yf,
+      """sources:
+        |  gcs:
+        |    bucket: "b"
+        |    file_format: "CSV"
+        |tables:
+        |  events:
+        |    source:
+        |      type: "gcs"
+        |      path: "logs/events/*.json"
+        |      format: "NEWLINE_DELIMITED_JSON"
+        |    schema:
+        |      - name: "event_id"
+        |        type: "STRING"
+        |      - name: "n"
+        |        type: "INTEGER"
+        |  clicks:
+        |    source:
+        |      type: "gcs"
+        |      path: "logs/clicks/*.csv"
+        |    schema:
+        |      - name: "click_id"
+        |        type: "STRING"
+        |""".stripMargin)
+    val domain = DomainConfigFile.toDomain(DomainConfigFile.load(yf), Map.empty)
+    assert(domain.raw.map(rt => rt.name -> rt.sourceFormat).toMap ==
+      Map("events" -> "NEWLINE_DELIMITED_JSON", "clicks" -> "CSV"))
+
+    // and the ingest task really parses JSON lines end-to-end
+    val inbox = Files.createTempDirectory("graft-json-inbox")
+    val wh = Files.createTempDirectory("graft-json-wh").toString
+    val d = inbox.resolve("events/20240301")
+    Files.createDirectories(d)
+    Files.write(d.resolve("events_20240301.json"),
+      "{\"event_id\": \"e1\", \"n\": 5}\n{\"event_id\": \"e2\", \"n\": 7}\n".getBytes)
+    val jsonOnly = domain.copy(raw = domain.raw.filter(_.name == "events"))
+    val report = Dag.run(PipelineBuilder.tasks(spark, jsonOnly, inbox.toString, wh, "2024-03-01"))
+    assert(report.succeeded, s"$report")
+    val landed = spark.read.parquet(s"$wh/raw/events")
+    assert(landed.count() == 2)
+    assert(landed.select("n").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
+  }
+
   val salesLikeYaml: String =
     """# Ads domain configuration
       |project_id: "some-project"
