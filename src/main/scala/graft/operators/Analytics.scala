@@ -65,6 +65,21 @@ object Analytics {
       .cube(col("year"), col("priority"))
       .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_orders"))
 
+  /** GROUPING SETS beyond cube/rollup: exactly the requested lattice
+    * points — ((year, priority), (year), ()) but NOT (priority) — in one
+    * shared-shuffle pass, with grouping_id disambiguating a NULL group key
+    * from an aggregated-away one. */
+  def ordersGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .select(year(col("o_orderdate")).as("year"),
+        col("o_orderpriority").as("priority"),
+        (round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+      .groupingSets(
+        Seq(Seq(col("year"), col("priority")), Seq(col("year")), Seq()),
+        col("year"), col("priority"))
+      .agg(sum(col("cents")).as("total_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+
   /** Period-over-period: monthly revenue with previous-month delta and
     * ratio via lag(), PARTITIONED by year (January's prev is null) — a
     * global-order lag would funnel everything through one task; per-year

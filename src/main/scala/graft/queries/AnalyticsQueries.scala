@@ -52,6 +52,10 @@ object AnalyticsQueries {
     Analytics.ordersCube(t(s, dir, "orders"))
       .orderBy(asc_nulls_first("year"), asc_nulls_first("priority"))
 
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Analytics.ordersGroupingSets(t(s, dir, "orders"))
+      .orderBy(col("gid"), asc_nulls_first("year"), asc_nulls_first("priority"))
+
   def monthlyDelta(s: SparkSession, dir: String): DataFrame =
     Analytics.monthlyDelta(t(s, dir, "orders"))
       .orderBy("month")
@@ -69,6 +73,7 @@ object AnalyticsQueries {
     "q_semi_anti" -> (semiAnti _),
     "q_sessionize" -> (sessionize _),
     "q_cube" -> (cube _),
+    "q_grouping_sets" -> (groupingSets _),
     "q_monthly_delta" -> (monthlyDelta _),
     "q_spend_quartiles" -> (spendQuartiles _)
   )
@@ -131,6 +136,18 @@ object AnalyticsQueries {
         |FROM orders
         |GROUP BY CUBE(1, 2)
         |ORDER BY year NULLS FIRST, priority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT year, priority,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(year, priority) AS BIGINT) AS gid
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |        o_orderpriority AS priority,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |GROUP BY GROUPING SETS ((year, priority), (year), ())
+        |ORDER BY gid, year NULLS FIRST, priority NULLS FIRST""".stripMargin,
 
     "q_monthly_delta" ->
       """WITH m AS (
