@@ -85,6 +85,44 @@ object Ivf {
       qIdCol, qVecCol, k, nProbe)
   }
 
+  /** Persist a built index to disk: the assigned corpus as parquet
+    * PARTITIONED BY cell plus the centroids alongside. A probe against the
+    * loaded index broadcast-joins the query cells, so dynamic partition
+    * pruning reads ONLY the probed cells' directories — at 100 TB a
+    * 20-query probe with nProbe=4 touches ≤80 of nCells partitions on
+    * disk, not the corpus. This is the cross-session/cross-job form of
+    * [[build]]'s in-memory persist. */
+  def save(index: Index, spark: org.apache.spark.sql.SparkSession,
+           path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    import scala.jdk.CollectionConverters._
+    val rows = index.centers.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }.toSeq.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ctr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  /** Load a [[save]]d index. The assigned relation stays disk-resident
+    * (no persist — partition pruning is the point); centroids are tiny and
+    * collected. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+           idCol: String): Index = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centers = spark.read.parquet(s"$path/centers")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("ctr")).toArray)
+    require(centers.nonEmpty, s"ivf load: no centroids at $path/centers")
+    Index(assigned, centers, idCol, centers.length)
+  }
+
   /** ANN top-k in one shot: train + assign + probe, nothing retained.
     *
     * NOTE: unlike the purely-declarative operators, BUILDING this plan

