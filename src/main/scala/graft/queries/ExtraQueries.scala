@@ -89,11 +89,24 @@ object ExtraQueries {
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
       .orderBy("l_returnflag")
 
+  /** Ordered view → click → purchase funnel over the events table. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(StarQueries.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+
+  /** Weekly cohort retention over the events table. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(StarQueries.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (saltedAgg _),
     "events_windowed" -> (eventsWindowed _),
     "events_attribution" -> (eventsAttribution _),
     "scd2_merge" -> (scd2Merge _),
+    "q_funnel" -> (funnel _),
+    "q_cohort" -> (cohortRetention _),
     "q_approx" -> (approxSketches _)
   )
 
@@ -146,6 +159,47 @@ object ExtraQueries {
         |SELECT *, md5(customer_id::VARCHAR || ':' || effective_date::VARCHAR) AS sk
         |FROM (SELECT * FROM unchanged UNION ALL SELECT * FROM expired
         |      UNION ALL SELECT * FROM fresh)
-        |ORDER BY customer_id, effective_date""".stripMargin
+        |ORDER BY customer_id, effective_date""".stripMargin,
+
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        | w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t0 FROM ev),
+        | w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+        |                            AND ts > t0 THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t1 FROM w0),
+        | w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+        |                            AND ts > t1 THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t2 FROM w1),
+        | pu AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |        FROM w2 GROUP BY 1),
+        | c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM pu)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n0 AS n_users,
+        |    CAST(n0 AS DOUBLE) / nullif(n0, 0) AS conv_from_prev,
+        |    CAST(n0 AS DOUBLE) / nullif(n0, 0) AS conv_from_top FROM c
+        |  UNION ALL SELECT 2, 'click', n1,
+        |    CAST(n1 AS DOUBLE) / nullif(n0, 0), CAST(n1 AS DOUBLE) / nullif(n0, 0) FROM c
+        |  UNION ALL SELECT 3, 'purchase', n2,
+        |    CAST(n2 AS DOUBLE) / nullif(n1, 0), CAST(n2 AS DOUBLE) / nullif(n0, 0) FROM c)
+        |ORDER BY step""".stripMargin,
+
+    "q_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | weekly AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS DATE) AS week FROM ev),
+        | wc AS (SELECT *, min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |        FROM weekly),
+        | sized AS (SELECT cohort_week,
+        |             CAST((week - cohort_week) / 7 AS INT) AS week_offset,
+        |             count(DISTINCT user_id) AS n_active
+        |           FROM wc GROUP BY 1, 2),
+        | cs AS (SELECT cohort_week AS cw, n_active AS cohort_size
+        |        FROM sized WHERE week_offset = 0)
+        |SELECT cohort_week, week_offset, n_active, cohort_size,
+        |  CAST(n_active AS DOUBLE) / cohort_size AS retention
+        |FROM sized JOIN cs ON cohort_week = cw
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

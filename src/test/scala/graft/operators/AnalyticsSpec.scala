@@ -77,4 +77,47 @@ class AnalyticsSpec extends SparkSpec {
       .select("n_events", "total_value").as[(Long, Double)].collect().toSeq
     assert(out == Seq((2L, 3.0), (1L, 3.0)))
   }
+
+  test("funnel: strictly sequential — out-of-order steps do not count") {
+    def ev(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val events = ev(
+      // user 1: full ordered funnel
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2: purchase BEFORE the click -> stops at click
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:01:00", "purchase"),
+      (2L, "2024-01-01 10:05:00", "click"),
+      // user 3: click only, never viewed -> counts nowhere
+      (3L, "2024-01-01 10:00:00", "click"))
+    val out = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .select("step", "event_type", "n_users").as[(Int, String, Long)]
+      .collect().toSeq
+    assert(out == Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
+    val conv = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").select("conv_from_prev").as[Double].collect().toSeq
+    assert(conv == Seq(1.0, 1.0, 0.5))
+  }
+
+  test("cohortRetention: offsets measured from each user's first week") {
+    def ev(rows: (Long, String)*) =
+      rows.toSeq.toDF("user_id", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // weeks: 2024-01-01 (Mon) and 2024-01-08
+    val events = ev(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"), // retained
+      (2L, "2024-01-03 10:00:00"),                              // churned
+      (3L, "2024-01-10 10:00:00"))                              // later cohort
+    val out = Behavior.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .select("week_offset", "n_active", "cohort_size", "retention")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0, 2L, 2L, 1.0), (1, 1L, 2L, 0.5), (0, 1L, 1L, 1.0)))
+  }
 }
