@@ -68,6 +68,26 @@ object Stress {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"   verdicts: $byReason")
     }
+    time("decontaminate 100k docs vs 200-doc eval set") {
+      val eval = big.where(col("doc_id") % 500 === 0)
+      val hits = graft.operators.CorpusOps.decontaminate(
+        big, eval, "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2)
+        .where(col("doc_id") =!= col("eval_id"))
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "decontaminate went all-pairs!")
+      println("   contaminated pairs: " + hits.count() +
+        " (gram equi-join; doc x eval space = " + (100000L * 200L) + ")")
+    }
+    time("stratifiedSample + packShards over 100k docs") {
+      val sampled = graft.operators.CorpusOps.stratifiedSample(
+        big.withColumn("src", (col("doc_id") % 16).cast("string")),
+        "doc_id", "src", Map("0" -> 0.9, "1" -> 0.1), defaultRate = 0.5)
+      val packed = graft.operators.CorpusOps.packShards(
+        sampled, "doc_id", "text", "src", budgetTokens = 100000L)
+      println("   sampled: " + sampled.count() + " shards: " +
+        packed.select("src", "shard_id").distinct().count())
+    }
     time("simhashPairs (hamming<=3) on 100k docs") {
       val p = Dedup.simhashPairs(big, "doc_id", "text", maxHamming = 3)
       val plan = p.queryExecution.executedPlan.toString
