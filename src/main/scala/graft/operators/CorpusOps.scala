@@ -43,14 +43,18 @@ object CorpusOps {
     // so the corpus side deliberately emits non-distinct grams and the
     // aggregate counts distinct, rather than paying array_distinct inside
     // a generator child.
-    def grams(df: DataFrame, id: Column, text: Column, idName: String) =
+    def grams(df: DataFrame, id: Column, text: Column, idName: String) = {
+      // guard, don't clamp: sequence(1, 0) is a DESCENDING [1, 0] in
+      // Spark, which would feed slice a start of 0 on sub-n-word docs
+      val idxs = when(size(col("_ws")) >= n,
+        sequence(lit(1), size(col("_ws")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
       df.select(id.as(idName), normWords(text).as("_ws"))
         .withColumn("n_grams", size(shingles(col("_ws"), n)))
-        .select(col(idName), col("n_grams"), col("_ws"),
-          explode(sequence(lit(1), greatest(size(col("_ws")) - (n - 1), lit(0))))
-            .as("_i"))
+        .select(col(idName), col("n_grams"), col("_ws"), explode(idxs).as("_i"))
         .select(col(idName), col("n_grams"),
           concat_ws(" ", slice(col("_ws"), col("_i"), lit(n))).as("gram"))
+    }
     val corpusGrams = grams(corpus, col(idCol), col(textCol), "doc_id_")
     val evalGrams = grams(eval, col(evalIdCol), col(evalTextCol), "eval_id_")
       .select(col("eval_id_"), col("gram")).distinct()

@@ -154,6 +154,35 @@ object TextAnalysis {
       col("n_stop_hits") >= 2)
   }
 
+  /** The Gopher repetition filter proper: the fraction of a document's
+    * word n-grams taken by its single most frequent n-gram (high = looping
+    * or boilerplate text). Unlike [[gopherSignals]]' linear per-row
+    * proxies this needs per-(doc, gram) counts — two shuffles over the
+    * gram rows, both shrinking. Grams ride an index explode (the
+    * generator's child is a cheap int sequence; exploding HOF-built
+    * shingle arrays measures ~7× slower). Docs with fewer than `n` words
+    * emit no row. */
+  def topGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    // guard, don't clamp: sequence(1, 0) is a DESCENDING [1, 0] in Spark,
+    // which would feed slice a start of 0 on short docs
+    val idxs = when(size(col("_ws")) >= n,
+      sequence(lit(1), size(col("_ws")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs
+      .select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"), explode(idxs).as("_i"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("_ws"), col("_i"), lit(n))).as("gram"))
+    grams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_count"))
+      .withColumn("top_gram_frac",
+        col("top_count").cast("double") / col("n_grams"))
+  }
+
   /** PII redaction for training corpora: emails, URLs, IPv4 addresses,
     * phone-shaped numbers, and long id-like digit runs are counted and
     * replaced with typed placeholder tags, in a fixed order on the

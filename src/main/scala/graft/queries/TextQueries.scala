@@ -132,6 +132,11 @@ object TextQueries {
       .select("doc_id", "source", "n_tokens", "shard_id")
       .orderBy("doc_id")
 
+  def gopherTopgram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topGramFraction(docs(s, dir), "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "top_count", "top_gram_frac")
+      .orderBy("doc_id")
+
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(
         docs(s, dir).withColumn("payload", col("text").cast("binary")),
@@ -153,6 +158,7 @@ object TextQueries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "corpus_curate" -> (corpusCurate _),
     "gopher_quality" -> (gopherQuality _),
+    "gopher_topgram" -> (gopherTopgram _),
     "pii_redact" -> (piiRedact _),
     "decontaminate" -> (decontaminate _),
     "corpus_sample" -> (corpusSample _),
@@ -502,6 +508,19 @@ object TextQueries {
          |   AND coalesce(ellipsis_line_frac <= 0.3, true)
          |   AND alpha_word_frac >= 0.7 AND n_stop_hits >= 2) AS gopher_keep
          |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "gopher_topgram" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | g AS (SELECT doc_id,
+         |   unnest([array_to_string(ws[x:x+1], ' ')
+         |           for x in generate_series(1, len(ws)-1)]) AS gram
+         |   FROM nw WHERE len(ws) >= 2),
+         | c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         | a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |         max(cnt) AS top_count FROM c GROUP BY 1)
+         |SELECT doc_id, n_grams, top_count,
+         |  CAST(top_count AS DOUBLE) / n_grams AS top_gram_frac
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "pii_redact" ->
       """WITH aug AS (

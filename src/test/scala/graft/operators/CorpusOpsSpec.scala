@@ -76,7 +76,8 @@ class CorpusOpsSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "the secret benchmark answer is forty two exactly"), // leaked verbatim run
       (2L, "benchmark the answer forty secret is two words"),   // same words, shuffled
-      (3L, "completely unrelated text about gardens and rain")
+      (3L, "completely unrelated text about gardens and rain"),
+      (4L, "too short") // sub-n words: no grams, must not error
     ).toDF("doc_id", "text")
     val eval = Seq(
       (100L, "we note the secret benchmark answer is forty two exactly here")

@@ -195,6 +195,20 @@ class TextDedupSpec extends SparkSpec {
     assert(sig == 0.9) // 10 identical lines -> 1 distinct
   }
 
+  test("topGramFraction: looping text scores high, varied text low") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"), // "buy now"/"now buy" loop
+      (2L, "the quick brown fox jumps over a lazy dog"), // all 2-grams unique
+      (3L, "one")) // < n words -> no row
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.topGramFraction(d, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "top_count", "top_gram_frac")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 7L, 4L, 4.0 / 7))) // 7 grams, "buy now" x4
+    assert(r(2L)._4 == 1.0 / 8)
+    assert(!r.contains(3L))
+  }
+
   test("piiRedact: every class redacts and counts, in order") {
     val d = Seq((1L,
       "mail bob@x.io visit https://x.io/a?b=1 call +1 555-123-4567 " +
