@@ -20,17 +20,27 @@ object Behavior {
     * Returns one row per step with distinct-user counts, conversion from
     * the previous step, and conversion from the top (exact integer
     * divisions).
+    *
+    * @param within optional conversion window (e.g. "7 days"): every later
+    *   step must land within this interval of the user's FIRST step-1
+    *   event, the usual product-analytics reading of "converted within a
+    *   week".
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     val w = Window.partitionBy(col(userCol))
     // _t0 = first step-0 event; _tk = first step-k event after _t(k-1)
     val withTimes = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val inWindow = within match {
+        case Some(iv) if i > 0 => col(tsCol) <= col("_t0") + expr(s"INTERVAL $iv")
+        case _ => lit(true)
+      }
       val qualifies = col(typeCol) === step &&
         (if (i == 0) lit(true) else col(s"_t${i - 1}").isNotNull &&
-          col(tsCol) > col(s"_t${i - 1}"))
+          col(tsCol) > col(s"_t${i - 1}") && inWindow)
       df.withColumn(s"_t$i", min(when(qualifies, col(tsCol))).over(w))
     }
     val perUser = withTimes

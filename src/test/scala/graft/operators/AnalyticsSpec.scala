@@ -105,6 +105,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(conv == Seq(1.0, 1.0, 0.5))
   }
 
+  test("funnel with a conversion window drops late completions") {
+    def ev(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:30:00", "click"),   // inside the hour
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 12:00:00", "click"))   // 2h after the first view
+    val bounded = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), within = Some("1 hour"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(bounded == Seq(2L, 1L))
+    val unbounded = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(unbounded == Seq(2L, 2L))
+  }
+
   test("cohortRetention: offsets measured from each user's first week") {
     def ev(rows: (Long, String)*) =
       rows.toSeq.toDF("user_id", "ts_s")
