@@ -204,7 +204,10 @@ object TpchQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
 
   /** Q15: top supplier — quarter revenue per supplier, keep the max via a
-    * broadcast one-row join (no global sort, no second scan of lineitem). */
+    * broadcast one-row join (no global sort). The per-supplier relation is
+    * referenced twice (max + join), so it rides a lazy localCheckpoint:
+    * ONE scan of lineitem feeds both, instead of Catalyst planning the
+    * whole scan+aggregate twice. */
   def q15(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
       .where(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
@@ -212,6 +215,7 @@ object TpchQueries {
       .groupBy(col("l_suppkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("total_revenue"))
+      .localCheckpoint(false)
     rev.join(broadcast(rev.agg(max(col("total_revenue")).as("m"))),
         col("total_revenue") === col("m"))
       .drop("m")
