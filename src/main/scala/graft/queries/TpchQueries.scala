@@ -234,8 +234,12 @@ object TpchQueries {
     val parts = broadcast(
       t(s, dir, "part").where(col("p_brand") === "Brand#3" && col("p_size") <= 5)
         .select(col("p_partkey")))
+    // referenced twice (threshold aggregate + final filter) — one scan,
+    // and the checkpointed relation is already brand-pruned tiny
     val li = t(s, dir, "lineitem")
       .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .localCheckpoint(false)
     val perPart = li.groupBy(col("p_partkey").as("t_partkey"))
       .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_threshold"))
     li.join(broadcast(perPart), col("p_partkey") === col("t_partkey"))
