@@ -27,21 +27,48 @@ object Ivf {
 
   import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
 
+  /** Hard cap on the quantizer's training-set size: the fit never sees
+    * more than this many vectors regardless of corpus size. */
+  val MaxFitRows = 100000L
+
   /** Assign every corpus vector to its k-means cell. Returns the inverted
-    * index (id, cell, unit-normalized vector) and the cell centroids. */
+    * index (id, cell, unit-normalized vector) and the cell centroids.
+    *
+    * The quantizer is FIT on a bounded seeded sample (≤ `maxFitRows`
+    * vectors), then the FULL corpus is assigned with the fitted model in
+    * one map pass. At 100 TB this is the difference between a one-time
+    * build of (cheap projected count + sample scan + k iterations over
+    * ≤100k in-memory rows + 1 assignment pass) and 5 full corpus scans:
+    * cell boundaries only gate which candidates get exact rescoring, so a
+    * sample-fit quantizer costs recall marginally while assignment still
+    * covers every row. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
-             nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+             nCells: Int, seed: Long = 42L,
+             maxFitRows: Long = MaxFitRows): (DataFrame, Array[Array[Double]]) = {
+    require(maxFitRows >= nCells, s"maxFitRows=$maxFitRows < nCells=$nCells")
     val vecs = corpus
       .select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
       .withColumn("_feat", array_to_vector(col("_vn")))
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed)
-      // a COARSE quantizer: cell boundaries only gate which candidates get
-      // exact rescoring, so a loose fit costs recall marginally while a
-      // full convergence run costs a training pass per epoch — cap it
-      .setMaxIter(5)
-      .setFeaturesCol("_feat").setPredictionCol("cell")
-      .fit(vecs)
+    // the count projects zero data columns — far cheaper than the vector
+    // scans KMeans would otherwise repeat per iteration
+    val n = corpus.count()
+    val fitInput =
+      if (n <= maxFitRows) vecs
+      else vecs.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+    // the sample is small by construction; pin it so the k-means
+    // iterations don't re-run the sample scan
+    val pinned = fitInput.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try {
+        new KMeans()
+          .setK(nCells).setSeed(seed)
+          // a COARSE quantizer: cell boundaries only gate which candidates
+          // get exact rescoring, so a loose fit costs recall marginally
+          // while a full convergence run costs an extra pass per epoch
+          .setMaxIter(5)
+          .setFeaturesCol("_feat").setPredictionCol("cell")
+          .fit(pinned)
+      } finally pinned.unpersist(blocking = false)
     val assigned = model.transform(vecs).select(col(idCol), col("cell"), col("_vn"))
     (assigned, model.clusterCenters.map(_.toArray))
   }
@@ -63,8 +90,9 @@ object Ivf {
   /** Build the probe-ready index: train + assign + persist + materialize.
     * All eager cost lives HERE so [[probe]] plans are training-free. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            nCells: Int, seed: Long = 42L): Index = {
-    val (assigned, centers) = assign(corpus, idCol, vecCol, nCells, seed)
+            nCells: Int, seed: Long = 42L,
+            maxFitRows: Long = MaxFitRows): Index = {
+    val (assigned, centers) = assign(corpus, idCol, vecCol, nCells, seed, maxFitRows)
     val idx = assigned.repartition(col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count() // materialize now — probes must never re-trigger training
@@ -131,9 +159,10 @@ object Ivf {
     * and [[probe]] many. */
   def topK(corpus: DataFrame, queries: DataFrame,
            idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-           k: Int, nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+           k: Int, nCells: Int, nProbe: Int, seed: Long = 42L,
+           maxFitRows: Long = MaxFitRows): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1,$nCells]")
-    val (assigned, centers) = assign(corpus, idCol, vecCol, nCells, seed)
+    val (assigned, centers) = assign(corpus, idCol, vecCol, nCells, seed, maxFitRows)
     probePlan(assigned, centers, idCol, queries, qIdCol, qVecCol, k, nProbe)
   }
 

@@ -115,6 +115,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall degraded: $recall")
   }
 
+  test("IVF sample-fit quantizer (maxFitRows < corpus) keeps recall and assigns every row") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val n = e.count()
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "q_id", "q_vec", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // cap the training set well below the corpus so the sample branch runs
+    val cap = math.max(64L, n / 4)
+    assert(cap < n, s"fixture too small to force the sample path (n=$n)")
+    val (assigned, centers) = Ivf.assign(e, "vec_id", "embedding", nCells = 16,
+      maxFitRows = cap)
+    assert(centers.length == 16)
+    assert(assigned.count() == n, "sample-fit must still assign the FULL corpus")
+    val got = Ivf.topK(e, q, "vec_id", "embedding", "q_id", "q_vec",
+        k = 10, nCells = 16, nProbe = 4, maxFitRows = cap)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"sample-fit IVF recall degraded: $recall")
+  }
+
   test("IVF build/probe: probe == one-shot topK; plan probes the persisted index, no training") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.where(col("vec_id") < 8)
