@@ -20,13 +20,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamSink {
 
-  /** One micro-batch landing — exposed for direct replay testing. */
+  /** One micro-batch landing — exposed for direct replay testing.
+    *
+    * `partitionOverwriteMode` is a per-WRITE option, not a session conf:
+    * setting it on the session would silently turn every co-resident batch
+    * job's plain `overwrite` into partition-grain overwrite for the rest
+    * of the application. */
   def writeBatch(batch: DataFrame, batchId: Long, outPath: String,
                  partitionCol: String): Unit = {
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch.withColumn("_batch_id", lit(batchId))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol, "_batch_id")
       .parquet(outPath)
   }

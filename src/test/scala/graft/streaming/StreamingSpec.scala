@@ -118,6 +118,11 @@ class StreamingSpec extends SparkSpec {
       // readers prune on event_date across batch subdirectories
       assert(spark.read.parquet(out)
         .where($"event_date" === "2024-01-02").count() == 3)
+      // partition-grain overwrite is a per-write option: the session conf
+      // must be untouched, or co-resident batch jobs' plain `overwrite`
+      // would silently become partition-grain for the application's life
+      assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        .equalsIgnoreCase("static"))
     } finally q.stop()
   }
 
