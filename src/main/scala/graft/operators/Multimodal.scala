@@ -71,20 +71,58 @@ object Multimodal {
       if (img == null) DecodeStub.decode(id, bytes)
       else {
         val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        MediaFeatures(id, w, h, nFrames = 1, meanLuma = sum / (w.toDouble * h))
+        MediaFeatures(id, w, h, nFrames = 1,
+          meanLuma = lumaSum(img, w, h) / (w.toDouble * h))
       }
+    }
+
+    /** BT.601 luma sum via bulk reads — never a per-pixel `getRGB` call.
+      * Raster bands are read directly only for image types whose samples
+      * ARE the sRGB channels `getRGB` would return (no color-space
+      * conversion, no premultiplied alpha); anything else goes through the
+      * row-bulk `getRGB` overload, which matches per-pixel `getRGB` exactly
+      * while amortizing the per-call overhead over a whole row. */
+    private def lumaSum(img: java.awt.image.BufferedImage, w: Int, h: Int): Double = {
+      import java.awt.image.BufferedImage.{TYPE_3BYTE_BGR, TYPE_INT_BGR, TYPE_INT_RGB}
+      var sum = 0.0
+      img.getType match {
+        case TYPE_INT_RGB | TYPE_INT_BGR | TYPE_3BYTE_BGR =>
+          // raster band order is the color-model component order (0=R,1=G,
+          // 2=B) regardless of byte layout, and these types are sRGB with
+          // no alpha, so samples == getRGB channels
+          val raster = img.getRaster
+          val row = new Array[Int](w)
+          var band = 0
+          while (band < 3) {
+            val coef = band match { case 0 => 0.299; case 1 => 0.587; case _ => 0.114 }
+            var y = 0
+            while (y < h) {
+              raster.getSamples(0, y, w, 1, band, row)
+              var x = 0
+              var s = 0L
+              while (x < w) { s += row(x); x += 1 }
+              sum += coef * s
+              y += 1
+            }
+            band += 1
+          }
+        case _ =>
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            while (x < w) {
+              val rgb = row(x)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            sum += 0.299 * sr + 0.587 * sg + 0.114 * sb
+            y += 1
+          }
+      }
+      sum
     }
   }
 
@@ -127,12 +165,61 @@ object Multimodal {
       .withColumn("out_h", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
   }
 
-  /** Feature-extract stub: a deterministic pseudo-embedding per payload —
-    * the `array<float>` a vision/audio encoder would emit, derived from
-    * md5(content) bytes so it is stable across runs and engines. Plugs
+  /** The encoder boundary, mirroring [[MediaDecoder]]: a real vision/audio
+    * encoder (ONNX runtime, a JNI tower — none on this classpath) plugs in
+    * here; it runs executor-side inside `mapPartitions`, so implementations
+    * must be serializable, must emit exactly `dim` floats, and must never
+    * throw on a bad payload. */
+  trait Embedder extends Serializable {
+    def dim: Int
+    def embed(id: Long, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake encoder: the md5-tiled pseudo-embedding of
+    * [[embedStub]], row-at-a-time — stable across runs and engines, so
+    * fixtures survive re-generation. */
+  final case class EmbedStub(dim: Int) extends Embedder {
+    require(dim >= 1 && dim <= 1024, s"dim=$dim out of [1,1024]")
+    def embed(id: Long, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      val digests = (0 to (dim - 1) / 16).map { tile =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(s"$tile:".getBytes("UTF-8"))
+        md.digest(if (bytes == null) Array.emptyByteArray else bytes)
+      }
+      var i = 0
+      while (i < dim) {
+        out(i) = (((digests(i / 16)(i % 16) & 0xff) - 128) / 128.0).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Batched binary → embedding over (id, binary) rows, streamed per
+    * partition through the pluggable [[Embedder]] — the output column plugs
     * straight into the similarity operators ([[Similarity.bruteForceTopK]],
     * [[Ivf.topK]]), which is the point: the binary → embedding → ANN
-    * pipeline is runnable end-to-end with only the encoder stubbed. */
+    * pipeline is runnable end-to-end with only the encoder swapped. */
+  def embedFeatures(df: DataFrame, idCol: String, binCol: String,
+                    embedder: Embedder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          (r.getLong(0), embedder.embed(r.getLong(0),
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)))
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
+  /** Feature-extract stub: a deterministic pseudo-embedding per payload —
+    * the `array<float>` a vision/audio encoder would emit, derived from
+    * md5(content) bytes so it is stable across runs and engines. Pure
+    * column expressions (codegen'd); [[EmbedStub]] computes the SAME values
+    * through the [[Embedder]] seam. */
   def embedStub(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 1024, s"dim=$dim out of [1,1024]")
     // md5 gives 16 bytes; tile it across `dim` with a per-tile salt,

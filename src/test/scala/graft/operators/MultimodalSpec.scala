@@ -83,6 +83,65 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.embedStub(df, "id", "payload", dim = 16).count() == 3)
   }
 
+  test("ImageIoDecoder bulk luma == per-pixel getRGB reference on gradient images") {
+    import java.awt.image.BufferedImage
+    // gradients, not solids: a band-order mix-up (B read as R) or a row/col
+    // swap changes the mean on these but not on any solid color
+    def gradientBytes(w: Int, h: Int, imgType: Int, format: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 7) % 256 << 16) | ((y * 11) % 256 << 8) | ((x + 3 * y) % 256))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, out))
+      out.toByteArray
+    }
+    def referenceLuma(bytes: Array[Byte]): Double = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0.0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      sum / (img.getWidth.toDouble * img.getHeight)
+    }
+    val fixtures = Seq(
+      gradientBytes(33, 17, BufferedImage.TYPE_INT_RGB, "png"),   // decodes 3BYTE_BGR
+      gradientBytes(16, 24, BufferedImage.TYPE_INT_RGB, "jpg"),   // decodes 3BYTE_BGR
+      gradientBytes(9, 9, BufferedImage.TYPE_INT_ARGB, "png"),    // alpha: getRGB path
+      gradientBytes(5, 40, BufferedImage.TYPE_BYTE_GRAY, "png")   // gray: getRGB path
+    )
+    fixtures.zipWithIndex.foreach { case (bytes, i) =>
+      val got = Multimodal.ImageIoDecoder.decode(i.toLong, bytes).meanLuma
+      assert(math.abs(got - referenceLuma(bytes)) < 1e-6,
+        s"fixture $i: bulk=$got reference=${referenceLuma(bytes)}")
+    }
+  }
+
+  test("Embedder seam: decode -> embed -> ANN end-to-end; EmbedStub matches embedStub") {
+    val df = Seq((1L, jpeg), (2L, png), (3L, riff), (4L, jpeg))
+      .toDF("id", "payload").repartition(2)
+    // the row-at-a-time stub through the seam computes the SAME embedding
+    // as the codegen'd column formulation (md5 over identical bytes)
+    val viaSeam = Multimodal.embedFeatures(df, "id", "payload", Multimodal.EmbedStub(32))
+      .as[(Long, Array[Float])].collect().toMap
+    val viaCols = Multimodal.embedStub(df, "id", "payload", dim = 32)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(viaSeam.keySet == viaCols.keySet)
+    viaSeam.foreach { case (id, v) => assert(v.sameElements(viaCols(id)), s"id=$id") }
+
+    // full pipeline through the pluggable traits: decode (real features),
+    // then embed, then brute-force ANN — duplicate payloads are mutual NNs
+    val feats = Multimodal.decodeFeatures(df, "id", "payload", Multimodal.ImageIoDecoder)
+    assert(feats.count() == 4)
+    val emb = Multimodal.embedFeatures(df, "id", "payload", Multimodal.EmbedStub(16))
+    val q = emb.where(col("id") === 1L)
+      .select(col("id").as("q_id"), col("embedding").as("q_vec"))
+    val nn = Similarity.bruteForceTopK(emb, q, "id", "embedding", "q_id", "q_vec", 1)
+      .select("id", "cos_sim").as[(Long, Double)].head()
+    assert(nn == ((4L, 1.0)))
+  }
+
   test("embedStub: deterministic unit-range embeddings feed the ANN operators") {
     val df = Seq((1L, jpeg), (2L, png), (3L, riff), (4L, jpeg))
       .toDF("id", "payload")
