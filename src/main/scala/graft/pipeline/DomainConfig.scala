@@ -17,14 +17,15 @@ object DomainConfig {
   /** A raw table fed from date-partitioned file drops
     * (`<inbox>/<table>/<date>/<table>_<date>.<ext>` — the reference's GCS
     * layout, README "GCS File Structure"). `sourceFormat` mirrors the
-    * loader's `source_format` (CSV / NEWLINE_DELIMITED_JSON / PARQUET) and
-    * picks the inbox extension. */
+    * loader's `source_format` (CSV / NEWLINE_DELIMITED_JSON / PARQUET /
+    * AVRO) and picks the inbox extension. */
   final case class RawTable(name: String, schema: Seq[ColumnSpec],
                             maxBadRecords: Int = 0,
                             sourceFormat: String = "CSV") {
     def extension: String = sourceFormat match {
       case "NEWLINE_DELIMITED_JSON" => "json"
       case "PARQUET" => "parquet"
+      case "AVRO" => "avro"
       case _ => "csv"
     }
   }

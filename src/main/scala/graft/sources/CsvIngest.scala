@@ -181,6 +181,98 @@ object JsonIngest {
   }
 }
 
+/** AVRO raw ingest (reference accepts `source_format=AVRO`,
+  * `utils/operators.py:57`). The spark-avro connector module is not on
+  * this classpath, so the scan is built directly on Avro's own Hadoop
+  * input format (`avro-mapred`, which Spark ships): container files split
+  * at sync markers — the scan stays distributed and splittable like any
+  * other raw-layer source, no whole-file reads. Records convert to the
+  * DECLARED schema strictly: Avro is self-describing, so like PARQUET
+  * (and BigQuery's Avro loader) a type mismatch fails the load rather
+  * than counting bad records — `n_bad` is structurally 0. Missing
+  * nullable fields read as SQL NULL; writer-side extra fields are
+  * ignored (Avro loads never reject unknown fields, `operators.py`
+  * passes no `ignore_unknown_values` for AVRO).
+  */
+object AvroIngest {
+
+  import org.apache.avro.Schema
+  import org.apache.avro.generic.GenericRecord
+
+  import CsvIngest.{ColumnSpec, schemaOf}
+
+  def load(spark: SparkSession, path: String, cols: Seq[ColumnSpec],
+           maxBadRecords: Int = 0, ingestionDate: String): Loaded = {
+    require(cols.nonEmpty, "AVRO schema must declare at least one column")
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
+        classOf[org.apache.avro.mapred.AvroKey[GenericRecord]],
+        classOf[org.apache.hadoop.io.NullWritable])
+      // the record reader REUSES the datum across records: convert to Row
+      // inside the same map, never hold the GenericRecord
+      .map { case (k, _) => toRow(k.datum(), cols) }
+    val obs = Observation()
+    val out = spark.createDataFrame(rdd, schemaOf(cols))
+      .observe(obs, count(when(lit(false), 1)).as("n_bad"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("ingestion_date", lit(ingestionDate).cast("date"))
+      .withColumn("ingestion_timestamp",
+        lit(s"$ingestionDate 00:00:00").cast("timestamp"))
+    new Loaded(out, obs, "AVRO", path, maxBadRecords)
+  }
+
+  private def toRow(rec: GenericRecord, cols: Seq[ColumnSpec]): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(cols.map { c =>
+      val field = rec.getSchema.getField(c.name)
+      if (field == null) null
+      else convert(rec.get(field.pos()), c, nonNullBranch(field.schema()))
+    })
+
+  /** Unions are transparent at runtime; logical types hang off the
+    * non-null branch. */
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) {
+      import scala.jdk.CollectionConverters._
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    } else s
+
+  private def convert(v: Any, c: ColumnSpec, fs: Schema): Any = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"AVRO field '${c.name}': writer type ${fs.getType}" +
+        s"${Option(fs.getLogicalType).map(" (" + _.getName + ")").getOrElse("")} " +
+        s"does not load as declared ${c.colType} " +
+        "(self-describing formats fail on schema mismatch)")
+    if (v == null) null
+    else (c.sparkType, v) match {
+      case (StringType, s: org.apache.avro.util.Utf8) => s.toString
+      case (StringType, s: String) => s
+      case (StringType, e: org.apache.avro.generic.GenericEnumSymbol[_]) => e.toString
+      case (LongType, i: java.lang.Integer) => i.longValue()
+      case (LongType, l: java.lang.Long)
+          if fs.getLogicalType == null => l.longValue()
+      case (DoubleType, f: java.lang.Float) => f.doubleValue()
+      case (DoubleType, d: java.lang.Double) => d.doubleValue()
+      case (BooleanType, b: java.lang.Boolean) => b.booleanValue()
+      // logical date: int days since epoch
+      case (DateType, i: java.lang.Integer)
+          if fs.getLogicalType != null && fs.getLogicalType.getName == "date" =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+      // logical timestamps; a plain long declared TIMESTAMP reads as
+      // micros (BigQuery's Avro convention)
+      case (TimestampType, l: java.lang.Long) =>
+        val micros = Option(fs.getLogicalType).map(_.getName) match {
+          case Some("timestamp-micros") | None => l.longValue()
+          case Some("timestamp-millis") => Math.multiplyExact(l.longValue(), 1000L)
+          case Some(_) => fail()
+        }
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          micros, java.time.temporal.ChronoUnit.MICROS))
+      case _ => fail()
+    }
+  }
+}
+
 /** `source_format` dispatcher — the reference's
   * `getattr(bigquery.SourceFormat, source_format)` (`utils/operators.py:57`)
   * over the formats this engine supports. CSV-only options are accepted and
@@ -218,16 +310,10 @@ object Ingest {
           lit(s"$ingestionDate 00:00:00").cast("timestamp"))
       new Loaded(out, obs, "PARQUET", path, maxBadRecords)
     case "AVRO" =>
-      // Honest gap: the spark-avro connector module is not on this
-      // classpath (only Avro core). Fail fast with the remedy rather than
-      // letting the DataSource lookup throw something cryptic.
-      throw new UnsupportedOperationException(
-        "source_format=AVRO needs the spark-avro connector on the classpath " +
-          "(org.apache.spark:spark-avro); add it and route through " +
-          "spark.read.format(\"avro\")")
+      AvroIngest.load(spark, path, cols, maxBadRecords, ingestionDate)
     case other => throw new IllegalArgumentException(
       s"unknown source_format '$other' (supported: CSV, " +
-        "NEWLINE_DELIMITED_JSON, PARQUET)")
+        "NEWLINE_DELIMITED_JSON, PARQUET, AVRO)")
   }
 }
 

@@ -132,6 +132,52 @@ class PipelineSpec extends SparkSpec {
     assert(landed.select("n").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
   }
 
+  test("config-routed AVRO raw table ingests end-to-end through the DAG") {
+    val yf = Files.createTempFile("graft-avro-domain", ".yaml")
+    Files.write(yf, """domain: "telemetry"
+        |tables:
+        |  beacons:
+        |    type: "raw"
+        |    source:
+        |      type: "gcs"
+        |      path: "logs/beacons/*.avro"
+        |      format: "AVRO"
+        |    schema:
+        |      - name: "beacon_id"
+        |        type: "STRING"
+        |      - name: "n"
+        |        type: "INTEGER"
+        |""".stripMargin.getBytes)
+    val domain = DomainConfigFile.toDomain(DomainConfigFile.load(yf), Map.empty)
+    assert(domain.raw.map(rt => rt.name -> rt.sourceFormat).toMap ==
+      Map("beacons" -> "AVRO"))
+    assert(domain.raw.head.extension == "avro")
+
+    val inbox = Files.createTempDirectory("graft-avro-inbox")
+    val wh = Files.createTempDirectory("graft-avro-wh").toString
+    val d = inbox.resolve("beacons/20240301")
+    Files.createDirectories(d)
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"b","fields":[
+        |{"name":"beacon_id","type":"string"},{"name":"n","type":"long"}]}"""
+        .stripMargin)
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, d.resolve("beacons_20240301.avro").toFile)
+    Seq("b1" -> 5L, "b2" -> 7L).foreach { case (id, n) =>
+      val r = new GenericData.Record(schema)
+      r.put("beacon_id", id); r.put("n", n)
+      w.append(r)
+    }
+    w.close()
+    val report = Dag.run(PipelineBuilder.tasks(spark, domain, inbox.toString, wh, "2024-03-01"))
+    assert(report.succeeded, s"$report")
+    val landed = spark.read.parquet(s"$wh/raw/beacons")
+    assert(landed.count() == 2)
+    assert(landed.select("n").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
+  }
+
   val salesLikeYaml: String =
     """# Ads domain configuration
       |project_id: "some-project"

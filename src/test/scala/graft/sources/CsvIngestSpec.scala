@@ -206,12 +206,93 @@ class CsvIngestSpec extends SparkSpec {
     val viaPq = Ingest.load(spark, pdir, cols, sourceFormat = "PARQUET",
       ingestionDate = "2024-03-02")
     assert(viaPq.df.count() == 1 && viaPq.badRecords == 0)
-    intercept[UnsupportedOperationException](
-      Ingest.load(spark, csvPath, cols, sourceFormat = "AVRO",
-        ingestionDate = "2024-03-01"))
     intercept[IllegalArgumentException](
       Ingest.load(spark, csvPath, cols, sourceFormat = "ORC",
         ingestionDate = "2024-03-01"))
+  }
+
+  private def writeAvro(dir: java.nio.file.Path, name: String,
+                        schema: org.apache.avro.Schema)(
+      rows: Map[String, Any]*): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dir.resolve(name).toFile)
+    rows.foreach { vals =>
+      val r = new GenericData.Record(schema)
+      vals.foreach { case (k, v) => r.put(k, v) }
+      w.append(r)
+    }
+    w.close()
+  }
+
+  private val avroWriterSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse("""{
+      "type": "record", "name": "batch", "fields": [
+        {"name": "order_id", "type": ["null", "string"], "default": null},
+        {"name": "amount", "type": "float"},
+        {"name": "n", "type": "int"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "ok", "type": "boolean"},
+        {"name": "extra_writer_field", "type": "string"}
+      ]}""")
+
+  test("AVRO: dispatcher-routed load, logical date/timestamp, missing->null, extra ignored") {
+    val avroCols = cols ++ Seq(ColumnSpec("d", "DATE"),
+      ColumnSpec("ts", "TIMESTAMP"), ColumnSpec("ok", "BOOLEAN"),
+      ColumnSpec("not_in_writer", "STRING"))
+    val dir = Files.createTempDirectory("graft-avro")
+    writeAvro(dir, "b.avro", avroWriterSchema)(
+      Map("order_id" -> "o1", "amount" -> 10.5f, "n" -> 3,
+        "d" -> 19845, // 2024-05-02
+        "ts" -> 1714646400000000L, // 2024-05-02T10:40:00Z in micros
+        "ok" -> true, "extra_writer_field" -> "dropped"),
+      Map("order_id" -> null, "amount" -> 1.25f, "n" -> 7,
+        "d" -> 0, "ts" -> 0L, "ok" -> false, "extra_writer_field" -> "x"))
+    val loaded = Ingest.load(spark, dir.toString, avroCols,
+      sourceFormat = "AVRO", ingestionDate = "2024-03-01")
+    // no orderBy before reading metrics: a global sort's range-partitioner
+    // sample re-runs the scan and double-counts the observation (documented
+    // Loaded caveat) — sort driver-side instead
+    val out = loaded.df.collect().sortBy(_.getAs[Long]("n"))
+    assert(loaded.badRecords == 0 && loaded.rowsScanned == 2)
+    assert(out.length == 2)
+    val r = out(0)
+    assert(r.getAs[String]("order_id") == "o1")
+    assert(r.getAs[Double]("amount") == 10.5) // float widened
+    assert(r.getAs[Long]("n") == 3L)          // int widened
+    assert(r.getAs[java.sql.Date]("d").toLocalDate ==
+      java.time.LocalDate.ofEpochDay(19845))
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.ofEpochSecond(1714646400L))
+    assert(r.getAs[Boolean]("ok"))
+    assert(r.getAs[String]("not_in_writer") == null) // missing nullable -> NULL
+    assert(out(1).getAs[String]("order_id") == null) // avro null rides through
+    assert(r.getAs[java.sql.Date]("ingestion_date").toString == "2024-03-01")
+
+    // dispositions flow like every other format: staged publish + re-load
+    val target = Files.createTempDirectory("graft-avro-raw").toString + "/t"
+    intercept[IllegalStateException](Ingest.load(spark, dir.toString, avroCols,
+        sourceFormat = "AVRO", ingestionDate = "2024-03-01")
+      .writeRaw(target, createDisposition = "CREATE_NEVER"))
+    assert(Ingest.load(spark, dir.toString, avroCols, sourceFormat = "AVRO",
+      ingestionDate = "2024-03-01").writeRaw(target) == 0)
+    assert(spark.read.parquet(target).count() == 2)
+  }
+
+  test("AVRO: declared-type mismatch fails the load (self-describing semantics)") {
+    val dir = Files.createTempDirectory("graft-avro-bad")
+    writeAvro(dir, "b.avro", avroWriterSchema)(
+      Map("order_id" -> "o1", "amount" -> 1.0f, "n" -> 1, "d" -> 0,
+        "ts" -> 0L, "ok" -> true, "extra_writer_field" -> "x"))
+    // 'ok' (boolean) declared as STRING: fail, never coerce
+    val mismatched = cols ++ Seq(ColumnSpec("ok", "STRING"))
+    val e = intercept[Exception] {
+      Ingest.load(spark, dir.toString, mismatched, sourceFormat = "AVRO",
+        ingestionDate = "2024-03-01").df.count()
+    }
+    assert(e.getMessage != null)
   }
 
   test("create_disposition: CREATE_NEVER fails on a missing target, passes on existing") {
