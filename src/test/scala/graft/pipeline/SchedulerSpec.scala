@@ -220,6 +220,37 @@ class SchedulerSpec extends AnyFunSuite {
     assert(failures.toSeq == Seq("wait_for_raw"))
   }
 
+  test("failure day fires exactly one notification despite the transport failing twice") {
+    // the reference's on_failure_callback -> webhook path: the DATA task
+    // fails once; the NOTIFICATION transport is flaky (two 503s, then ok);
+    // the schedule must emit exactly one delivered card, and the transport
+    // trouble must not affect the run's own status or retries
+    var sends = 0
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Notifier.Notification]
+    val flaky = new Notifier.Transport {
+      def send(n: Notifier.Notification): Unit = {
+        sends += 1
+        if (sends <= 2) throw new RuntimeException(s"503 attempt $sends")
+        delivered += n
+      }
+    }
+    val notifier = new Notifier(flaky, maxRetries = 2,
+      retryDelay = Duration.ofSeconds(5), sleep = _ => ())
+    var taskRuns = 0
+    val sched = new Scheduled(
+      ScheduleSpec.daily("2024-03-01"),
+      _ => Seq(Dag.Task("load")(() => { taskRuns += 1; throw new RuntimeException("bad day") })),
+      callbacks = Notifier.callbacks(notifier, "ingest_raw_sales", "2024-03-01"))
+    val runs = sched.drain(LocalDateTime.parse("2024-03-02T00:00"))
+    assert(!runs.head.report.succeeded)
+    assert(taskRuns == 1)         // notification retries never re-run the task
+    assert(sends == 3)            // two transport failures, then delivery
+    assert(delivered.size == 1)   // exactly one notification
+    assert(delivered.head.event == "failure" &&
+      delivered.head.message.contains("'load'") &&
+      delivered.head.message.contains("bad day"))
+  }
+
   test("a task's own retry config wins over the spec defaults") {
     var attempts = 0
     val sched = new Scheduled(
