@@ -57,16 +57,28 @@ object Bench {
     // SPARK_GRAFT_ONLY=name1,name2 isolates queries (fresh-JVM single-query
     // timing for regression diagnosis); unset = the full set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // an unknown name (typo) must fail loudly, not yield a vacuously
+    // passing empty bench
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but selects no queries")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // untimed warm run: compiles the plan's generated code and JITs the
-      // family's expression kernels so the timed run is steady-state
+      // warm run: compiles the plan's generated code and JITs the family's
+      // expression kernels so the timed run is steady-state. Timed too —
+      // its sum (cold_total) keeps cold-start regressions (codegen compile
+      // blow-ups) visible, which pure steady-state timing would hide.
+      val c0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      val cold = (System.nanoTime() - c0) / 1e9
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -75,15 +87,16 @@ object Bench {
             errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, cold)
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString(""","errors":{""", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val coldTotal = results.filter(_._2 >= 0).map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

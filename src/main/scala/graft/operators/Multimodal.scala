@@ -223,9 +223,13 @@ object Multimodal {
   def embedStub(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 1024, s"dim=$dim out of [1,1024]")
     // md5 gives 16 bytes; tile it across `dim` with a per-tile salt,
-    // mapping each hex pair to a float in [-1, 1)
+    // mapping each hex pair to a float in [-1, 1). NULL payloads embed as
+    // empty payloads (coalesce) — matching EmbedStub, which digests the
+    // salt over zero content bytes, so the two paths stay value-identical
+    // on every input.
     val hexes = (0 until dim).map { i =>
-      val h = md5(concat(lit(i / 16 + ":"), col(binCol)))
+      val h = md5(concat(lit(i / 16 + ":"),
+        coalesce(col(binCol), lit(Array.emptyByteArray))))
       val pair = substring(h, (i % 16) * 2 + 1, 2)
       ((conv(pair, 16, 10).cast("int") - lit(128)) / lit(128.0)).cast("float")
     }

@@ -81,18 +81,27 @@ final class Notifier(transport: Notifier.Transport,
 
   /** One attempt under the timeout: the send runs on a daemon thread; a
     * timeout interrupts and abandons it (an HTTP transport should ALSO set
-    * socket timeouts — this is the backstop for ones that do not). */
+    * socket timeouts — this is the backstop for ones that do not).
+    *
+    * Delivery on timeout is AT-LEAST-ONCE: `cancelled` stops an abandoned
+    * thread that has not yet entered `send`, but one already inside a slow
+    * `send` cannot be unsent — if it later completes AND a retry also
+    * delivers, the endpoint sees the notification twice. Exactly-once
+    * would need a transport-side idempotency key; for status cards,
+    * duplicates are the right trade against losing the notification. */
   private def attemptOnce(n: Notifier.Notification): Unit = {
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val done = new java.util.concurrent.CountDownLatch(1)
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
-      try transport.send(n)
+      try { if (!cancelled.get()) transport.send(n) }
       catch { case e: Throwable => err.set(e) }
       finally done.countDown()
     }, "graft-notifier-attempt")
     t.setDaemon(true)
     t.start()
     if (!done.await(attemptTimeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+      cancelled.set(true)
       t.interrupt()
       throw new java.util.concurrent.TimeoutException(
         s"notification attempt exceeded ${attemptTimeout.toMillis} ms")

@@ -210,8 +210,20 @@ object AvroIngest {
         classOf[org.apache.avro.mapred.AvroKey[GenericRecord]],
         classOf[org.apache.hadoop.io.NullWritable])
       // the record reader REUSES the datum across records: convert to Row
-      // inside the same map, never hold the GenericRecord
-      .map { case (k, _) => toRow(k.datum(), cols) }
+      // inside the same pass, never hold the GenericRecord. Field positions
+      // and union branches resolve ONCE per writer schema object (stable
+      // per split, identity-keyed in case a partition spans files), not via
+      // a per-row per-column name lookup.
+      .mapPartitions { it =>
+        val plans = new java.util.IdentityHashMap[Schema, Array[(Int, Schema)]]()
+        it.map { case (k, _) =>
+          val rec = k.datum()
+          val ws = rec.getSchema
+          var plan = plans.get(ws)
+          if (plan == null) { plan = fieldPlan(ws, cols); plans.put(ws, plan) }
+          toRow(rec, cols, plan)
+        }
+      }
     val obs = Observation()
     val out = spark.createDataFrame(rdd, schemaOf(cols))
       .observe(obs, count(when(lit(false), 1)).as("n_bad"),
@@ -222,19 +234,43 @@ object AvroIngest {
     new Loaded(out, obs, "AVRO", path, maxBadRecords)
   }
 
-  private def toRow(rec: GenericRecord, cols: Seq[ColumnSpec]): org.apache.spark.sql.Row =
-    org.apache.spark.sql.Row.fromSeq(cols.map { c =>
-      val field = rec.getSchema.getField(c.name)
-      if (field == null) null
-      else convert(rec.get(field.pos()), c, nonNullBranch(field.schema()))
-    })
+  /** Position + resolved branch schema per declared column for one writer
+    * schema; pos -1 = field absent in the writer (reads as NULL). */
+  private def fieldPlan(ws: Schema, cols: Seq[ColumnSpec]): Array[(Int, Schema)] =
+    cols.map { c =>
+      val field = ws.getField(c.name)
+      if (field == null) (-1, null: Schema)
+      else (field.pos(), nonNullBranch(c.name, field.schema()))
+    }.toArray
+
+  private def toRow(rec: GenericRecord, cols: Seq[ColumnSpec],
+                    plan: Array[(Int, Schema)]): org.apache.spark.sql.Row = {
+    val vals = new Array[Any](cols.length)
+    var i = 0
+    while (i < vals.length) {
+      val (pos, branch) = plan(i)
+      vals(i) = if (pos < 0) null else convert(rec.get(pos), cols(i), branch)
+      i += 1
+    }
+    org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+  }
 
   /** Unions are transparent at runtime; logical types hang off the
-    * non-null branch. */
-  private def nonNullBranch(s: Schema): Schema =
+    * non-null branch. Only `["null", type]` unions are accepted — with two
+    * or more non-null branches there is no single branch to type-check a
+    * runtime value against, so the load rejects the schema up front (the
+    * same restriction BigQuery's Avro loader imposes). */
+  private def nonNullBranch(name: String, s: Schema): Schema =
     if (s.getType == Schema.Type.UNION) {
       import scala.jdk.CollectionConverters._
-      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+      s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toList match {
+        case only :: Nil => only
+        case Nil => s
+        case many => throw new IllegalArgumentException(
+          s"AVRO field '$name': union with ${many.size} non-null branches " +
+            "(" + many.map(_.getType).mkString(", ") + ") is not supported; " +
+            "only [\"null\", type] unions load")
+      }
     } else s
 
   private def convert(v: Any, c: ColumnSpec, fs: Schema): Any = {
@@ -420,8 +456,12 @@ object RawLayer {
     */
   def appendPartitioned(df: DataFrame, outPath: String,
                         partitionCol: String = "ingestion_date"): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
+    // per-WRITE option, never a session conf: a session-level set would
+    // silently turn every co-resident job's plain overwrite into
+    // partition-grain overwrite for the rest of the application
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(outPath)
   }
 
   /** WRITE_TRUNCATE: full refresh (datamart layer). */

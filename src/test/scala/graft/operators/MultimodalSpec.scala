@@ -119,7 +119,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("Embedder seam: decode -> embed -> ANN end-to-end; EmbedStub matches embedStub") {
-    val df = Seq((1L, jpeg), (2L, png), (3L, riff), (4L, jpeg))
+    // id 5 is a NULL payload: both paths must embed it as empty content
+    // (a real encoder never throws on a bad payload; the stub mirrors that)
+    val df = Seq((1L, jpeg), (2L, png), (3L, riff), (4L, jpeg),
+        (5L, null: Array[Byte]))
       .toDF("id", "payload").repartition(2)
     // the row-at-a-time stub through the seam computes the SAME embedding
     // as the codegen'd column formulation (md5 over identical bytes)
@@ -133,7 +136,7 @@ class MultimodalSpec extends SparkSpec {
     // full pipeline through the pluggable traits: decode (real features),
     // then embed, then brute-force ANN — duplicate payloads are mutual NNs
     val feats = Multimodal.decodeFeatures(df, "id", "payload", Multimodal.ImageIoDecoder)
-    assert(feats.count() == 4)
+    assert(feats.count() == 5)
     val emb = Multimodal.embedFeatures(df, "id", "payload", Multimodal.EmbedStub(16))
     val q = emb.where(col("id") === 1L)
       .select(col("id").as("q_id"), col("embedding").as("q_vec"))

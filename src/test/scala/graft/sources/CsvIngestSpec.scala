@@ -342,5 +342,12 @@ class CsvIngestSpec extends SparkSpec {
     val all = spark.read.parquet(out)
     assert(all.count() == 4)
     assert(all.select("ingestion_date").distinct().count() == 2)
+    // the overwrite mode must be a per-write option, never session state:
+    // a session-level set would leak partition-grain overwrite semantics
+    // into every other suite sharing this SparkSession (mirror of the
+    // StreamingSpec guard on StreamSink.writeBatch)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        .equalsIgnoreCase("static"),
+      "appendPartitioned must not mutate session partitionOverwriteMode")
   }
 }
