@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
+  /** Where a funnel's `within` conversion window is measured from — the two
+    * standard product-analytics readings. */
+  sealed trait ConversionAnchor
+  /** Every later step must land within `within` of the user's FIRST step-1
+    * event ("converted within a week of first visit"). */
+  case object AnchorFirst extends ConversionAnchor
+  /** Step k must land within `within` of the step-(k-1) qualifying event
+    * ("each hop within an hour of the previous one") — the per-step
+    * reading; total funnel latency may reach `steps.size - 1` windows. */
+  case object AnchorPrevStep extends ConversionAnchor
+
   /** Ordered funnel: how many users completed step 1, then step 2 AFTER
     * their first step-1 event, then step 3 after that, etc. Strictly
     * sequential semantics (a purchase before the first view does not
@@ -21,21 +32,29 @@ object Behavior {
     * the previous step, and conversion from the top (exact integer
     * divisions).
     *
-    * @param within optional conversion window (e.g. "7 days"): every later
-    *   step must land within this interval of the user's FIRST step-1
-    *   event, the usual product-analytics reading of "converted within a
-    *   week".
+    * @param within optional conversion window (e.g. "7 days"); `anchor`
+    *   decides what it is measured from.
+    * @param anchor [[AnchorFirst]] (default) bounds every step against the
+    *   first step-1 event; [[AnchorPrevStep]] bounds each step against the
+    *   previous step's qualifying event. Identical for 2-step funnels;
+    *   from step 3 on, prev-step is the more permissive semantics.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
-             within: Option[String] = None): DataFrame = {
+             within: Option[String] = None,
+             anchor: ConversionAnchor = AnchorFirst): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     val w = Window.partitionBy(col(userCol))
     // _t0 = first step-0 event; _tk = first step-k event after _t(k-1)
     val withTimes = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
       val inWindow = within match {
-        case Some(iv) if i > 0 => col(tsCol) <= col("_t0") + expr(s"INTERVAL $iv")
+        case Some(iv) if i > 0 =>
+          val base = anchor match {
+            case AnchorFirst => col("_t0")
+            case AnchorPrevStep => col(s"_t${i - 1}")
+          }
+          col(tsCol) <= base + expr(s"INTERVAL $iv")
         case _ => lit(true)
       }
       val qualifies = col(typeCol) === step &&

@@ -107,15 +107,45 @@ object CorpusOps {
     *
     * Scale: the running sum is windowed PER STRATUM (`strataCol`), so
     * window width is one stratum, not the corpus; shard ids are
-    * (stratum, local shard). A single giant stratum should be pre-split
-    * by a hash prefix before packing — the operator requires a stratum
-    * column rather than silently running one global window, because an
-    * unpartitioned window is the classic 100 TB funnel.
+    * (stratum, local shard). A single giant stratum would still serialize
+    * through one window partition — `maxStratumDocs` caps that: any
+    * stratum over the cap is pre-split into ceil(n/cap) sub-strata by an
+    * md5 prefix of the doc id (deterministic, engine-portable), the window
+    * runs per sub-stratum, and the output gains a `pack_stratum` column
+    * (`stratum#k` for split strata, the plain stratum otherwise) that
+    * `shard_id` is local to. Without the cap the schema is unchanged.
+    * The per-stratum census is one tiny aggregate (rows = #strata)
+    * broadcast back onto the corpus — the corpus itself never shuffles
+    * before the packing window.
     */
   def packShards(df: DataFrame, idCol: String, textCol: String,
-                 strataCol: String, budgetTokens: Long): DataFrame = {
+                 strataCol: String, budgetTokens: Long,
+                 maxStratumDocs: Option[Long] = None): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    maxStratumDocs match {
+      case None => packByKey(df, idCol, textCol, col(strataCol))(budgetTokens)
+      case Some(cap) =>
+        require(cap >= 1, s"maxStratumDocs=$cap must be >= 1")
+        val census = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+          .select(col(strataCol).as("_census_key"),
+            ceil(col("_n").cast("double") / cap).cast("int").as("_n_sub"))
+        val sub = pmod(
+          conv(substring(md5(concat(lit("sub|"), col(idCol).cast("string"))), 1, 8),
+            16, 10).cast("long"),
+          col("_n_sub").cast("long"))
+        val keyed = df
+          .join(broadcast(census), col(strataCol) === col("_census_key"))
+          .withColumn("pack_stratum",
+            when(col("_n_sub") <= 1, col(strataCol).cast("string"))
+              .otherwise(concat(col(strataCol).cast("string"), lit("#"), sub)))
+          .drop("_census_key", "_n_sub")
+        packByKey(keyed, idCol, textCol, col("pack_stratum"))(budgetTokens)
+    }
+  }
+
+  private def packByKey(df: DataFrame, idCol: String, textCol: String,
+                        key: Column)(budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", size(words(col(textCol))).cast("long"))
       .withColumn("_cum", sum(col("n_tokens")).over(w))

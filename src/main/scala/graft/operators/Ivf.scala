@@ -28,7 +28,9 @@ object Ivf {
   import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
 
   /** Hard cap on the quantizer's training-set size: the fit never sees
-    * more than this many vectors regardless of corpus size. */
+    * more than this many vectors regardless of corpus size (enforced by a
+    * limit on an oversampled Bernoulli draw, so it is a true cap, not an
+    * expected value). */
   val MaxFitRows = 100000L
 
   /** Assign every corpus vector to its k-means cell. Returns the inverted
@@ -46,15 +48,21 @@ object Ivf {
              nCells: Int, seed: Long = 42L,
              maxFitRows: Long = MaxFitRows): (DataFrame, Array[Array[Double]]) = {
     require(maxFitRows >= nCells, s"maxFitRows=$maxFitRows < nCells=$nCells")
+    require(maxFitRows <= Int.MaxValue, s"maxFitRows=$maxFitRows exceeds Int range")
     val vecs = corpus
       .select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
       .withColumn("_feat", array_to_vector(col("_vn")))
     // the count projects zero data columns — far cheaper than the vector
     // scans KMeans would otherwise repeat per iteration
     val n = corpus.count()
+    // Bernoulli sampling yields an EXPECTED row count; oversample by 20%
+    // then hard-cap with limit so the fit can never exceed maxFitRows (the
+    // cap is the memory contract for the in-driver k-means iterations)
     val fitInput =
       if (n <= maxFitRows) vecs
-      else vecs.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+      else vecs.sample(withReplacement = false,
+          math.min(1.0, 1.2 * maxFitRows.toDouble / n), seed)
+        .limit(maxFitRows.toInt)
     // the sample is small by construction; pin it so the k-means
     // iterations don't re-run the sample scan
     val pinned = fitInput.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -80,10 +88,16 @@ object Ivf {
     * assignment exactly once, every [[probe]] is a broadcast equi-join on
     * `cell` against the persisted relation. The persist is deliberate
     * (unlike the dedup sketch relations, an index's lifetime is the
-    * CALLER's decision) — release it with [[unpersist]] when done. */
+    * CALLER's decision) — release it with [[unpersist]] when done.
+    *
+    * `nCells` is the EFFECTIVE cell count — `centers.length`, which k-means
+    * may return smaller than the requested k when the (sampled) training
+    * set has fewer distinct points. Probe bounds check against this, never
+    * against the requested k. */
   final case class Index private[Ivf](assigned: DataFrame,
                                       centers: Array[Array[Double]],
-                                      idCol: String, nCells: Int) {
+                                      idCol: String) {
+    val nCells: Int = centers.length
     def unpersist(): Unit = assigned.unpersist()
   }
 
@@ -96,7 +110,7 @@ object Ivf {
     val idx = assigned.repartition(col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idx.count() // materialize now — probes must never re-trigger training
-    Index(idx, centers, idCol, nCells)
+    Index(idx, centers, idCol)
   }
 
   /** Probe a built [[Index]]: per query, rank cells by euclidean distance
@@ -148,7 +162,7 @@ object Ivf {
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("ctr")).toArray)
     require(centers.nonEmpty, s"ivf load: no centroids at $path/centers")
-    Index(assigned, centers, idCol, centers.length)
+    Index(assigned, centers, idCol)
   }
 
   /** ANN top-k in one shot: train + assign + probe, nothing retained.
@@ -170,6 +184,9 @@ object Ivf {
                         idCol: String, queries: DataFrame,
                         qIdCol: String, qVecCol: String,
                         k: Int, nProbe: Int): DataFrame = {
+    // k-means may have returned fewer centers than the requested k (few
+    // distinct training points): probing is bounded by what exists
+    val np = math.min(nProbe, centers.length)
     // (cell, centroid) rows against the (small, broadcast) query side
     val centerRows = array(centers.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("ctr"))
@@ -184,7 +201,7 @@ object Ivf {
       .select(col(qIdCol), col("_qn"), col("cc.cell").as("cell"), col("cc.ctr").as("_ctr"))
       .withColumn("_d2", dist2)
       .withColumn("_pr", row_number().over(probeW))
-      .where(col("_pr") <= nProbe)
+      .where(col("_pr") <= np)
       .select(col(qIdCol), col("_qn"), col("cell"))
 
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))

@@ -95,6 +95,17 @@ object ExtraQueries {
         Seq("view", "click", "purchase"))
       .orderBy("step")
 
+  /** The same funnel under PER-STEP conversion windows: each hop must land
+    * within 12 hours of the previous step's qualifying event
+    * ([[Behavior.AnchorPrevStep]]) — deliberately a window where the two
+    * anchor semantics disagree at gate scale (first-anchor converts 3
+    * purchases, per-step converts 7), so the gate pins the distinction. */
+  def funnelStep(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(StarQueries.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        within = Some("12 hours"), anchor = Behavior.AnchorPrevStep)
+      .orderBy("step")
+
   /** Weekly cohort retention over the events table. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame =
     Behavior.cohortRetention(StarQueries.events(s, dir), "user_id", "ts")
@@ -106,6 +117,7 @@ object ExtraQueries {
     "events_attribution" -> (eventsAttribution _),
     "scd2_merge" -> (scd2Merge _),
     "q_funnel" -> (funnel _),
+    "q_funnel_step" -> (funnelStep _),
     "q_cohort" -> (cohortRetention _),
     "q_approx" -> (approxSketches _)
   )
@@ -171,6 +183,32 @@ object ExtraQueries {
         |          OVER (PARTITION BY user_id) AS t1 FROM w0),
         | w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
         |                            AND ts > t1 THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t2 FROM w1),
+        | pu AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        |        FROM w2 GROUP BY 1),
+        | c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 FROM pu)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n0 AS n_users,
+        |    CAST(n0 AS DOUBLE) / nullif(n0, 0) AS conv_from_prev,
+        |    CAST(n0 AS DOUBLE) / nullif(n0, 0) AS conv_from_top FROM c
+        |  UNION ALL SELECT 2, 'click', n1,
+        |    CAST(n1 AS DOUBLE) / nullif(n0, 0), CAST(n1 AS DOUBLE) / nullif(n0, 0) FROM c
+        |  UNION ALL SELECT 3, 'purchase', n2,
+        |    CAST(n2 AS DOUBLE) / nullif(n1, 0), CAST(n2 AS DOUBLE) / nullif(n0, 0) FROM c)
+        |ORDER BY step""".stripMargin,
+
+    "q_funnel_step" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        | w0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t0 FROM ev),
+        | w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+        |                            AND ts > t0 AND ts <= t0 + INTERVAL 12 HOUR
+        |                       THEN ts END)
+        |          OVER (PARTITION BY user_id) AS t1 FROM w0),
+        | w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+        |                            AND ts > t1 AND ts <= t1 + INTERVAL 12 HOUR
+        |                       THEN ts END)
         |          OVER (PARTITION BY user_id) AS t2 FROM w1),
         | pu AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
         |        FROM w2 GROUP BY 1),

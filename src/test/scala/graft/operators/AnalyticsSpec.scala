@@ -124,6 +124,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(unbounded == Seq(2L, 2L))
   }
 
+  test("funnel anchors: first-event vs per-step windows count differently") {
+    def ev(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val events = ev(
+      // user 1: each hop 40 min apart — purchase is 80 min after the first
+      // view (outside a 1h first-event window) but 40 min after the click
+      // (inside a 1h per-step window)
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:40:00", "click"),
+      (1L, "2024-01-01 11:20:00", "purchase"),
+      // user 2: everything within 30 min of the view — converts under both
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:10:00", "click"),
+      (2L, "2024-01-01 10:30:00", "purchase"))
+    def counts(anchor: Behavior.ConversionAnchor) =
+      Behavior.funnel(events, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"),
+          within = Some("1 hour"), anchor = anchor)
+        .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(counts(Behavior.AnchorFirst) == Seq(2L, 2L, 1L))
+    assert(counts(Behavior.AnchorPrevStep) == Seq(2L, 2L, 2L))
+  }
+
   test("cohortRetention: offsets measured from each user's first week") {
     def ev(rows: (Long, String)*) =
       rows.toSeq.toDF("user_id", "ts_s")

@@ -37,6 +37,41 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("packShards maxStratumDocs: a giant stratum packs through sub-windows") {
+    // one 100k-doc stratum plus a small one; every doc is 3 tokens so the
+    // expected max shard id per sub-stratum is exact arithmetic
+    val docs = spark.range(100000)
+      .select(col("id"), lit("alpha beta gamma").as("text"), lit("web").as("stratum"))
+      .union(spark.range(100000, 100050)
+        .select(col("id"), lit("alpha beta gamma").as("text"), lit("books").as("stratum")))
+    val packed = CorpusOps.packShards(docs, "id", "text", "stratum",
+      budgetTokens = 3000, maxStratumDocs = Some(10000L))
+    // the window must partition on the SUB key, not the raw stratum —
+    // otherwise the 100k stratum still serializes through one partition
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(pack_stratum"),
+      s"packing window should partition on pack_stratum:\n$plan")
+    val subs = packed.groupBy("stratum", "pack_stratum")
+      .agg(count(lit(1)).as("n"), max(col("shard_id")).as("max_shard"))
+      .collect()
+    // 100k/cap -> 10 sub-strata, each named web#k; the small stratum is
+    // left whole under its plain name
+    assert(subs.count(_.getString(1).startsWith("web#")) == 10)
+    assert(subs.exists(r => r.getString(0) == "books" && r.getString(1) == "books"))
+    // within each sub-stratum the running-offset rule holds exactly:
+    // last doc starts at (n-1)*3 tokens -> shard floor((n-1)*3 / 3000)
+    subs.foreach { r =>
+      val (n, maxShard) = (r.getLong(2), r.getLong(3))
+      assert(maxShard == (n - 1) * 3 / 3000, s"${r.getString(1)}: n=$n max=$maxShard")
+    }
+    // sub-assignment is an md5 of the id: deterministic, roughly even
+    val webSizes = subs.filter(_.getString(1).startsWith("web#")).map(_.getLong(2))
+    assert(webSizes.sum == 100000L && webSizes.min > 8000 && webSizes.max < 12000)
+    // without the cap the schema is exactly the old contract
+    val plain = CorpusOps.packShards(docs, "id", "text", "stratum", 3000)
+    assert(!plain.columns.contains("pack_stratum"))
+  }
+
   test("saltedSum equals the plain aggregate") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount")))

@@ -136,6 +136,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"sample-fit IVF recall degraded: $recall")
   }
 
+  test("IVF edge: n just over maxFitRows ≈ nCells — nCells reflects the real centers") {
+    // 60 distinct-ish vectors, cap 50, request 48 cells: the limited sample
+    // holds ≤50 points with few distinct values, so k-means returns FEWER
+    // centers than requested — the index must report what exists, and a
+    // probe asking for every reported cell must work
+    val e = spark.range(60).select(col("id").as("vec_id"),
+      array((0 until 4).map(j => (col("id") % 5 * (j + 1)).cast("float") + lit(1f)): _*)
+        .as("embedding"))
+    val index = Ivf.build(e, "vec_id", "embedding", nCells = 48, maxFitRows = 50)
+    try {
+      assert(index.nCells == index.centers.length)
+      assert(index.nCells <= 48)
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Ivf.probe(index, q, "q_id", "q_vec", k = 5, nProbe = index.nCells)
+        .groupBy("q_id").count().collect()
+      assert(out.length == 3 && out.forall(_.getLong(1) == 5))
+      // the declared cap is HARD: the fit input can never exceed it even
+      // though Bernoulli sampling alone could overshoot 50/60
+      val (assigned, _) = Ivf.assign(e, "vec_id", "embedding",
+        nCells = 2, maxFitRows = 50)
+      assert(assigned.count() == 60, "assignment always covers the full corpus")
+    } finally index.unpersist()
+  }
+
   test("IVF build/probe: probe == one-shot topK; plan probes the persisted index, no training") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.where(col("vec_id") < 8)
