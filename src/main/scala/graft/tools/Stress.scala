@@ -95,6 +95,38 @@ object Stress {
       println("   pairs: " + p.count() + " (band equi-join; all-pairs space = " +
         (100000L * 99999L / 2) + ")")
     }
+    time("gopher topGramFraction on 100k docs (full gram shuffle)") {
+      val tg = graft.operators.TextAnalysis.topGramFraction(big, "doc_id", "text")
+      // the claim: two shrinking shuffles — (doc, gram) counts, then per-doc
+      // rollup — and nothing else. A third exchange means the gram explode
+      // leaked a shuffle.
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllIn(tg.queryExecution.executedPlan.toString).length
+      assert(nExchanges == 2, s"topGramFraction should shuffle exactly twice, saw $nExchanges")
+      println("   docs scored: " + tg.count() + s" (exchanges: $nExchanges)")
+    }
+
+    // 2M events over 30k users: 20 replicas with DISJOINT user spaces, so
+    // per-user window width stays the original ~670 events — replication
+    // widens the shuffle, not the window, which is how real user growth
+    // behaves.
+    val ev = graft.queries.StarQueries.events(spark, "/root/testdata/sf0.1")
+    val bigEv = ev.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .select((col("user_id") * 20 + col("rep")).as("user_id"),
+        col("ts"), col("event_type"))
+      .repartition(32).localCheckpoint()
+    println(s"events: ${bigEv.count()}")
+    time("funnel view->click->purchase over 2M events (per-step 12h windows)") {
+      val f = graft.operators.Behavior.funnel(bigEv, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), within = Some("12 hours"),
+        anchor = graft.operators.Behavior.AnchorPrevStep)
+      println("   " + f.orderBy("step").collect()
+        .map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(" "))
+    }
+    time("cohortRetention over 2M events") {
+      val c = graft.operators.Behavior.cohortRetention(bigEv, "user_id", "ts")
+      println("   cohort cells: " + c.count())
+    }
 
     // 40k vectors: 20 replicas of the 2k embeddings (float jitter via
     // deterministic per-replica scale so replicas are near-parallel).
