@@ -238,4 +238,79 @@ object TextAnalysis {
       case (df, k) => df.withColumn(s"mh$k", minhash(col("_sh"), k))
     }.drop("_sh")
   }
+
+  /** Per-document salient terms: top `k` by smoothed tf-idf
+    * (`tf × (ln((N+1)/(df+1)) + 1)` — the scikit-style formulation, always
+    * positive so common-everywhere terms rank low without vanishing).
+    *
+    * Scale shape: three shrinking shuffles — (doc, term) counts, the
+    * document-frequency rollup (distinct terms only), and the per-doc
+    * top-k window (doc-partitioned, k rows out per doc). The corpus size N
+    * rides a broadcast one-row join; df joins back on the term key. ln of
+    * an exact rational is IEEE-identical across engines, so tfidf is
+    * oracle-comparable after round(6). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val terms = docs
+      .select(col(idCol), explode(normWords(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** Cross-document boilerplate line removal — the C4/RefinedWeb cleanup
+    * step: a line whose content appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, license banners, headers) and is
+    * removed from EVERY document; remaining lines are rejoined in their
+    * original order. Documents whose every line was boilerplate survive
+    * with empty text (the caller decides whether to drop them — that is a
+    * filtering policy, not a dedup decision).
+    *
+    * Scale shape: lines explode map-side with their position; boilerplate
+    * detection is one shuffle keyed on the line hash (shrinking to
+    * DISTINCT lines); membership is a hash anti-join on the same key
+    * (never a window over the corpus); the rebuild groups by document with
+    * an in-group `array_sort` — no global ordering anywhere. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (1 would drop every line)")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .where(trim(col("line")) =!= "")
+      .withColumn("lkey", md5(lower(trim(col("line")))))
+    val boiler = lines.groupBy(col("lkey"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("lkey"))
+    val kept = lines.join(boiler, Seq("lkey"), "left_anti")
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("_n_lines"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (coalesce(col("_n_lines"), lit(0L)) - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
 }

@@ -143,6 +143,27 @@ object TextQueries {
         "doc_id", "payload")
       .orderBy("doc_id")
 
+  def tfidfTop(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
+  /** Line dedup over SYNTHESIZED lines: the corpus texts carry no
+    * newlines, so the gate re-lines each document deterministically (8
+    * normalized words per line — reproducible in SQL, like pii_redact's
+    * augmentation); the planted near-dup structure then yields real
+    * cross-document boilerplate lines for [[TextAnalysis.dedupLines]] to
+    * strip. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val ws = graft.functions.TextFunctions.normWords(col("text"))
+    val lined = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n", transform(
+        sequence(lit(0L), floor((size(ws) - lit(1)) / lit(8.0)).cast("long")),
+        i => concat_ws(" ", slice(ws, (i * lit(8L) + lit(1L)).cast("int"), lit(8)))))
+        .as("text"))
+    TextAnalysis.dedupLines(lined, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (quality _),
@@ -163,7 +184,9 @@ object TextQueries {
     "decontaminate" -> (decontaminate _),
     "corpus_sample" -> (corpusSample _),
     "pack_shards" -> (packShards _),
-    "multimodal_meta" -> (multimodalMeta _)
+    "multimodal_meta" -> (multimodalMeta _),
+    "tfidf_topterms" -> (tfidfTop _),
+    "line_dedup" -> (lineDedup _)
   )
 
   private def markersIn(lang: String): String =
@@ -594,6 +617,42 @@ object TextQueries {
         |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |            AS n_tokens
         |        FROM documents))
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topterms" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | t AS (SELECT doc_id, unnest(ws) AS term FROM nw),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |        WHERE term <> '' GROUP BY 1, 2),
+         | dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         | scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |     round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+         |   FROM tf JOIN dfreq USING (term), n),
+         | ranked AS (SELECT *, row_number() OVER
+         |     (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+         |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "line_dedup" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | l AS (SELECT doc_id, i AS pos,
+         |         array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ') AS line
+         |       FROM nw,
+         |         unnest(generate_series(0, CAST(floor((len(ws) - 1) / 8.0) AS INT))) t(i)
+         |       WHERE trim(array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')) <> ''),
+         | boiler AS (SELECT line FROM l GROUP BY line
+         |            HAVING count(DISTINCT doc_id) >= 2),
+         | kept AS (SELECT l.* FROM l WHERE l.line NOT IN (SELECT line FROM boiler)),
+         | tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1),
+         | ka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |          count(*) AS n_kept FROM kept GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  coalesce(ka.n_kept, 0) AS n_lines_kept,
+         |  coalesce(tot.n_lines, 0) - coalesce(ka.n_kept, 0) AS n_lines_removed
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -335,7 +335,135 @@ object TpchQueries {
       .orderBy("cntrycode")
   }
 
+  /** Q2: minimum-cost supplier — the testdata has no partsupp table, so the
+    * supply relation derives from OBSERVED sales: per (part, supplier) the
+    * minimum unit price that supplier charged (min is exact selection, not
+    * accumulation — identical across engines). The correlated per-part MIN
+    * becomes a partial aggregate joined back (same treatment as q17's AVG);
+    * region-restricted suppliers broadcast. */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val supply = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4)
+        .as("ps_supplycost"))
+    val euroSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val joined = broadcast(
+        t(s, dir, "part").where(col("p_size") <= 10 && col("p_type") === "ECONOMY")
+          .select(col("p_partkey")))
+      .join(supply, col("p_partkey") === col("ps_partkey"))
+      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("s_acctbal"), col("n_name"),
+        col("ps_supplycost"))
+    val minCost = joined.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    joined
+      .join(broadcast(minCost),
+        col("p_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9: product-type profit by nation-year — no ps_supplycost, so cost is
+    * modeled from the part's list price (0.5 × p_retailprice × quantity);
+    * the shape (5-way join, per-row profit expression, nation-year rollup)
+    * is the point. */
+  def q9(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").where(col("p_name").contains("gear"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.5) * col("p_retailprice") * col("l_quantity")), 4).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Q11: important stock — per-part "stock value" derives from the sales
+    * one nation's suppliers made of it; keep parts above a fraction of that
+    * nation's total. Cents-exact longs (like q22) make both the per-part
+    * sums and the global threshold integer-deterministic; the threshold
+    * rides a broadcast one-row join. */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    // referenced twice (threshold total + final filter) — one scan, and the
+    // checkpointed relation is per-part tiny (same treatment as q15/q17)
+    val perPart = t(s, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("value_cents"))
+      .localCheckpoint(false)
+    perPart
+      .join(broadcast(perPart.agg(sum(col("value_cents")).as("total_cents"))),
+        col("value_cents") > col("total_cents") / lit(1000))
+      .select(col("p_partkey"), round(col("value_cents") / 100.0, 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** Q16: parts/supplier relationship — supplier variety per (brand, type,
+    * size) bucket over the observed supplier-part pairs, excluding
+    * "complaint" suppliers (negative balance stands in for the comment
+    * scan). Distinct pairs shrink lineitem before any join; the exclusion
+    * is a broadcast anti-join. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complained = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    broadcast(t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49)))
+      .join(pairs, col("p_partkey") === col("l_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20: potential part promotion — suppliers holding "excess stock" of
+    * small-name parts: more quantity shipped OUTSIDE the target year than
+    * half of what they moved in it (availqty modeled from observed flow;
+    * quantities are integral so the 0.5× threshold is exact). One
+    * conditional aggregate over the part-pruned lineitem, then semi-joins
+    * up the supplier→nation→region chain. */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val in96 = to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+      to_date(col("l_shipdate")) < lit("1997-01-01")
+    val excess = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").where(col("p_name").startsWith("small"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(in96, col("l_quantity")).otherwise(lit(0.0))).as("qty_96"),
+        sum(when(!in96, col("l_quantity")).otherwise(lit(0.0))).as("qty_other"))
+      .where(col("qty_96") > 0 && col("qty_other") > lit(0.5) * col("qty_96"))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q2" -> (q2 _),
+    "tpch_q9" -> (q9 _),
+    "tpch_q11" -> (q11 _),
+    "tpch_q16" -> (q16 _),
+    "tpch_q20" -> (q20 _),
     "tpch_q13" -> (q13 _),
     "tpch_q15" -> (q15 _),
     "tpch_q17" -> (q17 _),
@@ -356,6 +484,82 @@ object TpchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q2" ->
+      """WITH supply AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |                round(min(l_extendedprice / l_quantity), 4) AS ps_supplycost
+        |                FROM lineitem GROUP BY 1, 2),
+        | es AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |        JOIN region r ON n.n_regionkey = r.r_regionkey
+        |        WHERE r.r_name = 'EUROPE'),
+        | j AS (SELECT p.p_partkey, es.s_name, es.s_acctbal, es.n_name, sp.ps_supplycost
+        |       FROM part p JOIN supply sp ON p.p_partkey = sp.ps_partkey
+        |       JOIN es ON sp.ps_suppkey = es.s_suppkey
+        |       WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'),
+        | mc AS (SELECT p_partkey AS mc_partkey, min(ps_supplycost) AS min_cost
+        |        FROM j GROUP BY 1)
+        |SELECT j.s_acctbal, j.s_name, j.n_name, j.p_partkey, j.ps_supplycost
+        |FROM j JOIN mc ON j.p_partkey = mc.mc_partkey AND j.ps_supplycost = mc.min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "tpch_q9" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |            - 0.5 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_q11" ->
+      """WITH v AS (SELECT l.l_partkey AS p_partkey,
+        |             sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS value_cents
+        |           FROM lineitem l
+        |           WHERE l.l_suppkey IN (
+        |             SELECT s.s_suppkey FROM supplier s
+        |             JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |             WHERE n.n_name = 'NATION_7')
+        |           GROUP BY 1),
+        | tot AS (SELECT sum(value_cents) AS total_cents FROM v)
+        |SELECT v.p_partkey, round(v.value_cents / 100.0, 2) AS value
+        |FROM v, tot WHERE v.value_cents > tot.total_cents / 1000
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "tpch_q16" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT sp.l_suppkey) AS supplier_cnt
+        |FROM part p JOIN sp ON p.p_partkey = sp.l_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q20" ->
+      """WITH qty AS (SELECT l.l_suppkey, l.l_partkey,
+        |    sum(CASE WHEN CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        |              AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+        |             THEN l.l_quantity ELSE 0.0 END) AS qty_96,
+        |    sum(CASE WHEN CAST(l.l_shipdate AS DATE) < DATE '1996-01-01'
+        |              OR CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+        |             THEN l.l_quantity ELSE 0.0 END) AS qty_other
+        |  FROM lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        | excess AS (SELECT DISTINCT l_suppkey FROM qty
+        |            WHERE qty_96 > 0 AND qty_other > 0.5 * qty_96)
+        |SELECT s.s_name, s.s_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND s.s_suppkey IN (SELECT l_suppkey FROM excess)
+        |ORDER BY s_name""".stripMargin,
+
     "tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count

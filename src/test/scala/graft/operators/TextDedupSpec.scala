@@ -225,4 +225,41 @@ class TextDedupSpec extends SparkSpec {
     assert(clean.getAs[String]("redacted_text") == "no sensitive content here")
     assert(clean.getAs[Int]("n_phones") == 0 && clean.getAs[Int]("n_idnums") == 0)
   }
+
+  test("dedupLines strips cross-document boilerplate, keeps order, keeps emptied docs") {
+    val lined = Seq(
+      (1L, "unique first line\nCopyright Notice 2024\nmiddle content one\nfooter nav bar"),
+      (2L, "copyright notice 2024\nother middle content\nFooter Nav Bar"),
+      // doc 3 is ALL boilerplate: must survive with empty text, not vanish
+      (3L, "Copyright Notice 2024\nfooter nav bar"),
+      // doc 4 repeats a line INSIDE itself only — within-doc repetition is
+      // not cross-doc boilerplate and must be kept (both copies)
+      (4L, "solo line\nsolo line")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(lined, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines_kept", "n_lines_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "unique first line\nmiddle content one", 2L, 2L)))
+    assert(out(1) == ((2L, "other middle content", 1L, 2L)))
+    assert(out(2) == ((3L, "", 0L, 2L)))
+    assert(out(3) == ((4L, "solo line\nsolo line", 2L, 0L)))
+  }
+
+  test("tfidfTopTerms: rare terms outrank ubiquitous ones; exactly k rows per doc") {
+    val corpus = Seq(
+      (1L, "common zebra"),
+      (2L, "common words here again"),
+      (3L, "common words here too"),
+      (4L, "common words here too")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+    val byDoc = out.select("doc_id", "term", "rank").as[(Long, String, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // doc 1: 'zebra' (df=1) beats 'common' (df=4) despite tf 1 vs 3
+    assert(byDoc(1L).head == "zebra")
+    assert(byDoc.forall(_._2.size == 2))
+    // deterministic tie-break: docs 3 and 4 are identical -> identical ranking
+    assert(byDoc(3L) == byDoc(4L))
+  }
 }
