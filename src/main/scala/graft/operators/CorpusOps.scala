@@ -143,6 +143,63 @@ object CorpusOps {
     }
   }
 
+  /** Training-mixture planning: given target mixture WEIGHTS per stratum
+    * and a total token budget, compute each stratum's sampling rate —
+    * `min(1, floor(weight × budget) / tokens_available)` — the step
+    * between "I want 50% web, 30% books, 20% code" and the deterministic
+    * sample that realizes it. Strata without a target weight are excluded
+    * (rate 0 by omission). One tiny aggregation (rows = #strata); rates
+    * over-subscribe gracefully: a stratum smaller than its target caps at
+    * 1.0 and the mixture under-fills rather than double-sampling.
+    *
+    * @return (strataCol, tokens_available, weight, target_tokens, rate)
+    */
+  def mixturePlan(docs: DataFrame, textCol: String, strataCol: String,
+                  targetWeights: Map[String, Double],
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
+    require(targetWeights.nonEmpty, "mixturePlan needs at least one target weight")
+    targetWeights.foreach { case (s, w) =>
+      require(w >= 0.0 && w <= 1.0, s"weight $w for stratum '$s' outside [0,1]") }
+    val wsum = targetWeights.values.sum
+    require(math.abs(wsum - 1.0) < 1e-9, s"weights sum to $wsum, expected 1.0")
+    val weightCol = targetWeights.foldRight(lit(null).cast("double"): Column) {
+      case ((stratum, w), alt) =>
+        when(col(strataCol) === stratum, lit(w)).otherwise(alt)
+    }
+    docs
+      .groupBy(col(strataCol))
+      .agg(sum(size(words(col(textCol))).cast("long")).as("tokens_available"))
+      .withColumn("weight", weightCol)
+      .where(col("weight").isNotNull)
+      .withColumn("target_tokens",
+        floor(col("weight") * budgetTokens).cast("long"))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("tokens_available")))
+  }
+
+  /** Realize a [[mixturePlan]]: the same deterministic md5-bucket rule as
+    * [[stratifiedSample]], but thresholds come from the PLAN's rate column
+    * (broadcast — rows = #strata) instead of a literal map, so plan and
+    * application can live in different jobs. Map-side after the broadcast:
+    * the corpus never shuffles. */
+  def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
+                    plan: DataFrame, salt: String = "mix"): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
+    // rate → fixed-width lowercase hex threshold (string order == unsigned
+    // numeric order, the stratifiedSample convention)
+    val thr = lpad(lower(conv(
+      least(floor(col("rate") * lit(4294967296L)), lit(4294967295L))
+        .cast("long").cast("string"), 10, 16)), 8, "0")
+    docs
+      .join(broadcast(plan.select(col(strataCol).as("_mix_key"), col("rate"))),
+        col(strataCol) === col("_mix_key"))
+      .withColumn("sample_bucket", bucket)
+      .where(col("sample_bucket") < thr)
+      .drop("_mix_key", "rate")
+  }
+
   private def packByKey(df: DataFrame, idCol: String, textCol: String,
                         key: Column)(budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(idCol))

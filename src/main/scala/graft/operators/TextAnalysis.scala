@@ -255,7 +255,12 @@ object TextAnalysis {
     val terms = docs
       .select(col(idCol), explode(normWords(col(textCol))).as("term"))
       .where(col("term") =!= "")
+    // tf feeds BOTH the scoring join and the df rollup: without a
+    // checkpoint Catalyst plans the corpus explode twice — one token scan
+    // vs two is the dominant cost at scale, and (doc, term) counts are far
+    // smaller than raw tokens
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))

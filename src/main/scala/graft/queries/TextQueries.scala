@@ -143,6 +143,21 @@ object TextQueries {
         "doc_id", "payload")
       .orderBy("doc_id")
 
+  private val mixWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  def mixturePlan(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixturePlan(docs(s, dir), "text", "source", mixWeights,
+        budgetTokens = 2000)
+      .orderBy("source")
+
+  def corpusMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusOps.mixtureSample(d, "doc_id", "source",
+        CorpusOps.mixturePlan(d, "text", "source", mixWeights, budgetTokens = 2000))
+      .select("doc_id", "source", "sample_bucket")
+      .orderBy("doc_id")
+  }
+
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
@@ -186,7 +201,9 @@ object TextQueries {
     "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
-    "line_dedup" -> (lineDedup _)
+    "line_dedup" -> (lineDedup _),
+    "mixture_plan" -> (mixturePlan _),
+    "corpus_mixture" -> (corpusMixture _)
   )
 
   private def markersIn(lang: String): String =
@@ -617,6 +634,50 @@ object TextQueries {
         |          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |            AS n_tokens
         |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "mixture_plan" ->
+      """WITH tok AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        | avail AS (SELECT source, CAST(sum(n) AS BIGINT) AS tokens_available
+        |          FROM tok GROUP BY 1)
+        |SELECT source, tokens_available,
+        |  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |              WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |              WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS weight,
+        |  CAST(floor(CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                         WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |                         WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END * 2000)
+        |       AS BIGINT) AS target_tokens,
+        |  least(1.0,
+        |    CAST(floor(CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                           WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |                           WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END * 2000)
+        |         AS BIGINT) / tokens_available) AS rate
+        |FROM avail WHERE source IN ('src0', 'src1', 'src2')
+        |ORDER BY source""".stripMargin,
+
+    "corpus_mixture" ->
+      """WITH tok AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        | avail AS (SELECT source, sum(n) AS tokens_available FROM tok GROUP BY 1),
+        | plan1 AS (SELECT source,
+        |     CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                 WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |                 WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS weight,
+        |     tokens_available
+        |   FROM avail WHERE source IN ('src0', 'src1', 'src2')),
+        | plan2 AS (SELECT source,
+        |     least(1.0, CAST(floor(weight * 2000) AS BIGINT) / tokens_available) AS rate
+        |   FROM plan1),
+        | s AS (SELECT d.doc_id, d.source,
+        |     substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_bucket,
+        |     lpad(lower(to_hex(CAST(least(floor(p.rate * 4294967296), 4294967295)
+        |                            AS BIGINT))), 8, '0') AS thr
+        |   FROM documents d JOIN plan2 p ON d.source = p.source)
+        |SELECT doc_id, source, sample_bucket FROM s WHERE sample_bucket < thr
         |ORDER BY doc_id""".stripMargin,
 
     "tfidf_topterms" ->

@@ -351,6 +351,8 @@ object TpchQueries {
       .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // referenced twice (per-part MIN + final equality filter) — one scan
+    // of the part-pruned supply relation (q15/q17 treatment)
     val joined = broadcast(
         t(s, dir, "part").where(col("p_size") <= 10 && col("p_type") === "ECONOMY")
           .select(col("p_partkey")))
@@ -358,6 +360,7 @@ object TpchQueries {
       .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_name"), col("s_acctbal"), col("n_name"),
         col("ps_supplycost"))
+      .localCheckpoint(false)
     val minCost = joined.groupBy(col("p_partkey").as("mc_partkey"))
       .agg(min(col("ps_supplycost")).as("min_cost"))
     joined
@@ -453,7 +456,7 @@ object TpchQueries {
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
-      .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_name"), col("s_acctbal"))
       .orderBy("s_name")
   }

@@ -145,4 +145,31 @@ class CorpusOpsSpec extends SparkSpec {
       .select("source", "shard_id").as[(String, Long)].collect().toMap
     assert(two == Map("x" -> 0L, "y" -> 0L))
   }
+
+  test("mixturePlan rates realize target weights; mixtureSample == stratifiedSample at those rates") {
+    // 3 strata × 40 docs × 5 tokens = 200 tokens each
+    val docs = spark.range(120).select(col("id").as("doc_id"),
+      lit("one two three four five").as("text"),
+      concat(lit("s"), (col("id") % 3)).as("source"))
+    val plan = CorpusOps.mixturePlan(docs, "text", "source",
+      Map("s0" -> 0.5, "s1" -> 0.5), budgetTokens = 200)
+    val rows = plan.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // s2 has no weight -> excluded; 0.5 * 200 = 100 targeted of 200 available
+    assert(rows.keySet == Set("s0", "s1"))
+    assert(rows("s0") == ((200L, 0.5, 100L, 0.5)))
+    // over-subscription caps at 1.0 instead of over-sampling
+    val capped = CorpusOps.mixturePlan(docs, "text", "source",
+        Map("s0" -> 1.0), budgetTokens = 100000)
+      .select("rate").as[Double].head()
+    assert(capped == 1.0)
+    // applying the plan picks exactly the md5-threshold rows — the same
+    // membership stratifiedSample computes from a literal rate map
+    val viaPlan = CorpusOps.mixtureSample(docs, "doc_id", "source", plan)
+      .select("doc_id").as[Long].collect().toSet
+    val viaLiteral = CorpusOps.stratifiedSample(docs, "doc_id", "source",
+        Map("s0" -> 0.5, "s1" -> 0.5), defaultRate = 0.0, salt = "mix")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPlan == viaLiteral && viaPlan.nonEmpty)
+  }
 }
