@@ -95,6 +95,29 @@ object Stress {
       println("   pairs: " + p.count() + " (band equi-join; all-pairs space = " +
         (100000L * 99999L / 2) + ")")
     }
+    time("tfidfTopTerms (k=5) on 100k docs") {
+      val tt = graft.operators.TextAnalysis.tfidfTopTerms(big, "doc_id", "text", k = 5)
+      println("   rows: " + tt.count())
+    }
+    time("dedupLines on 100k docs (8-word synthesized lines)") {
+      import graft.functions.TextFunctions.normWords
+      val ws = normWords(col("text"))
+      val lined = big.select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0L), floor((size(ws) - lit(1)) / lit(8.0)).cast("long")),
+          i => concat_ws(" ", slice(ws, (i * lit(8L) + lit(1L)).cast("int"), lit(8)))))
+          .as("text"))
+      val out = graft.operators.TextAnalysis.dedupLines(lined, "doc_id", "text")
+      val removed = out.agg(sum(col("n_lines_removed"))).head().getLong(0)
+      println(s"   boilerplate lines removed: $removed")
+    }
+    time("mixturePlan + mixtureSample over 100k docs") {
+      val strat = big.withColumn("src", (col("doc_id") % 4).cast("string"))
+      val plan = graft.operators.CorpusOps.mixturePlan(strat, "text", "src",
+        Map("0" -> 0.5, "1" -> 0.3, "2" -> 0.2), budgetTokens = 2000000L)
+      val sampled = graft.operators.CorpusOps.mixtureSample(strat, "doc_id", "src", plan)
+      println("   sampled: " + sampled.count())
+    }
     time("gopher topGramFraction on 100k docs (full gram shuffle)") {
       val tg = graft.operators.TextAnalysis.topGramFraction(big, "doc_id", "text")
       // the claim: two shrinking shuffles — (doc, gram) counts, then per-doc
