@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The corpus → training-mixture pipeline END TO END, as one composition
+  * of individually-verified operators:
+  *
+  *   [[Curate.curate]] (quality / language / exact-dup / near-dup)
+  *     → [[CorpusOps.decontaminate]] (drop docs leaking eval n-grams)
+  *     → [[CorpusOps.mixturePlan]] + [[CorpusOps.mixtureSample]]
+  *       (target weights + token budget → deterministic per-stratum sample)
+  *     → [[CorpusOps.packShards]] (token-budget shards, giant strata
+  *       pre-split)
+  *     → [[publish]] (parquet partitioned by (stratum, shard)).
+  *
+  * This is the switchover story for a training-data user: every stage is
+  * the library operator they would call individually, so the composition
+  * adds sequencing, not semantics. Scale shape = the sum of its parts:
+  * each stage shrinks the next stage's input, the eval side broadcasts,
+  * the mixture plan broadcasts, and nothing here introduces a new
+  * shuffle beyond the member operators' own.
+  */
+object TrainingMix {
+
+  /** Pipeline knobs, grouped per stage. `weights` must sum to 1; strata
+    * absent from it are excluded from the mixture (rate 0). */
+  final case class Config(
+      minQuality: Double = 0.5,
+      lang: Option[String] = Some("en"),
+      jaccardThreshold: Double = 0.8,
+      decontamN: Int = 3,
+      decontamMinOverlap: Int = 2,
+      weights: Map[String, Double],
+      budgetTokens: Long,
+      shardTokens: Long,
+      maxStratumDocs: Option[Long] = None)
+
+  /** The mixture plan (tiny, one row per stratum) plus the packed sample
+    * ready for [[publish]]. */
+  final case class Mixture(plan: DataFrame, packed: DataFrame)
+
+  /** Run the pipeline. `eval` (when given) is the benchmark set to
+    * decontaminate against; docs sharing ≥ `decontamMinOverlap` distinct
+    * `decontamN`-grams with ANY eval doc are dropped before the mixture
+    * is planned, so contaminated tokens never count toward availability. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            strataCol: String, cfg: Config,
+            eval: Option[DataFrame] = None,
+            evalIdCol: String = "doc_id",
+            evalTextCol: String = "text"): Mixture = {
+    val verdicts = Curate.curate(docs, idCol, textCol,
+      cfg.minQuality, cfg.lang, cfg.jaccardThreshold)
+    val kept = docs.join(
+      verdicts.where(col("kept")).select(col(idCol)), Seq(idCol))
+    val cleared = eval match {
+      case Some(ev) =>
+        val contaminated = CorpusOps.decontaminate(kept, ev, idCol, textCol,
+            evalIdCol, evalTextCol, cfg.decontamN, cfg.decontamMinOverlap)
+          .select(col(idCol)).distinct()
+        kept.join(broadcast(contaminated), Seq(idCol), "left_anti")
+      case None => kept
+    }
+    val plan = CorpusOps.mixturePlan(cleared, textCol, strataCol,
+      cfg.weights, cfg.budgetTokens)
+    val sampled = CorpusOps.mixtureSample(cleared, idCol, strataCol, plan)
+    val packed = CorpusOps.packShards(sampled, idCol, textCol, strataCol,
+      cfg.shardTokens, cfg.maxStratumDocs)
+    Mixture(plan, packed)
+  }
+
+  /** Land the packed mixture as parquet partitioned by (stratum, shard) —
+    * a trainer reads one shard directory per task, and partition-grain
+    * dynamic overwrite makes re-publishing a stratum idempotent (the
+    * RawLayer convention: per-WRITE option, never session conf). Uses
+    * `pack_stratum` when [[CorpusOps.packShards]] pre-split a giant
+    * stratum, the plain stratum column otherwise. */
+  def publish(mix: Mixture, strataCol: String, outPath: String): Unit = {
+    val partCol =
+      if (mix.packed.columns.contains("pack_stratum")) "pack_stratum" else strataCol
+    mix.packed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol, "shard_id")
+      .parquet(outPath)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 'en' marker-heavy filler that passes the quality gate (≥5 words, high
+  // alpha ratio) — each doc gets a distinct tail so near-dup clustering
+  // (jaccard 0.8) never merges distinct docs
+  private def en(tail: String) =
+    s"the cat and the dog is in a house of wonder it runs to $tail"
+
+  private val corpus = Seq(
+    (1L, en("green meadows far away"), "web"),
+    (2L, en("blue rivers near town"), "web"),
+    (3L, en("tall forests by night"), "web"),
+    (4L, en("old castles on hills"), "books"),
+    (5L, en("quiet harbors at dawn"), "books"),
+    (6L, en("warm deserts under stars"), "books"),
+    // 7 duplicates 1 exactly (case noise only) -> exact_duplicate, dropped
+    (7L, en("green meadows far away").toUpperCase, "web"),
+    // 8: too short -> low_quality
+    (8L, "x", "web"),
+    // 9: french -> wrong_language
+    (9L, "le la et les des un une est le la et les des un une est", "books"),
+    // 10: passes curation but leaks the eval span verbatim -> decontaminated
+    (10L, "the answer is secret eval answer sequence alpha and it is in the text", "web")
+  ).toDF("doc_id", "text", "source")
+
+  private val eval = Seq((100L, "secret eval answer sequence alpha"))
+    .toDF("doc_id", "text")
+
+  test("build: curation, decontamination, mixture and packing compose") {
+    val cfg = TrainingMix.Config(
+      weights = Map("web" -> 0.6, "books" -> 0.4),
+      budgetTokens = 200, shardTokens = 20)
+    val mix = TrainingMix.build(corpus, "doc_id", "text", "source", cfg,
+      eval = Some(eval))
+
+    val plan = mix.plan.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    // availability counts ONLY cleared docs: web keeps 1,2,3 (7 dup, 8 lowq,
+    // 10 contaminated), books keeps 4,5,6 (9 wrong lang) — 18 tokens each
+    assert(plan.keySet == Set("web", "books"))
+    assert(plan("web")._1 == 54L && plan("books")._1 == 54L)
+    // 0.6*200=120 > 54 -> capped; 0.4*200=80 > 54 -> capped
+    assert(plan("web")._3 == 1.0 && plan("books")._3 == 1.0)
+
+    val packedIds = mix.packed.select("doc_id").as[Long].collect().toSet
+    assert(packedIds == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"packed must be exactly the cleared docs at rate 1.0, got $packedIds")
+    // shards restart per stratum and respect the 20-token budget:
+    // 3 docs x 18 tokens -> offsets 0/18/36 -> shards 0,0,1
+    val shards = mix.packed.groupBy("source").agg(max(col("shard_id")).as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(shards == Map("web" -> 1L, "books" -> 1L))
+  }
+
+  test("publish: (stratum, shard)-partitioned parquet, idempotent, conf untouched") {
+    val cfg = TrainingMix.Config(
+      weights = Map("web" -> 0.6, "books" -> 0.4),
+      budgetTokens = 200, shardTokens = 20)
+    val mix = TrainingMix.build(corpus, "doc_id", "text", "source", cfg,
+      eval = Some(eval))
+    val out = Files.createTempDirectory("graft-mix").toString
+    TrainingMix.publish(mix, "source", out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.toSeq == Seq("source=books", "source=web"))
+    assert(new java.io.File(s"$out/source=web/shard_id=0").isDirectory &&
+      new java.io.File(s"$out/source=web/shard_id=1").isDirectory)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 6)
+    // re-publish replaces, never duplicates, and never leaks session conf
+    TrainingMix.publish(mix, "source", out)
+    assert(spark.read.parquet(out).count() == 6)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+  }
+}
