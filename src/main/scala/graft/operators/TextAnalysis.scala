@@ -288,7 +288,13 @@ object TextAnalysis {
     * detection is one shuffle keyed on the line hash (shrinking to
     * DISTINCT lines); membership is a hash anti-join on the same key
     * (never a window over the corpus); the rebuild groups by document with
-    * an in-group `array_sort` — no global ordering anywhere. */
+    * an in-group `array_sort` — no global ordering anywhere. Skew note: a
+    * truly universal line (a banner on billions of docs) makes its `lkey`
+    * hot on the anti-join's PROBE side — benign for a broadcast anti-join,
+    * and under a shuffled sort-merge anti-join it is AQE's skew-join case
+    * (probe rows stream; only the build side must fit). The boilerplate
+    * SET itself stays small: one row per distinct line, however many
+    * occurrences. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (1 would drop every line)")

@@ -23,7 +23,14 @@ object StarQueries {
   /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark only reads via
     * the nanosAsLong legacy flag; normalize to µs TimestampType up front so
     * all downstream logic (and the oracle, which CASTs to µs first) agree.
-    */
+    *
+    * DELIBERATE session-conf set (the exception to the per-write-option
+    * rule enforced on RawLayer/StreamSink): nanosAsLong is a READ-side
+    * flag with no per-scan option form, it is set-once to a constant
+    * (never toggled back, so there is no order-dependence to leak), and
+    * its only effect is enabling a scan that would otherwise throw —
+    * reading ns-timestamp parquet through any other path fails loudly
+    * rather than differently. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))

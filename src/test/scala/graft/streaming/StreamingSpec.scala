@@ -57,6 +57,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text scoring runs UNCHANGED on a stream: quality+langId per micro-batch == batch") {
+    // the per-document operators are pure map-side column expressions, so
+    // the SAME library call scores documents as they arrive — no streaming
+    // variant needed; this pins that property so a future stateful rewrite
+    // can't silently break it
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val scored = graft.operators.TextAnalysis.quality(
+      graft.operators.TextAnalysis.langId(docs, "text"), "text")
+    assert(scored.isStreaming, "map-side scoring must preserve streaminess")
+    val q = scored
+      .select("doc_id", "predicted_lang", "quality_score")
+      .writeStream.format("memory").queryName("stream_scores")
+      .outputMode("append").start()
+    try {
+      val batchDocs = Seq(
+        (1L, "the cat and the dog is in a house of wonder it runs to town"),
+        (2L, "le la et les des un une est le la et les"),
+        (3L, "x")).toDF("doc_id", "text")
+      mem.addData((1L, "the cat and the dog is in a house of wonder it runs to town"),
+        (2L, "le la et les des un une est le la et les"), (3L, "x"))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_scores")
+        .as[(Long, String, Option[Double])].collect().toSet
+      val batch = graft.operators.TextAnalysis.quality(
+          graft.operators.TextAnalysis.langId(batchDocs, "text"), "text")
+        .select("doc_id", "predicted_lang", "quality_score")
+        .as[(Long, String, Option[Double])].collect().toSet
+      assert(streamed == batch && streamed.size == 3)
+      assert(streamed.exists { case (id, lang, _) => id == 2L && lang == "fr" })
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream pairs events within the window, drops outside") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
