@@ -120,6 +120,30 @@ class ScaleShapeSpec extends SparkSpec {
     scanOf("tpch_q14", "GreaterThanOrEqual(l_shipdate,1996-03-01T00:00)")
   }
 
+  test("adapted TPC-H q9/q16/q20: dims broadcast, part filters pushed, no all-pairs") {
+    // the partsupp-less adaptations derive supply from lineitem — the plan
+    // guard pins that every dim side broadcasts and the selective part
+    // predicates reach the scan, so the fact table is the only big relation
+    // in motion. q2 is excluded: its one-scan localCheckpoint makes the
+    // final frame a Scan ExistingRDD, so assertions on it would be
+    // vacuous — its shape was audited on the pre-checkpoint plan instead
+    // (all-broadcast, part filter pushed).
+    for (name <- Seq("tpch_q9", "tpch_q16", "tpch_q20")) {
+      val plan = graft.queries.TpchQueries.all(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name went all-pairs:\n$plan")
+    }
+    import org.apache.spark.sql.execution.ExplainMode
+    def pushed(name: String, expect: String): Unit = {
+      val plan = graft.queries.TpchQueries.all(name)(spark, sf001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains(expect), s"$name missing pushed filter $expect:\n$plan")
+    }
+    pushed("tpch_q9", "StringContains(p_name,gear)")
+    pushed("tpch_q20", "StringStartsWith(p_name,small)")
+  }
+
   test("AQE splits a skewed join at runtime (the no-manual-salting path)") {
     // One key holds ~100x the rows of any other. With thresholds tuned to
     // this toy size, AQE's OptimizeSkewedJoin must split the hot partition
