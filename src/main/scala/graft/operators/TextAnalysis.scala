@@ -276,6 +276,38 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** Corpus-trained unigram log-probability per document — the tractable
+    * stand-in for the CCNet/Wiki-LM perplexity filter: documents whose
+    * tokens are atypical FOR THIS CORPUS (very low mean log-prob) are
+    * likely noise, boilerplate, or another register; unusually high means
+    * repetitive common-word soup. Laplace-smoothed:
+    * `lp(term) = ln((count+1) / (T+V))`, score = mean lp over the doc's
+    * tokens (sum rounded, then divided — the SURVEY §4 rule, so the score
+    * is oracle-comparable).
+    *
+    * Scale shape: the (doc, term) counts ride ONE corpus explode (lazy
+    * localCheckpoint, shared by the vocabulary rollup and the scoring
+    * join); vocabulary and the (T, V) totals are shrinking aggregates, the
+    * totals a broadcast one-row join; the per-doc mean weights by tf so
+    * the join is (doc, DISTINCT term) grain, not raw tokens. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(normWords(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint(false)
+    val tot = freq.agg(sum(col("cnt")).as("t_total"), count(lit(1)).as("v"))
+    tf.join(freq, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        log((col("cnt") + lit(1.0)) / (col("t_total") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
+  }
+
   /** Cross-document boilerplate line removal — the C4/RefinedWeb cleanup
     * step: a line whose content appears in at least `minDocs` DISTINCT
     * documents is boilerplate (nav bars, license banners, headers) and is

@@ -158,6 +158,10 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  def lmLogProb(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
@@ -203,7 +207,8 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTop _),
     "line_dedup" -> (lineDedup _),
     "mixture_plan" -> (mixturePlan _),
-    "corpus_mixture" -> (corpusMixture _)
+    "corpus_mixture" -> (corpusMixture _),
+    "lm_logprob" -> (lmLogProb _)
   )
 
   private def markersIn(lang: String): String =
@@ -635,6 +640,21 @@ object TextQueries {
         |            AS n_tokens
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "lm_logprob" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | t AS (SELECT doc_id, unnest(ws) AS term FROM nw),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |        WHERE term <> '' GROUP BY 1, 2),
+         | freq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total,
+         |                count(*) AS v FROM freq),
+         | scored AS (SELECT tf.doc_id, tf.tf,
+         |     ln((freq.cnt + 1.0) / (tot.t_total + tot.v)) AS lp
+         |   FROM tf JOIN freq USING (term), tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "mixture_plan" ->
       """WITH tok AS (SELECT source,

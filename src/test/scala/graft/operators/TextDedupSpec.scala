@@ -246,6 +246,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3) == ((4L, "solo line\nsolo line", 2L, 0L)))
   }
 
+  test("unigramLogProb: corpus-atypical docs score below typical ones") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha beta gamma beta alpha"),
+      (3L, "alpha beta gamma alpha beta"),   // identical to doc 1
+      (4L, "qq ww ee rr tt")                 // every token is rare
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.values.forall(_._1 == 5L))
+    // identical docs, identical scores; the all-rare doc is the outlier
+    assert(out(1L) == out(3L))
+    assert(out(4L)._2 < out(1L)._2 && out(4L)._2 < out(2L)._2)
+    // hand check: common terms have corpus count 4-6 of T=20, V=8;
+    // rare terms count 1 -> lp = ln(2/28), well below ln(5/28)
+    assert(math.abs(out(4L)._2 - math.log(2.0 / 28.0)) < 1e-6)
+  }
+
   test("tfidfTopTerms: rare terms outrank ubiquitous ones; exactly k rows per doc") {
     val corpus = Seq(
       (1L, "common zebra"),
