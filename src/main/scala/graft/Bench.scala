@@ -96,7 +96,21 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val coldTotal = results.filter(_._2 >= 0).map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // also land the JSON in a file: stdout goes through the driver's tail
+    // capture, which has truncated the front of the line before (r7 lost 7
+    // queries and both totals) — the file is the durable artifact
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "dev/bench_out.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: $e")
+    }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

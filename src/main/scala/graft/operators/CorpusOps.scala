@@ -86,8 +86,13 @@ object CorpusOps {
                        salt: String = "sample"): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"sampling rate $r outside [0,1]"))
+    // rate 1.0 = "keep everything" EXACTLY: 'g' sorts after every hex
+    // digit, so `bucket < threshold` is vacuously true — a capped hex
+    // threshold of ffffffff would still drop the ~1-in-2^32 doc whose
+    // bucket is exactly ffffffff (strict compare).
     def hexThreshold(rate: Double): String =
-      f"${math.min((rate * (1L << 32)).toLong, (1L << 32) - 1)}%08x"
+      if (rate >= 1.0) "g"
+      else f"${(rate * (1L << 32)).toLong}%08x"
     val bucket = substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
     val threshold = rates.foldRight(lit(hexThreshold(defaultRate)): Column) {
       case ((stratum, rate), alt) =>
@@ -126,8 +131,18 @@ object CorpusOps {
       case None => packByKey(df, idCol, textCol, col(strataCol))(budgetTokens)
       case Some(cap) =>
         require(cap >= 1, s"maxStratumDocs=$cap must be >= 1")
+        // A raw stratum literally named "web#3" would collide with
+        // sub-stratum 3 of a split "web" stratum (one packing window, one
+        // output partition for unrelated docs) — reject the separator in
+        // stratum names whenever splitting is on. The check rides the
+        // census (one row per stratum, not per doc).
         val census = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
-          .select(col(strataCol).as("_census_key"),
+          .select(
+            when(col(strataCol).cast("string").contains("#"), raise_error(
+              concat(lit("packShards: stratum name contains the sub-stratum " +
+                "separator '#' (collides with split-stratum keys when " +
+                "maxStratumDocs is set): "), col(strataCol).cast("string"))))
+              .otherwise(col(strataCol)).as("_census_key"),
             ceil(col("_n").cast("double") / cap).cast("int").as("_n_sub"))
         val sub = pmod(
           conv(substring(md5(concat(lit("sub|"), col(idCol).cast("string"))), 1, 8),
@@ -196,7 +211,9 @@ object CorpusOps {
       .join(broadcast(plan.select(col(strataCol).as("_mix_key"), col("rate"))),
         col(strataCol) === col("_mix_key"))
       .withColumn("sample_bucket", bucket)
-      .where(col("sample_bucket") < thr)
+      // rate >= 1.0 keeps every row EXACTLY (a capped ffffffff threshold
+      // would still drop a bucket of exactly ffffffff — strict compare)
+      .where(col("rate") >= 1.0 || col("sample_bucket") < thr)
       .drop("_mix_key", "rate")
   }
 

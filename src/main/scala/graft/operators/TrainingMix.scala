@@ -55,10 +55,14 @@ object TrainingMix {
       verdicts.where(col("kept")).select(col(idCol)), Seq(idCol))
     val cleared = eval match {
       case Some(ev) =>
+        // no forced broadcast: the contaminated-id set is usually tiny but
+        // corpus-bounded, not schema-bounded — let AQE pick broadcast when
+        // the runtime size allows and fall back to a shuffled anti-join
+        // when it doesn't (a forced hint OOMs the driver at the extreme)
         val contaminated = CorpusOps.decontaminate(kept, ev, idCol, textCol,
             evalIdCol, evalTextCol, cfg.decontamN, cfg.decontamMinOverlap)
           .select(col(idCol)).distinct()
-        kept.join(broadcast(contaminated), Seq(idCol), "left_anti")
+        kept.join(contaminated, Seq(idCol), "left_anti")
       case None => kept
     }
     val plan = CorpusOps.mixturePlan(cleared, textCol, strataCol,
@@ -70,16 +74,21 @@ object TrainingMix {
   }
 
   /** Land the packed mixture as parquet partitioned by (stratum, shard) —
-    * a trainer reads one shard directory per task, and partition-grain
-    * dynamic overwrite makes re-publishing a stratum idempotent (the
-    * RawLayer convention: per-WRITE option, never session conf). Uses
+    * a trainer reads one shard directory per task. A publish is always the
+    * FULL mixture, so the overwrite is static (whole `outPath` replaced):
+    * dynamic partition overwrite would leave stale (stratum, shard)
+    * directories behind when a re-publish yields FEWER shards per stratum
+    * (smaller corpus after new decontamination, larger `shardTokens`, or a
+    * changed `maxStratumDocs` renaming `pack_stratum` keys) — and a
+    * trainer reading the path would silently include dropped or
+    * contaminated documents. Output therefore always equals exactly the
+    * mixture published last, and no session conf is touched. Uses
     * `pack_stratum` when [[CorpusOps.packShards]] pre-split a giant
     * stratum, the plain stratum column otherwise. */
   def publish(mix: Mixture, strataCol: String, outPath: String): Unit = {
     val partCol =
       if (mix.packed.columns.contains("pack_stratum")) "pack_stratum" else strataCol
     mix.packed.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol, "shard_id")
       .parquet(outPath)
   }

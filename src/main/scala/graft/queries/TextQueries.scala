@@ -692,12 +692,13 @@ object TextQueries {
         | plan2 AS (SELECT source,
         |     least(1.0, CAST(floor(weight * 2000) AS BIGINT) / tokens_available) AS rate
         |   FROM plan1),
-        | s AS (SELECT d.doc_id, d.source,
+        | s AS (SELECT d.doc_id, d.source, p.rate,
         |     substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS sample_bucket,
         |     lpad(lower(to_hex(CAST(least(floor(p.rate * 4294967296), 4294967295)
         |                            AS BIGINT))), 8, '0') AS thr
         |   FROM documents d JOIN plan2 p ON d.source = p.source)
-        |SELECT doc_id, source, sample_bucket FROM s WHERE sample_bucket < thr
+        |SELECT doc_id, source, sample_bucket FROM s
+        |WHERE rate >= 1.0 OR sample_bucket < thr
         |ORDER BY doc_id""".stripMargin,
 
     "tfidf_topterms" ->

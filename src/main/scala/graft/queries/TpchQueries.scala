@@ -342,6 +342,29 @@ object TpchQueries {
     * becomes a partial aggregate joined back (same treatment as q17's AVG);
     * region-restricted suppliers broadcast. */
   def q2(s: SparkSession, dir: String): DataFrame = {
+    // referenced twice (per-part MIN + final equality filter) — one scan
+    // of the part-pruned supply relation (q15/q17 treatment)
+    val joined = q2PrunedSupply(s, dir).localCheckpoint(false)
+    val minCost = joined.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    // no broadcast hint: minCost is one row PER QUALIFYING PART — tiny at
+    // gate scale but part-bounded, not schema-bounded, so a forced hint
+    // would OOM the driver at extreme SF where AQE would have picked a
+    // shuffled join (it still broadcasts when the runtime size allows)
+    joined
+      .join(minCost,
+        col("p_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** q2's pre-checkpoint supply relation — exposed so the ScaleShapeSpec
+    * plan guard can audit the shape that the localCheckpoint hides from
+    * the final frame (post-checkpoint it reads as a Scan ExistingRDD). */
+  private[graft] def q2PrunedSupply(s: SparkSession, dir: String): DataFrame = {
     val supply = t(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4)
@@ -351,26 +374,13 @@ object TpchQueries {
       .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    // referenced twice (per-part MIN + final equality filter) — one scan
-    // of the part-pruned supply relation (q15/q17 treatment)
-    val joined = broadcast(
+    broadcast(
         t(s, dir, "part").where(col("p_size") <= 10 && col("p_type") === "ECONOMY")
           .select(col("p_partkey")))
       .join(supply, col("p_partkey") === col("ps_partkey"))
       .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_name"), col("s_acctbal"), col("n_name"),
         col("ps_supplycost"))
-      .localCheckpoint(false)
-    val minCost = joined.groupBy(col("p_partkey").as("mc_partkey"))
-      .agg(min(col("ps_supplycost")).as("min_cost"))
-    joined
-      .join(broadcast(minCost),
-        col("p_partkey") === col("mc_partkey") &&
-          col("ps_supplycost") === col("min_cost"))
-      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
-        col("ps_supplycost"))
-      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
-      .limit(100)
   }
 
   /** Q9: product-type profit by nation-year — no ps_supplycost, so cost is

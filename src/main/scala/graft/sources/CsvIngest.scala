@@ -258,8 +258,12 @@ object AvroIngest {
   /** Unions are transparent at runtime; logical types hang off the
     * non-null branch. Only `["null", type]` unions are accepted — with two
     * or more non-null branches there is no single branch to type-check a
-    * runtime value against, so the load rejects the schema up front (the
-    * same restriction BigQuery's Avro loader imposes). */
+    * runtime value against, so the load rejects the schema (the same
+    * restriction BigQuery's Avro loader imposes). Timing: the writer
+    * schema is only visible on executors (it rides each split's first
+    * record), so the rejection surfaces as a task failure at
+    * FIRST-RECORD time per split — not at `load()` call time on the
+    * driver, where no file has been opened yet. */
   private def nonNullBranch(name: String, s: Schema): Schema =
     if (s.getType == Schema.Type.UNION) {
       import scala.jdk.CollectionConverters._

@@ -172,4 +172,38 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(viaPlan == viaLiteral && viaPlan.nonEmpty)
   }
+
+  test("rate >= 1.0 keeps EVERY row exactly (not just probabilistically)") {
+    // a capped hex threshold of ffffffff still drops a doc whose bucket is
+    // exactly ffffffff (strict compare, ~1 in 2^32) — 'sample everything'
+    // must be exact, so rate 1.0 bypasses the bucket filter entirely
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      lit("one two three four five").as("text"),
+      concat(lit("s"), (col("id") % 2)).as("source"))
+    val viaLiteral = CorpusOps.stratifiedSample(docs, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 1.0)).count()
+    assert(viaLiteral == 500L)
+    val plan = Seq(("s0", 1.0), ("s1", 1.0)).toDF("source", "rate")
+    val viaPlan = CorpusOps.mixtureSample(docs, "doc_id", "source", plan).count()
+    assert(viaPlan == 500L)
+  }
+
+  test("packShards rejects stratum names containing '#' when splitting is on") {
+    // "web#3" as a RAW stratum would collide with sub-stratum 3 of a split
+    // "web" — one packing window and one output partition for unrelated
+    // docs. The census-side validation fires before any packing happens.
+    val docs = Seq((1L, "a b c", "web#3"), (2L, "d e f", "web"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      CorpusOps.packShards(docs, "doc_id", "text", "source",
+        budgetTokens = 10, maxStratumDocs = Some(1L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("sub-stratum separator")),
+      s"expected the separator rejection, got: $e")
+    // without splitting the name is legal (no sub-stratum keys exist)
+    assert(CorpusOps.packShards(docs, "doc_id", "text", "source",
+      budgetTokens = 10).count() == 2L)
+  }
 }

@@ -120,15 +120,16 @@ class ScaleShapeSpec extends SparkSpec {
     scanOf("tpch_q14", "GreaterThanOrEqual(l_shipdate,1996-03-01T00:00)")
   }
 
-  test("adapted TPC-H q9/q16/q20: dims broadcast, part filters pushed, no all-pairs") {
+  test("adapted TPC-H q2/q9/q16/q20: dims broadcast, part filters pushed, no all-pairs") {
     // the partsupp-less adaptations derive supply from lineitem — the plan
     // guard pins that every dim side broadcasts and the selective part
     // predicates reach the scan, so the fact table is the only big relation
-    // in motion. q2 is excluded: its one-scan localCheckpoint makes the
-    // final frame a Scan ExistingRDD, so assertions on it would be
-    // vacuous — its shape was audited on the pre-checkpoint plan instead
-    // (all-broadcast, part filter pushed).
-    for (name <- Seq("tpch_q9", "tpch_q16", "tpch_q20")) {
+    // in motion. q2's final frame hides its first phase behind a
+    // localCheckpoint (Scan ExistingRDD), so the guard audits BOTH halves:
+    // the exposed pre-checkpoint supply relation and the final frame
+    // (whose min-cost join carries NO forced broadcast hint — part-bounded
+    // side, AQE decides — so no-cartesian is the meaningful assertion).
+    for (name <- Seq("tpch_q9", "tpch_q16", "tpch_q20", "tpch_q2")) {
       val plan = graft.queries.TpchQueries.all(name)(spark, sf001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -142,6 +143,14 @@ class ScaleShapeSpec extends SparkSpec {
     }
     pushed("tpch_q9", "StringContains(p_name,gear)")
     pushed("tpch_q20", "StringStartsWith(p_name,small)")
+    val q2pre = graft.queries.TpchQueries.q2PrunedSupply(spark, sf001)
+    val q2preFmt = q2pre.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val q2preExec = q2pre.queryExecution.executedPlan.toString
+    assert(!q2preExec.contains("BroadcastNestedLoopJoin") &&
+      !q2preExec.contains("CartesianProduct"), s"q2 pre-checkpoint went all-pairs:\n$q2preExec")
+    assert(q2preFmt.contains("LessThanOrEqual(p_size,10)") &&
+      q2preFmt.contains("EqualTo(p_type,ECONOMY)"),
+      s"q2 part predicates not pushed:\n$q2preFmt")
   }
 
   test("AQE splits a skewed join at runtime (the no-manual-salting path)") {

@@ -80,5 +80,15 @@ class TrainingMixSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6)
     assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
       .equalsIgnoreCase("static"))
+    // a re-publish with FEWER partitions must not leave stale directories
+    // behind (a trainer reading outPath would silently include dropped
+    // docs): shrink the mixture to books-only and publish again
+    val shrunk = TrainingMix.Mixture(mix.plan,
+      mix.packed.where(col("source") === "books"))
+    TrainingMix.publish(shrunk, "source", out)
+    val after = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(after.toSeq == Seq("source=books"),
+      s"stale partitions survived a shrinking re-publish: ${after.mkString(", ")}")
+    assert(spark.read.parquet(out).count() == 3)
   }
 }
