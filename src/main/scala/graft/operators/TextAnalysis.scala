@@ -356,4 +356,79 @@ object TextAnalysis {
         (coalesce(col("_n_lines"), lit(0L)) - coalesce(col("n_lines_kept"), lit(0L)))
           .as("n_lines_removed"))
   }
+
+  /** Exact substring deduplication — the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" step, token-granular
+    * sibling of [[dedupLines]]: any `windowTokens`-token run whose content
+    * occurs at least `minCount` times across the corpus (including twice
+    * within one document) is a duplicated substring; every occurrence
+    * EXCEPT the canonical first one — lowest (doc, position) — loses its
+    * covered tokens, and each document is rebuilt from its surviving
+    * tokens in original order. A long shared run is a chain of
+    * overlapping duplicated windows, so the whole run survives verbatim
+    * in the canonical document and disappears from every other — the
+    * keep-one-copy semantics of the paper, without its suffix array.
+    *
+    * Scale shape: windows explode map-side (one row per token, the same
+    * cost class as the paper's suffix array construction); duplicate
+    * detection + canonical election is ONE shuffle keyed on the window
+    * hash (count + min(struct(doc, pos)) over wkey partitions, whose
+    * width is the duplicate multiplicity — never the corpus); covered
+    * positions explode from DROPPED windows only (the duplicated
+    * fraction, not the corpus), shrink through a (doc, pos) distinct, and
+    * leave via a (doc, pos)-keyed anti-join; the rebuild groups by
+    * document with an in-group array_sort — no corpus window, no
+    * all-pairs, no global sort. The universal-boilerplate skew note on
+    * [[dedupLines]] applies to a window content repeated on billions of
+    * docs: hot on the anti-join probe side (AQE skew-join territory), but
+    * the duplicate-key relation itself stays one row per distinct window.
+    */
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 50, minCount: Int = 2): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens=$windowTokens must be >= 2")
+    require(minCount >= 2, s"minCount=$minCount must be >= 2 (1 would drop all text)")
+    val w = windowTokens
+    // stride-1 window hashes via the decontaminate index-explode pattern:
+    // the generator child is a cheap int sequence; each window string is
+    // assembled once per output row from the materialized words array
+    val starts = when(size(col("_ws")) >= w, sequence(lit(0), size(col("_ws")) - w))
+      .otherwise(array().cast("array<int>"))
+    val windows = docs
+      .select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"), explode(starts).as("s"))
+      .select(col(idCol), col("s"),
+        md5(concat_ws(" ", slice(col("_ws"), col("s") + 1, lit(w)))).as("wkey"))
+    // ONE wkey-keyed shuffle elects the canonical occurrence and counts
+    // multiplicity — a window function, not a groupBy + join-back, so the
+    // window relation is scanned once
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col("wkey"))
+    val dropped = windows
+      .withColumn("_n_occ", count(lit(1)).over(byKey))
+      .withColumn("_can", min(struct(col(idCol), col("s"))).over(byKey))
+      .where(col("_n_occ") >= minCount &&
+        !(col(idCol) === col("_can")(idCol) && col("s") === col("_can")("s")))
+    val covered = dropped
+      .select(col(idCol), explode(sequence(col("s"), col("s") + lit(w - 1))).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), posexplode(normWords(col(textCol))))
+      .toDF(idCol, "pos", "tok")
+      .where(col("tok") =!= "")
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val totals = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_n_toks"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (coalesce(col("_n_toks"), lit(0L)) - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
+  }
 }

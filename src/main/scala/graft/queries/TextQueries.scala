@@ -162,6 +162,15 @@ object TextQueries {
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Exact substring dedup at 12-token windows — small enough that the
+    * planted near-dup structure (near-verbatim copies) yields real
+    * duplicated runs at gate scale; the library default is the paper's
+    * ~50. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSubstrings(docs(s, dir), "doc_id", "text",
+        windowTokens = 12, minCount = 2)
+      .orderBy("doc_id")
+
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
@@ -208,7 +217,8 @@ object TextQueries {
     "line_dedup" -> (lineDedup _),
     "mixture_plan" -> (mixturePlan _),
     "corpus_mixture" -> (corpusMixture _),
-    "lm_logprob" -> (lmLogProb _)
+    "lm_logprob" -> (lmLogProb _),
+    "dedup_substring" -> (dedupSubstring _)
   )
 
   private def markersIn(lang: String): String =
@@ -732,6 +742,43 @@ object TextQueries {
          |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
          |  coalesce(ka.n_kept, 0) AS n_lines_kept,
          |  coalesce(tot.n_lines, 0) - coalesce(ka.n_kept, 0) AS n_lines_removed
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // window hashes + canonical (first-occurrence) election re-derived in
+    // SQL; positions are 1-based here vs 0-based in Spark — only intra-side
+    // consistency matters, the output carries no positions
+    "dedup_substring" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | win AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 11)) AS s, ws
+         |         FROM nw WHERE len(ws) >= 12),
+         | winh AS (SELECT doc_id, s,
+         |            md5(array_to_string(ws[s:s+11], ' ')) AS wkey FROM win),
+         | stats AS (SELECT wkey, count(*) AS n_occ, min(doc_id) AS can_doc
+         |           FROM winh GROUP BY 1),
+         | canp AS (SELECT w.wkey, min(w.s) AS can_pos FROM winh w
+         |          JOIN stats st ON w.wkey = st.wkey AND w.doc_id = st.can_doc
+         |          GROUP BY 1),
+         | dup AS (SELECT st.wkey, st.can_doc, c.can_pos
+         |         FROM stats st JOIN canp c USING (wkey) WHERE st.n_occ >= 2),
+         | dropw AS (SELECT w.doc_id, w.s FROM winh w JOIN dup d USING (wkey)
+         |           WHERE NOT (w.doc_id = d.can_doc AND w.s = d.can_pos)),
+         | cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM dropw
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS o)),
+         | toke AS (SELECT doc_id, unnest(ws) AS tok,
+         |            unnest(generate_series(1, len(ws))) AS pos FROM nw),
+         | kept AS (SELECT t.* FROM toke t
+         |          ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |          WHERE t.tok <> ''),
+         | tot AS (SELECT doc_id, count(*) AS n_toks FROM toke
+         |         WHERE tok <> '' GROUP BY 1),
+         | ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |          count(*) AS n_kept FROM kept GROUP BY 1)
+         |SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  coalesce(ka.n_kept, 0) AS n_tokens_kept,
+         |  coalesce(tot.n_toks, 0) - coalesce(ka.n_kept, 0) AS n_tokens_removed
          |FROM documents d
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN ka ON d.doc_id = ka.doc_id

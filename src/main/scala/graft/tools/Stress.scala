@@ -111,6 +111,22 @@ object Stress {
       val removed = out.agg(sum(col("n_lines_removed"))).head().getLong(0)
       println(s"   boilerplate lines removed: $removed")
     }
+    time("dedupSubstrings (12-token windows) on 100k docs") {
+      // replicas are near-verbatim copies, so virtually every window of a
+      // non-canonical replica is duplicated — the WORST duplication case:
+      // the covered-position explode runs over ~the whole corpus. The
+      // shape must stay hash-keyed: window election partitioned by wkey
+      // (never an unpartitioned window), membership an anti-join.
+      val out = graft.operators.TextAnalysis.dedupSubstrings(
+        big, "doc_id", "text", windowTokens = 12)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "dedupSubstrings went all-pairs!")
+      assert(!plan.contains("No Partition Defined"),
+        "dedupSubstrings window lost its wkey partitioning!")
+      val removed = out.agg(sum(col("n_tokens_removed"))).head().getLong(0)
+      println(s"   duplicated tokens removed: $removed")
+    }
     time("mixturePlan + mixtureSample over 100k docs") {
       val strat = big.withColumn("src", (col("doc_id") % 4).cast("string"))
       val plan = graft.operators.CorpusOps.mixturePlan(strat, "text", "src",

@@ -246,6 +246,32 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3) == ((4L, "solo line\nsolo line", 2L, 0L)))
   }
 
+  test("dedupSubstrings: keep-one-copy at token granularity, order-preserving") {
+    val docs = Seq(
+      // canonical copy of the 8-token run — survives verbatim
+      (1L, "a b c d e f g h"),
+      // same run embedded mid-document — the run is stripped, context kept
+      (2L, "x y a b c d e f g h z"),
+      // WITHIN-doc repeat: second copy of "p q r" dropped, first kept
+      (3L, "p q r p q r"),
+      // shorter than the window: no windows, survives untouched
+      (4L, "u v"),
+      // case/whitespace noise only — normalization makes it a pure
+      // duplicate of doc 1's run, so it empties (keep-one, doc 1 wins)
+      (5L, "A  B c D e F g H")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSubstrings(docs, "doc_id", "text",
+        windowTokens = 3, minCount = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "a b c d e f g h", 8L, 0L)))
+    assert(out(1) == ((2L, "x y z", 3L, 8L)))
+    assert(out(2) == ((3L, "p q r", 3L, 3L)))
+    assert(out(3) == ((4L, "u v", 2L, 0L)))
+    assert(out(4) == ((5L, "", 0L, 8L)))
+  }
+
   test("unigramLogProb: corpus-atypical docs score below typical ones") {
     val corpus = Seq(
       (1L, "alpha beta gamma alpha beta"),
