@@ -83,9 +83,18 @@ object Dedup {
     * the ContextCleaner as soon as the returned plan is unreferenced.
     * Same treatment as [[simhashPairs]] / `Similarity.neardupPairsLsh`.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs, idCol, textCol), idCol)
-      .localCheckpoint(false)
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    candidatesFromBands(
+      lshBands(minhashSignatures(docs, idCol, textCol), idCol)
+        .localCheckpoint(false),
+      idCol)
+
+  /** The self-join half of [[minhashCandidates]], over an already
+    * materialized band relation — shared with
+    * [[DedupStore.incrementalCandidates]] so an increment's signatures
+    * are computed once for both the new×new and new×history legs. */
+  private[operators] def candidatesFromBands(bands: DataFrame,
+                                             idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("i") +: col("band") +: col("band_hash") +:
       (0 until NumHashes).map(k => col(s"sig$k").as(s"si$k")): _*)
     val b = bands.select(col(idCol).as("j") +: col("band") +: col("band_hash") +:

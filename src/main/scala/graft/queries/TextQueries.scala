@@ -171,6 +171,31 @@ object TextQueries {
         windowTokens = 12, minCount = 2)
       .orderBy("doc_id")
 
+  // Fingerprint-store cache per (session, corpus): history is
+  // fingerprinted ONCE when it lands (the DedupStore contract); the gate
+  // query then times/checks only the incremental probe — same convention
+  // as SimilarityQueries.ivfIndex.
+  private val fpStores =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Incremental dedup: docs with doc_id % 5 == 0 are "the new shard",
+    * the rest are history persisted as a band store. Oracle = the full
+    * batch candidate set restricted to pairs touching the shard —
+    * md5-determinism makes the incremental path value-identical. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = fpStores.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-fp-store").toString
+      graft.operators.DedupStore.save(
+        d.where(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
+      p
+    })
+    graft.operators.DedupStore.incrementalCandidates(
+        d.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        graft.operators.DedupStore.load(s, path))
+      .orderBy("i", "j")
+  }
+
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
@@ -218,7 +243,8 @@ object TextQueries {
     "mixture_plan" -> (mixturePlan _),
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
-    "dedup_substring" -> (dedupSubstring _)
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   private def markersIn(lang: String): String =
@@ -455,6 +481,22 @@ object TextQueries {
          |  CAST(list_sum([CASE WHEN a.sig[k] = b.sig[k] THEN 1 ELSE 0 END
          |                 for k in generate_series(1, 12)]) AS DOUBLE) / 12 AS est_sim
          |FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
+         |ORDER BY i, j""".stripMargin,
+
+    // the full-batch candidate set restricted to pairs touching the "new
+    // shard" (doc_id % 5 = 0) — exactly what the incremental path reports
+    // (new×new self-join + new×history store join; history×history never
+    // forms on either side)
+    "dedup_incremental" ->
+      s"""WITH $wordsSql,
+         |$shinglesSql,
+         |$sigsSql,
+         |$candSql
+         |SELECT cand.i, cand.j,
+         |  CAST(list_sum([CASE WHEN a.sig[k] = b.sig[k] THEN 1 ELSE 0 END
+         |                 for k in generate_series(1, 12)]) AS DOUBLE) / 12 AS est_sim
+         |FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
+         |WHERE cand.i % 5 = 0 OR cand.j % 5 = 0
          |ORDER BY i, j""".stripMargin,
 
     "dedup_ngram" ->

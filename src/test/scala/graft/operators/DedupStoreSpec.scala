@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup families: same 10-token base, one-token tails — 3-shingle
+  // minhash puts same-family docs in shared LSH buckets
+  private def doc(family: String, tail: String) =
+    s"the $family quick brown fox jumps over the lazy dog near $tail"
+
+  private val history = Seq(
+    (1L, doc("red", "rivers")),
+    (2L, doc("red", "mountains")),   // near-dup of 1 (history×history)
+    (3L, doc("blue", "harbors"))
+  ).toDF("doc_id", "text")
+
+  private val fresh = Seq(
+    (10L, doc("red", "valleys")),    // near-dup of history 1 and 2
+    (11L, doc("green", "cities")),
+    (12L, doc("green", "towns"))     // near-dup of 11 (new×new)
+  ).toDF("doc_id", "text")
+
+  test("incremental candidates = full-batch candidates touching the shard") {
+    val store = Files.createTempDirectory("graft-store").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    val inc = DedupStore.incrementalCandidates(fresh, "doc_id", "text",
+        DedupStore.load(spark, store))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.minhashCandidates(history.union(fresh), "doc_id", "text")
+      .where(col("i") >= 10 || col("j") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc == full, s"incremental $inc != batch-restricted $full")
+    // the planted structure actually fired: mixed pairs AND a fresh pair,
+    // and no history×history pair leaked
+    assert(inc.keySet.exists { case (i, j) => i <= 3 && j >= 10 })
+    assert(inc.keySet.contains((11L, 12L)))
+    assert(!inc.keySet.exists { case (i, j) => i <= 3 && j <= 3 })
+  }
+
+  test("the store is scanned once and history text is never re-read") {
+    val store = Files.createTempDirectory("graft-store2").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    // history's TEXT is not even an input here — only the store relation
+    val out = DedupStore.incrementalCandidates(fresh, "doc_id", "text",
+      DedupStore.load(spark, store))
+    val plan = out.queryExecution.executedPlan.toString
+    val nStoreScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nStoreScans == 1,
+      s"store must be scanned exactly once, saw $nStoreScans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"went all-pairs:\n$plan")
+  }
+
+  test("append grows the store: the next shard dedups against prior shards") {
+    val store = Files.createTempDirectory("graft-store3").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    DedupStore.append(fresh, "doc_id", "text", store)
+    val next = Seq((20L, doc("green", "ports"))).toDF("doc_id", "text")
+    val pairs = DedupStore.incrementalCandidates(next, "doc_id", "text",
+        DedupStore.load(spark, store))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // finds the near-dups from the APPENDED shard, not just the original
+    assert(pairs.contains((11L, 20L)) && pairs.contains((12L, 20L)),
+      s"appended-shard near-dups missed: $pairs")
+  }
+}
