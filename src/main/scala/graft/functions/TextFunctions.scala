@@ -38,4 +38,11 @@ object TextFunctions {
   /** Tokens of the normalized text — the dedup-side tokenization, so that
     * case/whitespace noise never defeats near-dup detection. */
   def normWords(text: Column): Column = split(normalized(text), " ")
+
+  /** BPE subword tokens of a text column under a learned merge table —
+    * the fused [[BpeTokens]] expression; `size(bpeTokens(...))` is the
+    * real token count for training-data budgets. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BpeTokens(org.apache.spark.sql.graft.Bridge.expression(text), merges))
 }

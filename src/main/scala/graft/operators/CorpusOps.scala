@@ -123,12 +123,18 @@ object CorpusOps {
     * broadcast back onto the corpus — the corpus itself never shuffles
     * before the packing window.
     */
+  /** Default token counter for budgets: whitespace tokens. Pass
+    * `c => size(TextFunctions.bpeTokens(c, merges)).cast("long")` to
+    * budget by REAL subword counts from a learned BPE table instead. */
+  val WhitespaceTokens: Column => Column = c => size(words(c)).cast("long")
+
   def packShards(df: DataFrame, idCol: String, textCol: String,
                  strataCol: String, budgetTokens: Long,
-                 maxStratumDocs: Option[Long] = None): DataFrame = {
+                 maxStratumDocs: Option[Long] = None,
+                 tokensOf: Column => Column = WhitespaceTokens): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
     maxStratumDocs match {
-      case None => packByKey(df, idCol, textCol, col(strataCol))(budgetTokens)
+      case None => packByKey(df, idCol, textCol, col(strataCol), tokensOf)(budgetTokens)
       case Some(cap) =>
         require(cap >= 1, s"maxStratumDocs=$cap must be >= 1")
         // A raw stratum literally named "web#3" would collide with
@@ -154,7 +160,7 @@ object CorpusOps {
             when(col("_n_sub") <= 1, col(strataCol).cast("string"))
               .otherwise(concat(col(strataCol).cast("string"), lit("#"), sub)))
           .drop("_census_key", "_n_sub")
-        packByKey(keyed, idCol, textCol, col("pack_stratum"))(budgetTokens)
+        packByKey(keyed, idCol, textCol, col("pack_stratum"), tokensOf)(budgetTokens)
     }
   }
 
@@ -171,7 +177,8 @@ object CorpusOps {
     */
   def mixturePlan(docs: DataFrame, textCol: String, strataCol: String,
                   targetWeights: Map[String, Double],
-                  budgetTokens: Long): DataFrame = {
+                  budgetTokens: Long,
+                  tokensOf: Column => Column = WhitespaceTokens): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
     require(targetWeights.nonEmpty, "mixturePlan needs at least one target weight")
     targetWeights.foreach { case (s, w) =>
@@ -184,7 +191,7 @@ object CorpusOps {
     }
     docs
       .groupBy(col(strataCol))
-      .agg(sum(size(words(col(textCol))).cast("long")).as("tokens_available"))
+      .agg(sum(tokensOf(col(textCol))).as("tokens_available"))
       .withColumn("weight", weightCol)
       .where(col("weight").isNotNull)
       .withColumn("target_tokens",
@@ -218,10 +225,11 @@ object CorpusOps {
   }
 
   private def packByKey(df: DataFrame, idCol: String, textCol: String,
-                        key: Column)(budgetTokens: Long): DataFrame = {
+                        key: Column, tokensOf: Column => Column)(
+                        budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", size(words(col(textCol))).cast("long"))
+    df.withColumn("n_tokens", tokensOf(col(textCol)))
       .withColumn("_cum", sum(col("n_tokens")).over(w))
       .withColumn("shard_id",
         floor((col("_cum") - col("n_tokens")) / budgetTokens).cast("long"))

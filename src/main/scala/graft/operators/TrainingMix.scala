@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
 object TrainingMix {
 
   /** Pipeline knobs, grouped per stage. `weights` must sum to 1; strata
-    * absent from it are excluded from the mixture (rate 0). */
+    * absent from it are excluded from the mixture (rate 0). `tokensOf`
+    * is the budget unit for BOTH the mixture plan and shard packing —
+    * default whitespace tokens; pass a BPE counter
+    * (`c => size(TextFunctions.bpeTokens(c, merges)).cast("long")`) to
+    * budget by real subword counts. */
   final case class Config(
       minQuality: Double = 0.5,
       lang: Option[String] = Some("en"),
@@ -34,7 +38,9 @@ object TrainingMix {
       weights: Map[String, Double],
       budgetTokens: Long,
       shardTokens: Long,
-      maxStratumDocs: Option[Long] = None)
+      maxStratumDocs: Option[Long] = None,
+      tokensOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        CorpusOps.WhitespaceTokens)
 
   /** The mixture plan (tiny, one row per stratum) plus the packed sample
     * ready for [[publish]]. */
@@ -66,10 +72,10 @@ object TrainingMix {
       case None => kept
     }
     val plan = CorpusOps.mixturePlan(cleared, textCol, strataCol,
-      cfg.weights, cfg.budgetTokens)
+      cfg.weights, cfg.budgetTokens, cfg.tokensOf)
     val sampled = CorpusOps.mixtureSample(cleared, idCol, strataCol, plan)
     val packed = CorpusOps.packShards(sampled, idCol, textCol, strataCol,
-      cfg.shardTokens, cfg.maxStratumDocs)
+      cfg.shardTokens, cfg.maxStratumDocs, cfg.tokensOf)
     Mixture(plan, packed)
   }
 

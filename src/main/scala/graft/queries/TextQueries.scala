@@ -171,6 +171,34 @@ object TextQueries {
         windowTokens = 12, minCount = 2)
       .orderBy("doc_id")
 
+  // BPE merge-table cache per (session, corpus): training is the bounded
+  // driver-side fit (deterministic: doc_id-ordered sample, lexicographic
+  // tie-break), application is the distributed fused expression.
+  private val bpeTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+
+  /** Real-subword token counts (rows-only: greedy BPE inference is
+    * iterative per word — not SQL-expressible; the expression is
+    * property-tested against a plain-Scala reference encoder in
+    * BpeSpec). */
+  def bpeTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // 40 merges against a ~31-word synthetic vocabulary: frequent words
+    // merge fully, rare ones stay subword-split — so the bpe counts
+    // actually DIFFER from whitespace counts at gate scale (200 merges
+    // would merge everything and the two columns would degenerate equal)
+    val merges = bpeTables.getOrElseUpdate((s, dir),
+      graft.functions.Bpe.trainOn(d.orderBy("doc_id"), "text",
+        numMerges = 40, maxDocs = 200).toSeq)
+    d.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeTokens(col("text"), merges).as("_bpe"),
+        graft.functions.TextFunctions.normWords(col("text")).as("_ws"))
+      .select(col("doc_id"),
+        size(col("_bpe")).cast("long").as("n_bpe_tokens"),
+        size(col("_ws")).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   // Fingerprint-store cache per (session, corpus): history is
   // fingerprinted ONCE when it lands (the DedupStore contract); the gate
   // query then times/checks only the incremental probe — same convention
@@ -244,7 +272,8 @@ object TextQueries {
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
     "dedup_substring" -> (dedupSubstring _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "bpe_tokens" -> (bpeTokenCount _)
   )
 
   private def markersIn(lang: String): String =

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns the most frequent pair each round, deterministically") {
+    // 'lo' dominates: low x3, lower, lowest  (l,o) count 5 beats all
+    val merges = Bpe.train(Seq("low low low lower lowest"), 3)
+    assert(merges.head == (("l", "o")))
+    // second round: (lo, w</w>) appears 3x ("low"), (lo, w) appears 2x
+    // ("lower", "lowest") — the word-final variant wins
+    assert(merges(1) == (("lo", "w</w>")))
+    // same input, same table — ties resolved lexicographically
+    assert(Bpe.train(Seq("low low low lower lowest"), 3).toSeq == merges.toSeq)
+  }
+
+  test("reference encoder applies merges greedily by rank") {
+    val merges = Seq(("l", "o"), ("lo", "w</w>"), ("e", "r</w>"))
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encode("low", ranks) == Vector("low</w>"))
+    assert(Bpe.encode("lower", ranks) == Vector("lo", "w", "er</w>"))
+    assert(Bpe.encode("x", ranks) == Vector("x</w>"))
+    // no applicable merge: pure character fallback
+    assert(Bpe.encode("ab", Map.empty) == Vector("a", "b</w>"))
+  }
+
+  test("expression == reference encoder on random corpora (property)") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcdef"
+    def word() = (0 until (1 + rnd.nextInt(8)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 0 until 5) {
+      val corpus = (0 until 60).map(_ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ => word()).mkString(" "))
+      val merges = Bpe.train(corpus, numMerges = 20 + trial * 15).toSeq
+      // encode a DIFFERENT sample than the training one (plus the training
+      // rows themselves) through the expression
+      val texts = corpus.take(20) ++ (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(10))).map(_ => word()).mkString(" "))
+      val out = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), TextFunctions.bpeTokens(col("text"), merges).as("toks"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val expected = Bpe.encodeText(t, merges)
+        assert(out(i.toLong) == expected,
+          s"trial $trial text '$t': ${out(i.toLong)} != $expected")
+      }
+    }
+  }
+
+  test("subwords reassemble the original normalized words") {
+    val corpus = Seq("the quick brown fox", "the lazy dog", "quick quick fox")
+    val merges = Bpe.train(corpus, 30).toSeq
+    corpus.flatMap(_.split(" ")).foreach { w =>
+      val toks = Bpe.encode(w, merges.zipWithIndex.toMap)
+      assert(toks.mkString.stripSuffix(Bpe.EndOfWord) == w,
+        s"'$w' did not reassemble from $toks")
+      assert(toks.last.endsWith(Bpe.EndOfWord))
+    }
+  }
+
+  test("packShards budgets by real BPE counts when given the counter") {
+    val corpus = Seq(
+      (1L, "aaaa aaaa aaaa", "s"),   // merges collapse each word to 1 token
+      (2L, "aaaa aaaa aaaa", "s"),
+      (3L, "aaaa aaaa aaaa", "s"))
+      .toDF("doc_id", "text", "src")
+    val merges = Bpe.train(Seq("aaaa aaaa"), 10).toSeq
+    val bpeCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => size(TextFunctions.bpeTokens(c, merges)).cast("long")
+    val packed = graft.operators.CorpusOps.packShards(
+        corpus, "doc_id", "text", "src", budgetTokens = 6, tokensOf = bpeCount)
+      .select("doc_id", "n_tokens", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 'aaaa' fully merges to one subword -> 3 bpe tokens per doc (vs 3 ws
+    // words too, but offsets prove the counter is live: budget 6 splits
+    // after two docs). n_tokens must be the BPE count.
+    assert(packed.map(_._2) == Seq(3L, 3L, 3L))
+    assert(packed.map(_._3) == Seq(0L, 0L, 1L), s"shards: $packed")
+  }
+
+  test("trained-table token counts compress vs characters, never vs words") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainOn(docs.orderBy("doc_id"), "text", numMerges = 200,
+      maxDocs = 200).toSeq
+    assert(merges.nonEmpty)
+    val stats = docs
+      .select(
+        size(TextFunctions.bpeTokens(col("text"), merges)).cast("long").as("bpe"),
+        size(TextFunctions.normWords(col("text"))).cast("long").as("ws"),
+        length(col("text")).cast("long").as("chars"))
+      .agg(sum("bpe"), sum("ws"), sum("chars"))
+      .as[(Long, Long, Long)].head()
+    // real subword counts sit between words (every word >= 1 token) and
+    // raw characters (merges only ever shrink the char segmentation)
+    assert(stats._1 >= stats._2 && stats._1 <= stats._3,
+      s"bpe=${stats._1} ws=${stats._2} chars=${stats._3}")
+  }
+}
