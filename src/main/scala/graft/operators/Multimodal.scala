@@ -142,6 +142,99 @@ object Multimodal {
       }
   }
 
+  /** Decoded audio features: the typed columns an audio pipeline needs
+    * before any model sees the waveform. `decoded` distinguishes real
+    * codec output from the stub fallback. */
+  case class AudioFeatures(id: Long, sampleRate: Double, channels: Int,
+                           nFrames: Long, durationSec: Double, rms: Double,
+                           decoded: Boolean)
+
+  /** The audio codec boundary, mirroring [[MediaDecoder]]: executor-side
+    * inside `mapPartitions`, serializable, never throws on a bad payload. */
+  trait AudioDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): AudioFeatures
+  }
+
+  /** Deterministic fake for non-WAV modalities (mp3/ogg codecs are not on
+    * this classpath) — features derive from content, like [[DecodeStub]]. */
+  object AudioStub extends AudioDecoder {
+    def decode(id: Long, bytes: Array[Byte]): AudioFeatures = {
+      val n = if (bytes == null) 0 else bytes.length
+      val sum = if (n == 0) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      val rate = 8000.0 + (n % 3) * 4000.0
+      AudioFeatures(id, rate, channels = 1 + (n % 2), nFrames = n.toLong,
+        durationSec = n / rate, rms = if (n == 0) 0.0 else (sum % 256) / 255.0,
+        decoded = false)
+    }
+  }
+
+  /** REAL WAV/PCM decoding via the JDK-bundled `javax.sound.sampled` (no
+    * external codecs): true sample rate / channel count / frame count,
+    * duration, and RMS loudness over all samples pooled across channels,
+    * normalized to [-1, 1] (16-bit signed ÷ 32768 with stream endianness,
+    * 8-bit unsigned centered ÷ 128). Non-PCM or truncated payloads fall
+    * back to [[AudioStub]] so a mixed corpus processes, not fails — the
+    * [[ImageIoDecoder]] convention. */
+  object WavDecoder extends AudioDecoder {
+    def decode(id: Long, bytes: Array[Byte]): AudioFeatures = {
+      if (bytes == null || bytes.length == 0) return AudioStub.decode(id, bytes)
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          import javax.sound.sampled.AudioFormat.Encoding._
+          val bits = f.getSampleSizeInBits
+          val ok = (f.getEncoding == PCM_SIGNED && bits == 16) ||
+            (f.getEncoding == PCM_UNSIGNED && bits == 8)
+          val nFrames = in.getFrameLength
+          if (!ok || nFrames <= 0) return AudioStub.decode(id, bytes)
+          val data = in.readAllBytes()
+          val nSamples = nFrames * f.getChannels
+          var sumSq = 0.0
+          var i = 0
+          if (bits == 16) {
+            val be = f.isBigEndian
+            while (i < nSamples) {
+              val (b0, b1) = (data(2 * i) & 0xff, data(2 * i + 1) & 0xff)
+              val v = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort / 32768.0
+              sumSq += v * v
+              i += 1
+            }
+          } else {
+            while (i < nSamples) {
+              val v = ((data(i) & 0xff) - 128) / 128.0
+              sumSq += v * v
+              i += 1
+            }
+          }
+          AudioFeatures(id, f.getSampleRate.toDouble, f.getChannels, nFrames,
+            durationSec = nFrames / f.getSampleRate.toDouble,
+            rms = math.sqrt(sumSq / nSamples), decoded = true)
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException | _: IndexOutOfBoundsException =>
+          AudioStub.decode(id, bytes)
+      }
+    }
+  }
+
+  /** Batched audio decode over (id, binary) rows — the `mapPartitions`
+    * twin of [[decodeFeatures]] for the audio seam. */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String,
+                  decoder: AudioDecoder = WavDecoder): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          decoder.decode(r.getLong(0),
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   /** Frame-sample plumbing: expand n frames per media row (explode of a
     * generated index — the real implementation would substitute decoded
     * frame tensors for the index). */

@@ -118,6 +118,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def wav(rate: Float, channels: Int, bits: Int,
+                  samples: Array[Int]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, bits, channels, /*signed=*/ bits == 16,
+      /*bigEndian=*/ false)
+    val data = new Array[Byte](samples.length * (bits / 8))
+    samples.indices.foreach { i =>
+      if (bits == 16) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      } else data(i) = (samples(i) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WavDecoder: exact rate/frames/duration/RMS from a generated WAV") {
+    // mono 16-bit 8000 Hz, 4000 constant-amplitude samples of 8192
+    // (= 0.25 full scale): every derived value is exact, not approximate
+    val mono = Multimodal.WavDecoder.decode(1L,
+      wav(8000f, 1, 16, Array.fill(4000)(8192)))
+    assert(mono == Multimodal.AudioFeatures(1L, 8000.0, 1, 4000L, 0.5, 0.25,
+      decoded = true), s"got $mono")
+    // stereo: L constant 0.25, R constant 0.5 -> pooled RMS
+    // sqrt((0.25^2 + 0.5^2) / 2), frames = samples / channels
+    val st = (0 until 2000).flatMap(_ => Seq(8192, 16384)).toArray
+    val stereo = Multimodal.WavDecoder.decode(2L, wav(16000f, 2, 16, st))
+    assert(stereo.sampleRate == 16000.0 && stereo.channels == 2 &&
+      stereo.nFrames == 2000L && stereo.durationSec == 0.125 &&
+      stereo.rms == math.sqrt((0.0625 + 0.25) / 2) && stereo.decoded)
+    // 8-bit unsigned: constant 192 -> (192-128)/128 = 0.5 exactly
+    val eight = Multimodal.WavDecoder.decode(3L,
+      wav(8000f, 1, 8, Array.fill(800)(192)))
+    assert(eight.rms == 0.5 && eight.nFrames == 800L && eight.decoded)
+  }
+
+  test("decodeAudio streams WAVs distributed; non-audio falls back to the stub") {
+    val rows = Seq(
+      (1L, wav(8000f, 1, 16, Array.fill(4000)(8192))),
+      (2L, "definitely not a wav".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload").repartition(3)
+    val out = Multimodal.decodeAudio(rows, "id", "payload")
+      .collect().map(f => f.id -> f).toMap
+    assert(out(1L).decoded && out(1L).rms == 0.25 && out(1L).durationSec == 0.5)
+    assert(!out(2L).decoded &&
+      out(2L) == Multimodal.AudioStub.decode(2L, "definitely not a wav".getBytes("UTF-8")))
+    assert(!out(3L).decoded && out(3L).nFrames == 0L)
+  }
+
   test("Embedder seam: decode -> embed -> ANN end-to-end; EmbedStub matches embedStub") {
     // id 5 is a NULL payload: both paths must embed it as empty content
     // (a real encoder never throws on a bad payload; the stub mirrors that)
