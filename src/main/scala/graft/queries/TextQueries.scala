@@ -199,6 +199,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Synthesized per-doc URLs (the corpus has no URL column — the
+    * pii_redact augmentation convention, SQL-reproducible): six variants
+    * exercising every canonicalization rule — case, default vs
+    * load-bearing ports, www, fragments, tracking params, param order,
+    * trailing slashes, bare hosts. */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val v = pmod(col("doc_id"), lit(6))
+    when(v === 0, lit("HTTP://WWW.Example.COM:80/path/?utm_source=x&b=2&a=1#frag"))
+      .when(v === 1, lit("https://News.Site.org:443/a/b/"))
+      .when(v === 2, concat(lit("http://example.com/page"), col("doc_id"),
+        lit("?gclid=123&id="), col("doc_id")))
+      .when(v === 3, lit("https://example.com:8443/x?z=1&y=2"))
+      .when(v === 4, concat(lit("http://www.blog.net/p/"), col("doc_id")))
+      .otherwise(lit("https://example.com"))
+  }
+
+  def urlCanon(s: SparkSession, dir: String): DataFrame =
+    UrlOps.canonicalize(
+        docs(s, dir).select(col("doc_id"), synthUrl.as("url")), "url")
+      .select("doc_id", "url", "canonical_url", "host")
+      .orderBy("doc_id")
+
+  def urlHostStats(s: SparkSession, dir: String): DataFrame =
+    UrlOps.hostStats(docs(s, dir).select(col("doc_id"), synthUrl.as("url")), "url")
+      .orderBy("host")
+
   // Fingerprint-store cache per (session, corpus): history is
   // fingerprinted ONCE when it lands (the DedupStore contract); the gate
   // query then times/checks only the incremental probe — same convention
@@ -273,8 +299,46 @@ object TextQueries {
     "lm_logprob" -> (lmLogProb _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
-    "bpe_tokens" -> (bpeTokenCount _)
+    "bpe_tokens" -> (bpeTokenCount _),
+    "url_canon" -> (urlCanon _),
+    "url_host_stats" -> (urlHostStats _)
   )
+
+  /** URL canonicalization re-derived in SQL (same regex rules as
+    * `UrlOps`): synthesized urls → scheme/host/path/query parts → canon. */
+  private val urlCtes =
+    """u AS (SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/?utm_source=x&b=2&a=1#frag'
+      |      WHEN 1 THEN 'https://News.Site.org:443/a/b/'
+      |      WHEN 2 THEN 'http://example.com/page' || doc_id || '?gclid=123&id=' || doc_id
+      |      WHEN 3 THEN 'https://example.com:8443/x?z=1&y=2'
+      |      WHEN 4 THEN 'http://www.blog.net/p/' || doc_id
+      |      ELSE 'https://example.com' END AS url
+      |  FROM documents),
+      | parts AS (SELECT doc_id, url,
+      |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_extract(trim(url), '^([^#?]*)', 1),
+      |                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+      |    regexp_extract(trim(url), '^[^#?]*\?([^#]*)', 1) AS query
+      |  FROM u),
+      | hostp AS (SELECT *,
+      |    regexp_replace(lower(regexp_extract(rest, '^([^/]*)', 1)), '^www\.', '') AS host_nw,
+      |    regexp_replace(regexp_extract(rest, '^[^/]*(.*)$', 1), '/+$', '') AS path
+      |  FROM parts),
+      | hosted AS (SELECT *,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(host_nw, ':443$', '')
+      |         ELSE host_nw END AS host
+      |  FROM hostp),
+      | canon AS (SELECT doc_id, url, host,
+      |    scheme || '://' || host || path ||
+      |      CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url
+      |  FROM (SELECT *, coalesce(array_to_string(list_sort(
+      |          [p for p in string_split(query, '&')
+      |           if p <> '' and not regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$')]),
+      |          '&'), '') AS params
+      |        FROM hosted))""".stripMargin
 
   private def markersIn(lang: String): String =
     TextAnalysis.markers(lang).map(m => s"'$m'").mkString("(", ", ", ")")
@@ -817,6 +881,17 @@ object TextQueries {
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN ka ON d.doc_id = ka.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "url_canon" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, url, canonical_url, host FROM canon
+         |ORDER BY doc_id""".stripMargin,
+
+    "url_host_stats" ->
+      s"""WITH $urlCtes
+         |SELECT host, count(*) AS n_docs,
+         |  count(DISTINCT canonical_url) AS n_urls
+         |FROM canon GROUP BY host ORDER BY host""".stripMargin,
 
     // window hashes + canonical (first-occurrence) election re-derived in
     // SQL; positions are 1-based here vs 0-based in Spark — only intra-side

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[(String, String)] = {
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    UrlOps.canonicalize(df, "url").orderBy("id")
+      .select("canonical_url", "host").as[(String, String)].collect().toSeq
+  }
+
+  test("canonicalization rules, case by case") {
+    val out = canon(
+      "HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1#frag",
+      "https://site.org:8443/a//",            // non-default port kept
+      "http://host.net/?utm_a=1&utm_b=2",     // tracking-only query drops the '?'
+      "https://example.com",                  // bare host
+      "http://example.com/A/B?ref=nav&id=7",  // path case preserved, ref dropped
+      "https://www.x.io:443/p?b=2&a=1&a=0")   // full k=v sort: a=0 < a=1 < b=2
+    assert(out(0) == (("http://example.com/Path?a=1&b=2", "example.com")))
+    assert(out(1) == (("https://site.org:8443/a", "site.org:8443")))
+    assert(out(2) == (("http://host.net", "host.net")))
+    assert(out(3) == (("https://example.com", "example.com")))
+    assert(out(4) == (("http://example.com/A/B?id=7", "example.com")))
+    assert(out(5) == (("https://x.io/p?a=0&a=1&b=2", "x.io")))
+  }
+
+  test("hostStats counts docs and DISTINCT canonical identities per host") {
+    val df = Seq(
+      (1L, "http://www.a.com/x?utm_s=1"),
+      (2L, "HTTP://A.COM:80/x"),          // same canonical as 1
+      (3L, "http://a.com/y"),
+      (4L, "https://b.org/")
+    ).toDF("id", "url")
+    val stats = UrlOps.hostStats(df, "url").orderBy("host")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(stats == Seq(("a.com", 3L, 2L), ("b.org", 1L, 1L)))
+  }
+}
