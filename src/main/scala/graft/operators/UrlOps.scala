@@ -69,4 +69,52 @@ object UrlOps {
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canonical_url")).as("n_urls"))
+
+  /** Per-host document cap — the crawl-curation step that stops a few
+    * mega-hosts from dominating a web corpus: keep at most `cap`
+    * documents per canonical host, chosen by md5(salt|id) order so the
+    * kept subset is reproducible across runs, engines and partitionings
+    * (and is not biased toward low ids, which usually encode crawl
+    * order).
+    *
+    * Two shapes, same determinism:
+    *  - `exact = true` (default): a host-keyed `row_number` window —
+    *    EXACTLY `cap` survivors for any host over the cap. Window width
+    *    is one host; a single mega-host (billions of docs) serializes
+    *    through one partition, which is where the approximate shape
+    *    takes over (the packShards `maxStratumDocs` lesson).
+    *  - `exact = false`: per-host census (tiny, broadcast) → map-side
+    *    bucket-threshold filter at rate `cap / n` — the corpus never
+    *    shuffles and no window runs; survivor counts are binomial around
+    *    `cap` (±√cap), the standard trade for mega-host scale.
+    */
+  def hostCap(df: DataFrame, idCol: String, urlCol: String, cap: Long,
+              exact: Boolean = true, salt: String = "hostcap"): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    val canon = canonicalize(df, urlCol)
+      .withColumn("_hc_bucket",
+        md5(concat(lit(salt + "|"), col(idCol).cast("string"))))
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host")).orderBy(col("_hc_bucket"), col(idCol))
+      canon.withColumn("host_rank", row_number().over(w))
+        .where(col("host_rank") <= cap)
+        .drop("_hc_bucket")
+    } else {
+      val census = df.select(hostOf(col(urlCol)).as("_hc_host"))
+        .groupBy(col("_hc_host")).agg(count(lit(1)).as("_hc_n"))
+      // rate cap/n as a fixed-width hex threshold (the stratifiedSample
+      // convention; 'g' = keep-all when the host is under the cap)
+      val thr = when(col("_hc_n") <= cap, lit("g"))
+        .otherwise(lpad(lower(conv(
+          least(floor(lit(cap) / col("_hc_n") * lit(4294967296L)),
+            lit(4294967295L)).cast("long").cast("string"), 10, 16)), 8, "0"))
+      canon
+        .join(broadcast(census.withColumn("_hc_thr", thr)
+          .select(col("_hc_host"), col("_hc_thr"))),
+          col("host") === col("_hc_host"))
+        .where(substring(col("_hc_bucket"), 1, 8) < col("_hc_thr"))
+        .drop("_hc_host", "_hc_thr", "_hc_bucket")
+    }
+  }
 }

@@ -225,6 +225,14 @@ object TextQueries {
     UrlOps.hostStats(docs(s, dir).select(col("doc_id"), synthUrl.as("url")), "url")
       .orderBy("host")
 
+  /** Exact per-host cap at 50: every synthesized host is over the cap at
+    * gate scale, so the window actually cuts. */
+  def urlHostCap(s: SparkSession, dir: String): DataFrame =
+    UrlOps.hostCap(docs(s, dir).select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url", cap = 50)
+      .select("doc_id", "host", "host_rank")
+      .orderBy("doc_id")
+
   // Fingerprint-store cache per (session, corpus): history is
   // fingerprinted ONCE when it lands (the DedupStore contract); the gate
   // query then times/checks only the incremental probe — same convention
@@ -301,7 +309,8 @@ object TextQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "bpe_tokens" -> (bpeTokenCount _),
     "url_canon" -> (urlCanon _),
-    "url_host_stats" -> (urlHostStats _)
+    "url_host_stats" -> (urlHostStats _),
+    "url_host_cap" -> (urlHostCap _)
   )
 
   /** URL canonicalization re-derived in SQL (same regex rules as
@@ -892,6 +901,16 @@ object TextQueries {
          |SELECT host, count(*) AS n_docs,
          |  count(DISTINCT canonical_url) AS n_urls
          |FROM canon GROUP BY host ORDER BY host""".stripMargin,
+
+    "url_host_cap" ->
+      s"""WITH $urlCtes,
+         | ranked AS (SELECT doc_id, host,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY md5('hostcap|' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS INT) AS host_rank
+         |  FROM canon)
+         |SELECT doc_id, host, host_rank FROM ranked
+         |WHERE host_rank <= 50 ORDER BY doc_id""".stripMargin,
 
     // window hashes + canonical (first-occurrence) election re-derived in
     // SQL; positions are 1-based here vs 0-based in Spark — only intra-side

@@ -27,6 +27,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(out(5) == (("https://x.io/p?a=0&a=1&b=2", "x.io")))
   }
 
+  test("hostCap exact: cap survivors per over-cap host, under-cap hosts intact") {
+    val df = (0L until 100L).map(i =>
+        (i, if (i < 90) s"http://big.com/p/$i" else s"http://small.org/p/$i"))
+      .toDF("id", "url")
+    val out = UrlOps.hostCap(df, "id", "url", cap = 10)
+      .select("id", "host").as[(Long, String)].collect().toSeq
+    assert(out.count(_._2 == "big.com") == 10)
+    assert(out.count(_._2 == "small.org") == 10) // under cap: all 10 kept
+    // deterministic: same subset both runs
+    val again = UrlOps.hostCap(df, "id", "url", cap = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    // md5 order, not id order — the kept set is not just ids 0..9
+    assert(out.filter(_._2 == "big.com").map(_._1).toSet != (0L until 10L).toSet)
+  }
+
+  test("hostCap approximate: map-side, ~cap survivors, no window in the plan") {
+    val df = (0L until 2000L).map(i => (i, s"http://big.com/p/$i"))
+      .toDF("id", "url")
+    val out = UrlOps.hostCap(df, "id", "url", cap = 200, exact = false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"),
+      s"approximate path must not run a window:\n$plan")
+    val n = out.count()
+    // binomial around cap: 200 +- 5 sigma (sigma ~ sqrt(200*0.9) ~ 13.4)
+    assert(n > 130 && n < 270, s"survivors $n not near cap 200")
+    // under-cap host keeps everything exactly ('g' threshold)
+    val small = (0L until 50L).map(i => (i, s"http://small.org/p/$i")).toDF("id", "url")
+    assert(UrlOps.hostCap(small, "id", "url", cap = 200, exact = false).count() == 50)
+  }
+
   test("hostStats counts docs and DISTINCT canonical identities per host") {
     val df = Seq(
       (1L, "http://www.a.com/x?utm_s=1"),
