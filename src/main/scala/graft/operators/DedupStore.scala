@@ -80,4 +80,39 @@ object DedupStore {
     // store, a fresh pair neither
     mixed.union(fresh)
   }
+
+  /** Per-document verdicts for a new shard: a new doc is a duplicate iff
+    * it has a candidate counterpart with `est_sim >= threshold` that is
+    * either IN HISTORY or an EARLIER (lower-id) member of the same shard —
+    * the keep-first convention, so a burst of mutual near-dups inside one
+    * shard keeps exactly its lowest id. `dup_of` is the minimum
+    * qualifying counterpart (deterministic), `best_sim` the strongest
+    * match. Verdicts are candidate-level (minhash est_sim, the
+    * [[Dedup.minhashCandidates]] semantics); transitive-closure dedup
+    * composes via [[Dedup.clustersFromEdges]] on the pair output when a
+    * chain collapse is wanted.
+    */
+  def incrementalVerdicts(newDocs: DataFrame, idCol: String, textCol: String,
+                          store: DataFrame,
+                          threshold: Double = 0.75): DataFrame = {
+    // the candidate relation feeds both orientations — one materialization
+    val cand = incrementalCandidates(newDocs, idCol, textCol, store)
+      .where(col("est_sim") >= threshold)
+      .localCheckpoint(false)
+    val oriented = cand
+      .select(col("i").as("_doc"), col("j").as("_other"), col("est_sim"))
+      .union(cand
+        .select(col("j").as("_doc"), col("i").as("_other"), col("est_sim")))
+    val newIds = newDocs.select(col(idCol).as("_other"))
+      .withColumn("_other_new", lit(true))
+    val qualifying = oriented
+      .join(newIds, Seq("_other"), "left")
+      .where(col("_other_new").isNull || col("_other") < col("_doc"))
+    val agg = qualifying.groupBy(col("_doc").as(idCol))
+      .agg(min(col("_other")).as("dup_of"), max(col("est_sim")).as("best_sim"))
+    newDocs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"), col("best_sim"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
 }

@@ -279,6 +279,23 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Keep-first dedup verdicts for the same shard split as
+    * [[dedupIncremental]]: dup iff a ≥0.75-est candidate counterpart is
+    * in history or earlier in the shard. */
+  def dedupIncrVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = fpStores.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-fp-store").toString
+      graft.operators.DedupStore.save(
+        d.where(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
+      p
+    })
+    graft.operators.DedupStore.incrementalVerdicts(
+        d.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        graft.operators.DedupStore.load(s, path), threshold = 0.75)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lang_id" -> (langId _),
     "text_quality" -> (quality _),
@@ -307,6 +324,7 @@ object TextQueries {
     "lm_logprob" -> (lmLogProb _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incr_verdicts" -> (dedupIncrVerdicts _),
     "bpe_tokens" -> (bpeTokenCount _),
     "url_canon" -> (urlCanon _),
     "url_host_stats" -> (urlHostStats _),
@@ -600,6 +618,32 @@ object TextQueries {
          |FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
          |WHERE cand.i % 5 = 0 OR cand.j % 5 = 0
          |ORDER BY i, j""".stripMargin,
+
+    // keep-first verdicts re-derived from the same candidate set: orient
+    // each qualifying pair toward the shard doc, counterpart qualifies if
+    // in history (doc_id % 5 <> 0) or earlier in the shard
+    "dedup_incr_verdicts" ->
+      s"""WITH $wordsSql,
+         |$shinglesSql,
+         |$sigsSql,
+         |$candSql,
+         | candE AS (SELECT cand.i, cand.j,
+         |    CAST(list_sum([CASE WHEN a.sig[k] = b.sig[k] THEN 1 ELSE 0 END
+         |                   for k in generate_series(1, 12)]) AS DOUBLE) / 12 AS est
+         |  FROM cand JOIN sigs a ON cand.i = a.doc_id
+         |            JOIN sigs b ON cand.j = b.doc_id),
+         | orient AS (SELECT i AS doc, j AS other, est FROM candE
+         |            UNION ALL SELECT j, i, est FROM candE),
+         | q AS (SELECT doc, min(other) AS dup_of, max(est) AS best_sim
+         |   FROM orient
+         |   WHERE doc % 5 = 0 AND est >= 0.75
+         |     AND (other % 5 <> 0 OR other < doc)
+         |   GROUP BY doc)
+         |SELECT d.doc_id, q.dup_of, q.best_sim,
+         |  q.dup_of IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN q ON d.doc_id = q.doc
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH $wordsSql,

@@ -127,6 +127,32 @@ object Stress {
       val removed = out.agg(sum(col("n_tokens_removed"))).head().getLong(0)
       println(s"   duplicated tokens removed: $removed")
     }
+    time("BpeTokens (40-merge table) over 100k docs") {
+      // trained once driver-side on a 500-doc sample, applied distributed:
+      // the fused expression + per-thread word cache must hold throughput
+      // on a corpus where every word is a cache hit after the first row
+      val merges = graft.functions.Bpe.trainOn(
+        big.orderBy("doc_id"), "text", numMerges = 40, maxDocs = 500).toSeq
+      val n = big.select(sum(size(
+        graft.functions.TextFunctions.bpeTokens(col("text"), merges))))
+        .head().getLong(0)
+      println(s"   bpe tokens: $n")
+    }
+    time("incremental dedup: 5k-doc shard vs 95k-doc fingerprint store") {
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft-stress-store").toString
+      graft.operators.DedupStore.save(
+        big.where(col("doc_id") % 20 =!= 0), "doc_id", "text", storePath)
+      val shard = big.where(col("doc_id") % 20 === 0)
+      val cand = graft.operators.DedupStore.incrementalCandidates(
+        shard, "doc_id", "text",
+        graft.operators.DedupStore.load(spark, storePath))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "incremental dedup went all-pairs!")
+      println("   candidate pairs: " + cand.count() +
+        " (band equi-join vs store; history x history never forms)")
+    }
     time("mixturePlan + mixtureSample over 100k docs") {
       val strat = big.withColumn("src", (col("doc_id") % 4).cast("string"))
       val plan = graft.operators.CorpusOps.mixturePlan(strat, "text", "src",

@@ -57,6 +57,21 @@ class DedupStoreSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"went all-pairs:\n$plan")
   }
 
+  test("incrementalVerdicts: keep-first — history wins, earliest shard member wins") {
+    val store = Files.createTempDirectory("graft-store-v").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    val v = DedupStore.incrementalVerdicts(fresh, "doc_id", "text",
+        DedupStore.load(spark, store), threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3))).toMap
+    // 10 near-dups history 1 and 2 -> dup of the minimum (1)
+    assert(v(10L) == ((Some(1L), true)), s"got ${v(10L)}")
+    // 11's only counterpart is the LATER shard member 12 -> kept
+    assert(v(11L) == ((None, false)))
+    // 12 dups the earlier shard member 11
+    assert(v(12L) == ((Some(11L), true)))
+  }
+
   test("append grows the store: the next shard dedups against prior shards") {
     val store = Files.createTempDirectory("graft-store3").toString
     DedupStore.save(history, "doc_id", "text", store)

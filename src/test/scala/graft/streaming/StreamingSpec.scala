@@ -91,6 +91,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("url canonicalization + BPE tokens run UNCHANGED on a stream") {
+    // both are map-side (regex/array expressions; fused BPE encoder), so
+    // the SAME library calls process arriving documents — pinned like the
+    // text-scoring parity above
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val merges = graft.functions.Bpe.train(Seq("low low low lower lowest"), 5).toSeq
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.UrlOps.canonicalize(df, "url")
+        .withColumn("n_bpe",
+          size(graft.functions.TextFunctions.bpeTokens(col("text"), merges)))
+        .select("id", "canonical_url", "host", "n_bpe")
+    val mem = MemoryStream[(Long, String, String)]
+    val streaming = transform(mem.toDF().toDF("id", "url", "text"))
+    assert(streaming.isStreaming, "map-side url/bpe ops must preserve streaminess")
+    val q = streaming.writeStream.format("memory").queryName("stream_urls")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "HTTP://WWW.A.COM:80/x/?utm_s=1&b=2", "low lower"),
+        (2L, "https://b.org:8443/p", "lowest low low"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_urls")
+        .as[(Long, String, String, Int)].collect().toSet
+      val batch = transform(rows.toDF("id", "url", "text"))
+        .as[(Long, String, String, Int)].collect().toSet
+      assert(streamed == batch && streamed.size == 2)
+      assert(streamed.exists { case (id, cu, h, _) =>
+        id == 1L && cu == "http://a.com/x?b=2" && h == "a.com" })
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream pairs events within the window, drops outside") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
