@@ -308,6 +308,47 @@ object TextAnalysis {
         (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
   }
 
+  /** Corpus-trained BIGRAM log-probability per document — one order up
+    * from [[unigramLogProb]] and the closer CCNet-perplexity stand-in:
+    * word-soup documents whose unigrams are all common but whose
+    * TRANSITIONS are corpus-atypical now score low. Laplace-smoothed
+    * conditional: `lp(ctx→nxt) = ln((bg_count+1) / (ctx_count+V))` where
+    * `ctx_count` counts ctx AS A CONTEXT (bigrams starting with it) and
+    * `V` is the prediction vocabulary (distinct next-tokens); score =
+    * tf-weighted mean over the doc's bigrams (sum rounded, then divided —
+    * the SURVEY §4 rule).
+    *
+    * Scale shape: the (doc, bigram) counts ride ONE corpus explode (lazy
+    * localCheckpoint shared by the corpus-frequency rollup, the
+    * context-count rollup, and the scoring join); both rollups shrink to
+    * distinct bigrams / contexts; V is a broadcast one-row; scoring joins
+    * at (doc, DISTINCT bigram) grain, never raw tokens. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idxs = when(size(col("_ws")) >= 2, sequence(lit(1), size(col("_ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = docs
+      .select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"), explode(idxs).as("_i"))
+      .select(col(idCol),
+        element_at(col("_ws"), col("_i")).as("ctx"),
+        element_at(col("_ws"), col("_i") + 1).as("nxt"))
+      .where(col("ctx") =!= "" && col("nxt") =!= "")
+    val tf = bigrams.groupBy(col(idCol), col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val bgFreq = tf.groupBy(col("ctx"), col("nxt")).agg(sum(col("tf")).as("bg_cnt"))
+    val ctxFreq = tf.groupBy(col("ctx")).agg(sum(col("tf")).as("ctx_cnt"))
+    val vocab = tf.agg(countDistinct(col("nxt")).as("v"))
+    tf.join(bgFreq, Seq("ctx", "nxt"))
+      .join(ctxFreq, Seq("ctx"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((col("bg_cnt") + lit(1.0)) / (col("ctx_cnt") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
+  }
+
   /** Cross-document boilerplate line removal — the C4/RefinedWeb cleanup
     * step: a line whose content appears in at least `minDocs` DISTINCT
     * documents is boilerplate (nav bars, license banners, headers) and is

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64}
+import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64}
 
 /** SparkSessionExtensions registration for graft's native expressions
   * (SURVEY.md §2 #35). Activate with either:
@@ -53,6 +53,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash(words) takes exactly 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bpe(text, merges) takes 2 arguments; merges = array of 'left right' strings")
+        val mergesExpr = children(1)
+        require(mergesExpr.foldable,
+          "graft_bpe merges must be a literal array of 'left right' strings " +
+            "(the merge table is query-constant, like minhash's salts)")
+        val arr = mergesExpr.eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val s = arr.getUTF8String(i).toString
+          val sp = s.indexOf(' ')
+          require(sp > 0 && sp < s.length - 1,
+            s"graft_bpe merge '$s' must be 'left right' (one space)")
+          (s.substring(0, sp), s.substring(sp + 1))
+        }
+        BpeTokens(children.head, merges)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

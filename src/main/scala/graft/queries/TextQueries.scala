@@ -162,6 +162,10 @@ object TextQueries {
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def lmBigram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Exact substring dedup at 12-token windows — small enough that the
     * planted near-dup structure (near-verbatim copies) yields real
     * duplicated runs at gate scale; the library default is the paper's
@@ -322,6 +326,7 @@ object TextQueries {
     "mixture_plan" -> (mixturePlan _),
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
+    "lm_bigram" -> (lmBigram _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incr_verdicts" -> (dedupIncrVerdicts _),
@@ -851,6 +856,24 @@ object TextQueries {
          |     ln((freq.cnt + 1.0) / (tot.t_total + tot.v)) AS lp
          |   FROM tf JOIN freq USING (term), tot)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "lm_bigram" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | bg AS (SELECT doc_id, ws[i] AS ctx, ws[i+1] AS nxt
+         |        FROM nw, unnest(generate_series(1, len(ws) - 1)) t(i)
+         |        WHERE ws[i] <> '' AND ws[i+1] <> ''),
+         | tf AS (SELECT doc_id, ctx, nxt, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         | bgf AS (SELECT ctx, nxt, CAST(sum(tf) AS BIGINT) AS bg_cnt
+         |         FROM tf GROUP BY 1, 2),
+         | ctxf AS (SELECT ctx, CAST(sum(tf) AS BIGINT) AS ctx_cnt
+         |          FROM tf GROUP BY 1),
+         | voc AS (SELECT count(DISTINCT nxt) AS v FROM tf),
+         | scored AS (SELECT tf.doc_id, tf.tf,
+         |     ln((bgf.bg_cnt + 1.0) / (ctxf.ctx_cnt + voc.v)) AS lp
+         |   FROM tf JOIN bgf USING (ctx, nxt) JOIN ctxf USING (ctx), voc)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 

@@ -64,6 +64,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("graft_bpe SQL function == the library column (literal merge table)") {
+    val merges = Bpe.train(Seq("low low low lower lowest"), 5).toSeq
+    val litArr = array(merges.map { case (a, b) => lit(s"$a $b") }: _*)
+    val df = Seq((1L, "low lower"), (2L, "LOWEST low")).toDF("id", "text")
+    val out = df.select(col("id"),
+        call_function("graft_bpe", col("text"), litArr).as("sql_toks"),
+        TextFunctions.bpeTokens(col("text"), merges).as("lib_toks"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    out.foreach { case (id, s, l) => assert(s == l, s"row $id: $s != $l") }
+    // non-literal merges are rejected up front (query-constant contract)
+    val e = intercept[Exception] {
+      df.select(call_function("graft_bpe", col("text"), split(col("text"), " ")))
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"), s"got: ${e.getMessage}")
+  }
+
   test("packShards budgets by real BPE counts when given the counter") {
     val corpus = Seq(
       (1L, "aaaa aaaa aaaa", "s"),   // merges collapse each word to 1 token

@@ -153,6 +153,21 @@ class ScaleShapeSpec extends SparkSpec {
       s"q2 part predicates not pushed:\n$q2preFmt")
   }
 
+  test("dedupSubstrings plan: wkey-partitioned window, keyed joins, no all-pairs") {
+    // the Stress assertions, in the fast suite so a plan regression trips
+    // sbt test, not just the 20x run
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = graft.operators.TextAnalysis.dedupSubstrings(
+      docs, "doc_id", "text", windowTokens = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"went all-pairs:\n$plan")
+    assert(!plan.contains("No Partition Defined"),
+      s"window lost its wkey partitioning:\n$plan")
+    // and the operator actually cuts at gate scale (planted near-dups)
+    assert(out.where(col("n_tokens_removed") > 0).count() > 0)
+  }
+
   test("AQE splits a skewed join at runtime (the no-manual-salting path)") {
     // One key holds ~100x the rows of any other. With thresholds tuned to
     // this toy size, AQE's OptimizeSkewedJoin must split the hot partition

@@ -291,6 +291,25 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out(4L)._2 - math.log(2.0 / 28.0)) < 1e-6)
   }
 
+  test("bigramLogProb: atypical TRANSITIONS score low even when unigrams are common") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "alpha beta gamma alpha beta gamma"),
+      // same unigrams, reversed transitions — unigram scoring can't see
+      // the difference; bigram scoring must
+      (4L, "gamma beta alpha gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(bi(4L) < bi(1L),
+      s"reversed-transition doc must score below typical: ${bi(4L)} vs ${bi(1L)}")
+    val uni = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(4L) - uni(1L)) < 1e-9,
+      "unigram scoring is blind to transitions (same bag of words)")
+  }
+
   test("tfidfTopTerms: rare terms outrank ubiquitous ones; exactly k rows per doc") {
     val corpus = Seq(
       (1L, "common zebra"),
