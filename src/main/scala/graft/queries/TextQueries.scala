@@ -166,6 +166,25 @@ object TextQueries {
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** LITERAL classifier model for the gate: the oracle re-derives the
+    * exact sigmoid(w·standardize(x)+b) arithmetic in SQL, so scoring
+    * parity is what this checks; `fit` determinism/accuracy is
+    * QualityClassifierSpec's job (the ann_ivf split, but the scoring
+    * half stays fully oracled). round(6) both sides absorbs exp()'s
+    * 1-ulp platform latitude. */
+  private val lrModel = QualityClassifier.Model(
+    Seq("n_words", "avg_word_len", "alpha_ratio", "punct_ratio", "stopword_ratio"),
+    means = Array(50.0, 4.5, 0.8, 0.02, 0.1),
+    stds = Array(20.0, 1.0, 0.1, 0.02, 0.05),
+    weights = Array(0.4, -0.3, 1.2, -1.5, 0.8),
+    bias = 0.1)
+
+  def qualityLr(s: SparkSession, dir: String): DataFrame =
+    QualityClassifier.score(
+        TextAnalysis.quality(docs(s, dir), "text"), lrModel)
+      .select(col("doc_id"), round(col("lr_quality"), 6).as("lr_quality"))
+      .orderBy("doc_id")
+
   /** Exact substring dedup at 12-token windows — small enough that the
     * planted near-dup structure (near-verbatim copies) yields real
     * duplicated runs at gate scale; the library default is the paper's
@@ -327,6 +346,7 @@ object TextQueries {
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
     "lm_bigram" -> (lmBigram _),
+    "quality_lr" -> (qualityLr _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incr_verdicts" -> (dedupIncrVerdicts _),
@@ -858,6 +878,27 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // sigmoid(w·standardize(x) + b) with the SAME literal model and the
+    // SAME left-assoc addition order as QualityClassifier.scoreCol
+    "quality_lr" ->
+      s"""WITH $wordsSql,
+         | f AS (SELECT doc_id,
+         |    CAST(len(ws) AS DOUBLE) AS n_words,
+         |    CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws) AS avg_word_len,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |    CAST(len(list_filter(ws, x -> x IN ${markersIn("en")})) AS DOUBLE) / len(ws) AS stopword_ratio
+         |  FROM w),
+         | z AS (SELECT doc_id,
+         |    0.1 + 0.4 * ((n_words - 50.0) / 20.0)
+         |        + (-0.3) * ((avg_word_len - 4.5) / 1.0)
+         |        + 1.2 * ((alpha_ratio - 0.8) / 0.1)
+         |        + (-1.5) * ((punct_ratio - 0.02) / 0.02)
+         |        + 0.8 * ((stopword_ratio - 0.1) / 0.05) AS z
+         |  FROM f)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS lr_quality
+         |FROM z ORDER BY doc_id""".stripMargin,
 
     "lm_bigram" ->
       s"""WITH ${normWordsFrom("documents")},
