@@ -81,6 +81,41 @@ object DedupStore {
     mixed.union(fresh)
   }
 
+  /** Streaming twin of the new×history leg: score ARRIVING documents
+    * against the persisted store in real time. The band signatures are
+    * map-side expressions and the probe is a stream-static equi-join —
+    * both streaming-safe, so this runs unchanged under `readStream`
+    * (StreamingSpec pins micro-batch == batch). The new×new leg is
+    * deliberately absent: a stream-stream self-join needs an event-time
+    * watermark the dedup domain doesn't have; within-stream duplicates
+    * surface once their first occurrence is [[append]]ed to the store
+    * between micro-batches (the production loop: probe, then append).
+    */
+  def streamingCandidates(newDocs: DataFrame, idCol: String, textCol: String,
+                          store: DataFrame): DataFrame = {
+    val n = Dedup.NumHashes
+    val newBands = Dedup.lshBands(
+      Dedup.minhashSignatures(newDocs, idCol, textCol), idCol)
+    val a = newBands.select(col(idCol).as("new_id") +: col("band") +:
+      col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"si$k")): _*)
+    val h = store.select(col(idCol).as("hist_id") +: col("band") +:
+      col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"sj$k")): _*)
+    val matches = (0 until n)
+      .map(k => when(col(s"si$k") === col(s"sj$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(h, Seq("band", "band_hash"))
+      .where(col("new_id") =!= col("hist_id"))
+      .select(col("new_id"), col("hist_id"),
+        (matches.cast("double") / n).as("est_sim"))
+      // multi-band collisions repeat a pair with an IDENTICAL est_sim, so
+      // dropDuplicates (streaming-legal in append mode) replaces the batch
+      // path's groupBy/max. Its state is one entry per emitted pair — the
+      // output, not the corpus; bound it with
+      // `.withWatermark(...)`/`dropDuplicatesWithinWatermark` on an
+      // ingest-time column when the stream is long-lived.
+      .dropDuplicates("new_id", "hist_id")
+  }
+
   /** Per-document verdicts for a new shard: a new doc is a duplicate iff
     * it has a candidate counterpart with `est_sim >= threshold` that is
     * either IN HISTORY or an EARLIER (lower-id) member of the same shard —

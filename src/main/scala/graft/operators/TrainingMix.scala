@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   *
   *   [[Curate.curate]] (quality / language / exact-dup / near-dup)
   *     → [[CorpusOps.decontaminate]] (drop docs leaking eval n-grams)
+  *     → optional [[QualityClassifier]] gate (learned filter over the
+  *       heuristic signals, `lrModel`/`minLrScore`)
+  *     → optional [[TextAnalysis.dedupSubstrings]] (`substringWindow`:
+  *       duplicated token runs removed before availability is counted)
   *     → [[CorpusOps.mixturePlan]] + [[CorpusOps.mixtureSample]]
   *       (target weights + token budget → deterministic per-stratum sample)
   *     → [[CorpusOps.packShards]] (token-budget shards, giant strata
-  *       pre-split)
+  *       pre-split; `tokensOf` optionally counts real BPE subwords)
   *     → [[publish]] (parquet partitioned by (stratum, shard)).
   *
   * This is the switchover story for a training-data user: every stage is
@@ -40,7 +44,15 @@ object TrainingMix {
       shardTokens: Long,
       maxStratumDocs: Option[Long] = None,
       tokensOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        CorpusOps.WhitespaceTokens)
+        CorpusOps.WhitespaceTokens,
+      // optional R8 stages: a learned quality classifier gate (docs
+      // scoring below minLrScore drop after curation), and exact
+      // substring dedup (duplicated >=substringWindow-token runs removed
+      // BEFORE the mixture is planned, so token availability counts only
+      // surviving content)
+      lrModel: Option[QualityClassifier.Model] = None,
+      minLrScore: Double = 0.5,
+      substringWindow: Option[Int] = None)
 
   /** The mixture plan (tiny, one row per stratum) plus the packed sample
     * ready for [[publish]]. */
@@ -71,9 +83,27 @@ object TrainingMix {
         kept.join(contaminated, Seq(idCol), "left_anti")
       case None => kept
     }
-    val plan = CorpusOps.mixturePlan(cleared, textCol, strataCol,
+    val classed = cfg.lrModel match {
+      case Some(m) =>
+        // features come from the quality signals; score map-side, gate,
+        // and return to the caller's schema
+        QualityClassifier.score(TextAnalysis.quality(cleared, textCol), m)
+          .where(col("lr_quality") >= cfg.minLrScore)
+          .select(cleared.columns.map(col): _*)
+      case None => cleared
+    }
+    val deduped = cfg.substringWindow match {
+      case Some(w) =>
+        // duplicated runs out before availability is counted; documents
+        // keep their stratum and id, text becomes the surviving tokens
+        classed.drop(textCol)
+          .join(TextAnalysis.dedupSubstrings(classed, idCol, textCol, w)
+            .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
+      case None => classed
+    }
+    val plan = CorpusOps.mixturePlan(deduped, textCol, strataCol,
       cfg.weights, cfg.budgetTokens, cfg.tokensOf)
-    val sampled = CorpusOps.mixtureSample(cleared, idCol, strataCol, plan)
+    val sampled = CorpusOps.mixtureSample(deduped, idCol, strataCol, plan)
     val packed = CorpusOps.packShards(sampled, idCol, textCol, strataCol,
       cfg.shardTokens, cfg.maxStratumDocs, cfg.tokensOf)
     Mixture(plan, packed)

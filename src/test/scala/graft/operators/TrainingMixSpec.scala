@@ -61,6 +61,32 @@ class TrainingMixSpec extends SparkSpec {
     assert(shards == Map("web" -> 1L, "books" -> 1L))
   }
 
+  test("optional stages: classifier gates junk, substring dedup shrinks availability") {
+    // doc 11 passes the 0.4 heuristic gate (alpha*(1-punct) ~ 0.46) but
+    // its punct-heavy tail is exactly what the learned gate rejects
+    val withJunk = corpus.union(Seq(
+      (11L, "the cat and the dog is in a house of wonder it runs to ### @@@ !!! %%% 123", "web")
+    ).toDF("doc_id", "text", "source"))
+    val punctGate = QualityClassifier.Model(Seq("punct_ratio"),
+      means = Array(0.05), stds = Array(0.05), weights = Array(-3.0), bias = 0.0)
+    val cfg = TrainingMix.Config(
+      minQuality = 0.4,
+      weights = Map("web" -> 0.6, "books" -> 0.4),
+      budgetTokens = 200, shardTokens = 20,
+      lrModel = Some(punctGate), minLrScore = 0.5,
+      substringWindow = Some(8))
+    val mix = TrainingMix.build(withJunk, "doc_id", "text", "source", cfg,
+      eval = Some(eval))
+    val packedIds = mix.packed.select("doc_id").as[Long].collect().toSet
+    assert(packedIds == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"classifier must drop 11, curation the rest: $packedIds")
+    // every doc shares the 14-token prefix; the substring stage keeps it
+    // only in the canonical doc 1, so availability = 18 + 2x4 (web) and
+    // 3x4 (books)
+    val plan = mix.plan.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan == Map("web" -> 26L, "books" -> 12L), s"got $plan")
+  }
+
   test("publish: (stratum, shard)-partitioned parquet, idempotent, conf untouched") {
     val cfg = TrainingMix.Config(
       weights = Map("web" -> 0.6, "books" -> 0.4),

@@ -124,6 +124,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming store probe: arriving docs dedup against the fingerprint store") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def doc(family: String, tail: String) =
+      s"the $family quick brown fox jumps over the lazy dog near $tail"
+    val history = Seq((1L, doc("red", "rivers")), (2L, doc("blue", "harbors")))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    graft.operators.DedupStore.save(history, "doc_id", "text", store)
+    val static = graft.operators.DedupStore.load(spark, store)
+    val mem = MemoryStream[(Long, String)]
+    val probe = graft.operators.DedupStore.streamingCandidates(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", static)
+    assert(probe.isStreaming, "store probe must stay streaming")
+    val q = probe.writeStream.format("memory").queryName("stream_probe")
+      .outputMode("append").start()
+    try {
+      val arriving = Seq((10L, doc("red", "valleys")), (11L, doc("green", "cities")))
+      mem.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_probe")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.operators.DedupStore.streamingCandidates(
+          arriving.toDF("doc_id", "text"), "doc_id", "text", static)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the near-dup of history doc 1 is caught as it arrives
+      assert(streamed.exists { case (n, h, _) => n == 10L && h == 1L })
+      // unrelated arrival matches nothing
+      assert(!streamed.exists(_._1 == 11L))
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream pairs events within the window, drops outside") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
