@@ -233,6 +233,11 @@ object CorpusOps {
       .withColumn("_cum", sum(col("n_tokens")).over(w))
       .withColumn("shard_id",
         floor((col("_cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      // where this doc's tokens START inside its shard when shard members
+      // concatenate in id order — the seek offset a trainer needs; in
+      // [0, budget) for every doc except a shard's overflowing last one
+      .withColumn("shard_offset",
+        col("_cum") - col("n_tokens") - col("shard_id") * budgetTokens)
       .drop("_cum")
   }
 }

@@ -129,7 +129,7 @@ object TextQueries {
   def packShards(s: SparkSession, dir: String): DataFrame =
     CorpusOps.packShards(docs(s, dir), "doc_id", "text", "source",
         budgetTokens = 2000)
-      .select("doc_id", "source", "n_tokens", "shard_id")
+      .select("doc_id", "source", "n_tokens", "shard_id", "shard_offset")
       .orderBy("doc_id")
 
   def gopherTopgram(s: SparkSession, dir: String): DataFrame =
@@ -853,7 +853,10 @@ object TextQueries {
 
     "pack_shards" ->
       """SELECT doc_id, source, n_tokens,
-        |  CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_id
+        |  CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard_id,
+        |  CAST(cum - n_tokens
+        |    - CAST(floor((cum - n_tokens) / 2000) AS BIGINT) * 2000 AS BIGINT)
+        |    AS shard_offset
         |FROM (
         |  SELECT doc_id, source, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -61,14 +61,18 @@ class CorpusOpsSpec extends SparkSpec {
         docs.sortBy(_._1).map { case (id, text, _) =>
           val n = text.split(" ").length.toLong
           val shard = (cum / 7)
+          val offset = cum - shard * 7
           cum += n
-          id -> shard
+          id -> ((shard, offset))
         }
       }
       val got = CorpusOps.packShards(rows.toDF("doc_id", "text", "source"),
           "doc_id", "text", "source", budgetTokens = 7)
-        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+        .select("doc_id", "shard_id", "shard_offset")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got == expected)
+      // a doc's tokens start inside its shard's budget window
+      assert(got.values.forall { case (_, off) => off >= 0 && off < 7 })
     }
   }
 

@@ -153,6 +153,25 @@ class ScaleShapeSpec extends SparkSpec {
       s"q2 part predicates not pushed:\n$q2preFmt")
   }
 
+  test("map-side scorers have SHUFFLE-FREE plans: url canon, LR score, quality, bpe") {
+    // these ride the scan at any scale — an Exchange appearing in any of
+    // them means a per-row operator silently grew a shuffle
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val m = QualityClassifier.Model(Seq("punct_ratio"),
+      Array(0.05), Array(0.05), Array(-3.0), 0.0)
+    val scored = QualityClassifier.score(
+      TextAnalysis.quality(docs, "text"), m)
+    val canon = UrlOps.canonicalize(
+      docs.select(col("doc_id"), concat(lit("http://h.com/"), col("doc_id")).as("url")), "url")
+    val bpe = docs.select(
+      graft.functions.TextFunctions.bpeTokens(col("text"), merges))
+    for ((name, df) <- Seq(("quality+lr", scored), ("url_canon", canon), ("bpe", bpe))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name grew a shuffle:\n$plan")
+    }
+  }
+
   test("dedupSubstrings plan: wkey-partitioned window, keyed joins, no all-pairs") {
     // the Stress assertions, in the fast suite so a plan regression trips
     // sbt test, not just the 20x run
