@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode text normalization for web corpora — the step before any
+  * hashing/dedup/tokenization sees the text: the same visible string
+  * arrives from different sources precomposed (é = U+00E9) or decomposed
+  * (e + U+0301), and without canonical normalization exact dedup treats
+  * them as different documents.
+  *
+  *  - NFC canonical composition always (java.text.Normalizer — JDK
+  *    built-in, no external libs);
+  *  - `stripAccents = true` additionally removes combining marks
+  *    (NFD → drop Mn codepoints → NFC), the fold used for accent-blind
+  *    matching. Non-decomposable letters (ø, æ, ß) pass through — this
+  *    is canonical-mark removal, not ICU transliteration, matching
+  *    DuckDB's `strip_accents` on the Latin range so the gate can oracle
+  *    it.
+  *
+  * Map-side scalar; supplementary codepoints handled (codepoint
+  * iteration, not char). */
+case class NormalizeText(child: Expression, stripAccents: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import java.text.Normalizer
+    val s = input.asInstanceOf[UTF8String].toString
+    val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+    val out =
+      if (!stripAccents) nfc
+      else {
+        val nfd = Normalizer.normalize(nfc, Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(nfd.length)
+        nfd.codePoints().forEach { cp =>
+          if (Character.getType(cp) != Character.NON_SPACING_MARK)
+            sb.appendCodePoint(cp)
+        }
+        Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+      }
+    UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}

@@ -39,6 +39,12 @@ object TextFunctions {
     * case/whitespace noise never defeats near-dup detection. */
   def normWords(text: Column): Column = split(normalized(text), " ")
 
+  /** NFC-normalized text; `stripAccents` additionally folds combining
+    * marks away ([[NormalizeText]]). */
+  def normalizeText(text: Column, stripAccents: Boolean = false): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      NormalizeText(org.apache.spark.sql.graft.Bridge.expression(text), stripAccents))
+
   /** BPE subword tokens of a text column under a learned merge table —
     * the fused [[BpeTokens]] expression; `size(bpeTokens(...))` is the
     * real token count for training-data budgets. */

@@ -162,6 +162,24 @@ object TextQueries {
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Unicode normalization over SQL-reproducible injected text: the
+    * corpus is pure ASCII, so the gate appends a decomposed e+combining-
+    * acute (NFC must compose it) and precomposed accented Latin (the
+    * strip must fold it) — DuckDB's nfc_normalize/strip_accents agree
+    * with the canonical-mark semantics on this range (probed; ø/æ/ß
+    * style non-decomposables stay untouched on both engines). */
+  def textUnicode(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" Caf"), lit("e\u0301"),
+      lit(" se\u00f1or Z\u00fcrich \u00c0\u00c9\u00ce\u00d5\u00dc #"),
+      col("doc_id"))
+    docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeText(injected).as("norm_text"),
+        graft.functions.TextFunctions.normalizeText(injected, stripAccents = true)
+          .as("plain_text"))
+      .orderBy("doc_id")
+  }
+
   def lmBigram(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -347,6 +365,7 @@ object TextQueries {
     "lm_logprob" -> (lmLogProb _),
     "lm_bigram" -> (lmBigram _),
     "quality_lr" -> (qualityLr _),
+    "text_unicode" -> (textUnicode _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incr_verdicts" -> (dedupIncrVerdicts _),
@@ -881,6 +900,17 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_unicode" ->
+      """WITH u AS (SELECT doc_id,
+        |    text || ' Caf' || 'e' || chr(769)
+        |         || ' se' || chr(241) || 'or Z' || chr(252) || 'rich '
+        |         || chr(192) || chr(201) || chr(206) || chr(213) || chr(220)
+        |         || ' #' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm_text,
+        |  strip_accents(nfc_normalize(t)) AS plain_text
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // sigmoid(w·standardize(x) + b) with the SAME literal model and the
     // SAME left-assoc addition order as QualityClassifier.scoreCol

@@ -26,6 +26,27 @@ class ExpressionPropertySpec extends SparkSpec {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
 
+  test("NormalizeText: composes NFC, folds marks, leaves non-decomposables") {
+    import org.apache.spark.sql.functions._
+    def norm(s: String, strip: Boolean): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.normalizeText(col("t"), strip)).as[String].head()
+    // decomposed e + U+0301 composes to the single codepoint U+00E9
+    assert(norm("Café", strip = false) == "Café")
+    assert(norm("Café", strip = false).length == 4)
+    // accent fold: precomposed AND decomposed inputs land identically
+    assert(norm("Café señor", strip = true) == "Cafe senor")
+    assert(norm("Café señor", strip = true) == "Cafe senor")
+    // canonical-mark removal only: no transliteration of ø æ ß
+    assert(norm("ø æ ß", strip = true) == "ø æ ß")
+    // supplementary codepoints survive both paths (codepoint iteration)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(norm(s"a${emoji}b", strip = true) == s"a${emoji}b")
+    // idempotence on already-normal text
+    val ascii = "plain ascii text 123"
+    assert(norm(ascii, strip = false) == ascii && norm(ascii, strip = true) == ascii)
+  }
+
   test("MinHashSignature == per-salt min over md5 of k-shingles (random corpora)") {
     for (_ <- 1 to 30) {
       val ws = randWords()
