@@ -200,29 +200,50 @@ object CorpusOps {
         least(lit(1.0), col("target_tokens") / col("tokens_available")))
   }
 
+  /** A COLUMN rate → fixed-width lowercase hex threshold (string order ==
+    * unsigned numeric order, the stratifiedSample convention). */
+  private def hexThr(rate: Column): Column =
+    lpad(lower(conv(
+      least(floor(rate * lit(4294967296L)), lit(4294967295L))
+        .cast("long").cast("string"), 10, 16)), 8, "0")
+
+  private def bucketOf(idCol: String, salt: String): Column =
+    substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
+
   /** Realize a [[mixturePlan]]: the same deterministic md5-bucket rule as
     * [[stratifiedSample]], but thresholds come from the PLAN's rate column
     * (broadcast — rows = #strata) instead of a literal map, so plan and
     * application can live in different jobs. Map-side after the broadcast:
     * the corpus never shuffles. */
   def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
-                    plan: DataFrame, salt: String = "mix"): DataFrame = {
-    val bucket = substring(
-      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
-    // rate → fixed-width lowercase hex threshold (string order == unsigned
-    // numeric order, the stratifiedSample convention)
-    val thr = lpad(lower(conv(
-      least(floor(col("rate") * lit(4294967296L)), lit(4294967295L))
-        .cast("long").cast("string"), 10, 16)), 8, "0")
+                    plan: DataFrame, salt: String = "mix"): DataFrame =
     docs
       .join(broadcast(plan.select(col(strataCol).as("_mix_key"), col("rate"))),
         col(strataCol) === col("_mix_key"))
-      .withColumn("sample_bucket", bucket)
+      .withColumn("sample_bucket", bucketOf(idCol, salt))
       // rate >= 1.0 keeps every row EXACTLY (a capped ffffffff threshold
       // would still drop a bucket of exactly ffffffff — strict compare)
-      .where(col("rate") >= 1.0 || col("sample_bucket") < thr)
+      .where(col("rate") >= 1.0 || col("sample_bucket") < hexThr(col("rate")))
       .drop("_mix_key", "rate")
-  }
+
+  /** Importance (quality-weighted) sampling: keep each doc with
+    * probability `min(1, weight)` where the weight is a PER-DOCUMENT
+    * column — classifier score, language confidence, any [0, ∞) signal —
+    * the GPT-3-style quality-proportional corpus reweighting. Same
+    * deterministic md5-bucket acceptance as [[stratifiedSample]], so the
+    * kept set is reproducible and changing one doc's weight never
+    * reshuffles another's fate. Pure map-side.
+    *
+    * Determinism note for cross-engine use: derive the weight through
+    * `round(_, 6)` first when it comes from float math (sigmoid etc.) —
+    * the threshold multiplies it by 2^32, so a last-ulp difference could
+    * flip a boundary bucket (the gate query does exactly this). */
+  def importanceSample(docs: DataFrame, idCol: String, weightCol: String,
+                       salt: String = "imp"): DataFrame =
+    docs
+      .withColumn("sample_bucket", bucketOf(idCol, salt))
+      .where(col(weightCol) >= 1.0 ||
+        col("sample_bucket") < hexThr(col(weightCol)))
 
   private def packByKey(df: DataFrame, idCol: String, textCol: String,
                         key: Column, tokensOf: Column => Column)(

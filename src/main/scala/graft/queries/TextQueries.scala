@@ -162,6 +162,17 @@ object TextQueries {
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Quality-weighted sampling driven by the literal classifier model:
+    * keep-probability = round(lr score, 6) — rounded BEFORE thresholding
+    * so a last-ulp sigmoid difference can't flip a boundary bucket. */
+  def corpusWeighted(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.importanceSample(
+        QualityClassifier.score(
+            TextAnalysis.quality(docs(s, dir), "text"), lrModel)
+          .select(col("doc_id"), round(col("lr_quality"), 6).as("weight")),
+        "doc_id", "weight")
+      .orderBy("doc_id")
+
   /** Unicode normalization over SQL-reproducible injected text: the
     * corpus is pure ASCII, so the gate appends a decomposed e+combining-
     * acute (NFC must compose it) and precomposed accented Latin (the
@@ -365,6 +376,7 @@ object TextQueries {
     "lm_logprob" -> (lmLogProb _),
     "lm_bigram" -> (lmBigram _),
     "quality_lr" -> (qualityLr _),
+    "corpus_weighted" -> (corpusWeighted _),
     "text_unicode" -> (textUnicode _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -900,6 +912,33 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the quality_lr sigmoid (same literal model, same addition order),
+    // rounded to 6, then the stratifiedSample md5 acceptance rule
+    "corpus_weighted" ->
+      s"""WITH $wordsSql,
+         | f AS (SELECT doc_id,
+         |    CAST(len(ws) AS DOUBLE) AS n_words,
+         |    CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws) AS avg_word_len,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |    CAST(len(list_filter(ws, x -> x IN ${markersIn("en")})) AS DOUBLE) / len(ws) AS stopword_ratio
+         |  FROM w),
+         | sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(
+         |    0.1 + 0.4 * ((n_words - 50.0) / 20.0)
+         |        + (-0.3) * ((avg_word_len - 4.5) / 1.0)
+         |        + 1.2 * ((alpha_ratio - 0.8) / 0.1)
+         |        + (-1.5) * ((punct_ratio - 0.02) / 0.02)
+         |        + 0.8 * ((stopword_ratio - 0.1) / 0.05)))), 6) AS weight
+         |  FROM f),
+         | b AS (SELECT doc_id, weight,
+         |    substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_bucket
+         |  FROM sc)
+         |SELECT doc_id, weight, sample_bucket FROM b
+         |WHERE weight >= 1.0 OR sample_bucket <
+         |  lpad(lower(to_hex(CAST(least(floor(weight * 4294967296), 4294967295)
+         |                         AS BIGINT))), 8, '0')
+         |ORDER BY doc_id""".stripMargin,
 
     "text_unicode" ->
       """WITH u AS (SELECT doc_id,

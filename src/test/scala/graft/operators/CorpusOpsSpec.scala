@@ -192,6 +192,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaPlan == 500L)
   }
 
+  test("importanceSample: keep-probability tracks the per-doc weight, deterministic") {
+    val docs = spark.range(4000).select(col("id").as("doc_id"),
+      when(col("id") % 4 === 0, 1.0)       // always kept
+        .when(col("id") % 4 === 1, 0.0)    // never kept
+        .when(col("id") % 4 === 2, 0.5)    // ~half
+        .otherwise(0.1).as("w"))           // ~tenth
+    val kept = CorpusOps.importanceSample(docs, "doc_id", "w")
+      .select("doc_id", "w").as[(Long, Double)].collect()
+    val byW = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byW(1.0) == 1000, "weight 1.0 must keep every row exactly")
+    assert(!byW.contains(0.0), "weight 0.0 must keep nothing")
+    assert(math.abs(byW(0.5) - 500) < 80, s"w=0.5 kept ${byW(0.5)}")
+    assert(math.abs(byW(0.1) - 100) < 50, s"w=0.1 kept ${byW(0.1)}")
+    // md5-deterministic: same input, same kept set
+    val again = CorpusOps.importanceSample(docs, "doc_id", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("packShards rejects stratum names containing '#' when splitting is on") {
     // "web#3" as a RAW stratum would collide with sub-stratum 3 of a split
     // "web" — one packing window and one output partition for unrelated
