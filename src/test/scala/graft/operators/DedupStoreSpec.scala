@@ -72,6 +72,38 @@ class DedupStoreSpec extends SparkSpec {
     assert(v(12L) == ((Some(11L), true)))
   }
 
+  test("transitive collapse composes: incremental pairs -> clustersFromEdges") {
+    val store = Files.createTempDirectory("graft-store-cc").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    val pairs = DedupStore.incrementalCandidates(fresh, "doc_id", "text",
+        DedupStore.load(spark, store))
+      .where(col("est_sim") >= 0.5).select("i", "j")
+    val everyone = history.select("doc_id").union(fresh.select("doc_id"))
+    val clusters = Dedup.clustersFromEdges(everyone, pairs, "doc_id")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    // 10's history near-dups 1,2 and 10 itself share one component rooted
+    // at 1; the fresh 11-12 pair roots at 11; 3 stays a singleton
+    assert(clusters(10L) == 1L && clusters(2L) == 1L && clusters(1L) == 1L)
+    assert(clusters(11L) == 11L && clusters(12L) == 11L)
+    assert(clusters(3L) == 3L)
+  }
+
+  test("edge cases: empty shard and unrelated shard both yield zero pairs") {
+    val store = Files.createTempDirectory("graft-store-e").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupStore.incrementalCandidates(empty, "doc_id", "text",
+      DedupStore.load(spark, store)).count() == 0)
+    val unrelated = Seq((30L, "completely different subject matter entirely unrelated on purpose"))
+      .toDF("doc_id", "text")
+    assert(DedupStore.incrementalCandidates(unrelated, "doc_id", "text",
+      DedupStore.load(spark, store)).count() == 0)
+    val v = DedupStore.incrementalVerdicts(unrelated, "doc_id", "text",
+      DedupStore.load(spark, store)).as[(Long, Option[Long], Option[Double], Boolean)]
+      .collect()
+    assert(v.toSeq == Seq((30L, None, None, false)))
+  }
+
   test("append grows the store: the next shard dedups against prior shards") {
     val store = Files.createTempDirectory("graft-store3").toString
     DedupStore.save(history, "doc_id", "text", store)
