@@ -308,6 +308,33 @@ object TextAnalysis {
         (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
   }
 
+  /** Corpus-level data card: the one-stop health summary a training-data
+    * owner reads before anything trains — document/unique counts, exact
+    * duplicate rate, token volume and mean document length, mean
+    * heuristic quality. ONE aggregation pass over the corpus (partial
+    * map-side; the distinct rides the same shuffle), exploded to
+    * (metric, value) rows so downstream tooling diffs cards cheaply.
+    * Double means follow the §4 rule (round the sum, then divide). */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = quality(docs, textCol)
+    val agg = q.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(md5(normalized(col(textCol)))).cast("double").as("n_unique"),
+      sum(col("n_words").cast("long")).cast("double").as("total_tokens"),
+      round(sum(col("quality_score")), 6).as("q_sum"))
+    agg.select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_unique_texts").as("metric"), col("n_unique").as("value")),
+        struct(lit("dup_rate").as("metric"),
+          round(lit(1.0) - col("n_unique") / col("n_docs"), 6).as("value")),
+        struct(lit("total_tokens").as("metric"), col("total_tokens").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          (col("total_tokens") / col("n_docs")).as("value")),
+        struct(lit("mean_quality").as("metric"),
+          (col("q_sum") / col("n_docs")).as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+
   /** Corpus-trained BIGRAM log-probability per document — one order up
     * from [[unigramLogProb]] and the closer CCNet-perplexity stand-in:
     * word-soup documents whose unigrams are all common but whose

@@ -191,6 +191,10 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusReport(docs(s, dir), "doc_id", "text")
+      .orderBy("metric")
+
   def lmBigram(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -377,6 +381,7 @@ object TextQueries {
     "lm_bigram" -> (lmBigram _),
     "quality_lr" -> (qualityLr _),
     "corpus_weighted" -> (corpusWeighted _),
+    "corpus_report" -> (corpusReport _),
     "text_unicode" -> (textUnicode _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -912,6 +917,28 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "corpus_report" ->
+      s"""WITH $wordsSql,
+         | q AS (SELECT doc_id, text, len(ws) AS n_words,
+         |    (CASE WHEN len(ws) >= 5 THEN 1.0 ELSE 0.0 END)
+         |      * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+         |      * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))
+         |      AS quality_score
+         |  FROM w),
+         | a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS DOUBLE) AS n_unique,
+         |    CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE) AS total_tokens,
+         |    round(sum(quality_score), 6) AS q_sum
+         |  FROM q)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+         |  UNION ALL SELECT 'n_unique_texts', n_unique FROM a
+         |  UNION ALL SELECT 'dup_rate', round(1.0 - n_unique / n_docs, 6) FROM a
+         |  UNION ALL SELECT 'total_tokens', total_tokens FROM a
+         |  UNION ALL SELECT 'mean_doc_tokens', total_tokens / n_docs FROM a
+         |  UNION ALL SELECT 'mean_quality', q_sum / n_docs FROM a)
+         |ORDER BY metric""".stripMargin,
 
     // the quality_lr sigmoid (same literal model, same addition order),
     // rounded to 6, then the stratifiedSample md5 acceptance rule

@@ -291,6 +291,24 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out(4L)._2 - math.log(2.0 / 28.0)) < 1e-6)
   }
 
+  test("corpusReport: exact data-card arithmetic on a hand corpus") {
+    val docs = Seq(
+      (1L, "the cat and the dog runs fast"),
+      (2L, "The cat and the dog runs  fast"), // normalized dup of 1
+      (3L, "x")                               // sub-5-words: quality 0
+    ).toDF("doc_id", "text")
+    val card = TextAnalysis.corpusReport(docs, "doc_id", "text")
+      .as[(String, Double)].collect().toMap
+    assert(card("n_docs") == 3.0 && card("n_unique_texts") == 2.0)
+    assert(card("dup_rate") == 0.333333) // round(1 - 2/3, 6)
+    assert(card("total_tokens") == 15.0 && card("mean_doc_tokens") == 5.0)
+    // quality = alpha ratio here (no punct): doc 1 = 23/29, doc 2 = 23/30
+    // (its extra space counts toward raw length), doc 3 = 0
+    val expected = BigDecimal(23.0 / 29 + 23.0 / 30)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / 3
+    assert(math.abs(card("mean_quality") - expected) < 1e-12)
+  }
+
   test("bigramLogProb: atypical TRANSITIONS score low even when unigrams are common") {
     val corpus = Seq(
       (1L, "alpha beta gamma alpha beta gamma"),
