@@ -222,8 +222,12 @@ object CorpusOps {
         col(strataCol) === col("_mix_key"))
       .withColumn("sample_bucket", bucketOf(idCol, salt))
       // rate >= 1.0 keeps every row EXACTLY (a capped ffffffff threshold
-      // would still drop a bucket of exactly ffffffff — strict compare)
-      .where(col("rate") >= 1.0 || col("sample_bucket") < hexThr(col("rate")))
+      // would still drop a bucket of exactly ffffffff — strict compare);
+      // rate <= 0 keeps nothing — without the guard, floor of a negative
+      // rate × 2^32 runs through conv() as unsigned 64-bit and lpad
+      // TRUNCATES the 16-char result to 'ffffffff', keeping ~everything
+      .where(col("rate") >= 1.0 ||
+        (col("rate") > 0 && col("sample_bucket") < hexThr(col("rate"))))
       .drop("_mix_key", "rate")
 
   /** Importance (quality-weighted) sampling: keep each doc with
@@ -242,8 +246,11 @@ object CorpusOps {
                        salt: String = "imp"): DataFrame =
     docs
       .withColumn("sample_bucket", bucketOf(idCol, salt))
+      // weight <= 0 (a raw logit, a buggy signal) keeps NOTHING — the
+      // min(1, max(0, w)) clamp; see mixtureSample for why the guard is
+      // load-bearing and not just hygiene
       .where(col(weightCol) >= 1.0 ||
-        col("sample_bucket") < hexThr(col(weightCol)))
+        (col(weightCol) > 0 && col("sample_bucket") < hexThr(col(weightCol))))
 
   private def packByKey(df: DataFrame, idCol: String, textCol: String,
                         key: Column, tokensOf: Column => Column)(

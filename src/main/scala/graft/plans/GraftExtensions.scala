@@ -64,9 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(mergesExpr.foldable,
           "graft_bpe merges must be a literal array of 'left right' strings " +
             "(the merge table is query-constant, like minhash's salts)")
-        val arr = mergesExpr.eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val evaluated = mergesExpr.eval(null)
+        require(evaluated != null, "graft_bpe merges must not be NULL")
+        val arr =
+          evaluated.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val merges = (0 until arr.numElements()).map { i =>
+          require(!arr.isNullAt(i),
+            s"graft_bpe merges must not contain NULL (element $i)")
           val s = arr.getUTF8String(i).toString
           val sp = s.indexOf(' ')
           require(sp > 0 && sp < s.length - 1,

@@ -53,6 +53,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("non-BMP codepoints stay whole: one symbol per emoji, no '?' mangling") {
+    // char-by-char splitting would break a surrogate pair into two lone
+    // surrogates that UTF8String encodes as '?' — '🙂' and '🙃' would then
+    // produce IDENTICAL token arrays
+    val happy = "hi 🙂"   // 🙂 (U+1F642)
+    val upside = "hi 🙃"  // 🙃 (U+1F643)
+    val merges = Bpe.train(Seq("hi hi hi"), 5).toSeq
+    val out = Seq((1L, happy), (2L, upside)).toDF("id", "text")
+      .select(col("id"), TextFunctions.bpeTokens(col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) != out(2L), "distinct emoji must tokenize distinctly")
+    assert(!out(1L).exists(_.contains("?")), s"mangled surrogates: ${out(1L)}")
+    assert(out(1L) == Bpe.encodeText(happy, merges),
+      s"expression ${out(1L)} != reference ${Bpe.encodeText(happy, merges)}")
+    // the emoji is ONE symbol carrying the end-of-word marker
+    assert(out(1L).last == "🙂" + Bpe.EndOfWord)
+  }
+
+  test("graft_bpe rejects NULL merge tables with a clean message, not an NPE") {
+    val df = Seq((1L, "low")).toDF("id", "text")
+    val eNull = intercept[Exception] {
+      df.select(call_function("graft_bpe", col("text"),
+        lit(null).cast("array<string>"))).collect()
+    }
+    assert(eNull.getMessage.contains("NULL"), s"got: ${eNull.getMessage}")
+    val eElem = intercept[Exception] {
+      df.select(call_function("graft_bpe", col("text"),
+        array(lit("l o"), lit(null).cast("string")))).collect()
+    }
+    assert(eElem.getMessage.contains("NULL"), s"got: ${eElem.getMessage}")
+  }
+
   test("subwords reassemble the original normalized words") {
     val corpus = Seq("the quick brown fox", "the lazy dog", "quick quick fox")
     val merges = Bpe.train(corpus, 30).toSeq

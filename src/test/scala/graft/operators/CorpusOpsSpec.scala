@@ -211,6 +211,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("negative weights/rates keep NOTHING (not ~everything)") {
+    // floor(negative × 2^32) runs through conv() as unsigned 64-bit and the
+    // 8-char lpad TRUNCATES it to 'ffffffff' — without the > 0 guard a raw
+    // logit weight of -0.5 would keep ~100% of rows where min(1, max(0, w))
+    // semantics says probability 0
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      lit(-0.5).as("w"), lit("s0").as("source"))
+    assert(CorpusOps.importanceSample(docs, "doc_id", "w").count() == 0L,
+      "negative weight must keep nothing")
+    val plan = Seq(("s0", -0.5)).toDF("source", "rate")
+    assert(CorpusOps.mixtureSample(docs, "doc_id", "source", plan).count() == 0L,
+      "negative plan rate must keep nothing")
+  }
+
   test("packShards rejects stratum names containing '#' when splitting is on") {
     // "web#3" as a RAW stratum would collide with sub-stratum 3 of a split
     // "web" — one packing window and one output partition for unrelated
