@@ -432,10 +432,13 @@ object TextAnalysis {
     * within one document) is a duplicated substring; every occurrence
     * EXCEPT the canonical first one — lowest (doc, position) — loses its
     * covered tokens, and each document is rebuilt from its surviving
-    * tokens in original order. A long shared run is a chain of
-    * overlapping duplicated windows, so the whole run survives verbatim
-    * in the canonical document and disappears from every other — the
-    * keep-one-copy semantics of the paper, without its suffix array.
+    * tokens in original order. Tokens covered by a canonical occurrence
+    * are PROTECTED from removal, so a self-overlapping run ('a a a a')
+    * keeps exactly its canonical window instead of eroding to the first
+    * token. A long shared run is a chain of overlapping duplicated
+    * windows, so the whole run survives verbatim in the canonical
+    * document and disappears from every other — the keep-one-copy
+    * semantics of the paper, without its suffix array.
     *
     * Scale shape: windows explode map-side (one row per token, the same
     * cost class as the paper's suffix array construction); duplicate
@@ -470,14 +473,26 @@ object TextAnalysis {
     // multiplicity — a window function, not a groupBy + join-back, so the
     // window relation is scanned once
     val byKey = org.apache.spark.sql.expressions.Window.partitionBy(col("wkey"))
-    val dropped = windows
+    val dup = windows
       .withColumn("_n_occ", count(lit(1)).over(byKey))
       .withColumn("_can", min(struct(col(idCol), col("s"))).over(byKey))
-      .where(col("_n_occ") >= minCount &&
-        !(col(idCol) === col("_can")(idCol) && col("s") === col("_can")("s")))
-    val covered = dropped
-      .select(col(idCol), explode(sequence(col("s"), col("s") + lit(w - 1))).as("pos"))
-      .distinct()
+      .where(col("_n_occ") >= minCount)
+    // positions covered by a DROPPED occurrence go, UNLESS a canonical
+    // occurrence also covers them: a self-overlapping run ('a a a a',
+    // w=2 — every window the same content) would otherwise erode its own
+    // canonical copy down to the first token, because the dropped
+    // occurrences at s=1,2 cover position 1 of the canonical window at
+    // s=0. One (doc, pos) aggregation decides both membership and
+    // protection
+    val covered = dup
+      .select(col(idCol),
+        (col(idCol) === col("_can")(idCol) && col("s") === col("_can")("s"))
+          .as("_is_can"),
+        explode(sequence(col("s"), col("s") + lit(w - 1))).as("pos"))
+      .groupBy(col(idCol), col("pos"))
+      .agg(max(col("_is_can")).as("_prot"))
+      .where(!col("_prot"))
+      .select(col(idCol), col("pos"))
     val toks = docs
       .select(col(idCol), posexplode(normWords(col(textCol))))
       .toDF(idCol, "pos", "tok")

@@ -86,10 +86,16 @@ object TrainingMix {
     val classed = cfg.lrModel match {
       case Some(m) =>
         // features come from the quality signals; score map-side, gate,
-        // and return to the caller's schema
-        QualityClassifier.score(TextAnalysis.quality(cleared, textCol), m)
+        // and return to the caller's schema. The caller's columns ride
+        // inside ONE struct while signals compute, so quality()'s
+        // withColumn can never REPLACE a caller column sharing a signal
+        // name (n_words, quality_score, ...) — still a pure projection,
+        // zero shuffles
+        val packed = cleared.select(
+          struct(cleared.columns.map(col): _*).as("_orig"), col(textCol))
+        QualityClassifier.score(TextAnalysis.quality(packed, textCol), m)
           .where(col("lr_quality") >= cfg.minLrScore)
-          .select(cleared.columns.map(col): _*)
+          .select(col("_orig.*"))
       case None => cleared
     }
     val deduped = cfg.substringWindow match {

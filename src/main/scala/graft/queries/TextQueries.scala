@@ -296,21 +296,27 @@ object TextQueries {
   private val fpStores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** The one definition of the gate's shard split + store bootstrap:
+    * history (doc_id % 5 != 0) is fingerprinted ONCE per (session,
+    * corpus) and persisted; both incremental gate queries probe the SAME
+    * store, so the split and layout can never drift between them. */
+  private def storeFor(s: SparkSession, dir: String): String =
+    fpStores.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft-fp-store").toString
+      graft.operators.DedupStore.save(
+        docs(s, dir).where(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
+      p
+    })
+
   /** Incremental dedup: docs with doc_id % 5 == 0 are "the new shard",
     * the rest are history persisted as a band store. Oracle = the full
     * batch candidate set restricted to pairs touching the shard —
     * md5-determinism makes the incremental path value-identical. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val path = fpStores.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft-fp-store").toString
-      graft.operators.DedupStore.save(
-        d.where(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
-      p
-    })
     graft.operators.DedupStore.incrementalCandidates(
         d.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        graft.operators.DedupStore.load(s, path))
+        graft.operators.DedupStore.load(s, storeFor(s, dir)))
       .orderBy("i", "j")
   }
 
@@ -340,15 +346,9 @@ object TextQueries {
     * in history or earlier in the shard. */
   def dedupIncrVerdicts(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val path = fpStores.getOrElseUpdate((s, dir), {
-      val p = java.nio.file.Files.createTempDirectory("graft-fp-store").toString
-      graft.operators.DedupStore.save(
-        d.where(col("doc_id") % 5 =!= 0), "doc_id", "text", p)
-      p
-    })
     graft.operators.DedupStore.incrementalVerdicts(
         d.where(col("doc_id") % 5 === 0), "doc_id", "text",
-        graft.operators.DedupStore.load(s, path), threshold = 0.75)
+        graft.operators.DedupStore.load(s, storeFor(s, dir)), threshold = 0.75)
       .orderBy("doc_id")
   }
 
@@ -1135,10 +1135,12 @@ object TextQueries {
          |          GROUP BY 1),
          | dup AS (SELECT st.wkey, st.can_doc, c.can_pos
          |         FROM stats st JOIN canp c USING (wkey) WHERE st.n_occ >= 2),
-         | dropw AS (SELECT w.doc_id, w.s FROM winh w JOIN dup d USING (wkey)
-         |           WHERE NOT (w.doc_id = d.can_doc AND w.s = d.can_pos)),
-         | cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM dropw
-         |         CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS o)),
+         | dupw AS (SELECT w.doc_id, w.s,
+         |            (w.doc_id = d.can_doc AND w.s = d.can_pos) AS is_can
+         |          FROM winh w JOIN dup d USING (wkey)),
+         | cov AS (SELECT doc_id, s + o AS pos FROM dupw
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS o)
+         |         GROUP BY 1, 2 HAVING NOT bool_or(is_can)),
          | toke AS (SELECT doc_id, unnest(ws) AS tok,
          |            unnest(generate_series(1, len(ws))) AS pos FROM nw),
          | kept AS (SELECT t.* FROM toke t

@@ -272,6 +272,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4) == ((5L, "", 0L, 8L)))
   }
 
+  test("dedupSubstrings: self-overlapping runs keep their canonical window intact") {
+    // every w=2 window of 'a a a a' hashes the same content; the dropped
+    // occurrences at s=1,2 cover position 1 — INSIDE the canonical window
+    // at s=0. Without canonical protection the doc erodes to 'a', breaking
+    // the keep-one-copy contract
+    val docs = Seq(
+      (1L, "a a a a"),
+      // a DISTINCT self-overlapping run embedded in context (its canonical
+      // lives here): canonical 'x x' survives whole, the overlap tail goes
+      (2L, "b x x x x c"),
+      // pure inter-doc duplicate of doc 1's run: no canonical occurrence
+      // here, so it still empties
+      (3L, "a a a a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSubstrings(docs, "doc_id", "text",
+        windowTokens = 2, minCount = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "a a", 2L, 2L)), s"canonical eroded: ${out(0)}")
+    assert(out(1) == ((2L, "b x x c", 4L, 2L)), s"got ${out(1)}")
+    assert(out(2) == ((3L, "", 0L, 4L)), s"got ${out(2)}")
+  }
+
   test("unigramLogProb: corpus-atypical docs score below typical ones") {
     val corpus = Seq(
       (1L, "alpha beta gamma alpha beta"),

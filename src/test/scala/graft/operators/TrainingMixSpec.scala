@@ -87,6 +87,31 @@ class TrainingMixSpec extends SparkSpec {
     assert(plan == Map("web" -> 26L, "books" -> 12L), s"got $plan")
   }
 
+  test("classifier gate preserves caller columns that collide with signal names") {
+    // a corpus that already carries its OWN n_words / quality_score
+    // columns (common in training-data frames) must come out of the
+    // lrModel gate with the caller's values intact — not silently
+    // recomputed from textCol by quality()'s withColumn
+    val withMeta = corpus
+      .withColumn("n_words", lit(-7))           // sentinel: not a real count
+      .withColumn("quality_score", lit(99.5))   // sentinel: not in [0,1]
+    val punctGate = QualityClassifier.Model(Seq("punct_ratio"),
+      means = Array(0.05), stds = Array(0.05), weights = Array(-3.0), bias = 0.0)
+    val cfg = TrainingMix.Config(
+      weights = Map("web" -> 0.6, "books" -> 0.4),
+      budgetTokens = 200, shardTokens = 20,
+      lrModel = Some(punctGate), minLrScore = 0.5)
+    val mix = TrainingMix.build(withMeta, "doc_id", "text", "source", cfg,
+      eval = Some(eval))
+    val metas = mix.packed.select("n_words", "quality_score")
+      .as[(Int, Double)].collect()
+    assert(metas.nonEmpty)
+    metas.foreach { case (nw, qs) =>
+      assert(nw == -7 && qs == 99.5,
+        s"caller columns corrupted by the classifier gate: n_words=$nw quality_score=$qs")
+    }
+  }
+
   test("publish: (stratum, shard)-partitioned parquet, idempotent, conf untouched") {
     val cfg = TrainingMix.Config(
       weights = Map("web" -> 0.6, "books" -> 0.4),
