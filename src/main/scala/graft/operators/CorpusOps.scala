@@ -201,13 +201,16 @@ object CorpusOps {
   }
 
   /** A COLUMN rate → fixed-width lowercase hex threshold (string order ==
-    * unsigned numeric order, the stratifiedSample convention). */
-  private def hexThr(rate: Column): Column =
+    * unsigned numeric order, the stratifiedSample convention). Shared
+    * across every bucket-threshold sampler in the package ([[UrlOps]]'s
+    * approximate hostCap included) so the engine-portable encoding can
+    * never drift between copies. */
+  private[operators] def hexThr(rate: Column): Column =
     lpad(lower(conv(
       least(floor(rate * lit(4294967296L)), lit(4294967295L))
         .cast("long").cast("string"), 10, 16)), 8, "0")
 
-  private def bucketOf(idCol: String, salt: String): Column =
+  private[operators] def bucketOf(idCol: String, salt: String): Column =
     substring(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
 
   /** Realize a [[mixturePlan]]: the same deterministic md5-bucket rule as

@@ -103,17 +103,21 @@ object UrlOps {
     } else {
       val census = df.select(hostOf(col(urlCol)).as("_hc_host"))
         .groupBy(col("_hc_host")).agg(count(lit(1)).as("_hc_n"))
-      // rate cap/n as a fixed-width hex threshold (the stratifiedSample
-      // convention; 'g' = keep-all when the host is under the cap)
+      // rate cap/n through the SHARED CorpusOps threshold encoding ('g' =
+      // keep-all when the host is under the cap); the 8-char prefix of
+      // _hc_bucket is exactly CorpusOps.bucketOf — the full md5 exists
+      // only for the exact path's full-width ordering
       val thr = when(col("_hc_n") <= cap, lit("g"))
-        .otherwise(lpad(lower(conv(
-          least(floor(lit(cap) / col("_hc_n") * lit(4294967296L)),
-            lit(4294967295L)).cast("long").cast("string"), 10, 16)), 8, "0"))
+        .otherwise(CorpusOps.hexThr(lit(cap) / col("_hc_n")))
       canon
         .join(broadcast(census.withColumn("_hc_thr", thr)
           .select(col("_hc_host"), col("_hc_thr"))),
           col("host") === col("_hc_host"))
         .where(substring(col("_hc_bucket"), 1, 8) < col("_hc_thr"))
+        // schema parity with the exact path: the flag changes the
+        // algorithm, never the contract — rank is unknowable without the
+        // window this path exists to avoid, so it is a typed null
+        .withColumn("host_rank", lit(null).cast("int"))
         .drop("_hc_host", "_hc_thr", "_hc_bucket")
     }
   }

@@ -122,7 +122,11 @@ object Stress {
       val plan = out.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"), "dedupSubstrings went all-pairs!")
-      assert(!plan.contains("No Partition Defined"),
+      // assert on rendered Window nodes ('No Partition Defined' is only a
+      // log warning): every one must carry the wkey partition spec
+      val winLines = plan.split("\n").filter(_.contains("Window "))
+      assert(winLines.nonEmpty && winLines.forall(
+          _.contains("windowspecdefinition(wkey#")),
         "dedupSubstrings window lost its wkey partitioning!")
       val removed = out.agg(sum(col("n_tokens_removed"))).head().getLong(0)
       println(s"   duplicated tokens removed: $removed")

@@ -181,8 +181,14 @@ class ScaleShapeSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"went all-pairs:\n$plan")
-    assert(!plan.contains("No Partition Defined"),
-      s"window lost its wkey partitioning:\n$plan")
+    // 'No Partition Defined' is a log WARNING, never plan text — assert on
+    // the rendered Window nodes instead: each must carry the wkey
+    // partition spec (an unpartitioned window renders an empty spec)
+    val winLines = plan.split("\n").filter(_.contains("Window "))
+    assert(winLines.nonEmpty, s"expected a Window node in:\n$plan")
+    winLines.foreach(l =>
+      assert(l.contains("windowspecdefinition(wkey#"),
+        s"window lost its wkey partitioning: $l"))
     // and the operator actually cuts at gate scale (planted near-dups)
     assert(out.where(col("n_tokens_removed") > 0).count() > 0)
   }

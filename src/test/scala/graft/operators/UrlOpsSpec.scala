@@ -50,6 +50,14 @@ class UrlOpsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("window"),
       s"approximate path must not run a window:\n$plan")
+    // the exact flag changes the algorithm, never the schema: a pipeline
+    // migrating to the approximate shape at mega-host scale must not
+    // break on a missing host_rank (it is a typed null here)
+    val exactCols = UrlOps.hostCap(df, "id", "url", cap = 200).columns.toSeq
+    assert(out.columns.toSeq.sorted == exactCols.sorted,
+      s"schema diverged: ${out.columns.toSeq} vs $exactCols")
+    assert(out.select("host_rank").distinct().collect().map(_.isNullAt(0)).toSeq
+      == Seq(true))
     val n = out.count()
     // binomial around cap: 200 +- 5 sigma (sigma ~ sqrt(200*0.9) ~ 13.4)
     assert(n > 130 && n < 270, s"survivors $n not near cap 200")
