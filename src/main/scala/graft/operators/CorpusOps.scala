@@ -101,6 +101,42 @@ object CorpusOps {
     df.withColumn("sample_bucket", bucket).where(col("sample_bucket") < threshold)
   }
 
+  /** Deterministic train/valid/test corpus split: every document lands in
+    * exactly one named split by its md5(salt|id) bucket, so the
+    * assignment is reproducible across runs, engines and partitionings,
+    * and a document's split never changes as the corpus grows (per-doc
+    * hash, no global state). The carve-out step before training: holdout
+    * membership must stay stable forever, or eval contamination creeps in
+    * as shards are re-generated. Pure map-side projection — rides the
+    * scan at any scale, zero shuffles.
+    *
+    * `fractions` is ORDERED (bucket ranges are cumulative in the given
+    * order) and must sum to 1; the last split takes the remainder of the
+    * bucket space, so coverage is exact — including the ~1-in-2^32 bucket
+    * 'ffffffff'. */
+  def splitCorpus(docs: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names in ${fractions.map(_._1).mkString(", ")}")
+    fractions.foreach { case (n, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction $f for split '$n' outside (0,1]") }
+    val sum = fractions.map(_._2).sum
+    require(math.abs(sum - 1.0) < 1e-9, s"fractions sum to $sum, expected 1.0")
+    val bucket = bucketOf(idCol, salt)
+    // cumulative upper bounds in the stratifiedSample hex encoding; the
+    // last split needs none — it is the otherwise-branch
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = fractions.init.zip(cums.init).foldRight(
+        lit(fractions.last._1): Column) {
+      case (((name, _), cum), alt) =>
+        when(bucket < lit(f"${(cum * (1L << 32)).toLong}%08x"), lit(name))
+          .otherwise(alt)
+    }
+    docs.withColumn("split_bucket", bucket).withColumn("split", assign)
+  }
+
   /** Token-budget shard packing: assign documents to training shards of
     * ~`budgetTokens` whitespace tokens each. A document lands in the shard
     * where its running token offset starts — shard

@@ -126,6 +126,12 @@ object TextQueries {
       .select("doc_id", "source", "sample_bucket")
       .orderBy("doc_id")
 
+  def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.splitCorpus(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split_bucket", "split")
+      .orderBy("doc_id")
+
   def packShards(s: SparkSession, dir: String): DataFrame =
     CorpusOps.packShards(docs(s, dir), "doc_id", "text", "source",
         budgetTokens = 2000)
@@ -371,6 +377,7 @@ object TextQueries {
     "pii_redact" -> (piiRedact _),
     "decontaminate" -> (decontaminate _),
     "corpus_sample" -> (corpusSample _),
+    "corpus_split" -> (corpusSplit _),
     "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
@@ -886,6 +893,19 @@ object TextQueries {
         |                ELSE '40000000' END AS threshold
         |  FROM documents)
         |WHERE bucket < threshold ORDER BY doc_id""".stripMargin,
+
+    // cumulative thresholds are the Scala side's exact doubles:
+    // floor(0.8 * 2^32) = cccccccc, floor((0.8 + 0.1) * 2^32) = e6666666;
+    // the last split is the CASE's ELSE, so coverage is exact
+    "corpus_split" ->
+      """SELECT doc_id, b AS split_bucket,
+        |  CASE WHEN b < 'cccccccc' THEN 'train'
+        |       WHEN b < 'e6666666' THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "pack_shards" ->
       """SELECT doc_id, source, n_tokens,

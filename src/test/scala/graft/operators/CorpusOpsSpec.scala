@@ -211,6 +211,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("splitCorpus: disjoint, exhaustive, fraction-proportional, growth-stable") {
+    val docs = spark.range(5000).select(col("id").as("doc_id"))
+    val split = CorpusOps.splitCorpus(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // exhaustive: every doc in exactly one split (withColumn can't drop
+    // or duplicate rows, so summing proves it)
+    assert(counts.values.sum == 5000L)
+    // binomial around the fractions (5 sigma)
+    assert(math.abs(counts("train") - 4000) < 150, s"train=${counts("train")}")
+    assert(math.abs(counts("valid") - 500) < 110, s"valid=${counts("valid")}")
+    assert(math.abs(counts("test") - 500) < 110, s"test=${counts("test")}")
+    // growth-stable: the same doc keeps its split when the corpus shrinks
+    // or grows — membership is a pure per-doc hash
+    val subset = CorpusOps.splitCorpus(
+        docs.where(col("doc_id") < 1000), "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = split.where(col("doc_id") < 1000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(subset == full)
+    // validation: fractions must sum to 1, names must be distinct
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitCorpus(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.splitCorpus(docs, "doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    // single split takes everything (no bucket compare at all)
+    assert(CorpusOps.splitCorpus(docs, "doc_id", Seq("all" -> 1.0))
+      .where(col("split") === "all").count() == 5000L)
+  }
+
   test("negative weights/rates keep NOTHING (not ~everything)") {
     // floor(negative × 2^32) runs through conv() as unsigned 64-bit and the
     // 8-char lpad TRUNCATES it to 'ffffffff' — without the > 0 guard a raw
