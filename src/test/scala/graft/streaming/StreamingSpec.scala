@@ -124,6 +124,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("splitCorpus assigns arriving documents to splits, identical to batch") {
+    // the carve-out is a per-doc hash, so routing documents to
+    // train/valid/test AS THEY ARRIVE is the same library call — and a
+    // doc's split matches what a later batch pass would assign
+    implicit val sq = spark.sqlContext
+    val fracs = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val mem = MemoryStream[(Long, String)]
+    val streaming = graft.operators.CorpusOps.splitCorpus(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", fracs)
+    assert(streaming.isStreaming, "map-side split must preserve streaminess")
+    val q = streaming.select("doc_id", "split").writeStream.format("memory")
+      .queryName("stream_split").outputMode("append").start()
+    try {
+      val rows = (0L until 50L).map(i => (i, s"doc $i"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_split")
+        .as[(Long, String)].collect().toMap
+      val batch = graft.operators.CorpusOps.splitCorpus(
+          rows.toDF("doc_id", "text"), "doc_id", fracs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(streamed == batch && streamed.size == 50)
+    } finally q.stop()
+  }
+
   test("streaming store probe: arriving docs dedup against the fingerprint store") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions._
