@@ -425,6 +425,46 @@ object TextAnalysis {
           .as("n_lines_removed"))
   }
 
+  /** In-document repetition signals — the Gopher repetition filters (Rae
+    * et al. 2021, §A1.1): documents dominated by repeated lines are
+    * low-quality (boilerplate loops, scraper glitches, spam). Per doc:
+    * `dup_line_frac` = fraction of non-empty lines whose normalized
+    * content already occurred in the SAME document, `dup_line_char_frac`
+    * = the same fraction weighted by characters — the paper's by-count /
+    * by-character pair. Cross-document boilerplate is [[dedupLines]]'s
+    * job; these are within-doc FILTER signals (null fracs for line-less
+    * docs, the [[quality]] null-at-zero convention).
+    *
+    * Scale shape: two keyed, shrinking shuffles — (doc, line-content)
+    * then doc. No corpus window, and deliberately NOT an array-functions
+    * formulation (counting occurrences inside an array column is
+    * O(lines²) per document — a 100k-line doc would die; the exploded
+    * groupBy is linear and distributes). */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("_line"))
+      .where(trim(col("_line")) =!= "")
+      .select(col(idCol), lower(trim(col("_line"))).as("_l"))
+    val per = lines.groupBy(col(idCol), col("_l"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col(idCol), col("_cnt"), length(col("_l")).as("_len"))
+    val sig = per.groupBy(col(idCol))
+      .agg(sum(col("_cnt")).as("n_lines"),
+        (sum(col("_cnt")) - count(lit(1))).as("n_dup_lines"),
+        sum(col("_cnt") * col("_len")).as("_chars"),
+        sum((col("_cnt") - 1) * col("_len")).as("_dup_chars"))
+    docs.select(col(idCol))
+      .join(sig, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        (col("n_dup_lines").cast("double") /
+          when(col("n_lines") =!= 0, col("n_lines"))).as("dup_line_frac"),
+        (col("_dup_chars").cast("double") /
+          when(col("_chars") =!= 0, col("_chars"))).as("dup_line_char_frac"))
+  }
+
   /** Exact substring deduplication — the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" step, token-granular
     * sibling of [[dedupLines]]: any `windowTokens`-token run whose content

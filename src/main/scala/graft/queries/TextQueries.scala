@@ -347,6 +347,23 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals over synthesized lines (the [[lineDedup]]
+    * re-lining), with every third line ECHOED at the end of its document
+    * so the within-doc duplicate fractions actually bite at gate scale
+    * (the corpus texts repeat across docs, rarely within one). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = graft.functions.TextFunctions.normWords(col("text"))
+    val lineArr = transform(
+      sequence(lit(0L), floor((size(ws) - lit(1)) / lit(8.0)).cast("long")),
+      i => concat_ws(" ", slice(ws, (i * lit(8L) + lit(1L)).cast("int"), lit(8))))
+    val echoed = concat(lineArr,
+      filter(lineArr, (_, i) => i % lit(3) === lit(0)))
+    val lined = docs(s, dir).select(col("doc_id"),
+      concat_ws("\n", echoed).as("text"))
+    TextAnalysis.repetitionSignals(lined, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Keep-first dedup verdicts for the same shard split as
     * [[dedupIncremental]]: dup iff a ≥0.75-est candidate counterpart is
     * in history or earlier in the shard. */
@@ -382,6 +399,7 @@ object TextQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
     "line_dedup" -> (lineDedup _),
+    "text_repetition" -> (textRepetition _),
     "mixture_plan" -> (mixturePlan _),
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
@@ -1116,6 +1134,32 @@ object TextQueries {
          |FROM documents d
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // same 8-word re-lining as line_dedup, plus the every-third-line echo;
+    // fracs are raw int/int double divisions (deterministic cross-engine)
+    "text_repetition" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | base AS (SELECT doc_id, i,
+         |            array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ') AS line
+         |          FROM nw,
+         |            unnest(generate_series(0, CAST(floor((len(ws) - 1) / 8.0) AS INT))) t(i)),
+         | l0 AS (SELECT doc_id, line FROM base WHERE trim(line) <> ''
+         |        UNION ALL
+         |        SELECT doc_id, line FROM base WHERE i % 3 = 0 AND trim(line) <> ''),
+         | per AS (SELECT doc_id, lower(trim(line)) AS l, count(*) AS cnt
+         |         FROM l0 GROUP BY 1, 2),
+         | sig AS (SELECT doc_id, sum(cnt) AS n_lines,
+         |           sum(cnt) - count(*) AS n_dup,
+         |           sum(cnt * length(l)) AS chars,
+         |           sum((cnt - 1) * length(l)) AS dup_chars
+         |         FROM per GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sig.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(sig.n_dup, 0) AS BIGINT) AS n_dup_lines,
+         |  CAST(sig.n_dup AS DOUBLE) / nullif(sig.n_lines, 0) AS dup_line_frac,
+         |  CAST(sig.dup_chars AS DOUBLE) / nullif(sig.chars, 0) AS dup_line_char_frac
+         |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     "url_canon" ->

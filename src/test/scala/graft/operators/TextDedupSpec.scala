@@ -315,6 +315,29 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(out(4L)._2 - math.log(2.0 / 28.0)) < 1e-6)
   }
 
+  test("repetitionSignals: exact within-doc duplicate-line fractions") {
+    val docs = Seq(
+      // 'xx' twice + 'yyy' once: 1/3 of lines dup, 2/7 of chars dup
+      (1L, "xx\nxx\nyyy"),
+      // case/whitespace noise normalizes to a dup; blank lines don't count
+      (2L, "Hello\n\n  hello \nworld"),
+      // no repetition
+      (3L, "a\nb\nc"),
+      // no non-empty lines: zero counts, null fracs (quality convention)
+      (4L, "\n \n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dup_lines", "dup_line_frac",
+        "dup_line_char_frac")
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out(0) == ((1L, 3L, 1L, Some(1.0 / 3), Some(2.0 / 7))))
+    // hello(5)*2 + world(5): 10+5=15 chars, 5 dup
+    assert(out(1) == ((2L, 3L, 1L, Some(1.0 / 3), Some(5.0 / 15))))
+    assert(out(2) == ((3L, 3L, 0L, Some(0.0), Some(0.0))))
+    assert(out(3) == ((4L, 0L, 0L, None, None)))
+  }
+
   test("corpusReport: exact data-card arithmetic on a hand corpus") {
     val docs = Seq(
       (1L, "the cat and the dog runs fast"),
