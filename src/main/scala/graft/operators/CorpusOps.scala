@@ -101,6 +101,28 @@ object CorpusOps {
     df.withColumn("sample_bucket", bucket).where(col("sample_bucket") < threshold)
   }
 
+  /** EXACTLY-n per-stratum sampling — the eval-set carve: where
+    * [[stratifiedSample]] keeps a binomial ~rate·n (right for corpus
+    * mixing), a held-out benchmark needs EXACTLY n docs per stratum.
+    * Selection order is md5(salt|id) — reproducible across runs, engines
+    * and partitionings, and unbiased w.r.t. id order (ids usually encode
+    * crawl order). Under-cap strata keep everything.
+    *
+    * Scale shape: one stratum-keyed `row_number` window — width is one
+    * stratum, never the corpus (the [[UrlOps.hostCap]] exact shape; at
+    * mega-stratum scale the probabilistic sampler is the right tool
+    * anyway). `sample_rank` (1-based selection order) is kept so a later
+    * "grow the eval set from n to m" keeps the first n unchanged —
+    * ranks are per-doc-stable under ANY n. */
+  def takeStratified(docs: DataFrame, idCol: String, strataCol: String,
+                     n: Long, salt: String = "take"): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(salt + "|"), col(idCol).cast("string"))), col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+
   /** Deterministic train/valid/test corpus split: every document lands in
     * exactly one named split by its md5(salt|id) bucket, so the
     * assignment is reproducible across runs, engines and partitionings,

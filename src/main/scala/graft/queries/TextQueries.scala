@@ -126,6 +126,13 @@ object TextQueries {
       .select("doc_id", "source", "sample_bucket")
       .orderBy("doc_id")
 
+  /** n=15 < the 25-docs-per-source gate corpus, so the cap cuts in EVERY
+    * stratum (n above the stratum size would verify nothing). */
+  def corpusTake(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.takeStratified(docs(s, dir), "doc_id", "source", n = 15)
+      .select("doc_id", "source", "sample_rank")
+      .orderBy("doc_id")
+
   def corpusSplit(s: SparkSession, dir: String): DataFrame =
     CorpusOps.splitCorpus(docs(s, dir), "doc_id",
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
@@ -395,6 +402,7 @@ object TextQueries {
     "decontaminate" -> (decontaminate _),
     "corpus_sample" -> (corpusSample _),
     "corpus_split" -> (corpusSplit _),
+    "corpus_take" -> (corpusTake _),
     "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
@@ -911,6 +919,15 @@ object TextQueries {
         |                ELSE '40000000' END AS threshold
         |  FROM documents)
         |WHERE bucket < threshold ORDER BY doc_id""".stripMargin,
+
+    "corpus_take" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('take|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS INT) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
 
     // cumulative thresholds are the Scala side's exact doubles:
     // floor(0.8 * 2^32) = cccccccc, floor((0.8 + 0.1) * 2^32) = e6666666;

@@ -211,6 +211,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("takeStratified: EXACTLY n per over-cap stratum, ranks stable under any n") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      when(col("id") < 200, "big").when(col("id") < 290, "mid")
+        .otherwise("tiny").as("source"))
+    val out = CorpusOps.takeStratified(docs, "doc_id", "source", n = 50)
+      .select("doc_id", "source", "sample_rank")
+      .as[(Long, String, Int)].collect().toSeq
+    val bySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // exact for over-cap strata, everything for the under-cap one
+    assert(bySrc == Map("big" -> 50, "mid" -> 50, "tiny" -> 10), s"$bySrc")
+    // ranks are 1..k dense per stratum
+    assert(out.filter(_._2 == "big").map(_._3).sorted == (1 to 50).toSeq)
+    // md5 order, not id order
+    assert(out.filter(_._2 == "big").map(_._1).toSet != (0L until 50L).toSet)
+    // deterministic, and the first n are UNCHANGED when n grows (ranks
+    // do not depend on n) — growing an eval set keeps its prefix
+    val wider = CorpusOps.takeStratified(docs, "doc_id", "source", n = 80)
+      .select("doc_id", "sample_rank").as[(Long, Int)].collect().toMap
+    out.foreach { case (id, _, r) => assert(wider(id) == r) }
+  }
+
   test("splitCorpus: disjoint, exhaustive, fraction-proportional, growth-stable") {
     val docs = spark.range(5000).select(col("id").as("doc_id"))
     val split = CorpusOps.splitCorpus(docs, "doc_id",
