@@ -446,9 +446,12 @@ object TextAnalysis {
       .select(col(idCol), explode(split(col(textCol), "\n")).as("_line"))
       .where(trim(col("_line")) =!= "")
       .select(col(idCol), lower(trim(col("_line"))).as("_l"))
-    val per = lines.groupBy(col(idCol), col("_l"))
-      .agg(count(lit(1)).as("_cnt"))
-      .select(col(idCol), col("_cnt"), length(col("_l")).as("_len"))
+      // identity = line HASH so the exchange carries a fixed-width key
+      // plus an int, never arbitrary-length line text (the dedupLines
+      // lkey convention); length rides as an agg input
+      .select(col(idCol), md5(col("_l")).as("_lk"), length(col("_l")).as("_len"))
+    val per = lines.groupBy(col(idCol), col("_lk"))
+      .agg(count(lit(1)).as("_cnt"), max(col("_len")).as("_len"))
     val sig = per.groupBy(col(idCol))
       .agg(sum(col("_cnt")).as("n_lines"),
         (sum(col("_cnt")) - count(lit(1))).as("n_dup_lines"),
