@@ -468,6 +468,56 @@ object TextAnalysis {
           when(col("_chars") =!= 0, col("_chars"))).as("dup_line_char_frac"))
   }
 
+  /** Duplicate n-gram character fraction — the last member of the Gopher
+    * repetition family (Rae et al. §A1.1 uses it for n = 5..10, next to
+    * [[topGramFraction]]'s top-gram fractions for n = 2..4): per doc, the
+    * fraction of word characters covered by a NON-FIRST occurrence of any
+    * within-doc duplicated n-gram, overlapping windows counting each
+    * position once. Character weight = normalized word length (the same
+    * convention on both gate sides).
+    *
+    * Scale shape: doc-local throughout — the occurrence count/first-
+    * occurrence election windows over (doc, wkey), covered positions
+    * shrink through a (doc, pos) distinct, and the char rollup is one
+    * doc-keyed aggregation. The corpus-global sibling of this machinery
+    * is [[dedupSubstrings]]; here nothing crosses a document boundary. */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    require(n >= 2, s"n=$n must be >= 2")
+    val starts = when(size(col("_ws")) >= n, sequence(lit(0), size(col("_ws")) - n))
+      .otherwise(array().cast("array<int>"))
+    val windows = docs
+      .select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"), explode(starts).as("s"))
+      .select(col(idCol), col("s"),
+        md5(concat_ws(" ", slice(col("_ws"), col("s") + 1, lit(n)))).as("wkey"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("wkey"))
+    val covered = windows
+      .withColumn("_n_occ", count(lit(1)).over(byKey))
+      .withColumn("_min_s", min(col("s")).over(byKey))
+      .where(col("_n_occ") >= 2 && col("s") =!= col("_min_s"))
+      .select(col(idCol),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), posexplode(normWords(col(textCol))))
+      .toDF(idCol, "pos", "tok")
+      .where(col("tok") =!= "")
+    val totals = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(length(col("tok"))).as("_chars"))
+    val dup = toks.join(covered, Seq(idCol, "pos"))
+      .groupBy(col(idCol))
+      .agg(sum(length(col("tok"))).as("_dup_chars"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("_dup_chars"), lit(0L)).cast("double") /
+          when(col("_chars") =!= 0, col("_chars"))).as("dup_ngram_char_frac"))
+  }
+
   /** Exact substring deduplication — the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" step, token-granular
     * sibling of [[dedupLines]]: any `windowTokens`-token run whose content

@@ -371,6 +371,18 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-5-gram char fraction with each doc's FIRST 16 words echoed
+    * verbatim at its end — every ≥16-word doc then carries real within-doc
+    * duplicated 5-grams (the corpus repeats across docs, rarely within
+    * one), so the fraction bites at gate scale. */
+  def textDupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val ws = graft.functions.TextFunctions.normWords(col("text"))
+    val echoed = docs(s, dir).select(col("doc_id"),
+      concat_ws(" ", concat(ws, slice(ws, 1, 16))).as("text"))
+    TextAnalysis.dupNgramStats(echoed, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   /** Keep-first dedup verdicts for the same shard split as
     * [[dedupIncremental]]: dup iff a ≥0.75-est candidate counterpart is
     * in history or earlier in the shard. */
@@ -408,6 +420,7 @@ object TextQueries {
     "tfidf_topterms" -> (tfidfTop _),
     "line_dedup" -> (lineDedup _),
     "text_repetition" -> (textRepetition _),
+    "text_dup_ngrams" -> (textDupNgrams _),
     "mixture_plan" -> (mixturePlan _),
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
@@ -1151,6 +1164,39 @@ object TextQueries {
          |FROM documents d
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // within-doc duplicated-5-gram election re-derived in SQL over the
+    // echoed word list; positions 1-based here vs 0-based in Spark (only
+    // intra-side consistency matters, the output carries no positions)
+    "text_dup_ngrams" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | aug AS (SELECT doc_id, ws || list_slice(ws, 1, 16) AS ws FROM nw),
+         | win AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 4)) AS s, ws
+         |         FROM aug WHERE len(ws) >= 5),
+         | winh AS (SELECT doc_id, s,
+         |            md5(array_to_string(ws[s:s+4], ' ')) AS wkey FROM win),
+         | dupw AS (SELECT doc_id, s FROM (
+         |            SELECT doc_id, s,
+         |              count(*) OVER (PARTITION BY doc_id, wkey) AS n_occ,
+         |              min(s) OVER (PARTITION BY doc_id, wkey) AS min_s
+         |            FROM winh) WHERE n_occ >= 2 AND s <> min_s),
+         | cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM dupw
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)),
+         | toke AS (SELECT doc_id, unnest(ws) AS tok,
+         |            unnest(generate_series(1, len(ws))) AS pos FROM aug),
+         | tot AS (SELECT doc_id, count(*) AS n_tokens, sum(length(tok)) AS chars
+         |         FROM toke WHERE tok <> '' GROUP BY 1),
+         | dupc AS (SELECT t.doc_id, sum(length(t.tok)) AS dup_chars FROM toke t
+         |          JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |          WHERE t.tok <> '' GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(dupc.dup_chars, 0) AS DOUBLE) / nullif(tot.chars, 0)
+         |    AS dup_ngram_char_frac
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN dupc ON d.doc_id = dupc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     // same 8-word re-lining as line_dedup, plus the every-third-line echo;

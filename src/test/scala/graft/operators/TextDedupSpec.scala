@@ -338,6 +338,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0L, None, None)))
   }
 
+  test("dupNgramStats: exact duplicate-5-gram char fractions, overlap counted once") {
+    val docs = Seq(
+      // 'a b c d e' repeats: the second occurrence covers tokens 5..9,
+      // 5 of 10 chars
+      (1L, "a b c d e a b c d e"),
+      // no within-doc duplicate 5-gram
+      (2L, "v w x y z"),
+      // self-overlapping repeat ('a' x 7, n=5): windows s=0,1,2 share one
+      // gram; non-first s=1,2 cover positions 1..6 — counted ONCE each,
+      // 6 of 7 chars
+      (3L, "a a a a a a a"),
+      // shorter than n: no windows, zero fraction
+      (4L, "p q"),
+      // empty: zero tokens, null fraction
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramStats(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "dup_ngram_char_frac")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out(0) == ((1L, 10L, Some(0.5))))
+    assert(out(1) == ((2L, 5L, Some(0.0))))
+    assert(out(2) == ((3L, 7L, Some(6.0 / 7))))
+    assert(out(3) == ((4L, 2L, Some(0.0))))
+    assert(out(4) == ((5L, 0L, None)))
+  }
+
   test("corpusReport: exact data-card arithmetic on a hand corpus") {
     val docs = Seq(
       (1L, "the cat and the dog runs fast"),
