@@ -131,6 +131,39 @@ object Stress {
       val removed = out.agg(sum(col("n_tokens_removed"))).head().getLong(0)
       println(s"   duplicated tokens removed: $removed")
     }
+    time("repetitionSignals on 100k docs (8-word lines, every 3rd echoed)") {
+      // within-doc duplicate-line fractions: the exchange must carry the
+      // fixed-width line HASH, never raw line text
+      import graft.functions.TextFunctions.normWords
+      val ws = normWords(col("text"))
+      val lineArr = transform(
+        sequence(lit(0L), floor((size(ws) - lit(1)) / lit(8.0)).cast("long")),
+        i => concat_ws(" ", slice(ws, (i * lit(8L) + lit(1L)).cast("int"), lit(8))))
+      val lined = big.select(col("doc_id"),
+        concat_ws("\n", concat(lineArr,
+          filter(lineArr, (_, i) => i % lit(3) === lit(0)))).as("text"))
+      val out = graft.operators.TextAnalysis.repetitionSignals(
+        lined, "doc_id", "text")
+      val dup = out.agg(sum(col("n_dup_lines"))).head().getLong(0)
+      println(s"   within-doc duplicate lines: $dup")
+    }
+    time("dupNgramStats (n=5) on 100k docs, first 16 words echoed") {
+      // doc-local duplicate-5-gram char fractions; the election window
+      // must stay (doc, wkey)-partitioned — never corpus-wide
+      import graft.functions.TextFunctions.normWords
+      val ws = normWords(col("text"))
+      val echoed = big.select(col("doc_id"),
+        concat_ws(" ", concat(ws, slice(ws, 1, 16))).as("text"))
+      val out = graft.operators.TextAnalysis.dupNgramStats(
+        echoed, "doc_id", "text", n = 5)
+      val plan = out.queryExecution.executedPlan.toString
+      val winLines = plan.split("\n").filter(_.contains("Window "))
+      assert(winLines.nonEmpty && winLines.forall(
+          _.contains("windowspecdefinition(doc_id#")),
+        "dupNgramStats window lost its doc-local partitioning!")
+      val pos = out.where(col("dup_ngram_char_frac") > 0).count()
+      println(s"   docs with positive dup-5-gram fraction: $pos")
+    }
     time("BpeTokens (40-merge table) over 100k docs") {
       // trained once driver-side on a 500-doc sample, applied distributed:
       // the fused expression + per-thread word cache must hold throughput
