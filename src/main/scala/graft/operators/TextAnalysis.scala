@@ -102,6 +102,37 @@ object TextAnalysis {
           "\\s+", " ")))
   }
 
+  /** The C4 line/page cleaning rules proper (Raffel et al. 2020, §2.2 —
+    * [[gopherSignals]] carries linear PROXIES of some of these; this is
+    * the cleaning operator that actually EDITS the document):
+    * keep only lines that end in terminal punctuation (`. ! ? "`), have
+    * at least `minLineWords` words, and do not mention javascript; drop
+    * the whole page when it contains `lorem ipsum` or a `{`, or fewer
+    * than `minLinesKept` lines survive (the paper's 3-sentence floor).
+    * The word-list profanity rule is omitted (list-based, not
+    * semantics). Everything is array HOFs over the line split — linear
+    * per doc, map-side, zero shuffles; rides the scan at any scale. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minLinesKept: Int = 3): DataFrame = {
+    require(minLineWords >= 1 && minLinesKept >= 0,
+      s"minLineWords=$minLineWords minLinesKept=$minLinesKept")
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+      size(split(l, "\\s+")) >= minLineWords &&
+      !lower(l).contains("javascript"))
+    docs
+      .withColumn("c4_lines_kept", size(kept))
+      .withColumn("c4_lines_removed", size(lines) - size(kept))
+      .withColumn("c4_page_keep",
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{") &&
+        size(kept) >= minLinesKept)
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+
   /** Repetition / document-shape signals from the public Gopher (Rae et
     * al. 2021, Appendix A) and C4 curation rules, each a linear map-side
     * expression (no per-doc quadratic n-gram scans, no shuffles):

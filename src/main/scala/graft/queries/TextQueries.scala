@@ -383,6 +383,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** C4 cleaning over synthesized lines: 8-word re-lining with a period
+    * appended to every EVEN-indexed line (so the terminal-punctuation
+    * rule cuts the odd ones), a `lorem ipsum` tail on doc_id % 17 == 0
+    * and a braced tail on % 23 == 0 (page-level drops bite
+    * deterministically; the % 17 case wins when both divide). */
+  def textC4(s: SparkSession, dir: String): DataFrame = {
+    val ws = graft.functions.TextFunctions.normWords(col("text"))
+    val lineArr = transform(
+      sequence(lit(0L), floor((size(ws) - lit(1)) / lit(8.0)).cast("long")),
+      i => concat_ws(" ", slice(ws, (i * lit(8L) + lit(1L)).cast("int"), lit(8))))
+    val punct = transform(lineArr,
+      (l, i) => when(i % 2 === 0, concat(l, lit("."))).otherwise(l))
+    val base = concat_ws("\n", punct)
+    val text = when(col("doc_id") % 17 === 0,
+        concat(base, lit("\nlorem ipsum dolor sit amet.")))
+      .when(col("doc_id") % 23 === 0,
+        concat(base, lit("\nfunction() { return 1; }")))
+      .otherwise(base)
+    TextAnalysis.c4Clean(
+        docs(s, dir).select(col("doc_id"), text.as("text")), "doc_id", "text")
+      .select("doc_id", "c4_lines_kept", "c4_lines_removed", "c4_page_keep",
+        "clean_text")
+      .orderBy("doc_id")
+  }
+
   /** Keep-first dedup verdicts for the same shard split as
     * [[dedupIncremental]]: dup iff a ≥0.75-est candidate counterpart is
     * in history or earlier in the shard. */
@@ -421,6 +446,7 @@ object TextQueries {
     "line_dedup" -> (lineDedup _),
     "text_repetition" -> (textRepetition _),
     "text_dup_ngrams" -> (textDupNgrams _),
+    "text_c4" -> (textC4 _),
     "mixture_plan" -> (mixturePlan _),
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
@@ -1164,6 +1190,49 @@ object TextQueries {
          |FROM documents d
          |LEFT JOIN tot ON d.doc_id = tot.doc_id
          |LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the C4 rules re-derived in SQL over the same synthesized lines:
+    // periods on even-index lines, injected lorem/brace tails by doc_id
+    // (the %17 CASE wins when both divide, matching the Scala when-chain)
+    "text_c4" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | synth AS (SELECT doc_id, i,
+         |             CASE WHEN i % 2 = 0
+         |               THEN array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ') || '.'
+         |               ELSE array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ') END AS line
+         |           FROM nw,
+         |             unnest(generate_series(0, CAST(floor((len(ws) - 1) / 8.0) AS INT))) t(i)),
+         | inj AS (SELECT doc_id, 1000000 AS i,
+         |           CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet.'
+         |                ELSE 'function() { return 1; }' END AS line
+         |         FROM documents WHERE doc_id % 17 = 0 OR doc_id % 23 = 0),
+         | l AS (SELECT doc_id, i, trim(line) AS line FROM
+         |         (SELECT * FROM synth UNION ALL SELECT * FROM inj)
+         |       WHERE trim(line) <> ''),
+         | flags AS (SELECT doc_id,
+         |             bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+         |             bool_or(contains(line, '{')) AS has_brace
+         |           FROM l GROUP BY 1),
+         | k AS (SELECT doc_id, i, line FROM l
+         |       WHERE regexp_matches(line, '[.!?"]$$')
+         |         AND len(regexp_split_to_array(line, '\\s+')) >= 5
+         |         AND NOT contains(lower(line), 'javascript')),
+         | tot AS (SELECT doc_id, count(*) AS n_all FROM l GROUP BY 1),
+         | ka AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(line, chr(10) ORDER BY i) AS clean_text
+         |        FROM k GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(ka.n_kept, 0) AS INT) AS c4_lines_kept,
+         |  CAST(coalesce(tot.n_all, 0) - coalesce(ka.n_kept, 0) AS INT)
+         |    AS c4_lines_removed,
+         |  (NOT coalesce(f.has_lorem, false) AND NOT coalesce(f.has_brace, false)
+         |    AND coalesce(ka.n_kept, 0) >= 3) AS c4_page_keep,
+         |  coalesce(ka.clean_text, '') AS clean_text
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |LEFT JOIN flags f ON d.doc_id = f.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     // within-doc duplicated-5-gram election re-derived in SQL over the

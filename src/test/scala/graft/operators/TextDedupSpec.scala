@@ -338,6 +338,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0L, None, None)))
   }
 
+  test("c4Clean: terminal-punctuation/min-words/javascript line rules, page drops") {
+    val docs = Seq(
+      (1L, "the cat sat down.\nno punct line here\nthe dog ran far!"),
+      (2L, "contains javascript code today.\nreal sentence stays put."),
+      (3L, "lorem ipsum dolor sit amet.\ngood sentence here."),
+      (4L, "function() { return; }\nshort."),
+      (5L, "a fine sentence indeed.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, "doc_id", "text",
+        minLineWords = 3, minLinesKept = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "c4_lines_kept", "c4_lines_removed", "c4_page_keep",
+        "clean_text")
+      .as[(Long, Int, Int, Boolean, String)].collect().toSeq
+    // terminal punctuation required; the javascript line goes; words < 3 go
+    assert(out(0) == ((1L, 2, 1, true, "the cat sat down.\nthe dog ran far!")))
+    // one survivor < minLinesKept=2 floor -> page dropped
+    assert(out(1) == ((2L, 1, 1, false, "real sentence stays put.")))
+    // lorem ipsum kills the page even though its lines pass
+    assert(out(2) == ((3L, 2, 0, false, "lorem ipsum dolor sit amet.\ngood sentence here.")))
+    // brace page + nothing survives
+    assert(out(3) == ((4L, 0, 2, false, "")))
+    assert(out(4) == ((5L, 1, 0, false, "a fine sentence indeed.")))
+  }
+
   test("dupNgramStats: exact duplicate-5-gram char fractions, overlap counted once") {
     val docs = Seq(
       // 'a b c d e' repeats: the second occurrence covers tokens 5..9,
