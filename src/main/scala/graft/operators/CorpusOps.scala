@@ -68,6 +68,43 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
   }
 
+  /** Per-eval-sample contamination audit — the report a benchmark owner
+    * reads AFTER [[decontaminate]] says "something leaked": one row per
+    * EVAL document (including clean ones), with how many corpus documents
+    * share at least `minOverlap` n-grams with it, the worst single-doc
+    * overlap, and one example offender (the smallest contaminated corpus
+    * id — deterministic, so reports diff cleanly across corpus versions).
+    * [[decontaminate]] answers "which training docs must go";  this
+    * answers "which benchmark items are compromised and how badly" — the
+    * two directions of the same join.
+    *
+    * Scale shape: rides [[decontaminate]]'s single gram-keyed equi-join
+    * (eval side broadcast, corpus never shuffles), then shrinks to eval
+    * grain — the aggregate output is |eval| rows, tiny by definition. The
+    * final left join runs at eval grain on both sides. */
+  def contaminationReport(corpus: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, evalIdCol: String,
+                          evalTextCol: String, n: Int = 5,
+                          minOverlap: Int = 2,
+                          excludeSelf: Boolean = false): DataFrame = {
+    val pairs = decontaminate(corpus, eval, idCol, textCol,
+      evalIdCol, evalTextCol, n, minOverlap)
+    // when the eval set was carved from the corpus itself (held-out
+    // split), a doc trivially "contaminates" its own eval copy — drop it
+    val hits = (if (excludeSelf) pairs.where(col(idCol) =!= col("eval_id"))
+                else pairs)
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).cast("int").as("n_contaminated_docs"),
+        max(col("n_shared")).as("max_shared"),
+        round(max(col("overlap_frac")), 6).as("max_overlap_frac"),
+        min(col(idCol)).as("example_doc"))
+    eval.select(col(evalIdCol).as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .withColumn("n_contaminated_docs",
+        coalesce(col("n_contaminated_docs"), lit(0)))
+      .withColumn("contaminated", col("n_contaminated_docs") > 0)
+  }
+
   /** Deterministic stratified sampling: keep each row iff the first 8 hex
     * chars of md5(salt|id) fall below the per-stratum rate threshold.
     * Sampling by content hash (not `rand()`) means the sample is

@@ -407,6 +407,71 @@ object TextAnalysis {
         (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document with the corpus-trained unigram LM
+    * ([[unigramLogProb]] — the declared CCNet-perplexity stand-in), then
+    * split each language into `nBuckets` equal-count buckets by score —
+    * bucket 1 ("head") = most corpus-typical, bucket `nBuckets` ("tail")
+    * = least. Downstream mixing then samples head/middle heavily and
+    * tail lightly (CCNet's published recipe). Ties and exact boundaries
+    * are deterministic: the per-language order is (score DESC, id), so
+    * the same corpus always buckets identically on any engine.
+    *
+    * Scale shape: scoring is [[unigramLogProb]]'s one-explode pattern;
+    * attaching the language is one doc-grain hash join (id-keyed, both
+    * sides doc-grain — at 100 TB this co-partitions, never skews); the
+    * EXACT split is a per-language `ntile` window, i.e. a per-language
+    * total sort — right for the oracle and for modest corpora. At real
+    * scale use [[perplexityBucketsApprox]]: identical semantics modulo
+    * boundary ties, zero sorts. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets: need >= 2 for head/tail to differ")
+    val scored = unigramLogProb(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
+      .orderBy(col("avg_logprob").desc, col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
+
+  /** The 100 TB path for [[perplexityBuckets]]: per-language APPROXIMATE
+    * quantile cut points (`percentile_approx`, a shrinking aggregate —
+    * one row per language) broadcast back, bucket assignment map-side
+    * (`1 + #cuts strictly above the score`, cuts ascending). No window,
+    * no per-language sort — the corpus is touched by one aggregation and
+    * one broadcast join. Buckets agree with the exact split except for
+    * documents tied at (or within sketch error of) a cut point, which is
+    * the documented CCNet trade: the thresholds themselves are computed
+    * on a sketch. `accuracy` is `percentile_approx`'s knob (higher =
+    * tighter cuts, more sketch memory). */
+  def perplexityBucketsApprox(docs: DataFrame, idCol: String, textCol: String,
+                              langCol: String, nBuckets: Int = 3,
+                              accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets: need >= 2 for head/tail to differ")
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(unigramLogProb(docs, idCol, textCol), Seq(idCol))
+    // ascending interior quantiles: q_{1/n} .. q_{(n-1)/n}
+    val qs = array((1 until nBuckets).map(i =>
+      lit(i.toDouble / nBuckets)): _*)
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile_approx(col("avg_logprob"), qs, lit(accuracy)).as("cuts"))
+    // bucket 1 = head = HIGHEST score, so count ascending cuts above it
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("cuts"),
+          c => col("avg_logprob") < c))).cast("int"))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+      .drop("cuts")
+  }
+
   /** Cross-document boilerplate line removal — the C4/RefinedWeb cleanup
     * step: a line whose content appears in at least `minDocs` DISTINCT
     * documents is boilerplate (nav bars, license banners, headers) and is

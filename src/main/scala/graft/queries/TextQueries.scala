@@ -175,6 +175,26 @@ object TextQueries {
     TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet head/middle/tail bucketing over the unigram-LM score, exact
+    * (windowed) path — the approximate path is ScalaTest-checked against
+    * this one (CcnetSpec). */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
+      .select("doc_id", "lang", "n_tokens", "avg_logprob",
+        "bucket", "bucket_name")
+      .orderBy("doc_id")
+
+  /** Per-eval-sample contamination audit, eval carved as every 50th doc
+    * (same carve as `decontaminate`); self-pairs excluded since the eval
+    * set is a subset of the corpus. */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    CorpusOps.contaminationReport(d, d.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2,
+        excludeSelf = true)
+      .orderBy("eval_id")
+  }
+
   /** Quality-weighted sampling driven by the literal classifier model:
     * keep-probability = round(lr score, 6) — rounded BEFORE thresholding
     * so a last-ulp sigmoid difference can't flip a boundary bucket. */
@@ -451,6 +471,8 @@ object TextQueries {
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
     "lm_bigram" -> (lmBigram _),
+    "ccnet_buckets" -> (ccnetBuckets _),
+    "contamination_report" -> (contaminationReport _),
     "quality_lr" -> (qualityLr _),
     "corpus_weighted" -> (corpusWeighted _),
     "corpus_report" -> (corpusReport _),
@@ -1011,6 +1033,64 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same LM CTEs as lm_logprob, then a per-language ntile over
+    // (score DESC, doc_id) — the deterministic total order both engines
+    // share because the score doubles are bitwise-identical (lm_logprob
+    // green) and ntile's extra-row rule is SQL-standard in both
+    "ccnet_buckets" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | t AS (SELECT doc_id, unnest(ws) AS term FROM nw),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |        WHERE term <> '' GROUP BY 1, 2),
+         | freq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total,
+         |                count(*) AS v FROM freq),
+         | scored AS (SELECT tf.doc_id, tf.tf,
+         |     ln((freq.cnt + 1.0) / (tot.t_total + tot.v)) AS lp
+         |   FROM tf JOIN freq USING (term), tot),
+         | lps AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |     round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |   FROM scored GROUP BY 1),
+         | b AS (SELECT d.doc_id, d.lang, lps.n_tokens, lps.avg_logprob,
+         |     CAST(ntile(3) OVER (PARTITION BY d.lang
+         |       ORDER BY lps.avg_logprob DESC, d.doc_id) AS INT) AS bucket
+         |   FROM documents d JOIN lps ON d.doc_id = lps.doc_id)
+         |SELECT doc_id, lang, n_tokens, avg_logprob, bucket,
+         |  CASE WHEN bucket = 1 THEN 'head'
+         |       WHEN bucket = 3 THEN 'tail'
+         |       ELSE 'middle' END AS bucket_name
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // decontaminate's gram join re-aggregated to eval grain, then a left
+    // join back to the full eval carve so clean samples report 0/false
+    "contamination_report" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | g AS (SELECT doc_id,
+         |   list_distinct([array_to_string(ws[x:x+2], ' ')
+         |                  for x in generate_series(1, len(ws)-2)]) AS sh
+         |   FROM nw WHERE len(ws) >= 3),
+         | cg AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram FROM g),
+         | eg AS (SELECT doc_id AS eval_id, unnest(sh) AS gram FROM g
+         |        WHERE doc_id % 50 = 0),
+         | pairs AS (SELECT cg.doc_id, eg.eval_id, count(*) AS n_shared,
+         |     CAST(count(*) AS DOUBLE) / cg.n_grams AS overlap_frac
+         |   FROM cg JOIN eg ON cg.gram = eg.gram
+         |   WHERE cg.doc_id <> eg.eval_id
+         |   GROUP BY cg.doc_id, eg.eval_id, cg.n_grams
+         |   HAVING count(*) >= 2),
+         | hits AS (SELECT eval_id,
+         |     CAST(count(*) AS INT) AS n_contaminated_docs,
+         |     max(n_shared) AS max_shared,
+         |     round(max(overlap_frac), 6) AS max_overlap_frac,
+         |     min(doc_id) AS example_doc
+         |   FROM pairs GROUP BY 1)
+         |SELECT e.doc_id AS eval_id,
+         |  coalesce(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+         |  h.max_shared, h.max_overlap_frac, h.example_doc,
+         |  coalesce(h.n_contaminated_docs, 0) > 0 AS contaminated
+         |FROM documents e LEFT JOIN hits h ON e.doc_id = h.eval_id
+         |WHERE e.doc_id % 50 = 0 ORDER BY eval_id""".stripMargin,
 
     "corpus_report" ->
       s"""WITH $wordsSql,
