@@ -181,4 +181,58 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
+    * quantize the corpus with the IVF k-means coarse quantizer
+    * ([[Ivf.assign]]: sample-fit, one assignment pass), rescore pairs
+    * EXACTLY but only within a cell, connect pairs at `cos >= threshold`
+    * into components (pointer-jumping, [[Dedup.clustersFromEdges]]), keep
+    * the minimum id per component. Flagged duplicates are exact-certain
+    * (every edge was rescored with the codegen'd dot product); what the
+    * quantizer costs is RECALL — a near-dup pair split across cells is
+    * missed, the SemDeDup trade by design (raise `nCells` for tighter,
+    * cheaper cells; lower it for higher recall; SimilaritySpec measures
+    * both directions on planted clusters).
+    *
+    * Scale shape: k-means fits on a bounded sample in the driver
+    * ([[Ivf.MaxFitRows]] cap), assignment is ONE map pass; the self-join
+    * is cell-local (equi-join on `cell`, never all-pairs, never
+    * BroadcastNestedLoop); components run over EDGES only (near-dups,
+    * vanishingly few at corpus scale); the final verdict join is id-keyed
+    * at doc grain. The assigned relation rides ONE scan via lazy
+    * localCheckpoint — both self-join branches and the verdict join reuse
+    * it. Cell skew (a dense semantic region) is AQE's skew-join case on
+    * the cell key; the SemDeDup answer is raising `nCells` so cells stay
+    * small. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double,
+                    seed: Long = 42L,
+                    maxFitRows: Long = Ivf.MaxFitRows): DataFrame = {
+    val (assigned, _) = Ivf.assign(corpus, idCol, vecCol, nCells, seed, maxFitRows)
+    semanticDedupAssigned(assigned.localCheckpoint(false), idCol, threshold)
+  }
+
+  /** [[semanticDedup]] against an ALREADY-BUILT IVF index — the amortized
+    * deployment shape (the `ann_ivf_probe` precedent): the same persisted
+    * quantizer that answers ANN probes also drives semantic dedup, and
+    * because [[Ivf.build]] pre-shuffles the assigned relation by `cell`,
+    * the cell-local self-join here needs NO exchange at all. */
+  def semanticDedupIndexed(index: Ivf.Index, threshold: Double): DataFrame =
+    semanticDedupAssigned(index.assigned, index.idCol, threshold)
+
+  private def semanticDedupAssigned(local: DataFrame, idCol: String,
+                                    threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
+    val a = local.select(col("cell"), col(idCol).as("i"), col("_vn").as("va"))
+    val b = local.select(col("cell"), col(idCol).as("j"), col("_vn").as("vb"))
+    val edges = a.join(b, Seq("cell")).where(col("i") < col("j"))
+      .where(round(dotCol(col("va"), col("vb")), 6) >= threshold)
+      .select("i", "j")
+    Dedup.clustersFromEdges(local.select(col(idCol)), edges, idCol)
+      .join(local.select(col(idCol), col("cell")), Seq(idCol))
+      .select(col(idCol), col("cell"),
+        col("cluster_id").as("canonical_id"),
+        (!col("is_canonical")).as("is_dup"))
+  }
 }

@@ -97,13 +97,33 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** SemDeDup over the embeddings table: IVF-cell-local exact rescoring +
+    * components, min-id canonical per semantic group. Rows-only like
+    * `ann_ivf` (the k-means quantizer is not DuckDB-reproducible);
+    * SimilaritySpec checks the verdicts equal the reference components of
+    * (exact pairs ∩ co-celled) and that planted exact copies always
+    * recall. Threshold 0.45, above `emb_neardup`'s 0.35: semantic dedup
+    * targets REDUNDANT documents, not merely related ones (SemDeDup's
+    * published operating range is the high-similarity end), and a sparser
+    * edge graph is what keeps component iteration cheap at scale — while
+    * still FIRING on this corpus (14 co-celled-or-not pairs at sf0.01,
+    * 144 at sf0.1; 0.6 would select zero, a gate where the lever never
+    * bites). Runs off the session's built index ([[ivfIndex]], the
+    * `ann_ivf_probe` precedent): one persisted quantizer serves ANN
+    * probes AND semantic dedup, and its cell-partitioned relation makes
+    * the self-join exchange-free. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupIndexed(ivfIndex(s, dir), threshold = 0.45)
+      .orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
-    "ann_ivf_probe" -> (annIvfProbe _)
+    "ann_ivf_probe" -> (annIvfProbe _),
+    "semantic_dedup" -> (semanticDedup _)
   )
 
   /** DuckDB re-derivation of [[embNeardupLsh]]: per-table signatures as

@@ -207,4 +207,75 @@ class SimilaritySpec extends SparkSpec {
       .select("i", "j").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)))
   }
+
+  test("semanticDedup == components of (exact pairs ∩ co-celled), given its own cells") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+        nCells = 4, threshold = 0.35)
+      .select("vec_id", "cell", "canonical_id", "is_dup")
+      .as[(Long, Int, Long, Boolean)].collect()
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    val exactPairs = Similarity.neardupPairs(e, "vec_id", "embedding", 0.35)
+      .select("i", "j").as[(Long, Long)].collect()
+      .filter { case (i, j) => cellOf(i) == cellOf(j) }
+
+    // reference union-find over the co-celled exact edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactPairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { val (lo, hi) = (math.min(ri, rj), math.max(ri, rj))
+        parent(hi) = lo }
+    }
+    out.foreach { case (id, _, canonical, isDup) =>
+      assert(canonical == find(id), s"vec $id")
+      assert(isDup == (find(id) != id), s"vec $id")
+    }
+    assert(out.exists(_._4), "corpus has planted near-dups; none flagged")
+  }
+
+  test("semanticDedup: planted exact duplicates are always recalled (same cell by construction)") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet").limit(100)
+      .select("vec_id", "embedding")
+    val copies = e.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val out = Similarity.semanticDedup(e.union(copies), "vec_id", "embedding",
+        nCells = 8, threshold = 0.9)
+      .select("vec_id", "canonical_id").as[(Long, Long)].collect().toMap
+    // an identical vector lands in the identical cell; cos = 1.0 >= 0.9,
+    // so every copy must share a component with its original
+    (0L until 100L).filter(out.contains).foreach { id =>
+      assert(out(id) == out(id + 100000L),
+        s"copy of $id not grouped with its original")
+    }
+  }
+
+  test("semanticDedupIndexed == cold semanticDedup (same quantizer seed)") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cold = Similarity.semanticDedup(e, "vec_id", "embedding",
+        nCells = 8, threshold = 0.6)
+      .select("vec_id", "cell", "canonical_id", "is_dup")
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+    val index = Ivf.build(e, "vec_id", "embedding", nCells = 8)
+    try {
+      val indexed = Similarity.semanticDedupIndexed(index, threshold = 0.6)
+        .select("vec_id", "cell", "canonical_id", "is_dup")
+        .as[(Long, Int, Long, Boolean)].collect().toSet
+      assert(indexed == cold, "indexed path diverged from cold path")
+    } finally index.unpersist()
+  }
+
+  test("semanticDedup plan: cell-local equi-join, never BroadcastNestedLoop") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val (assigned, _) = Ivf.assign(e, "vec_id", "embedding", nCells = 4)
+    val local = assigned.localCheckpoint(false)
+    val a = local.select(col("cell"), col("vec_id").as("i"), col("_vn").as("va"))
+    val b = local.select(col("cell"), col("vec_id").as("j"), col("_vn").as("vb"))
+    val plan = a.join(b, Seq("cell")).where(col("i") < col("j"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
 }
