@@ -111,6 +111,24 @@ object ExtraQueries {
     Behavior.cohortRetention(StarQueries.events(s, dir), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  /** Generic as-of join on events: every event carries the user's LATEST
+    * purchase at or before it (ts + value), null if none yet — the
+    * "state as of the event" enrichment. Exercises [[AsOf.asofJoin]]'s
+    * union-tag-window shape end to end; the oracle re-derives the same
+    * union, tag ordering, and deterministic (ts, payload) tie-break in
+    * SQL. */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = StarQueries.events(s, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val purchases = StarQueries.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    AsOf.asofJoin(ev, purchases, "user_id", "p_user", "ts", "p_ts",
+        valueCols = Seq("p_value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (saltedAgg _),
     "events_windowed" -> (eventsWindowed _),
@@ -119,6 +137,7 @@ object ExtraQueries {
     "q_funnel" -> (funnel _),
     "q_funnel_step" -> (funnelStep _),
     "q_cohort" -> (cohortRetention _),
+    "q_asof" -> (qAsof _),
     "q_approx" -> (approxSketches _)
   )
 
@@ -137,6 +156,29 @@ object ExtraQueries {
         |  event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
         |FROM ev GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // the union-tag-window re-derivation: purchases sort before events at
+    // an equal ts (tag 0 < 1, giving <= semantics); among tied purchases
+    // the (p_ts, p_value) order makes the carried row the lexicographic
+    // max — the operator's documented deterministic tie-break
+    "q_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |              CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS tag, event_id, event_type,
+        |    CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS tag, NULL, NULL, ts, value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, ts, tag, event_id, event_type,
+        |    last_value(p_ts IGNORE NULLS) OVER win AS asof_p_ts,
+        |    last_value(p_value IGNORE NULLS) OVER win AS asof_p_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, p_ts, p_value
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, event_type, asof_p_ts, asof_p_value
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
     "events_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,

@@ -197,6 +197,31 @@ object Stress {
       val sampled = graft.operators.CorpusOps.mixtureSample(strat, "doc_id", "src", plan)
       println("   sampled: " + sampled.count())
     }
+    time("perplexityBucketsApprox on 100k docs (map-side CCNet split)") {
+      // the scale path's claim: NO window, NO per-language sort — cut
+      // points are a per-language aggregate broadcast back, assignment a
+      // map-side array scan
+      val lang = big.withColumn("lang", (col("doc_id") % 3).cast("string"))
+      val out = graft.operators.TextAnalysis.perplexityBucketsApprox(
+        lang, "doc_id", "text", "lang")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.split("\n").exists(_.contains("Window ")),
+        "approx bucketing leaked a window/sort!")
+      val byBucket = out.groupBy("bucket").count().orderBy("bucket").collect()
+        .map(r => s"b${r.getInt(0)}=${r.getLong(1)}").mkString(" ")
+      println(s"   $byBucket (window-free plan)")
+    }
+    time("contaminationReport: 100k docs vs 200-doc eval set") {
+      val eval = big.where(col("doc_id") % 500 === 0)
+      val rep = graft.operators.CorpusOps.contaminationReport(
+        big, eval, "doc_id", "text", "doc_id", "text", n = 3, minOverlap = 2,
+        excludeSelf = true)
+      val plan = rep.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "contamination report went all-pairs!")
+      val hit = rep.where(col("contaminated")).count()
+      println(s"   contaminated eval samples: $hit of 200 (output grain = |eval|)")
+    }
     time("gopher topGramFraction on 100k docs (full gram shuffle)") {
       val tg = graft.operators.TextAnalysis.topGramFraction(big, "doc_id", "text")
       // the claim: two shrinking shuffles — (doc, gram) counts, then per-doc
@@ -228,6 +253,19 @@ object Stress {
     time("cohortRetention over 2M events") {
       val c = graft.operators.Behavior.cohortRetention(bigEv, "user_id", "ts")
       println("   cohort cells: " + c.count())
+    }
+    time("asofJoin: 2M events each carrying the user's latest purchase") {
+      // union-tag-window: must stay join-free — one exchange of the
+      // unioned relation on the key, per-key work linear in that key's rows
+      val purch = bigEv.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val out = graft.operators.AsOf.asofJoin(
+        bigEv.select("user_id", "ts", "event_type"), purch,
+        "user_id", "p_user", "ts", "p_ts", valueCols = Nil)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), "asofJoin formed a join!")
+      val matched = out.where(col("asof_p_ts").isNotNull).count()
+      println(s"   events with a prior purchase: $matched of 2000000 (join-free)")
     }
 
     // 40k vectors: 20 replicas of the 2k embeddings (float jitter via
@@ -264,6 +302,19 @@ object Stress {
       val n = p.count()
       println(s"   pairs: $n of 380000 expected (recall ${n / 380000.0}); " +
         s"all-pairs space = ${40000L * 39999L / 2}")
+    }
+    // SemDeDup at self-join scale: identical vectors quantize to identical
+    // cells, so every 20-replica group MUST collapse to one canonical —
+    // exactly 38,000 dups — regardless of where k-means drew the cell
+    // boundaries. Cell-locality is load-bearing: 64 cells of ~625 vectors
+    // bound the rescore at ~12.5M pairs vs 800M all-pairs.
+    time("semanticDedup (cos>=0.9, 64 cells) over 40k vectors") {
+      val out = Similarity.semanticDedup(bigEmb, "vec_id", "embedding",
+        nCells = 64, threshold = 0.9)
+      val dups = out.where(col("is_dup")).count()
+      assert(dups == 38000L, s"expected 38000 dups, got $dups")
+      println(s"   dups: $dups of 40000 (every replica group collapsed; " +
+        "cell-local rescore, never all-pairs)")
     }
     spark.stop()
   }
