@@ -129,6 +129,22 @@ object ExtraQueries {
       .orderBy("event_id")
   }
 
+  /** Generic range join on a keyless point-in-interval workload: orders
+    * against 30 OVERLAPPING price bands (width 30k stepping 10k, so each
+    * order matches up to 3 bands) — the shape Spark would otherwise plan
+    * as BroadcastNestedLoopJoin. `binWidth` = the band step; the oracle
+    * re-derives the bands and joins with a plain BETWEEN. */
+  def qRange(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(30).select(col("id").cast("int").as("band_id"),
+      (col("id") * 10000.0).as("lo"), (col("id") * 10000.0 + 30000.0).as("hi"))
+    RangeJoin.rangeJoin(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("order_id"), col("o_totalprice")),
+        bands, "o_totalprice", "lo", "hi", binWidth = 10000.0)
+      .select("order_id", "band_id", "lo", "hi", "o_totalprice")
+      .orderBy("order_id", "band_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (saltedAgg _),
     "events_windowed" -> (eventsWindowed _),
@@ -138,6 +154,7 @@ object ExtraQueries {
     "q_funnel_step" -> (funnelStep _),
     "q_cohort" -> (cohortRetention _),
     "q_asof" -> (qAsof _),
+    "q_range" -> (qRange _),
     "q_approx" -> (approxSketches _)
   )
 
@@ -179,6 +196,16 @@ object ExtraQueries {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, ts, event_type, asof_p_ts, asof_p_value
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS INT) AS band_id, i * 10000.0 AS lo,
+        |         i * 10000.0 + 30000.0 AS hi
+        |  FROM generate_series(0, 29) t(i))
+        |SELECT o.o_orderkey AS order_id, b.band_id, b.lo, b.hi, o.o_totalprice
+        |FROM orders o JOIN bands b
+        |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |ORDER BY order_id, band_id""".stripMargin,
 
     "events_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,

@@ -267,6 +267,21 @@ object Stress {
       val matched = out.where(col("asof_p_ts").isNotNull).count()
       println(s"   events with a prior purchase: $matched of 2000000 (join-free)")
     }
+    time("rangeJoin: 2M event values x 50 overlapping bands") {
+      // keyless point-in-interval — the raw predicate would be a 100M-pair
+      // nested loop; binning turns it into a bin equi-join
+      val bands = spark.range(50).select(col("id").as("band_id"),
+        (col("id") * 2.0).as("lo"), (col("id") * 2.0 + 6.0).as("hi"))
+      val out = graft.operators.RangeJoin.rangeJoin(
+        bigEv.select(col("user_id"),
+          (col("user_id") % 100).cast("double").as("value")), bands,
+        "value", "lo", "hi", binWidth = 2.0)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "rangeJoin went all-pairs!")
+      println(s"   matches: ${out.count()} (bin equi-join; " +
+        s"all-pairs space = ${2000000L * 50})")
+    }
 
     // 40k vectors: 20 replicas of the 2k embeddings (float jitter via
     // deterministic per-replica scale so replicas are near-parallel).
