@@ -1,0 +1,48 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Map-side Bloom-filter membership probe over a string column — the
+  * shuffle-avoidance primitive for incremental dedup: a daily shard
+  * probing a multi-billion-row fingerprint store only needs the JOIN for
+  * rows the filter might know; everything else drops AT THE SCAN, before
+  * any exchange. The filter bytes ride the plan as a literal (serialized
+  * once on the driver, deserialized once per task via the transient lazy),
+  * exactly like the literal merge tables in [[BpeExpressions]].
+  *
+  * Guarantee asymmetry is the point: NO false negatives (a true member
+  * always passes, so downstream equi-join results are IDENTICAL with or
+  * without the prefilter — provable, and pinned in DedupStoreSpec), false
+  * positives at the configured fpp merely forward a few extra rows into
+  * the join that then match nothing. Probing uses the same UTF-8 bytes
+  * `BloomFilter.putString` hashes, so build and probe agree on any input.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

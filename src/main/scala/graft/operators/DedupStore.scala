@@ -81,6 +81,63 @@ object DedupStore {
     mixed.union(fresh)
   }
 
+  /** Serialized Bloom filter over the store's (band, band_hash) keys —
+    * build it ONCE when a snapshot lands (same lifecycle as the store
+    * itself) and hand the bytes to [[incrementalCandidatesBloom]] for
+    * every subsequent shard. The build is one distributed aggregation
+    * over the store (no shuffle — partial filters merge on the driver);
+    * the artifact is `~1.2 * n * ln(1/fpp)` BITS (≈ 1.2 GB per billion
+    * band keys at 1% — executor-broadcastable where the store itself is
+    * not). */
+  def bloomOf(store: DataFrame, expectedItems: Long,
+              fpp: Double = 0.01): Array[Byte] = {
+    val bf = store.stat.bloomFilter(
+      concat_ws(":", col("band"), col("band_hash")), expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** [[incrementalCandidates]] with a map-side Bloom PREFILTER on the
+    * new×history leg: shard band rows whose (band, band_hash) the filter
+    * has never seen drop at the scan, before the join's exchange — at
+    * 100 TB the store-probe shuffle carries only plausible collisions
+    * instead of the whole shard. Bloom filters have NO false negatives,
+    * so the output is IDENTICAL to [[incrementalCandidates]] (pinned in
+    * DedupStoreSpec and by the gate oracle, which is the same SQL);
+    * false positives just forward a few rows that match nothing. The
+    * new×new self-join leg is untouched — fresh pairs exist regardless
+    * of history. */
+  def incrementalCandidatesBloom(newDocs: DataFrame, idCol: String,
+                                 textCol: String, store: DataFrame,
+                                 bloomBytes: Array[Byte]): DataFrame = {
+    val newBands = Dedup.lshBands(
+        Dedup.minhashSignatures(newDocs, idCol, textCol), idCol)
+      .localCheckpoint(false)
+    val n = Dedup.NumHashes
+    val mightMatch = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expression(
+          concat_ws(":", col("band"), col("band_hash"))),
+        bloomBytes))
+    val a = newBands.where(mightMatch)
+      .select(col(idCol).as("_new_id") +: col("band") +:
+        col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"si$k")): _*)
+    val h = store.select(col(idCol).as("_hist_id") +: col("band") +:
+      col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"sj$k")): _*)
+    val matches = (0 until n)
+      .map(k => when(col(s"si$k") === col(s"sj$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val mixed = a.join(h, Seq("band", "band_hash"))
+      .where(col("_new_id") =!= col("_hist_id"))
+      .select(
+        least(col("_new_id"), col("_hist_id")).as("i"),
+        greatest(col("_new_id"), col("_hist_id")).as("j"),
+        (matches.cast("double") / n).as("est_sim"))
+      .groupBy(col("i"), col("j")).agg(max(col("est_sim")).as("est_sim"))
+    mixed.union(Dedup.candidatesFromBands(newBands, idCol))
+  }
+
   /** Streaming twin of the new×history leg: score ARRIVING documents
     * against the persisted store in real time. The band signatures are
     * map-side expressions and the probe is a stream-static equi-join —

@@ -353,6 +353,28 @@ object TextQueries {
       .orderBy("i", "j")
   }
 
+  // Bloom prefilter bytes per (session, corpus) — built once alongside the
+  // store it summarizes, the production lifecycle (snapshot lands → store
+  // written → bloom built).
+  private val fpBlooms =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Byte]]
+
+  /** Bloom-prefiltered twin of [[dedupIncremental]] — same store, same
+    * shard, and (Bloom filters have no false negatives) value-IDENTICAL
+    * output: the oracle is literally `dedup_incremental`'s SQL. What the
+    * gate adds is end-to-end proof that the native `bloom_might_contain`
+    * prefilter drops shard band rows without losing a single candidate. */
+  def dedupIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = graft.operators.DedupStore.load(s, storeFor(s, dir))
+    val bloom = fpBlooms.getOrElseUpdate((s, dir),
+      graft.operators.DedupStore.bloomOf(store,
+        expectedItems = math.max(store.count(), 1L)))
+    graft.operators.DedupStore.incrementalCandidatesBloom(
+        d.where(col("doc_id") % 5 === 0), "doc_id", "text", store, bloom)
+      .orderBy("i", "j")
+  }
+
   def tfidfTop(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
@@ -479,6 +501,7 @@ object TextQueries {
     "text_unicode" -> (textUnicode _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incr_bloom" -> (dedupIncrementalBloom _),
     "dedup_incr_verdicts" -> (dedupIncrVerdicts _),
     "bpe_tokens" -> (bpeTokenCount _),
     "url_canon" -> (urlCanon _),
@@ -680,6 +703,18 @@ object TextQueries {
        |FROM verdict ORDER BY doc_id""".stripMargin
   }
 
+  private lazy val dedupIncrementalOracle: String =
+    s"""WITH $wordsSql,
+       |$shinglesSql,
+       |$sigsSql,
+       |$candSql
+       |SELECT cand.i, cand.j,
+       |  CAST(list_sum([CASE WHEN a.sig[k] = b.sig[k] THEN 1 ELSE 0 END
+       |                 for k in generate_series(1, 12)]) AS DOUBLE) / 12 AS est_sim
+       |FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
+       |WHERE cand.i % 5 = 0 OR cand.j % 5 = 0
+       |ORDER BY i, j""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
@@ -762,17 +797,11 @@ object TextQueries {
     // shard" (doc_id % 5 = 0) — exactly what the incremental path reports
     // (new×new self-join + new×history store join; history×history never
     // forms on either side)
-    "dedup_incremental" ->
-      s"""WITH $wordsSql,
-         |$shinglesSql,
-         |$sigsSql,
-         |$candSql
-         |SELECT cand.i, cand.j,
-         |  CAST(list_sum([CASE WHEN a.sig[k] = b.sig[k] THEN 1 ELSE 0 END
-         |                 for k in generate_series(1, 12)]) AS DOUBLE) / 12 AS est_sim
-         |FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
-         |WHERE cand.i % 5 = 0 OR cand.j % 5 = 0
-         |ORDER BY i, j""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalOracle,
+    // the bloom prefilter is output-invariant (no false negatives), so the
+    // bloom gate's oracle IS the incremental oracle — that identity is the
+    // property under test
+    "dedup_incr_bloom" -> dedupIncrementalOracle,
 
     // keep-first verdicts re-derived from the same candidate set: orient
     // each qualifying pair toward the shard doc, counterpart qualifies if

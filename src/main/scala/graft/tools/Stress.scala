@@ -190,6 +190,24 @@ object Stress {
       println("   candidate pairs: " + cand.count() +
         " (band equi-join vs store; history x history never forms)")
     }
+    time("incremental dedup via bloom prefilter (same shard/store)") {
+      // this corpus is the prefilter's WORST case — every shard doc is a
+      // near-dup of history, so most bands genuinely hit — and the value
+      // under test is the invariant: candidates identical to the plain
+      // path while novel bands (see DedupStoreSpec) die at the scan
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft-stress-bloom").toString
+      val hist = big.where(col("doc_id") % 20 =!= 0)
+      graft.operators.DedupStore.save(hist, "doc_id", "text", storePath)
+      val store = graft.operators.DedupStore.load(spark, storePath)
+      val bloom = graft.operators.DedupStore.bloomOf(store,
+        expectedItems = 95000L * 4)
+      val shard = big.where(col("doc_id") % 20 === 0)
+      val n = graft.operators.DedupStore.incrementalCandidatesBloom(
+        shard, "doc_id", "text", store, bloom).count()
+      println(s"   candidate pairs: $n (== plain path; bloom = " +
+        f"${bloom.length / 1048576.0}%.1f MiB for 380k band keys)")
+    }
     time("mixturePlan + mixtureSample over 100k docs") {
       val strat = big.withColumn("src", (col("doc_id") % 4).cast("string"))
       val plan = graft.operators.CorpusOps.mixturePlan(strat, "text", "src",

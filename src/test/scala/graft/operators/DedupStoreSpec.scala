@@ -116,4 +116,48 @@ class DedupStoreSpec extends SparkSpec {
     assert(pairs.contains((11L, 20L)) && pairs.contains((12L, 20L)),
       s"appended-shard near-dups missed: $pairs")
   }
+
+  test("bloom prefilter: output identical to the plain path, zero false negatives") {
+    val store = Files.createTempDirectory("graft-store-bloom").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    val loaded = DedupStore.load(spark, store)
+    val bloom = DedupStore.bloomOf(loaded, expectedItems = 100)
+
+    // every TRUE store key must pass the native probe — the no-false-
+    // negative guarantee the output identity rests on
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expression(
+          concat_ws(":", col("band"), col("band_hash"))), bloom))
+    assert(loaded.where(!probe).count() == 0, "store key failed its own bloom")
+
+    val plain = DedupStore.incrementalCandidates(fresh, "doc_id", "text", loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bloomed = DedupStore.incrementalCandidatesBloom(
+        fresh, "doc_id", "text", loaded, bloom)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(bloomed == plain, s"bloom path diverged: $bloomed != $plain")
+  }
+
+  test("bloom prefilter actually drops novel band rows before the join") {
+    val store = Files.createTempDirectory("graft-store-bloom2").toString
+    DedupStore.save(history, "doc_id", "text", store)
+    val loaded = DedupStore.load(spark, store)
+    val bloom = DedupStore.bloomOf(loaded, expectedItems = 100)
+    // 50 documents of unique vocabulary: none of their bands exist in
+    // history, so at fpp 1% virtually all rows must die at the scan
+    val novel = (100L to 149L).map(i =>
+      (i, s"zq$i xv$i wk$i uj$i th$i rg$i pf$i ne$i mc$i lb$i ka$i"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignatures(novel, "doc_id", "text"), "doc_id")
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expression(
+          concat_ws(":", col("band"), col("band_hash"))), bloom))
+    val total = bands.count()
+    val surviving = bands.where(probe).count()
+    assert(surviving < total / 10,
+      s"prefilter kept $surviving of $total novel band rows — not pruning")
+  }
 }
