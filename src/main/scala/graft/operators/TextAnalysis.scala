@@ -321,11 +321,18 @@ object TextAnalysis {
     * join); vocabulary and the (T, V) totals are shrinking aggregates, the
     * totals a broadcast one-row join; the per-doc mean weights by tf so
     * the join is (doc, DISTINCT term) grain, not raw tokens. */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** @param carryCols doc-level columns to thread through to the output
+    *                   (functionally dependent on `idCol`, e.g. the
+    *                   language) — carried inside the aggregation keys so
+    *                   callers needing them skip a doc-grain join; `Nil`
+    *                   leaves the plan untouched. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     carryCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = (idCol +: carryCols).map(col)
     val terms = docs
-      .select(col(idCol), explode(normWords(col(textCol))).as("term"))
+      .select(keyCols :+ explode(normWords(col(textCol))).as("term"): _*)
       .where(col("term") =!= "")
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = terms.groupBy(keyCols :+ col("term"): _*).agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
       .localCheckpoint(false)
@@ -334,7 +341,7 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .withColumn("lp",
         log((col("cnt") + lit(1.0)) / (col("t_total") + col("v"))))
-      .groupBy(col(idCol))
+      .groupBy(keyCols: _*)
       .agg(sum(col("tf")).as("n_tokens"),
         (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
   }
@@ -427,11 +434,12 @@ object TextAnalysis {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets: need >= 2 for head/tail to differ")
-    val scored = unigramLogProb(docs, idCol, textCol)
+    // the language rides the LM aggregation keys (carryCols) — no
+    // doc-grain join to re-attach it
+    val scored = unigramLogProb(docs, idCol, textCol, carryCols = Seq(langCol))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
       .orderBy(col("avg_logprob").desc, col(idCol))
-    docs.select(col(idCol), col(langCol))
-      .join(scored, Seq(idCol))
+    scored
       .withColumn("bucket", ntile(nBuckets).over(w))
       .withColumn("bucket_name",
         when(col("bucket") === 1, "head")
@@ -453,8 +461,7 @@ object TextAnalysis {
                               langCol: String, nBuckets: Int = 3,
                               accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets: need >= 2 for head/tail to differ")
-    val scored = docs.select(col(idCol), col(langCol))
-      .join(unigramLogProb(docs, idCol, textCol), Seq(idCol))
+    val scored = unigramLogProb(docs, idCol, textCol, carryCols = Seq(langCol))
     // ascending interior quantiles: q_{1/n} .. q_{(n-1)/n}
     val qs = array((1 until nBuckets).map(i =>
       lit(i.toDouble / nBuckets)): _*)
