@@ -23,6 +23,31 @@ object Analytics {
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** [[topKPerGroup]] as ONE hash aggregate ([[graft.functions.TopKRows]]):
+    * per-task k-bounded heaps combine map-side, partial heaps merge in the
+    * reduce — the window formulation sorts EVERY group member through the
+    * shuffle, this moves at most k rows per (group, task). Same output,
+    * same semantics (`orderCol` DESC, `tieBreak` ASC, rank 1..k):
+    * "metric DESC, id ASC" rides the heap's natural struct order as
+    * `(orderCol, -tieBreak)`, so `tieBreak` must be numeric here.
+    * The identity to the window path is pinned in AnalyticsSpec and by
+    * the gate, whose oracle is `q_topk_group`'s SQL verbatim. */
+  def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                      tieBreak: String, k: Int): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val sortKey = struct(col(orderCol).as("_o"),
+      (col(tieBreak) * lit(-1)).as("_t"), payload.as("_p"))
+    val agg = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.TopKRows(
+        org.apache.spark.sql.graft.Bridge.expression(sortKey), k)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_row")))
+      .select(df.columns.map(c => col(s"_row._p.$c").as(c)) :+
+        (col("_pos") + 1).cast("int").as("rank"): _*)
+  }
+
   /** Exact-integer running window: money as cents (BIGINT) so running sums
     * are exact regardless of the engine's window-aggregation tree shape.
     * (A double running sum differs between Spark's sequential frames and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64}
+import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, TopKRows}
 
 /** SparkSessionExtensions registration for graft's native expressions
   * (SURVEY.md §2 #35). Activate with either:
@@ -78,6 +78,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (s.substring(0, sp), s.substring(sp + 1))
         }
         BpeTokens(children.head, merges)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_topk(sortStruct, k) takes 2 arguments")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException("k must be an int literal")
+        }
+        TopKRows(children.head, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

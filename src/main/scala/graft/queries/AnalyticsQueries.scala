@@ -12,15 +12,24 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  def topkGroup(s: SparkSession, dir: String): DataFrame = {
-    val revenue = t(s, dir, "lineitem")
+  private def brandRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"), col("l_partkey").as("part_id"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"))
-    Analytics.topKPerGroup(revenue, Seq("brand"), "revenue", "part_id", 3)
+
+  def topkGroup(s: SparkSession, dir: String): DataFrame =
+    Analytics.topKPerGroup(brandRevenue(s, dir), Seq("brand"), "revenue", "part_id", 3)
       .orderBy("brand", "rank")
-  }
+
+  /** The heap-aggregate twin of [[topkGroup]] — same rows, same ranks, so
+    * the oracle is `q_topk_group`'s SQL verbatim; what the gate proves is
+    * that the k-bounded partial-heap aggregate reproduces the window
+    * semantics exactly (ties included). */
+  def topkGroupAgg(s: SparkSession, dir: String): DataFrame =
+    Analytics.topKPerGroupAgg(brandRevenue(s, dir), Seq("brand"), "revenue", "part_id", 3)
+      .orderBy("brand", "rank")
 
   def windowRunning(s: SparkSession, dir: String): DataFrame =
     Analytics.runningOrderStats(t(s, dir, "orders"))
@@ -66,6 +75,7 @@ object AnalyticsQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
+    "q_topk_agg" -> (topkGroupAgg _),
     "q_window_running" -> (windowRunning _),
     "q_rollup" -> (rollup _),
     "q_pivot" -> (pivot _),
@@ -78,7 +88,21 @@ object AnalyticsQueries {
     "q_spend_quartiles" -> (spendQuartiles _)
   )
 
+  private lazy val topkOracle: String =
+      """WITH rev AS (
+        |  SELECT p.p_brand AS brand, l.l_partkey AS part_id,
+        |         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT brand, part_id, revenue,
+        |       CAST(row_number() OVER (PARTITION BY brand ORDER BY revenue DESC, part_id) AS INT) AS rank
+        |FROM rev QUALIFY rank <= 3
+        |ORDER BY brand, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the heap-aggregate path must reproduce the window path bit for bit —
+    // one oracle serves both
+    "q_topk_agg" -> topkOracle,
     "q_topk_group" ->
       """WITH rev AS (
         |  SELECT p.p_brand AS brand, l.l_partkey AS part_id,

@@ -285,6 +285,30 @@ object Stress {
       val matched = out.where(col("asof_p_ts").isNotNull).count()
       println(s"   events with a prior purchase: $matched of 2000000 (join-free)")
     }
+    time("top-3-per-group over 2M events: window vs bounded-heap aggregate") {
+      // the heap's regime is FEW, LARGE groups (partial state = k x groups
+      // x tasks nears the input when groups are many — there the window's
+      // codegen'd sort wins; both regimes measured, identity asserted)
+      def scored(grp: org.apache.spark.sql.Column) = bigEv.select(
+        grp.as("g"), col("ts").cast("long").as("t"),
+        (col("ts").cast("long") % 997).cast("double").as("score"))
+      for ((name, grp) <- Seq(
+          ("50 groups of ~40k rows", col("user_id") % 50),
+          ("30k groups of ~67 rows", col("user_id")))) {
+        val df = scored(grp)
+        val t0 = System.nanoTime()
+        val nWin = graft.operators.Analytics.topKPerGroup(
+          df, Seq("g"), "score", "t", 3).count()
+        val winS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nAgg = graft.operators.Analytics.topKPerGroupAgg(
+          df, Seq("g"), "score", "t", 3).count()
+        val aggS = (System.nanoTime() - t1) / 1e9
+        assert(nWin == nAgg, s"$name: heap top-k $nAgg != window $nWin")
+        println(f"   $name: window $winS%.1f s vs heap $aggS%.1f s " +
+          f"($nAgg rows, identical)")
+      }
+    }
     time("rangeJoin: 2M event values x 50 overlapping bands") {
       // keyless point-in-interval — the raw predicate would be a 100M-pair
       // nested loop; binning turns it into a bin equi-join

@@ -16,6 +16,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((1L, 1), (2L, 2), (5L, 1))) // tie 10.0/10.0 → lower id first
   }
 
+  test("topKPerGroupAgg == topKPerGroup on random data (ties included)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      // small score range forces real ties; several groups, k spanning
+      // under- and over-full groups
+      val rows = (1L to 200L).map(i =>
+        (s"g${rnd.nextInt(6)}", i, rnd.nextInt(8).toDouble))
+      val df = rows.toDF("grp", "id", "score")
+      for (k <- Seq(1, 3, 50)) {
+        val win = Analytics.topKPerGroup(df, Seq("grp"), "score", "id", k)
+          .select("grp", "id", "score", "rank")
+          .as[(String, Long, Double, Int)].collect().toSet
+        val agg = Analytics.topKPerGroupAgg(df, Seq("grp"), "score", "id", k)
+          .select("grp", "id", "score", "rank")
+          .as[(String, Long, Double, Int)].collect().toSet
+        assert(agg == win, s"k=$k: heap aggregate diverged from window")
+      }
+    }
+  }
+
+  test("topKPerGroupAgg: groups smaller than k emit all their rows") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 3.0)).toDF("grp", "id", "score")
+    val out = Analytics.topKPerGroupAgg(df, Seq("grp"), "score", "id", 10)
+      .orderBy("rank").select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("topKPerGroupAgg plan: hash aggregate with map-side partial, no sort-window") {
+    val df = spark.range(10000).select((col("id") % 50).cast("string").as("grp"),
+      col("id").as("id"), (col("id") % 997).cast("double").as("score"))
+    val out = Analytics.topKPerGroupAgg(df, Seq("grp"), "score", "id", 3)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.split("\n").exists(_.contains("Window ")),
+      s"heap path must not window:\n$plan")
+    // partial (merge) aggregation before the exchange is the entire point
+    assert(plan.contains("partial_graft_topk") ||
+      plan.contains("partial_topkrows") || plan.contains("Partial"),
+      s"no map-side partial aggregation found:\n$plan")
+  }
+
+  test("graft_topk is callable from SQL") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 9.0), ("g", 3L, 7.0))
+      .toDF("grp", "id", "score")
+    df.createOrReplaceTempView("topk_in")
+    val out = spark.sql(
+      """SELECT grp, size(graft_topk(struct(score, -id, id), 2)) AS n
+        |FROM topk_in GROUP BY grp""".stripMargin)
+      .as[(String, Int)].collect().toSeq
+    assert(out == Seq(("g", 2)))
+  }
+
   test("runningOrderStats: exact cents accumulation") {
     val orders = Seq(
       (1L, 10L, "2024-01-01", 10.50), (1L, 11L, "2024-01-02", 20.25)
