@@ -160,6 +160,38 @@ object CorpusOps {
       .where(col("sample_rank") <= n)
   }
 
+  /** Exactly-n WEIGHTED sampling without replacement per stratum —
+    * Efraimidis–Spirakis A-ES with deterministic md5 randomness: each doc
+    * draws `u = (uint32(md5(salt|id)) + 1) / 2^32 ∈ (0, 1]` and ranks by
+    * `ln(u) / w` DESCENDING (the log of the classic `u^(1/w)` key — same
+    * order, better conditioned), so inclusion probability is proportional
+    * to weight, the draw is reproducible across runs/engines/
+    * partitionings, and growing n keeps earlier picks (rank-stable, like
+    * [[takeStratified]]). The weighted eval-carve: "500 docs per source,
+    * favoring the long/high-quality ones".
+    *
+    * Non-positive weights are EXCLUDED (A-ES is undefined there; a zero
+    * weight means "never sample" in every weighting scheme). The key is
+    * rounded to 6 (SURVEY §4) before ranking with an id tie-break, so the
+    * oracle's libm and the JVM's agree on the order. Same scale shape as
+    * [[takeStratified]]: one per-stratum window — a mega-stratum
+    * serializes through one partition; the Bernoulli
+    * [[importanceSample]] is the map-side alternative there. */
+  def takeWeighted(docs: DataFrame, idCol: String, strataCol: String,
+                   weightCol: String, n: Long,
+                   salt: String = "wtake"): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    val u = (conv(substring(md5(concat(lit(salt + "|"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    val key = round(log(u) / col(weightCol), 6)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(key.desc, col(idCol))
+    docs.where(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+
   /** Deterministic train/valid/test corpus split: every document lands in
     * exactly one named split by its md5(salt|id) bucket, so the
     * assignment is reproducible across runs, engines and partitionings,

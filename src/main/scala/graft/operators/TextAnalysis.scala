@@ -346,6 +346,40 @@ object TextAnalysis {
         (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
   }
 
+  /** Fixed-size token chunking with overlap — the step between "curated
+    * document" and "training sequence": each document's normalized tokens
+    * split into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlap`, the last window short rather than dropped
+    * (truncation loses tail text; padding is the trainer's business).
+    * `n_chunks = ceil(max(n - overlap, 1) / stride)` so every token is
+    * covered and no chunk is a suffix of its predecessor. Empty documents
+    * yield no rows.
+    *
+    * Scale shape: one map-side index explode (the decontaminate gram
+    * pattern — a cheap int sequence under the generator, each chunk
+    * assembled once per output row from the materialized array), zero
+    * shuffles; output rows = Σ n_chunks, linear in corpus tokens. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens=$chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap=$overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val n = size(col("_ws"))
+    val nChunks = ceil(greatest(n - overlap, lit(1)).cast("double") / stride)
+      .cast("int")
+    docs.select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .where(size(col("_ws")) > 0 && col("_ws") =!= array(lit("")))
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("_ws"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("_ws")) - col("chunk_id") * stride)
+          .as("n_tokens"))
+  }
+
   /** Corpus-level data card: the one-stop health summary a training-data
     * owner reads before anything trains — document/unique counts, exact
     * duplicate rate, token volume and mean document length, mean

@@ -379,6 +379,24 @@ object TextQueries {
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
 
+  /** Weighted exactly-20-per-source carve, weight = document length
+    * (n_chars) — longer docs proportionally likelier, selection
+    * md5-deterministic (A-ES). */
+  def corpusTakeWeighted(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.takeWeighted(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("w")),
+        "doc_id", "source", "w", n = 20)
+      .select("doc_id", "source", "sample_rank")
+      .orderBy("doc_id")
+
+  /** Token chunking at 40 tokens / 8 overlap — sized so gate docs split
+    * into several chunks and the short-tail rule fires. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 40, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** Line dedup over SYNTHESIZED lines: the corpus texts carry no
     * newlines, so the gate re-lines each document deterministically (8
     * normalized words per line — reproducible in SQL, like pii_redact's
@@ -482,6 +500,8 @@ object TextQueries {
     "corpus_sample" -> (corpusSample _),
     "corpus_split" -> (corpusSplit _),
     "corpus_take" -> (corpusTake _),
+    "corpus_take_weighted" -> (corpusTakeWeighted _),
+    "chunk_docs" -> (chunkDocs _),
     "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
@@ -1018,6 +1038,43 @@ object TextQueries {
         |      AS INT) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
+
+    // A-ES re-derived: u from the md5 hex digits positionally (each term
+    // digit * 16^(8-i) is exact in double, the sum <= 2^32 is exact, so u
+    // is bitwise the Scala side's conv()-based value); ln matches bitwise
+    // across engines (the lm_logprob precedent), key rounded to 6 before
+    // ranking with an id tie-break
+    "corpus_take_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+        |    (list_sum([(strpos('0123456789abcdef',
+        |        substr(md5('wtake|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |        * power(16, 8 - i) for i in generate_series(1, 8)]) + 1)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        | r AS (SELECT doc_id, source, round(ln(u) / w, 6) AS key
+        |   FROM b WHERE w > 0)
+        |SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY key DESC, doc_id) AS INT) AS sample_rank
+        |  FROM r)
+        |WHERE sample_rank <= 20 ORDER BY doc_id""".stripMargin,
+
+    // chunk arithmetic re-derived: stride 32, nchunks = ceil(max(n-8,1)/32),
+    // inclusive 1-based slices clamp at the tail on both engines
+    "chunk_docs" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | c AS (SELECT doc_id, ws,
+         |     CAST(ceil(CAST(greatest(len(ws) - 8, 1) AS DOUBLE) / 32) AS INT)
+         |       AS nchunks
+         |   FROM nw WHERE len(ws) > 0 AND ws <> ['']),
+         | e AS (SELECT doc_id, ws,
+         |     unnest(generate_series(0, nchunks - 1)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  array_to_string(ws[i * 32 + 1 : i * 32 + 40], ' ') AS chunk_text,
+         |  CAST(least(40, len(ws) - i * 32) AS INT) AS n_tokens
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     // cumulative thresholds are the Scala side's exact doubles:
     // floor(0.8 * 2^32) = cccccccc, floor((0.8 + 0.1) * 2^32) = e6666666;

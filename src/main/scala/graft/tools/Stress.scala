@@ -240,6 +240,14 @@ object Stress {
       val hit = rep.where(col("contaminated")).count()
       println(s"   contaminated eval samples: $hit of 200 (output grain = |eval|)")
     }
+    time("chunkDocs (40 tokens, 8 overlap) on 100k docs") {
+      val out = graft.operators.TextAnalysis.chunkDocs(
+        big, "doc_id", "text", chunkTokens = 40, overlap = 8)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"chunking must ride the scan, found a shuffle:\n$plan")
+      println("   chunks: " + out.count() + " (map-side explode, zero exchanges)")
+    }
     time("gopher topGramFraction on 100k docs (full gram shuffle)") {
       val tg = graft.operators.TextAnalysis.topGramFraction(big, "doc_id", "text")
       // the claim: two shrinking shuffles — (doc, gram) counts, then per-doc

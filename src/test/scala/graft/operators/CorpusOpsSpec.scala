@@ -298,4 +298,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.packShards(docs, "doc_id", "text", "source",
       budgetTokens = 10).count() == 2L)
   }
+
+  test("takeWeighted == plain-Scala A-ES reference, rank-stable under n") {
+    def u(id: Long): Double =
+      (java.lang.Long.parseLong(md5hex(s"wtake|$id").take(8), 16) + 1.0) / 4294967296.0
+    val rows = (1L to 120L).map(i => (i, s"s${i % 3}", (10 + i % 50).toDouble))
+    val df = rows.toDF("id", "src", "w")
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy { case (id, _, w) =>
+        // Spark round() = BigDecimal.valueOf(x).setScale(6, HALF_UP)
+        (-java.math.BigDecimal.valueOf(math.log(u(id)) / w)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), id)
+      }.take(10).zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1) }
+    }
+    val got = CorpusOps.takeWeighted(df, "id", "src", "w", n = 10)
+      .select("id", "sample_rank").as[(Long, Int)].collect().toMap
+    assert(got == expected)
+    // growing n keeps the first picks (rank-stable eval growth)
+    val grown = CorpusOps.takeWeighted(df, "id", "src", "w", n = 25)
+      .select("id", "sample_rank").as[(Long, Int)].collect().toMap
+    got.foreach { case (id, r) => assert(grown(id) == r, s"id $id rank moved") }
+  }
+
+  test("takeWeighted: weight-proportional inclusion, non-positive weights excluded") {
+    // two strata-less populations: heavy docs (w=100) vs light (w=1);
+    // heavy should dominate the sample overwhelmingly
+    val rows = (1L to 400L).map(i =>
+      (i, "s", if (i <= 200) 100.0 else 1.0)) ++
+      Seq((401L, "s", 0.0), (402L, "s", -5.0))
+    val out = CorpusOps.takeWeighted(rows.toDF("id", "src", "w"),
+        "id", "src", "w", n = 50)
+      .select("id").as[Long].collect().toSet
+    assert(!out.contains(401L) && !out.contains(402L), "w <= 0 must never sample")
+    val heavy = out.count(_ <= 200)
+    assert(heavy >= 40, s"only $heavy/50 heavy docs sampled — not weight-proportional")
+  }
 }

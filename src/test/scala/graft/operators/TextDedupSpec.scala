@@ -443,4 +443,41 @@ class TextDedupSpec extends SparkSpec {
     // deterministic tie-break: docs 3 and 4 are identical -> identical ranking
     assert(byDoc(3L) == byDoc(4L))
   }
+
+  test("chunkDocs == plain-Scala sliding reference across sizes and overlaps") {
+    val rnd = new scala.util.Random(53)
+    for ((chunk, ov) <- Seq((5, 0), (5, 2), (8, 7), (40, 8))) {
+      val stride = chunk - ov
+      val docs = (1L to 30L).map(i =>
+        (i, List.fill(rnd.nextInt(100))(s"w${rnd.nextInt(20)}").mkString(" ")))
+      val expected = docs.flatMap { case (id, text) =>
+        val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (ws.isEmpty) Nil
+        else {
+          val nChunks = math.ceil(math.max(ws.length - ov, 1) / stride.toDouble).toInt
+          (0 until nChunks).map { c =>
+            val piece = ws.slice(c * stride, c * stride + chunk)
+            (id, c, piece.mkString(" "), piece.length)
+          }
+        }
+      }.toSet
+      val got = TextAnalysis.chunkDocs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", chunk, ov)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .as[(Long, Int, String, Int)].collect().toSet
+      assert(got == expected, s"chunk=$chunk overlap=$ov")
+    }
+  }
+
+  test("chunkDocs edges: empty doc yields no rows; short doc yields one full-copy chunk") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "only three words"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", 10, 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq((3L, 0, "only three words", 3)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(docs, "doc_id", "text", 10, overlap = 10)
+    }
+  }
 }
