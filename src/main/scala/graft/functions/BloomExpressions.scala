@@ -4,7 +4,7 @@ import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
@@ -25,7 +25,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * `BloomFilter.putString` hashes, so build and probe agree on any input.
   */
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
@@ -42,6 +42,17 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   override protected def nullSafeEval(input: Any): Any =
     bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  /** Full codegen — this sits in the SCAN's hot path (the whole point is
+    * probing before any exchange), so falling out of whole-stage codegen
+    * would tax every row of the shard. The deserialized filter is attached
+    * once per codegen instance via `addReferenceObj`; generated code is
+    * one virtual call per row. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => {
+      val bloomRef = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
+      s"$bloomRef.mightContainBinary($c.getBytes())"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -102,6 +102,38 @@ object TextAnalysis {
           "\\s+", " ")))
   }
 
+  /** HTML → text extraction — the web-corpus step BEFORE [[c4Clean]]:
+    * `<script>`/`<style>` blocks go first (their CONTENT is code, not
+    * prose — stripping tags alone would leak it into the text), then all
+    * remaining tags, then the six entities that actually occur at corpus
+    * frequency (`&amp;` decoded LAST so `&amp;lt;` yields the literal
+    * `&lt;` per the HTML spec, not a double-decode), then whitespace
+    * collapse. Tag/script counts ride along for filtering ("mostly markup"
+    * pages have high tag-to-text ratios). Pure map-side; regexes in the
+    * Java∩RE2 common dialect (non-greedy spans, inline (?is) flags) so
+    * the oracle matches. A full parser this is not — boilerplate DOM
+    * extraction (readability/trafilatura class) needs a tree, which is a
+    * per-document library call behind the [[Multimodal]] decode seam, not
+    * a column expression. */
+  def htmlExtract(docs: DataFrame, textCol: String): DataFrame = {
+    val scriptRe = "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>"
+    val tagRe = "(?s)<[^>]+>"
+    val t = col(textCol)
+    val noScript = regexp_replace(t, scriptRe, " ")
+    val noTags = regexp_replace(noScript, tagRe, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        // entity literals contain no regex metacharacters in either dialect
+        regexp_replace(c, ent, ch) }
+    docs
+      .withColumn("n_scripts", size(regexp_extract_all(t, lit(scriptRe), lit(0))))
+      .withColumn("n_tags", size(regexp_extract_all(noScript, lit(tagRe), lit(0))))
+      .withColumn("extracted_text",
+        trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   /** The C4 line/page cleaning rules proper (Raffel et al. 2020, §2.2 —
     * [[gopherSignals]] carries linear PROXIES of some of these; this is
     * the cleaning operator that actually EDITS the document):

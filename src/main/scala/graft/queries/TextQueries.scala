@@ -390,6 +390,22 @@ object TextQueries {
       .select("doc_id", "source", "sample_rank")
       .orderBy("doc_id")
 
+  /** HTML extraction exercised on REAL markup: the corpus text is wrapped
+    * in a deterministic page (style + script blocks whose CONTENT must
+    * vanish, nested tags, the entity set incl. the `&amp;lt;`-ordering
+    * case) that the oracle reproduces — every rule fires on every row. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val aug = docs(s, dir).withColumn("html", concat(
+      lit("<html><head><style>p{color:red}</style><script type=\"text/js\">var x"),
+      col("doc_id"),
+      lit(";</script></head><body><p class=\"main\">"),
+      col("text"),
+      lit("</p><div>Tom &amp; Jerry &lt;3&nbsp;wins &amp;lt;sometimes&amp;gt;</div></body></html>")))
+    TextAnalysis.htmlExtract(aug, "html")
+      .select("doc_id", "n_scripts", "n_tags", "extracted_text")
+      .orderBy("doc_id")
+  }
+
   /** Token chunking at 40 tokens / 8 overlap — sized so gate docs split
     * into several chunks and the short-tail rule fires. */
   def chunkDocs(s: SparkSession, dir: String): DataFrame =
@@ -502,6 +518,7 @@ object TextQueries {
     "corpus_take" -> (corpusTake _),
     "corpus_take_weighted" -> (corpusTakeWeighted _),
     "chunk_docs" -> (chunkDocs _),
+    "html_extract" -> (htmlExtract _),
     "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
@@ -1038,6 +1055,33 @@ object TextQueries {
         |      AS INT) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 15 ORDER BY doc_id""".stripMargin,
+
+    // same augmentation, same two-stage strip (script/style content first,
+    // tags second), same entity order with &amp; last; plain replace() for
+    // entities (no metacharacters), regex dialect kept to Java∩RE2
+    "html_extract" ->
+      """WITH aug AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style><script type="text/js">var x'
+        |  || CAST(doc_id AS VARCHAR) || ';</script></head><body><p class="main">'
+        |  || text ||
+        |  '</p><div>Tom &amp; Jerry &lt;3&nbsp;wins &amp;lt;sometimes&amp;gt;</div></body></html>'
+        |    AS h FROM documents),
+        | s1 AS (SELECT doc_id, h,
+        |   regexp_replace(h, '<(script|style)[^>]*>.*?</(script|style)\s*>',
+        |                  ' ', 'gis') AS ns FROM aug),
+        | s2 AS (SELECT doc_id, h, ns,
+        |   regexp_replace(ns, '<[^>]+>', ' ', 'gs') AS nt FROM s1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(h,
+        |    '<(script|style)[^>]*>.*?</(script|style)\s*>', 0, 'is')) AS INT)
+        |    AS n_scripts,
+        |  CAST(len(regexp_extract_all(ns, '<[^>]+>', 0, 's')) AS INT) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(nt,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted_text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     // A-ES re-derived: u from the md5 hex digits positionally (each term
     // digit * 16^(8-i) is exact in double, the sum <= 2^32 is exact, so u

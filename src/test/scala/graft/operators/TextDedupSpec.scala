@@ -444,6 +444,24 @@ class TextDedupSpec extends SparkSpec {
     assert(byDoc(3L) == byDoc(4L))
   }
 
+  test("htmlExtract: script/style content vanishes, entities decode in spec order") {
+    val docs = Seq(
+      (1L, "<html><script>var secret = 1;</script><p>Hello <b>world</b></p></html>"),
+      (2L, "<style>body { background: url(x) }</style>Tom &amp; Jerry"),
+      (3L, "a &amp;lt;tag&amp;gt; literal"),   // &amp; LAST: no double decode
+      (4L, "no markup at all"),
+      (5L, "<SCRIPT TYPE=\"a\">upper</SCRIPT>case")) // (?i) on the block regex
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.htmlExtract(docs, "text")
+      .select("doc_id", "n_scripts", "n_tags", "extracted_text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == "Hello world" && out(1L)._2 == 1 && out(1L)._3 == 6)
+    assert(out(2L)._4 == "Tom & Jerry" && out(2L)._2 == 1)
+    assert(out(3L)._4 == "a &lt;tag&gt; literal") // spec-correct single decode
+    assert(out(4L)._4 == "no markup at all" && out(4L)._2 == 0 && out(4L)._3 == 0)
+    assert(out(5L)._4 == "case" && out(5L)._2 == 1)
+  }
+
   test("chunkDocs == plain-Scala sliding reference across sizes and overlaps") {
     val rnd = new scala.util.Random(53)
     for ((chunk, ov) <- Seq((5, 0), (5, 2), (8, 7), (40, 8))) {
