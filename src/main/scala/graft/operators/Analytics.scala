@@ -29,7 +29,11 @@ object Analytics {
     * shuffle, this moves at most k rows per (group, task). Same output,
     * same semantics (`orderCol` DESC, `tieBreak` ASC, rank 1..k):
     * "metric DESC, id ASC" rides the heap's natural struct order as
-    * `(orderCol, -tieBreak)`, so `tieBreak` must be numeric here.
+    * `(orderCol, -tieBreak)`, so `tieBreak` must be a NON-NULL,
+    * non-NaN numeric (an id column, its natural use) — a null/NaN
+    * tie-break would place differently here (null smallest under struct
+    * order) than under the window's asc-nulls-first, and the identity
+    * contract is only claimed for clean keys.
     * The identity to the window path is pinned in AnalyticsSpec and by
     * the gate, whose oracle is `q_topk_group`'s SQL verbatim. */
   def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String], orderCol: String,

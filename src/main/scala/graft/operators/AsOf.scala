@@ -62,10 +62,17 @@ object AsOf {
       col(leftKey).as("_k"), col(leftTs).as("_t"), lit(1).as("_tag"),
       struct(left.columns.map(col): _*).as("_lrow"),
       lit(null).cast(carryType).as("_carry"))
-    val r = right.select(
-      col(rightKey).as("_k"), col(rightTs).as("_t"), lit(0).as("_tag"),
-      lit(null).cast(lrowType).as("_lrow"),
-      struct(carryCols.map(col): _*).as("_carry"))
+    // join semantics for dirty rows: a NULL key never matches anything
+    // (Window.partitionBy would otherwise group null-keyed rows TOGETHER
+    // and enrich them off each other), and a NULL right timestamp has no
+    // place on the timeline — both are dropped from the match side; left
+    // rows always survive, unmatched
+    val r = right
+      .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTs).as("_t"), lit(0).as("_tag"),
+        lit(null).cast(lrowType).as("_lrow"),
+        struct(carryCols.map(col): _*).as("_carry"))
 
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_tag"), col("_carry"))

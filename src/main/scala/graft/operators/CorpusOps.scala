@@ -171,11 +171,16 @@ object CorpusOps {
     * favoring the long/high-quality ones".
     *
     * Non-positive weights are EXCLUDED (A-ES is undefined there; a zero
-    * weight means "never sample" in every weighting scheme). The key is
-    * rounded to 6 (SURVEY §4) before ranking with an id tie-break, so the
-    * oracle's libm and the JVM's agree on the order. Same scale shape as
-    * [[takeStratified]]: one per-stratum window — a mega-stratum
-    * serializes through one partition; the Bernoulli
+    * weight means "never sample" in every weighting scheme). Weights are
+    * NORMALIZED by the per-stratum maximum before keying — A-ES ordering
+    * is invariant under scaling all weights by a constant, and without it
+    * large absolute weights (byte counts, ~1e8) would push every key
+    * inside the round-6 quantum and silently degenerate the draw into
+    * min-id selection. The normalized key is rounded to 6 (SURVEY §4)
+    * before ranking with an id tie-break, so the oracle's libm and the
+    * JVM's agree on the order. Same scale shape as [[takeStratified]]:
+    * one per-stratum window (the max rides the same partitioning) — a
+    * mega-stratum serializes through one partition; the Bernoulli
     * [[importanceSample]] is the map-side alternative there. */
   def takeWeighted(docs: DataFrame, idCol: String, strataCol: String,
                    weightCol: String, n: Long,
@@ -184,12 +189,15 @@ object CorpusOps {
     val u = (conv(substring(md5(concat(lit(salt + "|"),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 1.0) /
       lit(4294967296.0)
-    val key = round(log(u) / col(weightCol), 6)
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(key.desc, col(idCol))
+    val byStratum = Window.partitionBy(col(strataCol))
     docs.where(col(weightCol) > 0)
-      .withColumn("sample_rank", row_number().over(w))
+      .withColumn("_maxw", max(col(weightCol)).over(byStratum))
+      .withColumn("_key",
+        round(log(u) * col("_maxw") / col(weightCol), 6))
+      .withColumn("sample_rank", row_number().over(
+        byStratum.orderBy(col("_key").desc, col(idCol))))
       .where(col("sample_rank") <= n)
+      .drop("_maxw", "_key")
   }
 
   /** Deterministic train/valid/test corpus split: every document lands in

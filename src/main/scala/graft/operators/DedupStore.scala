@@ -59,6 +59,17 @@ object DedupStore {
     val newBands = Dedup.lshBands(
         Dedup.minhashSignatures(newDocs, idCol, textCol), idCol)
       .localCheckpoint(false)
+    // disjoint by construction: a mixed pair has exactly one side in the
+    // store, a fresh pair neither
+    mixedLeg(newBands, idCol, store)
+      .union(Dedup.candidatesFromBands(newBands, idCol))
+  }
+
+  /** The new×history band equi-join — ONE body shared by the plain and
+    * bloom-prefiltered paths, so their output identity (the property the
+    * `dedup_incr_bloom` gate pins) is structural, not a parallel edit. */
+  private def mixedLeg(newBands: DataFrame, idCol: String,
+                       store: DataFrame): DataFrame = {
     val n = Dedup.NumHashes
     val a = newBands.select(col(idCol).as("_new_id") +: col("band") +:
       col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"si$k")): _*)
@@ -67,7 +78,7 @@ object DedupStore {
     val matches = (0 until n)
       .map(k => when(col(s"si$k") === col(s"sj$k"), 1).otherwise(0))
       .reduce(_ + _)
-    val mixed = a.join(h, Seq("band", "band_hash"))
+    a.join(h, Seq("band", "band_hash"))
       .where(col("_new_id") =!= col("_hist_id"))
       .select(
         least(col("_new_id"), col("_hist_id")).as("i"),
@@ -75,10 +86,6 @@ object DedupStore {
         (matches.cast("double") / n).as("est_sim"))
       // a pair can collide in several bands; est_sim is identical for all
       .groupBy(col("i"), col("j")).agg(max(col("est_sim")).as("est_sim"))
-    val fresh = Dedup.candidatesFromBands(newBands, idCol)
-    // disjoint by construction: a mixed pair has exactly one side in the
-    // store, a fresh pair neither
-    mixed.union(fresh)
   }
 
   /** Serialized Bloom filter over the store's (band, band_hash) keys —
@@ -86,9 +93,9 @@ object DedupStore {
     * itself) and hand the bytes to [[incrementalCandidatesBloom]] for
     * every subsequent shard. The build is one distributed aggregation
     * over the store (no shuffle — partial filters merge on the driver);
-    * the artifact is `~1.2 * n * ln(1/fpp)` BITS (≈ 1.2 GB per billion
-    * band keys at 1% — executor-broadcastable where the store itself is
-    * not). */
+    * the artifact is `~1.44 * n * log2(1/fpp)` bits ≈ 9.6 bits/key at 1%
+    * fpp (≈ 1.2 GB per billion band keys — executor-broadcastable where
+    * the store itself is not). */
   def bloomOf(store: DataFrame, expectedItems: Long,
               fpp: Double = 0.01): Array[Byte] = {
     val bf = store.stat.bloomFilter(
@@ -114,28 +121,16 @@ object DedupStore {
     val newBands = Dedup.lshBands(
         Dedup.minhashSignatures(newDocs, idCol, textCol), idCol)
       .localCheckpoint(false)
-    val n = Dedup.NumHashes
     val mightMatch = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.BloomMightContain(
         org.apache.spark.sql.graft.Bridge.expression(
           concat_ws(":", col("band"), col("band_hash"))),
         bloomBytes))
-    val a = newBands.where(mightMatch)
-      .select(col(idCol).as("_new_id") +: col("band") +:
-        col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"si$k")): _*)
-    val h = store.select(col(idCol).as("_hist_id") +: col("band") +:
-      col("band_hash") +: (0 until n).map(k => col(s"sig$k").as(s"sj$k")): _*)
-    val matches = (0 until n)
-      .map(k => when(col(s"si$k") === col(s"sj$k"), 1).otherwise(0))
-      .reduce(_ + _)
-    val mixed = a.join(h, Seq("band", "band_hash"))
-      .where(col("_new_id") =!= col("_hist_id"))
-      .select(
-        least(col("_new_id"), col("_hist_id")).as("i"),
-        greatest(col("_new_id"), col("_hist_id")).as("j"),
-        (matches.cast("double") / n).as("est_sim"))
-      .groupBy(col("i"), col("j")).agg(max(col("est_sim")).as("est_sim"))
-    mixed.union(Dedup.candidatesFromBands(newBands, idCol))
+    // the ONLY difference from the plain path: the probe side is
+    // bloom-prefiltered before [[mixedLeg]]'s join — no false negatives,
+    // so the candidate set is provably unchanged
+    mixedLeg(newBands.where(mightMatch), idCol, store)
+      .union(Dedup.candidatesFromBands(newBands, idCol))
   }
 
   /** Streaming twin of the new×history leg: score ARRIVING documents

@@ -38,6 +38,10 @@ object RangeJoin {
     val overlap = (points.columns.toSet & intervals.columns.toSet) -- keyCols
     require(overlap.isEmpty,
       s"non-key columns present on both sides: ${overlap.mkString(", ")}")
+    // "_bin" is this operator's working column: withColumn would silently
+    // clobber (and the final drop lose) a user column of that name
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "'_bin' is reserved by rangeJoin; rename the input column")
 
     val p = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))

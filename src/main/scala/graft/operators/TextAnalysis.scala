@@ -127,9 +127,13 @@ object TextAnalysis {
       .foldLeft(noTags) { case (c, (ent, ch)) =>
         // entity literals contain no regex metacharacters in either dialect
         regexp_replace(c, ent, ch) }
+    // size(null) is -1 in non-ANSI Spark — propagate null honestly instead
+    // of a sentinel that would slip through an 'n_tags > threshold' filter
+    def cnt(c: org.apache.spark.sql.Column) =
+      when(t.isNotNull, size(c))
     docs
-      .withColumn("n_scripts", size(regexp_extract_all(t, lit(scriptRe), lit(0))))
-      .withColumn("n_tags", size(regexp_extract_all(noScript, lit(tagRe), lit(0))))
+      .withColumn("n_scripts", cnt(regexp_extract_all(t, lit(scriptRe), lit(0))))
+      .withColumn("n_tags", cnt(regexp_extract_all(noScript, lit(tagRe), lit(0))))
       .withColumn("extracted_text",
         trim(regexp_replace(decoded, "\\s+", " ")))
   }
@@ -522,7 +526,13 @@ object TextAnalysis {
     * documents tied at (or within sketch error of) a cut point, which is
     * the documented CCNet trade: the thresholds themselves are computed
     * on a sketch. `accuracy` is `percentile_approx`'s knob (higher =
-    * tighter cuts, more sketch memory). */
+    * tighter cuts, more sketch memory). Degenerate distributions are the
+    * other edge of that trade: when over `1/nBuckets` of a language's
+    * docs share ONE score, adjacent quantile cuts coincide and a middle
+    * bucket can come out structurally EMPTY (every doc jumps head→tail);
+    * the exact path splits such ties arbitrarily by id instead. Check
+    * per-bucket counts before relying on a mixture that samples a
+    * specific bucket. */
   def perplexityBucketsApprox(docs: DataFrame, idCol: String, textCol: String,
                               langCol: String, nBuckets: Int = 3,
                               accuracy: Int = 10000): DataFrame = {

@@ -103,16 +103,7 @@ object AnalyticsQueries {
     // the heap-aggregate path must reproduce the window path bit for bit —
     // one oracle serves both
     "q_topk_agg" -> topkOracle,
-    "q_topk_group" ->
-      """WITH rev AS (
-        |  SELECT p.p_brand AS brand, l.l_partkey AS part_id,
-        |         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |  GROUP BY 1, 2)
-        |SELECT brand, part_id, revenue,
-        |       CAST(row_number() OVER (PARTITION BY brand ORDER BY revenue DESC, part_id) AS INT) AS rank
-        |FROM rev QUALIFY rank <= 3
-        |ORDER BY brand, rank""".stripMargin,
+    "q_topk_group" -> topkOracle,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,

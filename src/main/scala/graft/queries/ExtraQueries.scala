@@ -177,24 +177,28 @@ object ExtraQueries {
     // the union-tag-window re-derivation: purchases sort before events at
     // an equal ts (tag 0 < 1, giving <= semantics); among tied purchases
     // the (p_ts, p_value) order makes the carried row the lexicographic
-    // max — the operator's documented deterministic tie-break
+    // max — the operator's documented deterministic tie-break. The carry
+    // is ONE struct (NULL for event rows) so ts and value always come
+    // from the SAME purchase — two independent last_value(IGNORE NULLS)
+    // would mix rows whenever a purchase carries a NULL value
     "q_asof" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,
         |              CAST(ts AS TIMESTAMP) AS ts FROM events),
         |u AS (
         |  SELECT user_id, ts, 1 AS tag, event_id, event_type,
-        |    CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS p_value
+        |    CAST(NULL AS STRUCT(p_ts TIMESTAMP, p_value DOUBLE)) AS carry
         |  FROM ev
         |  UNION ALL
-        |  SELECT user_id, ts, 0 AS tag, NULL, NULL, ts, value
+        |  SELECT user_id, ts, 0 AS tag, NULL, NULL,
+        |    struct_pack(p_ts := ts, p_value := value)
         |  FROM ev WHERE event_type = 'purchase'),
         |w AS (SELECT user_id, ts, tag, event_id, event_type,
-        |    last_value(p_ts IGNORE NULLS) OVER win AS asof_p_ts,
-        |    last_value(p_value IGNORE NULLS) OVER win AS asof_p_value
+        |    last_value(carry IGNORE NULLS) OVER win AS m
         |  FROM u
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, p_ts, p_value
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, carry
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, ts, event_type, asof_p_ts, asof_p_value
+        |SELECT event_id, user_id, ts, event_type,
+        |  m.p_ts AS asof_p_ts, m.p_value AS asof_p_value
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
     "q_range" ->

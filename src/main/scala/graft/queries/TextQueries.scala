@@ -1086,8 +1086,9 @@ object TextQueries {
     // A-ES re-derived: u from the md5 hex digits positionally (each term
     // digit * 16^(8-i) is exact in double, the sum <= 2^32 is exact, so u
     // is bitwise the Scala side's conv()-based value); ln matches bitwise
-    // across engines (the lm_logprob precedent), key rounded to 6 before
-    // ranking with an id tie-break
+    // across engines (the lm_logprob precedent); weights normalized by the
+    // per-stratum max (same multiply-then-divide order as the Scala), key
+    // rounded to 6 before ranking with an id tie-break
     "corpus_take_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
@@ -1096,8 +1097,11 @@ object TextQueries {
         |        * power(16, 8 - i) for i in generate_series(1, 8)]) + 1)
         |      / 4294967296.0 AS u
         |  FROM documents),
-        | r AS (SELECT doc_id, source, round(ln(u) / w, 6) AS key
-        |   FROM b WHERE w > 0)
+        | m AS (SELECT doc_id, source, w, u,
+        |     max(w) OVER (PARTITION BY source) AS maxw
+        |   FROM b WHERE w > 0),
+        | r AS (SELECT doc_id, source, round(ln(u) * maxw / w, 6) AS key
+        |   FROM m)
         |SELECT doc_id, source, sample_rank FROM (
         |  SELECT doc_id, source,
         |    CAST(row_number() OVER (PARTITION BY source

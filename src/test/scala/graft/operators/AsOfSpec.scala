@@ -71,6 +71,19 @@ class AsOfSpec extends SparkSpec {
     assert(got(2L).isEmpty)       // 3100 s back, stale
   }
 
+  test("null keys never match (join semantics), null right timestamps dropped") {
+    val left = Seq((1L, Option.empty[Long], ts(100)), (2L, Some(1L), ts(100)))
+      .toDF("id", "k", "t")
+    val right = Seq((Option.empty[Long], Option(ts(50)), 9.0),
+        (Some(1L), Option(ts(50)), 3.0),
+        (Some(1L), Option.empty[Timestamp], 4.0))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.asofJoin(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty, "null-keyed left row must not enrich off null-keyed right")
+    assert(got(2L).contains(3.0), "null-ts right row must not be carried")
+  }
+
   test("collision and type-mismatch guards fail fast") {
     val left = Seq((1L, 1L, ts(1), 0.0)).toDF("id", "k", "t", "asof_rt")
     val right = Seq((1L, ts(1), 1.0)).toDF("rk", "rt", "v")

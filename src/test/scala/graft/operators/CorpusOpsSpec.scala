@@ -305,9 +305,11 @@ class CorpusOpsSpec extends SparkSpec {
     val rows = (1L to 120L).map(i => (i, s"s${i % 3}", (10 + i % 50).toDouble))
     val df = rows.toDF("id", "src", "w")
     val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val maxW = rs.map(_._3).max
       rs.sortBy { case (id, _, w) =>
-        // Spark round() = BigDecimal.valueOf(x).setScale(6, HALF_UP)
-        (-java.math.BigDecimal.valueOf(math.log(u(id)) / w)
+        // Spark round() = BigDecimal.valueOf(x).setScale(6, HALF_UP);
+        // per-stratum max-normalized like the operator
+        (-java.math.BigDecimal.valueOf(math.log(u(id)) * maxW / w)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), id)
       }.take(10).zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1) }
     }
@@ -318,6 +320,13 @@ class CorpusOpsSpec extends SparkSpec {
     val grown = CorpusOps.takeWeighted(df, "id", "src", "w", n = 25)
       .select("id", "sample_rank").as[(Long, Int)].collect().toMap
     got.foreach { case (id, r) => assert(grown(id) == r, s"id $id rank moved") }
+    // A-ES is scale-invariant and the key is max-normalized, so byte-count
+    // magnitude weights (~1e9) must reproduce the SAME draw — the round-6
+    // quantum must not collapse large-weight keys into min-id selection
+    val scaled = CorpusOps.takeWeighted(
+        df.withColumn("w", col("w") * 1e9), "id", "src", "w", n = 10)
+      .select("id", "sample_rank").as[(Long, Int)].collect().toMap
+    assert(scaled == got, "1e9-scaled weights changed the draw")
   }
 
   test("takeWeighted: weight-proportional inclusion, non-positive weights excluded") {

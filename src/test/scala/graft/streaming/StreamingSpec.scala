@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("htmlExtract + chunkDocs run UNCHANGED on a stream (extract-then-chunk)") {
+    // extraction is a map-side projection, chunking a map-side generator —
+    // both streaming-legal, so the arriving-page pipeline (extract markup,
+    // window into training chunks) is the SAME library composition
+    implicit val sq = spark.sqlContext
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.chunkDocs(
+        graft.operators.TextAnalysis.htmlExtract(df, "html")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("extracted_text").as("text")),
+        "doc_id", "text", chunkTokens = 4, overlap = 1)
+    val mem = MemoryStream[(Long, String)]
+    val streaming = transform(mem.toDF().toDF("doc_id", "html"))
+    assert(streaming.isStreaming, "extract+chunk must preserve streaminess")
+    val q = streaming.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "<p>one two three four five six seven</p>"),
+        (2L, "<script>junk()</script><b>tiny doc</b>"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_chunks")
+        .as[(Long, Int, String, Int)].collect().toSet
+      val batch = transform(rows.toDF("doc_id", "html"))
+        .as[(Long, Int, String, Int)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.contains((1L, 0, "one two three four", 4)))
+      assert(streamed.contains((2L, 0, "tiny doc", 2)))
+    } finally q.stop()
+  }
+
   test("splitCorpus assigns arriving documents to splits, identical to batch") {
     // the carve-out is a per-doc hash, so routing documents to
     // train/valid/test AS THEY ARRIVE is the same library call — and a
