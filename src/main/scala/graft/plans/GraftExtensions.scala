@@ -20,6 +20,9 @@ import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignatur
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in optimizer rewrite: window top-k idiom → bounded-heap
+    // aggregate (spark.graft.rewrite.topk=true; no-op otherwise)
+    ext.injectOptimizerRule(_ => TopKRewrite())
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
