@@ -132,6 +132,56 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** n-gram CONTAINMENT pairs — the asymmetric sibling of [[ngramJaccard]]
+    * for the short-inside-long case Jaccard structurally misses: a quote,
+    * an excerpt, or a fully-embedded document has `|A∩B|/|A| ≈ 1` while
+    * `|A∩B|/|A∪B|` stays small, so neither the Jaccard threshold nor the
+    * MINHASH candidate generator (band collision probability tracks
+    * Jaccard) would surface the pair. Candidates here come from a
+    * DF-CAPPED shingle equi-join instead: pairs sharing at least one
+    * RARE shingle (document frequency <= `maxDf`), then exact
+    * intersection rescoring; both directions emitted, thresholded on the
+    * larger one. A contained doc shares ~all its shingles with its
+    * container, so it is missed only if EVERY shared shingle is more
+    * common than `maxDf` — boilerplate-only containment, which the
+    * boilerplate operators own.
+    *
+    * Scale shape: one shingle explode (distinct per doc), one tiny
+    * df rollup, the candidate join keyed on the shingle with the df cap
+    * bounding per-key fan-out at `maxDf²` pairs — the cap IS the skew
+    * guard (a stop-shingle never becomes a hot key); exact rescore only
+    * on candidates, the [[ngramJaccard]] shape. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxDf: Int = 100): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
+    require(maxDf >= 2, s"maxDf=$maxDf: need >= 2 for any pair to form")
+    val sh = docs
+      .withColumn("_sh", Bridge.column(ShingleSet(
+        Bridge.expression(normWords(col(textCol))), 3)))
+      .where(size(col("_sh")) > 0)
+      .select(col(idCol), col("_sh"))
+      .localCheckpoint(false)
+    val grams = sh.select(col(idCol), explode(col("_sh")).as("gram"))
+    val rare = grams.join(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxDf)
+        .select(col("gram")),
+      Seq("gram"))
+    val cand = rare.select(col("gram"), col(idCol).as("i"))
+      .join(rare.select(col("gram"), col(idCol).as("j")), Seq("gram"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
+    cand
+      .join(sh.select(col(idCol).as("i"), col("_sh").as("sh_i")), "i")
+      .join(sh.select(col(idCol).as("j"), col("_sh").as("sh_j")), "j")
+      .withColumn("containment_i", inter.cast("double") / size(col("sh_i")))
+      .withColumn("containment_j", inter.cast("double") / size(col("sh_j")))
+      .where(greatest(col("containment_i"), col("containment_j")) >= threshold)
+      .select("i", "j", "containment_i", "containment_j")
+  }
+
   /** Near-duplicate clusters: connected components over the verified
     * near-dup pairs, labeling every doc with the minimum doc id reachable
     * through near-dup edges (`cluster_id`); `is_canonical` marks the keeper.

@@ -204,6 +204,35 @@ object Similarity {
     * it. Cell skew (a dense semantic region) is AQE's skew-join case on
     * the cell key; the SemDeDup answer is raising `nCells` so cells stay
     * small. */
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[CorpusOps.decontaminate]]: n-gram collision catches verbatim
+    * leakage, but a PARAPHRASED or TRANSLATED benchmark item shares no
+    * n-grams with its source; in embedding space it still sits next to
+    * it. One row per (corpus doc, eval doc) pair with cosine >=
+    * `threshold`.
+    *
+    * Scale shape: the eval side is tiny by definition (a benchmark), so
+    * it broadcasts and the corpus is ONE map-side scan scoring each row
+    * against every eval vector with the codegen'd dot product — no
+    * shuffle of anything, ever; corpus × eval work is linear in the
+    * corpus for a fixed benchmark. This is the rare case where the
+    * "all-pairs" comparison IS the scale shape, because one side is
+    * constant-sized. */
+  def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            evalIdCol: String, evalVecCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
+    val c = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
+    val e = eval.select(col(evalIdCol).as("eval_id"),
+      unitNorm(asDouble(col(evalVecCol))).as("_en"))
+    c.crossJoin(broadcast(e))
+      .withColumn("cos_sim", round(dotCol(col("_vn"), col("_en")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col(idCol), col("eval_id"), col("cos_sim"))
+  }
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, threshold: Double,
                     seed: Long = 42L,

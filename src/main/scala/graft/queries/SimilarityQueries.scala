@@ -116,8 +116,21 @@ object SimilarityQueries {
     Similarity.semanticDedupIndexed(ivfIndex(s, dir), threshold = 0.45)
       .orderBy("vec_id")
 
+  /** Semantic decontamination: eval = every 50th vector (the decontaminate
+    * carve), self-pairs excluded; threshold 0.45 — the corpus's real
+    * near-neighbor band (0.6 selects nothing here, 0.35 is `emb_neardup`'s
+    * related-pairs band). */
+  def deconSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.decontaminateSemantic(e, e.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.45)
+      .where(col("vec_id") =!= col("eval_id"))
+      .orderBy("vec_id", "eval_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
+    "decon_semantic" -> (deconSemantic _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),
     "ann_lsh" -> (annLsh _),
@@ -184,6 +197,15 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "ann_lsh" -> annLshOracle,
+    "decon_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 50 = 0)
+        |SELECT e.vec_id, ev.eval_id,
+        |  round(list_cosine_similarity(e.v, ev.evv), 6) AS cos_sim
+        |FROM e CROSS JOIN ev
+        |WHERE round(list_cosine_similarity(e.v, ev.evv), 6) >= 0.45
+        |  AND e.vec_id <> ev.eval_id
+        |ORDER BY vec_id, eval_id""".stripMargin,
     "ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $QueryCount)

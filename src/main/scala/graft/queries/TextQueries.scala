@@ -51,6 +51,14 @@ object TextQueries {
     Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)
       .orderBy("i", "j")
 
+  /** Containment pairs at 0.8: the planted near-dup families yield real
+    * short-inside-long relations (truncated variants), and the df-capped
+    * candidate join — NOT minhash bands — is what finds them. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(docs(s, dir), "doc_id", "text",
+        threshold = 0.8, maxDf = 50)
+      .orderBy("i", "j")
+
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("i", "j")
@@ -503,6 +511,7 @@ object TextQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_clusters" -> (dedupClusters _),
     "text_clean" -> (textClean _),
     "corpus_stats" -> (corpusStats _),
@@ -877,6 +886,28 @@ object TextQueries {
          |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
          |  FROM cand JOIN sh sa ON cand.i = sa.doc_id JOIN sh sb ON cand.j = sb.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+
+    // containment candidates from the df-capped rare-shingle join (NOT the
+    // minhash bands — band collisions track Jaccard, which containment
+    // pairs lack by construction), exact rescore, both directions
+    "dedup_containment" ->
+      s"""WITH ${normWordsFrom("documents")},
+         |$shOnlySql,
+         | g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         | rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+         | rg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+         | cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |   FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+         |SELECT i, j, containment_i, containment_j FROM (
+         |  SELECT cand.i, cand.j,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s)
+         |      AS containment_i,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sb.s)
+         |      AS containment_j
+         |  FROM cand JOIN sh sa ON cand.i = sa.doc_id
+         |            JOIN sh sb ON cand.j = sb.doc_id)
+         |WHERE greatest(containment_i, containment_j) >= 0.8
+         |ORDER BY i, j""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id,

@@ -95,6 +95,17 @@ object Stress {
       println("   pairs: " + p.count() + " (band equi-join; all-pairs space = " +
         (100000L * 99999L / 2) + ")")
     }
+    time("ngramContainment (>=0.9, maxDf=25) on 100k docs") {
+      // replicas make ~20-doc families; the df cap bounds the rare-gram
+      // join's per-key fan-out at 25² while family containment survives
+      val p = Dedup.ngramContainment(big, "doc_id", "text",
+        threshold = 0.9, maxDf = 25)
+      val plan = p.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), "containment went all-pairs!")
+      println("   pairs: " + p.count() + " (df-capped shingle equi-join; " +
+        "all-pairs space = " + (100000L * 99999L / 2) + ")")
+    }
     time("tfidfTopTerms (k=5) on 100k docs") {
       val tt = graft.operators.TextAnalysis.tfidfTopTerms(big, "doc_id", "text", k = 5)
       println("   rows: " + tt.count())
@@ -359,6 +370,17 @@ object Stress {
     // Self-join LSH needs more planes than the 8-query ANN path: 2^12
     // buckets/table bounds occupancy (identical vectors still share every
     // bucket, so duplicate recall stays 1.0 by construction).
+    time("decontaminateSemantic: 40k vectors vs 200-vector eval, broadcast-only") {
+      val eval = bigEmb.where(col("vec_id") % 200 === 0)
+      val hits = Similarity.decontaminateSemantic(bigEmb, eval,
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.9)
+        .where(col("vec_id") =!= col("eval_id"))
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "semantic decontamination shuffled the corpus!")
+      println("   contaminated pairs: " + hits.count() +
+        " (eval broadcast; corpus scanned once, zero shuffles)")
+    }
     time("neardupPairsLsh (cos>=0.9) over 40k vectors, 8x12 config") {
       val p = Similarity.neardupPairsLsh(bigEmb, "vec_id", "embedding",
         threshold = 0.9, nTables = 8, planesPerTable = 12, dim = 64)

@@ -208,6 +208,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("decontaminateSemantic == threshold-filtered cosine vs eval, no shuffle in plan") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val eval = e.where(col("vec_id") % 50 === 0)
+    val out = Similarity.decontaminateSemantic(e, eval,
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.3)
+      .where(col("vec_id") =!= col("eval_id"))
+    val got = out.select("vec_id", "eval_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // reference via the existing (oracled) all-pairs path, restricted to
+    // pairs touching the eval carve, re-oriented to (corpus, eval)
+    val ref = Similarity.neardupPairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+      .flatMap { p: (Long, Long, Double) =>
+        val (i, j, cs) = p
+        Seq(i -> j, j -> i).collect {
+          case (c, ev) if ev % 50 == 0 && c % 50 != 0 => (c, ev, cs)
+        } ++ (if (i % 50 == 0 && j % 50 == 0) Seq((i, j, cs), (j, i, cs)) else Nil)
+      }
+    assert(got == ref)
+    val plan = out.queryExecution.executedPlan.toString
+    // the eval side BROADCASTS (by design); the corpus must never SHUFFLE
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"decontaminateSemantic must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"eval side should broadcast:\n$plan")
+  }
+
   test("semanticDedup == components of (exact pairs ∩ co-celled), given its own cells") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val out = Similarity.semanticDedup(e, "vec_id", "embedding",

@@ -444,6 +444,49 @@ class TextDedupSpec extends SparkSpec {
     assert(byDoc(3L) == byDoc(4L))
   }
 
+  test("ngramContainment finds a short-inside-long pair that Jaccard misses") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (20 to 29).map(i => s"tok$i").mkString(" ") // 10 of 60 words
+    val docs = Seq((1L, base), (2L, excerpt),
+      (3L, (100 to 140).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainment(docs, "doc_id", "text", threshold = 0.9)
+      .select("i", "j", "containment_i", "containment_j")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.length == 1)
+    val (i, j, ci, cj) = pairs.head
+    assert((i, j) == (1L, 2L))
+    assert(cj == 1.0, "every excerpt shingle is in the container")
+    assert(ci < 0.2, "the container is NOT contained in the excerpt")
+    // the symmetric Jaccard path at the same bar finds nothing: the pair
+    // is invisible to a Jaccard threshold (and to minhash banding)
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.9).count()
+    assert(jac == 0L)
+  }
+
+  test("ngramContainment == plain-Scala reference on random corpora") {
+    val rnd = new scala.util.Random(61)
+    for (_ <- 1 to 5) {
+      val docs = (1L to 10L).map(i =>
+        (i, List.fill(8 + rnd.nextInt(25))(s"w${rnd.nextInt(15)}").mkString(" ")))
+      def shOf(t: String) = t.split(" ").toList.sliding(3)
+        .filter(_.size == 3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        si = shOf(ti); sj = shOf(tj)
+        inter = (si & sj).size
+        if si.nonEmpty && sj.nonEmpty
+        ci = inter.toDouble / si.size; cj = inter.toDouble / sj.size
+        if math.max(ci, cj) >= 0.5
+      } yield (i, j) -> ((ci, cj))).toMap
+      val got = Dedup.ngramContainment(docs.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.5, maxDf = 10)
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      // maxDf = corpus size → no candidate is ever df-pruned here
+      assert(got == expected, s"docs: $docs")
+    }
+  }
+
   test("htmlExtract: script/style content vanishes, entities decode in spec order") {
     val docs = Seq(
       (1L, "<html><script>var secret = 1;</script><p>Hello <b>world</b></p></html>"),
