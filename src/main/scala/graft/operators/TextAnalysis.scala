@@ -125,8 +125,9 @@ object TextAnalysis {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) =>
-        // entity literals contain no regex metacharacters in either dialect
-        regexp_replace(c, ent, ch) }
+        // LITERAL find/replace (StringReplace) — six regex-engine passes
+        // for fixed strings would tax the map-side hot path for nothing
+        replace(c, lit(ent), lit(ch)) }
     // size(null) is -1 in non-ANSI Spark — propagate null honestly instead
     // of a sentinel that would slip through an 'n_tags > threshold' filter
     def cnt(c: org.apache.spark.sql.Column) =

@@ -43,6 +43,10 @@ case class TopKRewrite() extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rewrite.topk", "false").toBoolean
 
+  /** Largest k the rewrite touches (`spark.graft.rewrite.topk.maxK`). */
+  private def maxK: Int =
+    conf.getConfString("spark.graft.rewrite.topk.maxK", "1000").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
@@ -105,10 +109,21 @@ case class TopKRewrite() extends Rule[LogicalPlan] {
         case ps if ps.forall(_.isInstanceOf[AttributeReference]) =>
           ps.map(_.asInstanceOf[AttributeReference])
       }
+      // the rewrite is a win for SMALL k only: the heap buffers k row
+      // copies per (group, task) in memory and serializes whole buffers
+      // between partial and final — a huge k must keep the window's
+      // spillable sort
+      if k <= maxK
       keys <- traverse(w.orderSpec.map(heapKey))
+      payload = CreateStruct(w.child.output)
+      sortKey = CreateStruct(keys :+ payload)
+      // the PAYLOAD rides inside the heap's sort-key struct, so every
+      // child column must be orderable — the window only needed the sort
+      // KEYS orderable, and a map-typed passenger column would crash the
+      // heap at execution (checkInputDataTypes ran at analysis, before
+      // this rule inserts the expression)
+      if RowOrdering.isOrderable(sortKey.dataType)
     } yield {
-      val payload = CreateStruct(w.child.output)
-      val sortKey = CreateStruct(keys :+ payload)
       val topAlias = Alias(AggregateExpression(
         TopKRows(sortKey, k), Complete, isDistinct = false), "_top")()
       val agg = Aggregate(groupAttrs, groupAttrs :+ topAlias, w.child)

@@ -180,7 +180,12 @@ object ExtraQueries {
     // max — the operator's documented deterministic tie-break. The carry
     // is ONE struct (NULL for event rows) so ts and value always come
     // from the SAME purchase — two independent last_value(IGNORE NULLS)
-    // would mix rows whenever a purchase carries a NULL value
+    // would mix rows whenever a purchase carries a NULL value. Known
+    // parity limit: a NULL FIELD inside a tied carry struct orders
+    // nulls-first in Spark but nulls-last in DuckDB's nested comparison,
+    // so oracle parity additionally requires tied carries to have
+    // non-null fields (holds here: events carry no null values; the
+    // OPERATOR itself stays deterministic either way)
     "q_asof" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,
         |              CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -102,6 +102,31 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("non-orderable passenger column (map) blocks the rewrite instead of crashing") {
+    withFlag(on = true) {
+      val df = Seq(("g", 1L, 10.0), ("g", 2L, 5.0)).toDF("grp", "id", "score")
+        .withColumn("m", map(lit("k"), col("id")))
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      val out = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 1)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Window") && !plan.contains("graft_topk"),
+        s"rewrite must skip map-typed payloads:\n$plan")
+      assert(out.count() == 1) // and the query still runs
+    }
+  }
+
+  test("k above maxK keeps the window's spillable sort") {
+    withFlag(on = true) {
+      val df = Seq(("g", 1L, 10.0), ("g", 2L, 5.0)).toDF("grp", "id", "score")
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+      val out = df.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 100000000)
+      val plan = out.queryExecution.optimizedPlan.toString
+      assert(plan.contains("Window") && !plan.contains("graft_topk"),
+        s"huge k must not become an in-memory heap:\n$plan")
+    }
+  }
+
   test("rank < k and reversed literal comparisons rewrite with the right bound") {
     withFlag(on = true) {
       val df = Seq(("g", 1L, 9.0), ("g", 2L, 8.0), ("g", 3L, 7.0))
