@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   *     → [[CorpusOps.decontaminate]] (drop docs leaking eval n-grams)
   *     → optional [[QualityClassifier]] gate (learned filter over the
   *       heuristic signals, `lrModel`/`minLrScore`)
+  *     → optional CCNet perplexity gate (`ccnetLangCol`: the per-language
+  *       'tail' bucket dropped via the window-free approximate split)
   *     → optional [[TextAnalysis.dedupSubstrings]] (`substringWindow`:
   *       duplicated token runs removed before availability is counted)
+  *     → optional [[TextAnalysis.chunkDocs]] (`chunking`: the mixture is
+  *       planned/sampled/packed over training-sized chunks, ids become
+  *       "docId#chunkId")
   *     → [[CorpusOps.mixturePlan]] + [[CorpusOps.mixtureSample]]
   *       (target weights + token budget → deterministic per-stratum sample)
   *     → [[CorpusOps.packShards]] (token-budget shards, giant strata
@@ -52,7 +57,15 @@ object TrainingMix {
       // surviving content)
       lrModel: Option[QualityClassifier.Model] = None,
       minLrScore: Double = 0.5,
-      substringWindow: Option[Int] = None)
+      substringWindow: Option[Int] = None,
+      // optional R8 continuation stages: CCNet perplexity gating (drop
+      // the per-language 'tail' bucket — most corpus-atypical third —
+      // via the window-free approximate split; value = the language
+      // column name), and token-window chunking ((chunkTokens, overlap))
+      // so the mixture is planned, sampled and packed over
+      // training-sized chunks instead of whole documents
+      ccnetLangCol: Option[String] = None,
+      chunking: Option[(Int, Int)] = None)
 
   /** The mixture plan (tiny, one row per stratum) plus the packed sample
     * ready for [[publish]]. */
@@ -98,18 +111,46 @@ object TrainingMix {
           .select(col("_orig.*"))
       case None => cleared
     }
+    val gated = cfg.ccnetLangCol match {
+      case Some(langCol) =>
+        // drop the per-language perplexity TAIL (most corpus-atypical
+        // third) — the CCNet recipe, on the window-free scale path; the
+        // LM trains on the corpus as it stands post-filtering, which is
+        // the CCNet convention (score against what you keep)
+        classed.join(
+          TextAnalysis.perplexityBucketsApprox(classed, idCol, textCol, langCol)
+            .where(col("bucket_name") =!= "tail")
+            .select(col(idCol)),
+          Seq(idCol))
+      case None => classed
+    }
     val deduped = cfg.substringWindow match {
       case Some(w) =>
         // duplicated runs out before availability is counted; documents
         // keep their stratum and id, text becomes the surviving tokens
-        classed.drop(textCol)
-          .join(TextAnalysis.dedupSubstrings(classed, idCol, textCol, w)
+        gated.drop(textCol)
+          .join(TextAnalysis.dedupSubstrings(gated, idCol, textCol, w)
             .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
-      case None => classed
+      case None => gated
     }
-    val plan = CorpusOps.mixturePlan(deduped, textCol, strataCol,
+    val units = cfg.chunking match {
+      case Some((chunkTokens, overlap)) =>
+        // training-sized units: ids become "docId#chunkId" (string — the
+        // downstream md5 sampling/packing keys on the id AS A STRING
+        // anyway), stratum rides a doc-grain join; from here the mixture
+        // is planned/sampled/packed over chunks, so no shard ever holds
+        // a sequence longer than chunkTokens
+        TextAnalysis.chunkDocs(deduped, idCol, textCol, chunkTokens, overlap)
+          .join(deduped.select(col(idCol), col(strataCol)), Seq(idCol))
+          .select(
+            concat(col(idCol).cast("string"), lit("#"),
+              col("chunk_id").cast("string")).as(idCol),
+            col("chunk_text").as(textCol), col(strataCol))
+      case None => deduped
+    }
+    val plan = CorpusOps.mixturePlan(units, textCol, strataCol,
       cfg.weights, cfg.budgetTokens, cfg.tokensOf)
-    val sampled = CorpusOps.mixtureSample(deduped, idCol, strataCol, plan)
+    val sampled = CorpusOps.mixtureSample(units, idCol, strataCol, plan)
     val packed = CorpusOps.packShards(sampled, idCol, textCol, strataCol,
       cfg.shardTokens, cfg.maxStratumDocs, cfg.tokensOf)
     Mixture(plan, packed)

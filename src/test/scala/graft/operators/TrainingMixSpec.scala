@@ -87,6 +87,51 @@ class TrainingMixSpec extends SparkSpec {
     assert(plan == Map("web" -> 26L, "books" -> 12L), s"got $plan")
   }
 
+  test("chunking stage: mixture planned over training-sized units, strata preserved") {
+    val long = (1 to 3).map(i => (100L + i,
+      ((1 to 60).map(w => s"tok${i}x$w") ++ Seq("the", "and", "is")).mkString(" "),
+      "web")).toDF("doc_id", "text", "source")
+    val cfg = TrainingMix.Config(
+      minQuality = 0.0, lang = None, jaccardThreshold = 0.99,
+      weights = Map("web" -> 1.0), budgetTokens = 1000000L,
+      shardTokens = 100L, chunking = Some((16, 4)))
+    val mix = TrainingMix.build(long, "doc_id", "text", "source", cfg)
+    val packed = mix.packed
+      .select(col("doc_id").cast("string"), col("text"), col("source"))
+      .as[(String, String, String)].collect()
+    assert(packed.nonEmpty)
+    packed.foreach { case (id, text, src) =>
+      assert(id.contains("#"), s"chunked id expected, got $id")
+      assert(text.split("\\s+").length <= 16, s"chunk over 16 tokens: $id")
+      assert(src == "web")
+    }
+    // every source doc contributes several chunks; stride 12 over 63
+    // tokens -> ceil((63-4)/12) = 5 chunks per doc
+    val perDoc = packed.groupBy(_._1.split("#")(0)).view.mapValues(_.size)
+    assert(perDoc.values.forall(_ == 5), s"per-doc chunk counts: ${perDoc.toMap}")
+  }
+
+  test("ccnet gate: the per-language tail bucket drops, head/middle survive") {
+    // 30 docs, one language: the approximate thirds split must remove
+    // ~the most atypical third before the mixture is planned
+    val docs = (1L to 30L).map { i =>
+      // doc i repeats common words, with increasing amounts of rare noise
+      val common = Seq.fill(20)("the cat runs").mkString(" ")
+      val noise = (1 to (i / 3).toInt).map(k => s"zq${i}w$k").mkString(" ")
+      (i, s"$common $noise", "web", "en")
+    }.toDF("doc_id", "text", "source", "lang")
+    val cfg = TrainingMix.Config(
+      minQuality = 0.0, lang = None, jaccardThreshold = 0.999,
+      weights = Map("web" -> 1.0), budgetTokens = 1000000L,
+      shardTokens = 10000L, ccnetLangCol = Some("lang"))
+    val kept = TrainingMix.build(docs, "doc_id", "text", "source", cfg)
+      .packed.select("doc_id").distinct().count()
+    val all = TrainingMix.build(docs, "doc_id", "text", "source",
+      cfg.copy(ccnetLangCol = None)).packed.select("doc_id").distinct().count()
+    assert(kept < all, s"ccnet gate dropped nothing: $kept of $all")
+    assert(kept >= all / 2, s"ccnet gate dropped more than the tail: $kept of $all")
+  }
+
   test("classifier gate preserves caller columns that collide with signal names") {
     // a corpus that already carries its OWN n_words / quality_score
     // columns (common in training-data frames) must come out of the
