@@ -186,10 +186,12 @@ object CorpusOps {
                    weightCol: String, n: Long,
                    salt: String = "wtake"): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
-    // working columns: withColumn would silently clobber (and the final
-    // drop lose) user columns of these names — the rangeJoin _bin rule
-    Seq("_maxw", "_key").foreach(c => require(!docs.columns.contains(c),
-      s"'$c' is reserved by takeWeighted; rename the input column"))
+    // working/output columns: withColumn would silently clobber (and for
+    // the working pair, the final drop lose) user columns of these names
+    // — the rangeJoin _bin rule
+    Seq("_maxw", "_key", "sample_rank").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"'$c' is reserved by takeWeighted; rename the input column"))
     val u = (conv(substring(md5(concat(lit(salt + "|"),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 1.0) /
       lit(4294967296.0)

@@ -396,8 +396,21 @@ object TextAnalysis {
     * pattern — a cheap int sequence under the generator, each chunk
     * assembled once per output row from the materialized array), zero
     * shuffles; output rows = Σ n_chunks, linear in corpus tokens. */
+  /** @param carryCols doc-level columns threaded through to every chunk
+    *                   row map-side (stratum, license, url, …) — callers
+    *                   re-attaching them with a doc-grain join would pay
+    *                   a shuffle for a projection.
+    * @param lowercase  `true` (default) tokenizes with [[normWords]]
+    *                   (lowercased — the oracle-checked path); `false`
+    *                   splits on whitespace only, preserving case for
+    *                   training text. Either way `chunk_text` is the
+    *                   SPACE-JOINED tokens: original whitespace runs and
+    *                   newlines are collapsed (byte-exact chunking would
+    *                   need offset slicing, a different operator). */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
-                chunkTokens: Int, overlap: Int = 0): DataFrame = {
+                chunkTokens: Int, overlap: Int = 0,
+                carryCols: Seq[String] = Nil,
+                lowercase: Boolean = true): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens=$chunkTokens must be positive")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap=$overlap must be in [0, chunkTokens)")
@@ -405,16 +418,20 @@ object TextAnalysis {
     val n = size(col("_ws"))
     val nChunks = ceil(greatest(n - overlap, lit(1)).cast("double") / stride)
       .cast("int")
-    docs.select(col(idCol), normWords(col(textCol)).as("_ws"))
+    val toks =
+      if (lowercase) normWords(col(textCol))
+      else split(trim(col(textCol)), "\\s+")
+    val keys = col(idCol) +: carryCols.map(col)
+    docs.select(keys :+ toks.as("_ws"): _*)
       .where(size(col("_ws")) > 0 && col("_ws") =!= array(lit("")))
-      .select(col(idCol), col("_ws"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
-      .select(col(idCol), col("chunk_id"),
+      .select(keys ++ Seq(col("_ws"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id")): _*)
+      .select(keys ++ Seq(col("chunk_id"),
         concat_ws(" ",
           slice(col("_ws"), col("chunk_id") * stride + 1, lit(chunkTokens)))
           .as("chunk_text"),
         least(lit(chunkTokens), size(col("_ws")) - col("chunk_id") * stride)
-          .as("n_tokens"))
+          .as("n_tokens")): _*)
   }
 
   /** Corpus-level data card: the one-stop health summary a training-data

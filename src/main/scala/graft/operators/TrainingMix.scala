@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   * the library operator they would call individually, so the composition
   * adds sequencing, not semantics. Scale shape = the sum of its parts:
   * each stage shrinks the next stage's input, the eval side broadcasts,
-  * the mixture plan broadcasts, and nothing here introduces a new
-  * shuffle beyond the member operators' own.
+  * the mixture plan broadcasts. The shuffles the composition itself owns
+  * are the id-keyed verdict/gate joins (curation verdicts, contaminated
+  * ids, ccnet tail ids — each joins the corpus against a SHRUNKEN id
+  * relation, AQE's broadcast case in practice); chunking threads its
+  * columns map-side (carryCols) and adds none.
   */
 object TrainingMix {
 
@@ -116,12 +119,15 @@ object TrainingMix {
         // drop the per-language perplexity TAIL (most corpus-atypical
         // third) — the CCNet recipe, on the window-free scale path; the
         // LM trains on the corpus as it stands post-filtering, which is
-        // the CCNet convention (score against what you keep)
+        // the CCNet convention (score against what you keep). ANTI-join
+        // on the tail ids, not inner-join on the kept ones: a doc the
+        // bucketing never scored (NULL language, empty text) must PASS
+        // the gate, not silently vanish from the mixture
         classed.join(
           TextAnalysis.perplexityBucketsApprox(classed, idCol, textCol, langCol)
-            .where(col("bucket_name") =!= "tail")
+            .where(col("bucket_name") === "tail")
             .select(col(idCol)),
-          Seq(idCol))
+          Seq(idCol), "left_anti")
       case None => classed
     }
     val deduped = cfg.substringWindow match {
@@ -137,15 +143,20 @@ object TrainingMix {
       case Some((chunkTokens, overlap)) =>
         // training-sized units: ids become "docId#chunkId" (string — the
         // downstream md5 sampling/packing keys on the id AS A STRING
-        // anyway), stratum rides a doc-grain join; from here the mixture
-        // is planned/sampled/packed over chunks, so no shard ever holds
-        // a sequence longer than chunkTokens
-        TextAnalysis.chunkDocs(deduped, idCol, textCol, chunkTokens, overlap)
-          .join(deduped.select(col(idCol), col(strataCol)), Seq(idCol))
+        // anyway). Stratum and every other caller column ride the chunk
+        // rows map-side (carryCols — no doc-grain re-join shuffle), and
+        // case is PRESERVED (lowercase = false): this stage
+        // re-granularizes, it must not normalize what gets published.
+        // Whitespace runs/newlines do collapse (chunks are space-joined
+        // tokens) — the chunkDocs contract.
+        val carried = deduped.columns.filterNot(c => c == idCol || c == textCol)
+        TextAnalysis.chunkDocs(deduped, idCol, textCol, chunkTokens, overlap,
+            carryCols = carried.toSeq, lowercase = false)
           .select(
             concat(col(idCol).cast("string"), lit("#"),
-              col("chunk_id").cast("string")).as(idCol),
-            col("chunk_text").as(textCol), col(strataCol))
+              col("chunk_id").cast("string")).as(idCol) +:
+              col("chunk_text").as(textCol) +:
+              carried.map(col): _*)
       case None => deduped
     }
     val plan = CorpusOps.mixturePlan(units, textCol, strataCol,

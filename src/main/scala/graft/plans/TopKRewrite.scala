@@ -32,7 +32,13 @@ import graft.functions.TopKRows
   *    with bitwise-not (`~x = -x-1`: total and strictly monotone
   *    decreasing, unlike negation which overflows at MinValue). Nullable
   *    or non-integral ascending keys leave the plan untouched — asc
-  *    nulls-first cannot be expressed by inverting values.
+  *    nulls-first cannot be expressed by inverting values;
+  *  - `k <= spark.graft.rewrite.topk.maxK` (default 1000): a huge k must
+  *    keep the window's SPILLABLE sort instead of becoming a per-task
+  *    in-memory heap;
+  *  - every CHILD OUTPUT column orderable: the payload rides inside the
+  *    heap's sort-key struct, so a map-typed passenger column — legal
+  *    under the window — would crash the heap at execution.
   *
   * Anything else — other window functions alongside, rank referenced
   * beyond the filter, non-literal k — does not match, and the plan is

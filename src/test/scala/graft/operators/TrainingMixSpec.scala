@@ -87,23 +87,28 @@ class TrainingMixSpec extends SparkSpec {
     assert(plan == Map("web" -> 26L, "books" -> 12L), s"got $plan")
   }
 
-  test("chunking stage: mixture planned over training-sized units, strata preserved") {
+  test("chunking stage: training-sized units, case + metadata preserved, strata carried") {
     val long = (1 to 3).map(i => (100L + i,
-      ((1 to 60).map(w => s"tok${i}x$w") ++ Seq("the", "and", "is")).mkString(" "),
-      "web")).toDF("doc_id", "text", "source")
+      ((1 to 60).map(w => s"Tok${i}x$w") ++ Seq("the", "and", "is")).mkString(" "),
+      "web", s"https://ex.org/$i")).toDF("doc_id", "text", "source", "url")
     val cfg = TrainingMix.Config(
       minQuality = 0.0, lang = None, jaccardThreshold = 0.99,
       weights = Map("web" -> 1.0), budgetTokens = 1000000L,
       shardTokens = 100L, chunking = Some((16, 4)))
     val mix = TrainingMix.build(long, "doc_id", "text", "source", cfg)
     val packed = mix.packed
-      .select(col("doc_id").cast("string"), col("text"), col("source"))
-      .as[(String, String, String)].collect()
+      .select(col("doc_id").cast("string"), col("text"), col("source"), col("url"))
+      .as[(String, String, String, String)].collect()
     assert(packed.nonEmpty)
-    packed.foreach { case (id, text, src) =>
+    packed.foreach { case (id, text, src, url) =>
       assert(id.contains("#"), s"chunked id expected, got $id")
       assert(text.split("\\s+").length <= 16, s"chunk over 16 tokens: $id")
       assert(src == "web")
+      // re-granularization must not normalize the published text...
+      assert(!text.contains("tok1x") && !text.contains("tok2x"),
+        s"chunking lowercased training text: $text")
+      // ...and must carry caller metadata without a re-join
+      assert(url == s"https://ex.org/${id.split("#")(0).toLong - 100}")
     }
     // every source doc contributes several chunks; stride 12 over 63
     // tokens -> ceil((63-4)/12) = 5 chunks per doc
@@ -130,6 +135,21 @@ class TrainingMixSpec extends SparkSpec {
       cfg.copy(ccnetLangCol = None)).packed.select("doc_id").distinct().count()
     assert(kept < all, s"ccnet gate dropped nothing: $kept of $all")
     assert(kept >= all / 2, s"ccnet gate dropped more than the tail: $kept of $all")
+  }
+
+  test("ccnet gate: a NULL-language doc passes the gate instead of vanishing") {
+    val docs = ((1L to 12L).map { i =>
+      (i, Seq.fill(10)("the cat runs").mkString(" ") + s" zq$i", "web", "en")
+    } :+ ((99L, "unscorable language doc with plenty of words here", "web",
+      null.asInstanceOf[String]))).toDF("doc_id", "text", "source", "lang")
+    val cfg = TrainingMix.Config(
+      minQuality = 0.0, lang = None, jaccardThreshold = 0.999,
+      weights = Map("web" -> 1.0), budgetTokens = 1000000L,
+      shardTokens = 10000L, ccnetLangCol = Some("lang"))
+    val ids = TrainingMix.build(docs, "doc_id", "text", "source", cfg)
+      .packed.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(99L),
+      "doc the bucketing could not score was silently dropped by the gate")
   }
 
   test("classifier gate preserves caller columns that collide with signal names") {
