@@ -30,6 +30,19 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 
+  // Array[Byte] equals/hashCode are reference-based, which would make two
+  // semantically identical probes never compare equal — defeating expression
+  // canonicalization and common-subexpression reuse. Compare the bytes by
+  // value instead (the child comparison rides the case-class product).
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, bytes) =>
+      c == child && java.util.Arrays.equals(bytes, bloomBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

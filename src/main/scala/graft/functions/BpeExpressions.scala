@@ -45,8 +45,11 @@ object Bpe {
     v.init :+ (v.last + EndOfWord)
   }
 
+  // Locale.ROOT: Spark's lower() is locale-independent, and a default-locale
+  // lowercase (tr_TR: 'I' -> dotless 'ı') would let the driver-trained table,
+  // executor tokenization and SQL oracles diverge across JVMs
   private def pretokenize(text: String): Array[String] =
-    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
 
   /** Learn `numMerges` merges from the sample's word frequencies.
     * Deterministic: the most frequent adjacent symbol pair wins each
@@ -184,7 +187,7 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.toLowerCase.trim.split("\\s+")
+    val words = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val c = cache.get()
     val out = mutable.ArrayBuffer.empty[UTF8String]
     words.foreach { w =>

@@ -39,8 +39,18 @@ object Analytics {
   def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String], orderCol: String,
                       tieBreak: String, k: Int): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
+    // ASC-under-DESC inversion: integral tie-breaks invert with bitwise NOT
+    // (~x = -x-1, total and order-reversing at every value incl. MinValue,
+    // where `* -1` wraps in non-ANSI and throws in ANSI — the TopKRewrite
+    // convention); fractional ones keep negation (no overflow to dodge)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val inverted = df.schema(tieBreak).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        bitwise_not(col(tieBreak).cast("long"))
+      case _ => col(tieBreak) * lit(-1)
+    }
     val sortKey = struct(col(orderCol).as("_o"),
-      (col(tieBreak) * lit(-1)).as("_t"), payload.as("_p"))
+      inverted.as("_t"), payload.as("_p"))
     val agg = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.TopKRows(
         org.apache.spark.sql.graft.Bridge.expression(sortKey), k)

@@ -745,7 +745,8 @@ object TextAnalysis {
     * the duplicate-key relation itself stays one row per distinct window.
     */
   def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
-                      windowTokens: Int = 50, minCount: Int = 2): DataFrame = {
+                      windowTokens: Int = 50, minCount: Int = 2,
+                      preserveCase: Boolean = false): DataFrame = {
     require(windowTokens >= 2, s"windowTokens=$windowTokens must be >= 2")
     require(minCount >= 2, s"minCount=$minCount must be >= 2 (1 would drop all text)")
     val w = windowTokens
@@ -783,8 +784,16 @@ object TextAnalysis {
       .agg(max(col("_is_can")).as("_prot"))
       .where(!col("_prot"))
       .select(col(idCol), col("pos"))
+    // the rebuild tokenization: duplicate DETECTION always keys on
+    // normalized windows (case/whitespace noise must not defeat it), but
+    // `preserveCase=true` rebuilds clean_text from the ORIGINAL-case
+    // whitespace words — positions align 1:1 with normWords because both
+    // split the same whitespace-separated word sequence (normWords only
+    // case-folds content, never changes word boundaries). This is the
+    // publish-path mode: TrainingMix must not case-fold what it publishes.
+    val rebuildToks = if (preserveCase) words(col(textCol)) else normWords(col(textCol))
     val toks = docs
-      .select(col(idCol), posexplode(normWords(col(textCol))))
+      .select(col(idCol), posexplode(rebuildToks))
       .toDF(idCol, "pos", "tok")
       .where(col("tok") =!= "")
     val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")

@@ -133,9 +133,15 @@ object TrainingMix {
     val deduped = cfg.substringWindow match {
       case Some(w) =>
         // duplicated runs out before availability is counted; documents
-        // keep their stratum and id, text becomes the surviving tokens
+        // keep their stratum and id, text becomes the surviving tokens in
+        // ORIGINAL case (preserveCase: duplicate windows still key on
+        // normalized tokens, but the published rebuild must not case-fold —
+        // the same contract the chunking stage states with lowercase=false).
+        // Whitespace runs/newlines do collapse (the rebuild space-joins
+        // surviving tokens).
         gated.drop(textCol)
-          .join(TextAnalysis.dedupSubstrings(gated, idCol, textCol, w)
+          .join(TextAnalysis.dedupSubstrings(gated, idCol, textCol, w,
+              preserveCase = true)
             .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
       case None => gated
     }

@@ -15,9 +15,13 @@ import graft.functions.TopKRows
   *
   * into the bounded-heap aggregate ([[graft.functions.TopKRows]]) — the
   * window formulation SORTS every group member through the shuffle; the
-  * rewrite moves at most k rows per (group, task). Output is identical,
-  * ties included (AnalyticsSpec pins the operator identity; TopKRewriteSpec
-  * pins the rewrite), and downstream references keep resolving because the
+  * rewrite moves at most k rows per (group, task). Output is identical up
+  * to `row_number`'s nondeterministic tie selection: when orderSpec keys
+  * tie, the window keeps a partitioning-dependent arbitrary subset while
+  * the heap selects deterministically by payload struct order — exact
+  * identity holds when the orderSpec is a total order (the AnalyticsSpec /
+  * TopKRewriteSpec pins), and under ties the heap's pick is the MORE
+  * deterministic of the two. Downstream references keep resolving because the
   * replacement re-aliases every reconstructed column to the ORIGINAL
   * attribute ids.
   *

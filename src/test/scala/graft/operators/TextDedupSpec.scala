@@ -272,6 +272,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4) == ((5L, "", 0L, 8L)))
   }
 
+  test("dedupSubstrings: preserveCase rebuilds original-case text, detection unchanged") {
+    val docs = Seq(
+      (1L, "The QUICK Brown Fox Jumps Over It"),
+      // case-noised duplicate of doc 1's run — detection is normalized, so
+      // it still collapses; only the REBUILD changes under preserveCase
+      (2L, "x y the quick BROWN fox jumps over it z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSubstrings(docs, "doc_id", "text",
+        windowTokens = 3, minCount = 2, preserveCase = true)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens_kept", "n_tokens_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "The QUICK Brown Fox Jumps Over It", 7L, 0L)),
+      s"canonical case-folded: ${out(0)}")
+    assert(out(1) == ((2L, "x y z", 3L, 7L)), s"got ${out(1)}")
+  }
+
   test("dedupSubstrings: self-overlapping runs keep their canonical window intact") {
     // every w=2 window of 'a a a a' hashes the same content; the dropped
     // occurrences at s=1,2 cover position 1 — INSIDE the canonical window

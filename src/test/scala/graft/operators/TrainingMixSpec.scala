@@ -87,6 +87,34 @@ class TrainingMixSpec extends SparkSpec {
     assert(plan == Map("web" -> 26L, "books" -> 12L), s"got $plan")
   }
 
+  test("substring stage publishes ORIGINAL-case text (detection still case-insensitive)") {
+    // mixed-case corpus: every doc shares the capitalized 14-token prefix;
+    // doc 21's prefix differs from the others only by case, so detection
+    // (normalized windows) must still collapse it, while the published
+    // canonical text keeps its original capitalization
+    def cased(tail: String) =
+      s"The Cat AND the Dog is in a House of Wonder it runs to $tail"
+    val mixedCase = Seq(
+      (21L, cased("green meadows far away"), "web"),
+      (22L, cased("blue rivers near town").toLowerCase(java.util.Locale.ROOT), "web"),
+      (23L, cased("tall forests by night"), "web")
+    ).toDF("doc_id", "text", "source")
+    val cfg = TrainingMix.Config(
+      minQuality = 0.0, lang = None, jaccardThreshold = 0.99,
+      weights = Map("web" -> 1.0), budgetTokens = 1000000L,
+      shardTokens = 1000L, substringWindow = Some(8))
+    val mix = TrainingMix.build(mixedCase, "doc_id", "text", "source", cfg)
+    val texts = mix.packed.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    // canonical doc 21 keeps its prefix VERBATIM — capitals intact
+    assert(texts(21L).startsWith("The Cat AND the Dog"),
+      s"substring stage case-folded the canonical doc: ${texts(21L)}")
+    // the non-canonical docs lose the shared prefix but keep their own tail
+    // in original case (23's tail was never duplicated, so never rebuilt away)
+    assert(texts(23L) == "tall forests by night", s"got ${texts(23L)}")
+    assert(texts(22L) == "blue rivers near town", s"got ${texts(22L)}")
+  }
+
   test("chunking stage: training-sized units, case + metadata preserved, strata carried") {
     val long = (1 to 3).map(i => (100L + i,
       ((1 to 60).map(w => s"Tok${i}x$w") ++ Seq("the", "and", "is")).mkString(" "),
