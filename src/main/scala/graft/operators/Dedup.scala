@@ -122,12 +122,23 @@ object Dedup {
       .select(col(idCol), col("_sh"))
       .localCheckpoint(false)
     val cand = minhashCandidates(docs, idCol, textCol).select("i", "j")
-    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
-    val uni = size(col("sh_i")) + size(col("sh_j")) - inter
-    cand
+    // intersection size computed ONCE per pair behind a lazy checkpoint
+    // barrier: without it, the thresholding filter pushes through the
+    // projection and re-inlines `array_intersect` into both the condition
+    // and the output columns — 3-4 hash-set builds per candidate row,
+    // measured ~2x the whole rescore at sf0.1. The barrier rows are
+    // (i, j, 3 ints): tiny at any scale, because candidates are
+    // band-bounded. Division arithmetic is unchanged (oracle parity).
+    val scored = cand
       .join(sh.select(col(idCol).as("i"), col("_sh").as("sh_i")), "i")
       .join(sh.select(col(idCol).as("j"), col("_sh").as("sh_j")), "j")
-      .withColumn("jaccard", inter.cast("double") / uni)
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double").as("_inter"),
+        size(col("sh_i")).as("_ni"), size(col("sh_j")).as("_nj"))
+      .localCheckpoint(false)
+    scored
+      .withColumn("jaccard",
+        col("_inter") / (col("_ni") + col("_nj") - col("_inter")))
       .where(col("jaccard") >= threshold)
       .select("i", "j", "jaccard")
   }
@@ -163,21 +174,34 @@ object Dedup {
       .select(col(idCol), col("_sh"))
       .localCheckpoint(false)
     val grams = sh.select(col(idCol), explode(col("_sh")).as("gram"))
+    // checkpointed: the self-join below otherwise re-computes the gram
+    // explode + df rollup once PER LEG (Catalyst has no common-subplan
+    // reuse across join sides) — the executed plan showed two full
+    // HashAggregate branches for the same rollup
     val rare = grams.join(
       grams.groupBy(col("gram")).agg(count(lit(1)).as("_df"))
         .where(col("_df") <= maxDf)
         .select(col("gram")),
       Seq("gram"))
+      .localCheckpoint(false)
     val cand = rare.select(col("gram"), col(idCol).as("i"))
       .join(rare.select(col("gram"), col(idCol).as("j")), Seq("gram"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
-    val inter = size(array_intersect(col("sh_i"), col("sh_j")))
-    cand
+    // single-evaluation rescore behind a lazy checkpoint barrier — see
+    // ngramJaccard: the filter would otherwise re-inline array_intersect
+    // into condition + both output columns (4 evaluations per candidate).
+    // Barrier rows are (i, j, 3 ints); candidate count is maxDf²-bounded.
+    val scored = cand
       .join(sh.select(col(idCol).as("i"), col("_sh").as("sh_i")), "i")
       .join(sh.select(col(idCol).as("j"), col("_sh").as("sh_j")), "j")
-      .withColumn("containment_i", inter.cast("double") / size(col("sh_i")))
-      .withColumn("containment_j", inter.cast("double") / size(col("sh_j")))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double").as("_inter"),
+        size(col("sh_i")).as("_ni"), size(col("sh_j")).as("_nj"))
+      .localCheckpoint(false)
+    scored
+      .withColumn("containment_i", col("_inter") / col("_ni"))
+      .withColumn("containment_j", col("_inter") / col("_nj"))
       .where(greatest(col("containment_i"), col("containment_j")) >= threshold)
       .select("i", "j", "containment_i", "containment_j")
   }
