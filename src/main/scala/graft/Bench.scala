@@ -99,6 +99,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs$errJson,"sf":"$sfDir"}"""
     println(json)
+    // the driver captures a bounded TAIL of stdout, which in r7/r8 cut the
+    // HEAD off the full line above (110 queries wide) and left the round
+    // artifact unparseable. A tail capture keeps the LAST line by
+    // construction, so also print a compact summary — complete JSON, no
+    // per-query map — as the final stdout line.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     // also land the JSON in a file: stdout goes through the driver's tail
     // capture, which has truncated the front of the line before (r7 lost 7
     // queries and both totals) — the file is the durable artifact
