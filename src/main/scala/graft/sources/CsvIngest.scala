@@ -475,9 +475,9 @@ object RawLayer {
   /** Move every `col=value` partition directory from `staging` into `dest`,
     * replacing same-name partitions (partition-grain overwrite, the publish
     * half of the staged [[Loaded.writeRaw]]), then drop the staging dir. */
-  private[sources] def publishPartitions(fs: org.apache.hadoop.fs.FileSystem,
-                                         staging: org.apache.hadoop.fs.Path,
-                                         dest: org.apache.hadoop.fs.Path): Unit = {
+  private[graft] def publishPartitions(fs: org.apache.hadoop.fs.FileSystem,
+                                       staging: org.apache.hadoop.fs.Path,
+                                       dest: org.apache.hadoop.fs.Path): Unit = {
     fs.mkdirs(dest)
     fs.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))

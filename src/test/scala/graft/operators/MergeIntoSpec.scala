@@ -1,0 +1,172 @@
+package graft.operators
+
+import java.nio.file.{Files, Path => JPath}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Storage-level MERGE ([[Upsert.mergeInto]]): touched partitions are
+  * read-merge-rewritten atomically, untouched partitions are never even
+  * opened — their files stay byte-identical.
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-mergeinto").toString + "/fact"
+
+  private val baseRows = Seq(
+    // (order_id, item_id, day, amount)
+    (1L, 1L, "2024-01-01", 10.0),
+    (1L, 2L, "2024-01-01", 11.0),
+    (2L, 1L, "2024-01-02", 20.0),
+    (3L, 1L, "2024-01-03", 30.0))
+
+  private def writeBase(path: String): Unit =
+    baseRows.toDF("order_id", "item_id", "day", "amount")
+      .repartition(1)
+      .write.partitionBy("day").parquet(path)
+
+  /** (relative file path -> md5 of bytes) for every data file under dir. */
+  private def fileHashes(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map { p =>
+        val md = MessageDigest.getInstance("MD5")
+        root.relativize(p).toString ->
+          md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  private def readFact(path: String) =
+    spark.read.parquet(path)
+      .select("order_id", "item_id", "day", "amount")
+      .as[(Long, Long, String, Double)].collect().toSet
+
+  test("matched keys update, new keys insert, untouched partitions byte-identical") {
+    val path = tmp()
+    writeBase(path)
+    val before = fileHashes(path)
+    val untouchedBefore = before.filter(_._1.startsWith("day=2024-01-03"))
+    assert(untouchedBefore.nonEmpty, "sanity: jan-03 partition has files")
+
+    // batch touches jan-01 (update 1/1, insert 9/1) and jan-02 (update 2/1)
+    val updates = Seq(
+      (1L, 1L, "2024-01-01", 99.0),
+      (9L, 1L, "2024-01-01", 90.0),
+      (2L, 1L, "2024-01-02", 21.0)
+    ).toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day")
+
+    assert(readFact(path) == Set(
+      (1L, 1L, "2024-01-01", 99.0),   // WHEN MATCHED UPDATE
+      (1L, 2L, "2024-01-01", 11.0),   // unmatched row in touched partition survives
+      (9L, 1L, "2024-01-01", 90.0),   // WHEN NOT MATCHED INSERT
+      (2L, 1L, "2024-01-02", 21.0),   // matched in second touched partition
+      (3L, 1L, "2024-01-03", 30.0)))  // untouched partition intact
+
+    val after = fileHashes(path)
+    val untouchedAfter = after.filter(_._1.startsWith("day=2024-01-03"))
+    assert(untouchedAfter == untouchedBefore,
+      s"untouched partition rewritten:\n before=$untouchedBefore\n after=$untouchedAfter")
+    // touched partitions WERE rewritten (different file names/bytes)
+    assert(after.keySet.filter(_.startsWith("day=2024-01-01")) !=
+      before.keySet.filter(_.startsWith("day=2024-01-01")))
+    // no staging residue
+    assert(!Files.list(java.nio.file.Paths.get(path)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_staging_")))
+  }
+
+  test("re-running the same batch is idempotent (rows and untouched bytes)") {
+    val path = tmp()
+    writeBase(path)
+    val updates = Seq((1L, 1L, "2024-01-01", 99.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day")
+    val rows1 = readFact(path)
+    val untouched1 = fileHashes(path).filterNot(_._1.startsWith("day=2024-01-01"))
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day")
+    assert(readFact(path) == rows1, "second run changed rows")
+    val untouched2 = fileHashes(path).filterNot(_._1.startsWith("day=2024-01-01"))
+    assert(untouched2 == untouched1, "second run rewrote untouched partitions")
+  }
+
+  test("first run (no table) is a plain partitioned write") {
+    val path = tmp()
+    val updates = Seq((1L, 1L, "2024-01-01", 10.0), (2L, 1L, "2024-01-02", 20.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day")
+    assert(readFact(path) == Set(
+      (1L, 1L, "2024-01-01", 10.0), (2L, 1L, "2024-01-02", 20.0)))
+  }
+
+  test("a crashed (abandoned) staging dir leaves the table fully readable") {
+    val path = tmp()
+    writeBase(path)
+    // simulate a writer that died between staging write and publish
+    val staging = JPath.of(path, "_staging_deadbeef", "day=2024-01-01")
+    Files.createDirectories(staging)
+    Seq((666L, 666L, 666.0)).toDF("order_id", "item_id", "amount")
+      .write.mode("overwrite").parquet(staging.toString)
+    // readers never see the staged partial batch ('_'-prefixed dirs are
+    // invisible to partition discovery)
+    assert(readFact(path) == baseRows.toSet)
+    // and a later merge still works, publishing its OWN staging only
+    Upsert.mergeInto(path,
+      Seq((1L, 1L, "2024-01-01", 99.0)).toDF("order_id", "item_id", "day", "amount"),
+      Seq("order_id", "item_id"), "day")
+    assert(readFact(path).contains((1L, 1L, "2024-01-01", 99.0)))
+    assert(!readFact(path).exists(_._1 == 666L))
+  }
+
+  test("merge failure cleans its staging and leaves the table as it was") {
+    val path = tmp()
+    writeBase(path)
+    val before = fileHashes(path)
+    // updates whose schema is missing a table column -> selectExpr fails
+    val bad = Seq((1L, 1L, "2024-01-01")).toDF("order_id", "item_id", "day")
+    intercept[Exception] {
+      Upsert.mergeInto(path, bad, Seq("order_id", "item_id"), "day")
+    }
+    assert(fileHashes(path) == before, "failed merge modified the table")
+    assert(!Files.list(java.nio.file.Paths.get(path)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_staging_")),
+      "failed merge left staging behind")
+  }
+
+  test("only the touched partitions are scanned (partition-pruned read)") {
+    val path = tmp()
+    writeBase(path)
+    // the same pruned read mergeInto issues: the scan must open only the
+    // touched partition's files (inputFiles ignores partition filters, so
+    // assert on the executed scan's numFiles metric instead)
+    val slice = spark.read.parquet(path).where(col("day").isin("2024-01-01"))
+    slice.collect()
+    val scan = slice.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == 1L,
+      s"pruning failed: scanned ${scan.metrics("numFiles").value} files")
+  }
+
+  test("guards: partitionCol as key, null partition values") {
+    val path = tmp()
+    writeBase(path)
+    val updates = Seq((1L, 1L, "2024-01-01", 1.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeInto(path, updates, Seq("order_id", "day"), "day")
+    }
+    val nullDay = Seq((1L, 1L, null.asInstanceOf[String], 1.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeInto(path, nullDay, Seq("order_id", "item_id"), "day")
+    }
+  }
+}
