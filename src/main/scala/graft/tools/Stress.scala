@@ -304,6 +304,43 @@ object Stress {
       val matched = out.where(col("asof_p_ts").isNotNull).count()
       println(s"   events with a prior purchase: $matched of 2000000 (join-free)")
     }
+    time("asofJoinSplit: ONE key owning 2M rows (the mega-key regime)") {
+      // every row on a single key: the unsplit window serializes all 2M
+      // rows through one partition; the split path slices the timeline
+      // into census-driven subs and fixes the boundaries up with a tiny
+      // broadcast relation — output pinned identical on a 200k sample
+      val one = bigEv.select(lit(1L).as("user_id"), col("ts"), col("event_type"))
+        .localCheckpoint()
+      val purch = one.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      // count the MATCHED rows, not the rows: a bare count() lets column
+      // pruning drop the carry window entirely and times only the filter
+      val t0 = System.nanoTime()
+      val unsplit = graft.operators.AsOf.asofJoin(
+        one, purch, "user_id", "p_user", "ts", "p_ts", valueCols = Nil)
+      val nU = unsplit.where(col("asof_p_ts").isNotNull).count()
+      val tU = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val split = graft.operators.AsOf.asofJoinSplit(
+        one, purch, "user_id", "p_user", "ts", "p_ts", valueCols = Nil,
+        maxKeyRows = 100000)
+      val nS = split.where(col("asof_p_ts").isNotNull).count()
+      val tS = (System.nanoTime() - t1) / 1e9
+      val plan = split.queryExecution.executedPlan.toString
+      val carryWin = plan.linesIterator
+        .filter(l => l.contains("Window ") && l.contains("_m_local")).toSeq
+      assert(carryWin.nonEmpty && carryWin.forall(l =>
+        l.contains("windowspecdefinition(_k#") && l.contains("_sub#")),
+        "split carry window is not (key, sub)-partitioned")
+      assert(nU == nS, s"row counts diverged: $nU vs $nS")
+      val cmp = unsplit.orderBy("ts", "event_type", "asof_p_ts").limit(200000)
+        .collect().toSeq
+      val cmpS = split.orderBy("ts", "event_type", "asof_p_ts").limit(200000)
+        .collect().toSeq
+      assert(cmp == cmpS, "split output diverged from unsplit")
+      println(f"   unsplit 1-partition window: $tU%.1f s; " +
+        f"split (20 subs, boundary fix-up): $tS%.1f s — identical output")
+    }
     time("top-3-per-group over 2M events: window vs bounded-heap aggregate") {
       // the heap's regime is FEW, LARGE groups (partial state = k x groups
       // x tasks nears the input when groups are many — there the window's

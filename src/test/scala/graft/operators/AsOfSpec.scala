@@ -96,6 +96,62 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinSplit == asofJoin on random series (hot key forced to split)") {
+    for (seed <- 1 to 5) {
+      val r2 = new scala.util.Random(seed)
+      // key 0 is hot (most rows); maxKeyRows=20 forces several subs
+      val left = (1 to 120).map(i =>
+        (i.toLong, if (i % 3 == 0) (i % 4).toLong else 0L, ts(r2.nextInt(1000).toLong)))
+      val right = (1 to 80).map(i =>
+        (if (i % 4 == 0) (i % 3).toLong else 0L, ts(r2.nextInt(1000).toLong), i * 1.5))
+      val ldf = left.toDF("id", "k", "t")
+      val rdf = right.toDF("rk", "rt", "price")
+      val base = AsOf.asofJoin(ldf, rdf, "k", "rk", "t", "rt", Seq("price"))
+        .select("id", "asof_rt", "asof_price")
+        .as[(Long, Option[Timestamp], Option[Double])].collect().sortBy(_._1)
+      val split = AsOf.asofJoinSplit(ldf, rdf, "k", "rk", "t", "rt", Seq("price"),
+          maxKeyRows = 20)
+        .select("id", "asof_rt", "asof_price")
+        .as[(Long, Option[Timestamp], Option[Double])].collect().sortBy(_._1)
+      assert(split.toSeq == base.toSeq, s"seed $seed: split path diverged")
+    }
+  }
+
+  test("asofJoinSplit: carry crosses right-row-free subs; tolerance rides along") {
+    // one hot key; the only right row sits at t=0, then a long left-only
+    // stretch spread over the timeline — every sub after the first has NO
+    // right rows and must inherit the boundary carry
+    val left = (1 to 100).map(i => (i.toLong, 7L, ts(i * 10L))).toDF("id", "k", "t")
+    val right = Seq((7L, ts(0), 42.0)).toDF("rk", "rt", "v")
+    val got = AsOf.asofJoinSplit(left, right, "k", "rk", "t", "rt", Seq("v"),
+        maxKeyRows = 10)
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(got.size == 100)
+    assert(got.values.forall(_.contains(42.0)),
+      "entering carry failed to cross an empty sub")
+    // tolerance still nulls stale matches on the split path
+    val tol = AsOf.asofJoinSplit(left, right, "k", "rk", "t", "rt", Seq("v"),
+        tolerance = Some(expr("INTERVAL 500 SECOND")), maxKeyRows = 10)
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(tol(40L).contains(42.0) && tol(60L).isEmpty)
+  }
+
+  test("asofJoinSplit plan: the carry window partitions by (key, sub)") {
+    val left = spark.range(1000).select(col("id"), lit(1L).as("k"),
+      timestamp_micros(col("id") * 1000000L).as("t"))
+    val right = spark.range(300).select(lit(1L).as("rk"),
+      timestamp_micros(col("id") * 3000000L).as("rt"), (col("id") * 1.0).as("v"))
+    val out = AsOf.asofJoinSplit(left, right, "k", "rk", "t", "rt", Seq("v"),
+      maxKeyRows = 100)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    val mainWin = plan.split("\n")
+      .filter(l => l.contains("Window ") && l.contains("_m_local"))
+    assert(mainWin.nonEmpty &&
+      mainWin.forall(l => l.contains("windowspecdefinition(_k#") && l.contains("_sub#")),
+      s"carry window is not sub-split:\n${plan.take(4000)}")
+  }
+
   test("plan: ONE hash-exchange of the unioned relation, no join operator at all") {
     val left = spark.range(1000).select(col("id"), (col("id") % 10).as("k"),
       timestamp_micros(col("id") * 1000000L).as("t"))
