@@ -204,6 +204,7 @@ object AvroIngest {
   def load(spark: SparkSession, path: String, cols: Seq[ColumnSpec],
            maxBadRecords: Int = 0, ingestionDate: String): Loaded = {
     require(cols.nonEmpty, "AVRO schema must declare at least one column")
+    preValidate(spark, path, cols)
     val rdd = spark.sparkContext.newAPIHadoopFile(
         path,
         classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
@@ -234,6 +235,80 @@ object AvroIngest {
     new Loaded(out, obs, "AVRO", path, maxBadRecords)
   }
 
+  /** Driver-side fail-fast: read ONE file's writer schema (a few KB of
+    * container header — no task launched, no data block read) and reject
+    * multi-branch unions and statically-decidable type mismatches at
+    * `load()` call time, the way BigQuery's loader fails at job submission
+    * rather than mid-load. Distributed-side checks stay: files after the
+    * first may carry a different writer schema, and [[convert]] still
+    * guards every record. A path with no readable Avro file is left to the
+    * normal scan (same error surface as before). */
+  private def preValidate(spark: SparkSession, path: String,
+                          cols: Seq[ColumnSpec]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val first: Option[org.apache.hadoop.fs.Path] =
+      try {
+        val stats = fs.globStatus(p) match {
+          case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+          case s => s
+        }
+        stats.flatMap { st =>
+          if (st.isFile) Array(st.getPath)
+          else fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
+        }.filterNot { f =>
+          val n = f.getName
+          n.startsWith("_") || n.startsWith(".")
+        }.sortBy(_.getName).headOption
+      } catch { case _: java.io.IOException => None }
+    first.foreach { f =>
+      val in = fs.open(f)
+      val ws =
+        try {
+          val reader = new org.apache.avro.file.DataFileStream(in,
+            new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+          try reader.getSchema finally reader.close()
+        } catch {
+          case _: java.io.IOException => return // not an Avro container: let the scan report it
+        } finally {
+          try in.close() catch { case _: java.io.IOException => () }
+        }
+      cols.foreach { c =>
+        val field = ws.getField(c.name)
+        if (field != null) {
+          val branch = nonNullBranch(c.name, field.schema()) // throws on multi-branch unions
+          if (!staticallyCompatible(branch, c))
+            throw new IllegalArgumentException(
+              s"AVRO field '${c.name}': writer type ${branch.getType}" +
+                s"${Option(branch.getLogicalType).map(" (" + _.getName + ")").getOrElse("")} " +
+                s"does not load as declared ${c.colType} " +
+                s"(rejected at load() from ${f.getName}'s writer schema, " +
+                "before any task ran)")
+        }
+      }
+    }
+  }
+
+  /** The writer-schema/declared-type combinations [[convert]] accepts,
+    * decided statically (mirror the runtime matrix exactly — anything the
+    * pre-check passes must convert, anything it rejects would have failed
+    * per-record anyway). */
+  private def staticallyCompatible(fs: Schema, c: ColumnSpec): Boolean = {
+    import Schema.Type._
+    val logical = Option(fs.getLogicalType).map(_.getName)
+    (c.sparkType, fs.getType) match {
+      case (StringType, STRING | ENUM) => true
+      case (LongType, INT) => true
+      case (LongType, LONG) => logical.isEmpty
+      case (DoubleType, FLOAT | DOUBLE) => true
+      case (BooleanType, BOOLEAN) => true
+      case (DateType, INT) => logical.contains("date")
+      case (TimestampType, LONG) =>
+        logical.forall(Set("timestamp-micros", "timestamp-millis"))
+      case _ => false
+    }
+  }
+
   /** Position + resolved branch schema per declared column for one writer
     * schema; pos -1 = field absent in the writer (reads as NULL). */
   private def fieldPlan(ws: Schema, cols: Seq[ColumnSpec]): Array[(Int, Schema)] =
@@ -259,11 +334,11 @@ object AvroIngest {
     * non-null branch. Only `["null", type]` unions are accepted — with two
     * or more non-null branches there is no single branch to type-check a
     * runtime value against, so the load rejects the schema (the same
-    * restriction BigQuery's Avro loader imposes). Timing: the writer
-    * schema is only visible on executors (it rides each split's first
-    * record), so the rejection surfaces as a task failure at
-    * FIRST-RECORD time per split — not at `load()` call time on the
-    * driver, where no file has been opened yet. */
+    * restriction BigQuery's Avro loader imposes). Timing: [[preValidate]]
+    * reads the FIRST file's writer schema on the driver at `load()` time,
+    * so a bad schema fails before any task launches; files beyond the
+    * first (a mixed-schema directory) are still caught here, per split,
+    * at first-record time. */
   private def nonNullBranch(name: String, s: Schema): Schema =
     if (s.getType == Schema.Type.UNION) {
       import scala.jdk.CollectionConverters._

@@ -281,6 +281,45 @@ class CsvIngestSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 2)
   }
 
+  test("AVRO: bad schema fails AT load() on the driver, before any task runs") {
+    val dir = Files.createTempDirectory("graft-avro-pre")
+    writeAvro(dir, "b.avro", avroWriterSchema)(
+      Map("order_id" -> "o1", "amount" -> 1.0f, "n" -> 1, "d" -> 0,
+        "ts" -> 0L, "ok" -> true, "extra_writer_field" -> "x"))
+    // the load is LAZY — if load() itself throws, no job and no task ever
+    // ran (the r8 behavior surfaced these as task failures at count())
+    val mismatched = cols ++ Seq(ColumnSpec("ok", "STRING"))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.load(spark, dir.toString, mismatched, sourceFormat = "AVRO",
+        ingestionDate = "2024-03-01")
+    }
+    assert(e.getMessage.contains("before any task ran"), e.getMessage)
+
+    // multi-branch union: rejected from the same driver-side pre-read
+    val unionDir = Files.createTempDirectory("graft-avro-union")
+    val unionSchema = new org.apache.avro.Schema.Parser().parse("""{
+      "type": "record", "name": "u", "fields": [
+        {"name": "order_id", "type": ["null", "string", "long"], "default": null},
+        {"name": "amount", "type": "float"},
+        {"name": "n", "type": "int"}
+      ]}""")
+    writeAvro(unionDir, "u.avro", unionSchema)(
+      Map("order_id" -> "o1", "amount" -> 1.0f, "n" -> 1))
+    val u = intercept[IllegalArgumentException] {
+      Ingest.load(spark, unionDir.toString, cols, sourceFormat = "AVRO",
+        ingestionDate = "2024-03-01")
+    }
+    assert(u.getMessage.contains("non-null branches"), u.getMessage)
+
+    // a GOOD schema still pre-validates clean and loads
+    val okDir = Files.createTempDirectory("graft-avro-ok")
+    writeAvro(okDir, "b.avro", avroWriterSchema)(
+      Map("order_id" -> "o1", "amount" -> 1.0f, "n" -> 1, "d" -> 0,
+        "ts" -> 0L, "ok" -> true, "extra_writer_field" -> "x"))
+    assert(Ingest.load(spark, okDir.toString, cols, sourceFormat = "AVRO",
+      ingestionDate = "2024-03-01").df.count() == 1)
+  }
+
   test("AVRO: declared-type mismatch fails the load (self-describing semantics)") {
     val dir = Files.createTempDirectory("graft-avro-bad")
     writeAvro(dir, "b.avro", avroWriterSchema)(
