@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Structural fingerprint of a physical plan: the operator counts that a
+  * silent planner regression moves — a broadcast flipping to a shuffle
+  * join, a new Exchange, a window appearing where a map-side path used to
+  * run, a join degenerating to nested-loop. The gate's plan-shape CI
+  * (`PlanShapeSpec`) snapshots these per query and asserts CEILINGS, so
+  * AQE/stats variance below the recorded shape stays green while a
+  * regression above it goes red.
+  *
+  * Counts come from `queryExecution.sparkPlan` — the pre-AQE physical
+  * plan, which is deterministic for fixed testdata + config (AQE's
+  * runtime re-plan only ever REMOVES work relative to it: SMJ→BHJ,
+  * coalesced partitions), including subquery plans.
+  */
+object PlanShape {
+
+  /** One plan's operator counts. Field order is the JSON column order. */
+  case class Counts(shuffles: Int, broadcasts: Int, sorts: Int, windows: Int,
+                    shuffleJoins: Int, nestedLoops: Int) {
+    /** Every count at-or-under the ceiling (the CI predicate). */
+    def fitsWithin(c: Counts): Boolean =
+      shuffles <= c.shuffles && broadcasts <= c.broadcasts &&
+        sorts <= c.sorts && windows <= c.windows &&
+        shuffleJoins <= c.shuffleJoins && nestedLoops <= c.nestedLoops
+    /** Human-readable diff vs a ceiling, for assertion messages. */
+    def overages(c: Counts): Seq[String] = {
+      def over(n: String, a: Int, b: Int) =
+        if (a > b) Some(s"$n: $a > ceiling $b") else None
+      Seq(over("shuffles", shuffles, c.shuffles),
+        over("broadcasts", broadcasts, c.broadcasts),
+        over("sorts", sorts, c.sorts),
+        over("windows", windows, c.windows),
+        over("shuffleJoins", shuffleJoins, c.shuffleJoins),
+        over("nestedLoops", nestedLoops, c.nestedLoops)).flatten
+    }
+  }
+
+  /** Count shape-relevant operators in `df`'s pre-AQE physical plan
+    * (subqueries included). `shuffleJoins` = sort-merge + shuffled-hash
+    * (the shapes a lost broadcast degrades INTO); `nestedLoops` = BNLJ +
+    * cartesian (the shapes a lost equi-join degrades into). */
+  def of(df: DataFrame): Counts = {
+    val plan = df.queryExecution.sparkPlan
+    def n(pf: PartialFunction[SparkPlan, Unit]): Int =
+      plan.collectWithSubqueries(pf).size
+    Counts(
+      shuffles = n { case _: ShuffleExchangeExec => () },
+      broadcasts = n { case _: BroadcastExchangeExec => () },
+      sorts = n { case _: SortExec => () },
+      windows = n { case _: WindowExec => () },
+      shuffleJoins = n { case _: SortMergeJoinExec => ()
+                         case _: ShuffledHashJoinExec => () },
+      nestedLoops = n { case _: BroadcastNestedLoopJoinExec => ()
+                        case _: CartesianProductExec => () })
+  }
+}

@@ -339,6 +339,20 @@ object TextQueries {
       .select("doc_id", "host", "host_rank")
       .orderBy("doc_id")
 
+  /** APPROXIMATE per-host cap at 50 — the mega-host deployment shape
+    * (`exact = false`): per-host census broadcast + map-side md5-bucket
+    * threshold at rate cap/n, NO window anywhere. Survivor counts are
+    * binomial around the cap, but the kept SET is fully deterministic
+    * given the hash rule — the same engine-portable hex-threshold
+    * convention as `corpus_sample`/`corpus_mixture`, so DuckDB re-derives
+    * it exactly. `host_rank` is a typed null (schema parity with the
+    * exact path; rank is unknowable without the window this path avoids). */
+  def urlHostCapApprox(s: SparkSession, dir: String): DataFrame =
+    UrlOps.hostCap(docs(s, dir).select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url", cap = 50, exact = false)
+      .select("doc_id", "host", "host_rank")
+      .orderBy("doc_id")
+
   // Fingerprint-store cache per (session, corpus): history is
   // fingerprinted ONCE when it lands (the DedupStore contract); the gate
   // query then times/checks only the incremental probe — same convention
@@ -561,7 +575,8 @@ object TextQueries {
     "bpe_tokens" -> (bpeTokenCount _),
     "url_canon" -> (urlCanon _),
     "url_host_stats" -> (urlHostStats _),
-    "url_host_cap" -> (urlHostCap _)
+    "url_host_cap" -> (urlHostCap _),
+    "url_host_cap_approx" -> (urlHostCapApprox _)
   )
 
   /** URL canonicalization re-derived in SQL (same regex rules as
@@ -1568,6 +1583,22 @@ object TextQueries {
          |  FROM canon)
          |SELECT doc_id, host, host_rank FROM ranked
          |WHERE host_rank <= 50 ORDER BY doc_id""".stripMargin,
+
+    // the windowless shape: census → rate cap/n → shared hex-threshold
+    // encoding ('g' = keep-all under the cap; every hex char < 'g');
+    // 50.0/n and floor(rate*2^32) are double math in both engines
+    "url_host_cap_approx" ->
+      s"""WITH $urlCtes,
+         | census AS (SELECT host AS h, count(*) AS n FROM canon GROUP BY 1),
+         | thr AS (SELECT h, CASE WHEN n <= 50 THEN 'g'
+         |    ELSE lpad(lower(to_hex(CAST(least(floor(50.0 / n * 4294967296),
+         |                                     4294967295) AS BIGINT))), 8, '0')
+         |    END AS t
+         |  FROM census)
+         |SELECT c.doc_id, c.host, CAST(NULL AS INT) AS host_rank
+         |FROM canon c JOIN thr ON c.host = thr.h
+         |WHERE substr(md5('hostcap|' || CAST(c.doc_id AS VARCHAR)), 1, 8) < thr.t
+         |ORDER BY c.doc_id""".stripMargin,
 
     // window hashes + canonical (first-occurrence) election re-derived in
     // SQL; positions are 1-based here vs 0-based in Spark — only intra-side
