@@ -42,14 +42,20 @@ object PlanShape {
     }
   }
 
-  /** Count shape-relevant operators in `df`'s pre-AQE physical plan
+  /** Count shape-relevant operators in `df`'s prepared physical plan
     * (subqueries included). `shuffleJoins` = sort-merge + shuffled-hash
     * (the shapes a lost broadcast degrades INTO); `nestedLoops` = BNLJ +
-    * cartesian (the shapes a lost equi-join degrades into). */
+    * cartesian (the shapes a lost equi-join degrades into).
+    *
+    * Exchanges are inserted by the `EnsureRequirements` prepare phase, so
+    * counting must run over `executedPlan`, not `sparkPlan` — and with AQE
+    * on, `executedPlan` is a leaf `AdaptiveSparkPlanExec` wrapper whose
+    * real tree hangs off `initialPlan` (deterministic pre-runtime; never
+    * triggers execution). The walk unwraps every adaptive node it meets,
+    * including adaptively-planned subqueries. */
   def of(df: DataFrame): Counts = {
-    val plan = df.queryExecution.sparkPlan
-    def n(pf: PartialFunction[SparkPlan, Unit]): Int =
-      plan.collectWithSubqueries(pf).size
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    def n(pf: PartialFunction[SparkPlan, Unit]): Int = nodes.count(pf.isDefinedAt)
     Counts(
       shuffles = n { case _: ShuffleExchangeExec => () },
       broadcasts = n { case _: BroadcastExchangeExec => () },
@@ -60,4 +66,11 @@ object PlanShape {
       nestedLoops = n { case _: BroadcastNestedLoopJoinExec => ()
                         case _: CartesianProductExec => () })
   }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case x => x }.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: allNodes(a.initialPlan)
+      case x => Seq(x)
+    }
 }
