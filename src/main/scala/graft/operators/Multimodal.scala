@@ -77,12 +77,14 @@ object Multimodal {
     }
 
     /** BT.601 luma sum via bulk reads — never a per-pixel `getRGB` call.
+      * `private[operators]` so [[AviMjpegDecoder]] shares the exact same
+      * arithmetic for per-frame luma.
       * Raster bands are read directly only for image types whose samples
       * ARE the sRGB channels `getRGB` would return (no color-space
       * conversion, no premultiplied alpha); anything else goes through the
       * row-bulk `getRGB` overload, which matches per-pixel `getRGB` exactly
       * while amortizing the per-call overhead over a whole row. */
-    private def lumaSum(img: java.awt.image.BufferedImage, w: Int, h: Int): Double = {
+    private[operators] def lumaSum(img: java.awt.image.BufferedImage, w: Int, h: Int): Double = {
       import java.awt.image.BufferedImage.{TYPE_3BYTE_BGR, TYPE_INT_BGR, TYPE_INT_RGB}
       var sum = 0.0
       img.getType match {
@@ -218,6 +220,139 @@ object Multimodal {
           AudioStub.decode(id, bytes)
       }
     }
+  }
+
+  /** Decoded video features: container + per-frame signal, the typed
+    * columns a frame-sampling pipeline keys on. `decoded` distinguishes
+    * real codec output from the stub fallback. */
+  case class VideoFeatures(id: Long, width: Int, height: Int, nFrames: Int,
+                           fps: Double, meanLuma: Double, decoded: Boolean)
+
+  /** The video codec boundary, mirroring [[MediaDecoder]]: executor-side
+    * inside `mapPartitions`, serializable, never throws on a bad payload. */
+  trait VideoDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures
+  }
+
+  /** Deterministic fake for codecs not on this classpath (MP4/H.264 etc.)
+    * — features derive from content, like [[DecodeStub]]. */
+  object VideoStub extends VideoDecoder {
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures = {
+      val n = if (bytes == null) 0 else bytes.length
+      val sum = if (n == 0) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      VideoFeatures(id, width = 16 + (n % 64), height = 16 + (sum % 64).toInt,
+        nFrames = 1 + (n % 24), fps = 24.0 + (n % 2) * 6.0,
+        meanLuma = if (n == 0) 0.0 else sum.toDouble / n, decoded = false)
+    }
+  }
+
+  /** REAL MJPEG-in-AVI decoding with the JDK alone: AVI is a RIFF
+    * container whose `movi` chunks (`##dc`/`##db`) carry one complete
+    * JPEG per frame, and `javax.imageio` decodes those — no native codec
+    * needed. Emits true frame count (frames that actually decoded),
+    * fps from the video stream header (`strh` dwRate/dwScale, falling
+    * back to `avih` microseconds-per-frame), dimensions from the first
+    * decoded frame, and mean BT.601 luma averaged over all decoded
+    * frames (same [[ImageIoDecoder.lumaSum]] arithmetic as stills).
+    *
+    * Degrade-don't-kill, the [[ImageIoDecoder]] convention: a payload
+    * that is not RIFF-AVI, has a truncated chunk tree, or decodes zero
+    * frames falls back to [[VideoStub]]; an individually corrupt frame
+    * inside an otherwise-good file is skipped, not fatal. */
+  object AviMjpegDecoder extends VideoDecoder {
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** One pass over the chunk tree, collecting the header fields and
+      * frame-chunk extents. Sizes are little-endian; chunks pad to even. */
+    private final class Scan(b: Array[Byte]) {
+      var usPerFrame = 0L
+      var scale = 0L
+      var rate = 0L
+      var sawVids = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fourcc(b, pos)
+          val size = u32(b, pos + 4)
+          val dataStart = pos + 8
+          val dataEnd = dataStart + size
+          if (size < 0 || dataEnd > to) return // truncated: keep what we have
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(b, dataStart)
+            walk(dataStart + 4, dataEnd.toInt,
+              inMovi || listType == "movi" || listType == "rec ")
+          } else if (id == "avih" && size >= 40) {
+            usPerFrame = u32(b, dataStart)
+          } else if (id == "strh" && size >= 28) {
+            if (fourcc(b, dataStart) == "vids" && !sawVids) {
+              sawVids = true
+              scale = u32(b, dataStart + 20)
+              rate = u32(b, dataStart + 24)
+            }
+          } else if (inMovi && size > 0 && id.length == 4 &&
+                     (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((dataStart, size.toInt))
+          }
+          pos = (dataEnd + (size & 1L)).toInt
+        }
+      }
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures = {
+      if (bytes == null || bytes.length < 12 ||
+          fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ")
+        return VideoStub.decode(id, bytes)
+      try {
+        val scan = new Scan(bytes)
+        val riffEnd = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+        scan.walk(12, riffEnd, inMovi = false)
+        var nDecoded = 0
+        var w = 0
+        var h = 0
+        var lumaAcc = 0.0
+        scan.frames.foreach { case (off, len) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off, len))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            if (nDecoded == 0) { w = img.getWidth; h = img.getHeight }
+            lumaAcc += ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
+              (img.getWidth.toDouble * img.getHeight)
+            nDecoded += 1
+          }
+        }
+        if (nDecoded == 0) return VideoStub.decode(id, bytes)
+        val fps =
+          if (scan.scale > 0 && scan.rate > 0) scan.rate.toDouble / scan.scale
+          else if (scan.usPerFrame > 0) 1e6 / scan.usPerFrame
+          else 0.0
+        VideoFeatures(id, w, h, nDecoded, fps, lumaAcc / nDecoded, decoded = true)
+      } catch {
+        case _: IndexOutOfBoundsException => VideoStub.decode(id, bytes)
+      }
+    }
+  }
+
+  /** Batched video decode over (id, binary) rows — the `mapPartitions`
+    * twin of [[decodeFeatures]] for the video seam. */
+  def decodeVideo(df: DataFrame, idCol: String, binCol: String,
+                  decoder: VideoDecoder = AviMjpegDecoder): Dataset[VideoFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          decoder.decode(r.getLong(0),
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
+        }
+      }
   }
 
   /** Batched audio decode over (id, binary) rows — the `mapPartitions`

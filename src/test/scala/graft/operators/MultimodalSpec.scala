@@ -212,4 +212,105 @@ class MultimodalSpec extends SparkSpec {
       .select("id", "cos_sim").as[(Long, Double)].head()
     assert(nn == ((4L, 1.0))) // the duplicate jpeg is its own nearest neighbor
   }
+
+  // --- MJPEG-in-AVI fixtures: a hand-assembled RIFF container around
+  // real ImageIO JPEG frames (little-endian sizes, even-byte chunk
+  // alignment — the real AVI layout, JDK-only) ---
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def aviChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad: Array[Byte] =
+      if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++ pad
+  }
+  private def aviList(typ: String, children: Array[Byte]*): Array[Byte] =
+    aviChunk("LIST", typ.getBytes("US-ASCII") ++ children.flatten)
+
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    out.toByteArray
+  }
+
+  private def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       scale: Int, rate: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(0, (1000000L * scale / rate).toInt) // dwMicroSecPerFrame
+    avih.putInt(16, frames.size)                    // dwTotalFrames
+    avih.putInt(24, 1)                              // dwStreams
+    avih.putInt(32, w).putInt(36, h)
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put(0, "vids".getBytes("US-ASCII")).put(4, "MJPG".getBytes("US-ASCII"))
+    strh.putInt(20, scale).putInt(24, rate).putInt(32, frames.size)
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(0, 40).putInt(4, w).putInt(8, h)
+    strf.putShort(12, 1.toShort).putShort(14, 24.toShort)
+    strf.put(16, "MJPG".getBytes("US-ASCII"))
+    val hdrl = aviList("hdrl", aviChunk("avih", avih.array()),
+      aviList("strl", aviChunk("strh", strh.array()), aviChunk("strf", strf.array())))
+    val movi = aviList("movi", frames.zipWithIndex.map { case (f, i) =>
+      aviChunk(f"$i%02ddc", f)
+    }: _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("AviMjpegDecoder: exact frames/fps/dims and frame-averaged luma from a generated AVI") {
+    // odd-length first frame (trailing byte after EOI — ImageIO ignores
+    // it) so the even-alignment pad is actually exercised mid-stream
+    val f0 = {
+      val f = jpegFrame(20, 12, 0x808080)
+      if (f.length % 2 == 0) f :+ 0.toByte else f
+    }
+    val frames = Seq(f0, jpegFrame(20, 12, 0xFFFFFF), jpegFrame(20, 12, 0x000000))
+    val avi = mjpegAvi(frames, 20, 12, scale = 2, rate = 25)
+    val got = Multimodal.AviMjpegDecoder.decode(7L, avi)
+    assert(got.decoded && got.width == 20 && got.height == 12 &&
+      got.nFrames == 3 && got.fps == 12.5, s"got $got")
+    val expectedLuma = frames
+      .map(Multimodal.ImageIoDecoder.decode(0L, _).meanLuma).sum / 3
+    assert(math.abs(got.meanLuma - expectedLuma) < 1e-9,
+      s"luma ${got.meanLuma} != $expectedLuma")
+    // mid-gray ~128, white ~255, black ~0 -> average lands near 128
+    assert(got.meanLuma > 100 && got.meanLuma < 160)
+  }
+
+  test("AviMjpegDecoder: a corrupt frame is skipped, not fatal; non-AVI falls back to the stub") {
+    val good = jpegFrame(8, 8, 0x4080C0)
+    val corrupt = good.take(10) // truncated JPEG: ImageIO returns null
+    val avi = mjpegAvi(Seq(good, corrupt, good), 8, 8, scale = 1, rate = 30)
+    val got = Multimodal.AviMjpegDecoder.decode(1L, avi)
+    assert(got.decoded && got.nFrames == 2 && got.fps == 30.0, s"got $got")
+
+    // RIFF-but-not-AVI (a WAV), garbage, truncated header, null: all stub
+    val wavBytes = wav(8000f, 1, 16, Array.fill(100)(1000))
+    Seq(wavBytes, "garbage".getBytes, "RIFF".getBytes, null: Array[Byte])
+      .zipWithIndex.foreach { case (b, i) =>
+        assert(Multimodal.AviMjpegDecoder.decode(i.toLong, b) ==
+          Multimodal.VideoStub.decode(i.toLong, b), s"payload $i")
+      }
+    // an AVI whose every frame is corrupt parses but decodes nothing: stub
+    val allBad = mjpegAvi(Seq(corrupt, corrupt), 8, 8, 1, 30)
+    assert(Multimodal.AviMjpegDecoder.decode(9L, allBad) ==
+      Multimodal.VideoStub.decode(9L, allBad))
+  }
+
+  test("decodeVideo streams AVIs distributed; mixed corpus degrades per-row") {
+    val avi = mjpegAvi(Seq(jpegFrame(10, 10, 0x202020),
+      jpegFrame(10, 10, 0xE0E0E0)), 10, 10, scale = 1, rate = 24)
+    val df = Seq((1L, avi), (2L, "noise".getBytes), (3L, null: Array[Byte]))
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeVideo(df, "id", "payload").collect()
+      .map(f => f.id -> f).toMap
+    assert(out(1L) == Multimodal.AviMjpegDecoder.decode(1L, avi))
+    assert(out(1L).decoded && out(1L).nFrames == 2 && out(1L).fps == 24.0)
+    assert(out(2L) == Multimodal.VideoStub.decode(2L, "noise".getBytes))
+    assert(!out(3L).decoded)
+  }
 }
