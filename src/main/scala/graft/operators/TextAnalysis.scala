@@ -307,6 +307,55 @@ object TextAnalysis {
     }.drop("_sh")
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, and select each window's minimum (ties
+    * broken RIGHTMOST, the paper's rule). The selected set is the
+    * document's fingerprint, with the winnowing guarantee: any shared
+    * token run of length >= `w + k - 1` between two documents shares at
+    * least one fingerprint — the local, position-robust alternative to
+    * global minhash for overlap detection.
+    *
+    * The (hash, rightmost-pos) window argmin rides ONE engine-portable
+    * sortable string: `md5hex || lpad(10^10 - pos)` — string min ==
+    * (hash ASC, pos DESC), so Spark and the SQL oracle select literally
+    * identical fingerprints. Window starts are clamped to full windows
+    * (`pos <= max(1, n_grams - w + 1)`; a short doc gets one window over
+    * everything), so truncated suffix windows never add spurious picks.
+    *
+    * Scale shape: one explode to gram grain, then a DOC-PARTITIONED
+    * window ordered by position (doc-local, bounded by doc length — the
+    * `chunk_docs`/`dedup_substring` pattern) and a distinct that shrinks
+    * to the selected fingerprints (~2/(w+1) of grams, the paper's
+    * density). Nothing corpus-wide ever sorts. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, window: Int = 5): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(window >= 1, s"window=$window must be >= 1")
+    val nGrams = size(col("_ws")) - (k - 1)
+    val grams = docs
+      .select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .where(size(col("_ws")) >= k)
+      .select(col(idCol), col("_ws"), nGrams.as("n_grams"),
+        explode(sequence(lit(1), nGrams)).as("pos"))
+      .select(col(idCol), col("n_grams"), col("pos"),
+        concat(
+          md5(concat_ws(" ", slice(col("_ws"), col("pos"), lit(k)))),
+          lpad((lit(9999999999L) - col("pos")).cast("string"), 10, "0"))
+          .as("_comb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
+    grams
+      .withColumn("_sel", min(col("_comb")).over(w))
+      .where(col("pos") <= greatest(lit(1), col("n_grams") - (window - 1)))
+      .select(col(idCol), col("_sel")).distinct()
+      .select(col(idCol),
+        substring(col("_sel"), 1, 32).as("fp"),
+        (lit(9999999999L) - substring(col("_sel"), 33, 10).cast("long"))
+          .cast("int").as("pos"))
+  }
+
   /** Per-document salient terms: top `k` by smoothed tf-idf
     * (`tf × (ln((N+1)/(df+1)) + 1)` — the scikit-style formulation, always
     * positive so common-everywhere terms rank low without vanishing).
@@ -497,6 +546,65 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .withColumn("lp",
         log((col("bg_cnt") + lit(1.0)) / (col("ctx_cnt") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))
+  }
+
+  /** Corpus-trained INTERPOLATED KNESER-NEY bigram log-probability per
+    * document — the smoothing KenLM implements, i.e. the model family the
+    * published CCNet filter (Wenzek et al. 2020) actually scores with,
+    * replacing [[bigramLogProb]]'s Laplace stand-in. With absolute
+    * discount `d`:
+    *
+    * {{{ P(nxt|ctx) = max(c(ctx,nxt)-d, 0)/c(ctx·)
+    *                + (d·N1+(ctx·)/c(ctx·)) · (N1+(·nxt)/B) }}}
+    *
+    * where `N1+(ctx·)` = distinct continuations of ctx, `N1+(·nxt)` =
+    * distinct contexts preceding nxt (the continuation probability —
+    * KN's insight: "Francisco" is frequent but follows almost nothing
+    * except "San"), and `B` = distinct bigram types. Score = tf-weighted
+    * mean log-prob over the doc's bigrams (sum rounded, then divided —
+    * the SURVEY §4 rule).
+    *
+    * Scale shape: identical to [[bigramLogProb]] — ONE corpus explode
+    * (lazy localCheckpoint), with the refinement that every model rollup
+    * derives from the TYPE-grain `bgFreq` relation (strictly smaller than
+    * the (doc,bigram) tf relation): c(ctx·) and N1+(ctx·) ride one
+    * ctx-keyed pass, N1+(·nxt) one nxt-keyed pass, B a one-row broadcast.
+    * Scoring joins at (doc, DISTINCT bigram) grain, never raw tokens. */
+  def knLogProb(docs: DataFrame, idCol: String, textCol: String,
+                discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount out of (0,1)")
+    val idxs = when(size(col("_ws")) >= 2, sequence(lit(1), size(col("_ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = docs
+      .select(col(idCol), normWords(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"), explode(idxs).as("_i"))
+      .select(col(idCol),
+        element_at(col("_ws"), col("_i")).as("ctx"),
+        element_at(col("_ws"), col("_i") + 1).as("nxt"))
+      .where(col("ctx") =!= "" && col("nxt") =!= "")
+    val tf = bigrams.groupBy(col(idCol), col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val bgFreq = tf.groupBy(col("ctx"), col("nxt"))
+      .agg(sum(col("tf")).as("bg_cnt"))
+      .localCheckpoint(false)
+    val ctxStats = bgFreq.groupBy(col("ctx"))
+      .agg(sum(col("bg_cnt")).as("ctx_cnt"), count(lit(1)).as("n1_fwd"))
+    val contStats = bgFreq.groupBy(col("nxt")).agg(count(lit(1)).as("n1_bwd"))
+    val bTypes = bgFreq.agg(count(lit(1)).as("b_types"))
+    // parenthesization is load-bearing for cross-engine parity: the
+    // oracle re-derives this exact association order
+    tf.join(bgFreq, Seq("ctx", "nxt"))
+      .join(ctxStats, Seq("ctx"))
+      .join(contStats, Seq("nxt"))
+      .crossJoin(broadcast(bTypes))
+      .withColumn("lp", log(
+        (greatest(col("bg_cnt") - lit(discount), lit(0.0)) / col("ctx_cnt")) +
+          (((lit(discount) * col("n1_fwd")) / col("ctx_cnt")) *
+            (col("n1_bwd") / col("b_types")))))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
         (round(sum(col("tf") * col("lp")), 6) / sum(col("tf"))).as("avg_logprob"))

@@ -249,6 +249,14 @@ object TextQueries {
     TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  def lmKn(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knLogProb(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "pos")
+
   /** LITERAL classifier model for the gate: the oracle re-derives the
     * exact sigmoid(w·standardize(x)+b) arithmetic in SQL, so scoring
     * parity is what this checks; `fit` determinism/accuracy is
@@ -562,6 +570,8 @@ object TextQueries {
     "corpus_mixture" -> (corpusMixture _),
     "lm_logprob" -> (lmLogProb _),
     "lm_bigram" -> (lmBigram _),
+    "lm_kn" -> (lmKn _),
+    "fingerprint_winnow" -> (winnow _),
     "ccnet_buckets" -> (ccnetBuckets _),
     "contamination_report" -> (contaminationReport _),
     "quality_lr" -> (qualityLr _),
@@ -1379,6 +1389,52 @@ object TextQueries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney with d = 0.75; the association order of the
+    // probability expression matches the Scala side token-for-token so
+    // IEEE doubles agree (round(6) on the sum absorbs ln()'s last ulp)
+    "lm_kn" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | bg AS (SELECT doc_id, ws[i] AS ctx, ws[i+1] AS nxt
+         |        FROM nw, unnest(generate_series(1, len(ws) - 1)) t(i)
+         |        WHERE ws[i] <> '' AND ws[i+1] <> ''),
+         | tf AS (SELECT doc_id, ctx, nxt, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         | bgf AS (SELECT ctx, nxt, CAST(sum(tf) AS BIGINT) AS bg_cnt
+         |         FROM tf GROUP BY 1, 2),
+         | ctxs AS (SELECT ctx, CAST(sum(bg_cnt) AS BIGINT) AS ctx_cnt,
+         |            count(*) AS n1_fwd
+         |          FROM bgf GROUP BY 1),
+         | conts AS (SELECT nxt, count(*) AS n1_bwd FROM bgf GROUP BY 1),
+         | bt AS (SELECT count(*) AS b_types FROM bgf),
+         | scored AS (SELECT tf.doc_id, tf.tf,
+         |     ln((greatest(bgf.bg_cnt - 0.75, 0.0) / ctxs.ctx_cnt)
+         |        + (((0.75 * ctxs.n1_fwd) / ctxs.ctx_cnt)
+         |           * (CAST(conts.n1_bwd AS DOUBLE) / bt.b_types))) AS lp
+         |   FROM tf JOIN bgf USING (ctx, nxt) JOIN ctxs USING (ctx)
+         |        JOIN conts USING (nxt), bt)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(sum(tf * lp), 6) / CAST(sum(tf) AS BIGINT) AS avg_logprob
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // winnowing: k=4 grams, w=5 windows; the sortable-string argmin
+    // (md5 || lpad(10^10 - pos)) reproduces Spark's selection exactly;
+    // window starts clamped to full windows, short docs get one window
+    "fingerprint_winnow" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | g AS (SELECT doc_id, s AS pos, len(ws) - 3 AS n_grams,
+         |         md5(array_to_string(ws[s:s+3], ' '))
+         |           || lpad(CAST(9999999999 - s AS VARCHAR), 10, '0') AS comb
+         |       FROM nw, unnest(generate_series(1, len(ws) - 3)) t(s)
+         |       WHERE len(ws) >= 4),
+         | m AS (SELECT doc_id, pos, n_grams,
+         |         min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+         |       FROM g),
+         | sels AS (SELECT DISTINCT doc_id, sel FROM m
+         |          WHERE pos <= greatest(1, n_grams - 4))
+         |SELECT doc_id, substr(sel, 1, 32) AS fp,
+         |  CAST(9999999999 - CAST(substr(sel, 33, 10) AS BIGINT) AS INT) AS pos
+         |FROM sels ORDER BY doc_id, pos""".stripMargin,
 
     "mixture_plan" ->
       """WITH tok AS (SELECT source,

@@ -444,6 +444,79 @@ class TextDedupSpec extends SparkSpec {
       "unigram scoring is blind to transitions (same bag of words)")
   }
 
+  test("knLogProb: continuation probability separates equally-frequent tokens; exact vs brute-force") {
+    // 'francisco' and 'the' have IDENTICAL unigram counts (11 each), but
+    // 'francisco' follows almost nothing except 'san' while 'the' follows
+    // many contexts — Kneser-Ney's continuation term must prefer
+    // 'zz the' over 'zz francisco' (both singleton bigrams, same ctx);
+    // Laplace bigram scoring is blind to it (same bg_cnt, same ctx_cnt)
+    val docsSeq = (1 to 10).map(i => (100L + i, "san francisco")) ++
+      (1 to 10).map(i => (200L + i, s"ctx$i the")) ++
+      Seq((1L, "zz the"), (2L, "zz francisco"))
+    val corpus = docsSeq.toDF("doc_id", "text")
+    val out = TextAnalysis.knLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, (r._2, r._3))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L)
+    assert(out(1L)._2 > out(2L)._2,
+      s"KN must score 'zz the' above 'zz francisco': ${out(1L)._2} vs ${out(2L)._2}")
+    val laplace = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(math.abs(laplace(1L) - laplace(2L)) < 1e-12,
+      "Laplace is blind to continuation diversity (same counts both docs)")
+
+    // exact arithmetic: brute-force the interpolated-KN formula in Scala
+    val toks = docsSeq.map { case (id, t) => id -> t.split(" ").toSeq }
+    val docBgs = toks.map { case (id, ws) =>
+      id -> ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq }
+    val bgCnt = docBgs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val ctxCnt = bgCnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1Fwd = bgCnt.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val n1Bwd = bgCnt.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val b = bgCnt.size
+    def lp(bg: (String, String)): Double = math.log(
+      (math.max(bgCnt(bg) - 0.75, 0.0) / ctxCnt(bg._1)) +
+        (((0.75 * n1Fwd(bg._1)) / ctxCnt(bg._1)) * (n1Bwd(bg._2).toDouble / b)))
+    docBgs.foreach { case (id, bgs) =>
+      val expected = BigDecimal(bgs.map(lp).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / bgs.size
+      assert(math.abs(out(id)._2 - expected) < 1e-12,
+        s"doc $id: spark=${out(id)._2} reference=$expected")
+    }
+  }
+
+  test("winnowFingerprints: the w+k-1 guarantee, rightmost ties, disjoint docs disjoint") {
+    // k=4, w=5: any shared run of >= 8 tokens must share a fingerprint
+    val shared = (1 to 8).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta echo $shared foxtrot golf"),
+      (2L, s"$shared zulu yankee xray whiskey victor uniform tango sierra"),
+      (3L, "completely different words with no overlap at all in here")
+    ).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .select("doc_id", "fp").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "8-token shared run must produce a shared fingerprint (the winnowing guarantee)")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+
+    // all-identical grams: every window's min ties on hash, the paper's
+    // rule picks the RIGHTMOST — window starts 1..3 select positions 5,6,7
+    val rep = Seq((9L, Array.fill(10)("x").mkString(" "))).toDF("doc_id", "text")
+    val picks = TextAnalysis.winnowFingerprints(rep, "doc_id", "text")
+      .select("pos").as[Int].collect().toSet
+    assert(picks == Set(5, 6, 7), s"rightmost tie-break: got $picks")
+
+    // a doc shorter than one full window still fingerprints (one window
+    // over everything); a doc under k tokens yields nothing
+    val short = Seq((10L, "only five words right here"), (11L, "too few now"))
+      .toDF("doc_id", "text")
+    val sfp = TextAnalysis.winnowFingerprints(short, "doc_id", "text")
+      .select("doc_id").as[Long].collect()
+    assert(sfp.count(_ == 10L) == 1 && !sfp.contains(11L))
+  }
+
   test("tfidfTopTerms: rare terms outrank ubiquitous ones; exactly k rows per doc") {
     val corpus = Seq(
       (1L, "common zebra"),
