@@ -393,6 +393,52 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  /** Per-document salient terms under Okapi BM25 — the retrieval-grade
+    * sibling of [[tfidfTopTerms]]: term saturation (`k1`) stops a
+    * 50-occurrence term from scoring 50× a single occurrence, and length
+    * normalization (`b`) stops long documents from dominating purely by
+    * repetition. `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` (the
+    * non-negative Robertson–Spärck Jones form);
+    * `score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Scale shape: identical to tf-idf — the (doc, term) count relation is
+    * computed ONCE (localCheckpoint) and feeds the df rollup, the
+    * per-document length rollup (`dl = Σ tf`, derived from tf so the raw
+    * token explode is never re-scanned), and the scoring join; N and
+    * avgdl ride a broadcast one-row join. Every input to the score is an
+    * exact integer or a quotient of exact integers, so the double math is
+    * IEEE-identical across engines and `round(6)` is oracle-safe
+    * (SURVEY §4); the expression tree mirrors the oracle SQL's
+    * association order token for token. */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val terms = docs
+      .select(col(idCol), explode(normWords(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("bm25").desc, col("term"))
+    tf.join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("bm25",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl")))), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
+        round(col("idf"), 6).as("idf"), col("bm25"), col("rank"))
+  }
+
   /** Corpus-trained unigram log-probability per document — the tractable
     * stand-in for the CCNet/Wiki-LM perplexity filter: documents whose
     * tokens are atypical FOR THIS CORPUS (very low mean log-prob) are

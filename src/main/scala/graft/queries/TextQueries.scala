@@ -418,6 +418,10 @@ object TextQueries {
     TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id", "rank")
 
+  def bm25Top(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopTerms(docs(s, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
   /** Weighted exactly-20-per-source carve, weight = document length
     * (n_chars) — longer docs proportionally likelier, selection
     * md5-deterministic (A-ES). */
@@ -562,6 +566,7 @@ object TextQueries {
     "pack_shards" -> (packShards _),
     "multimodal_meta" -> (multimodalMeta _),
     "tfidf_topterms" -> (tfidfTop _),
+    "bm25_topterms" -> (bm25Top _),
     "line_dedup" -> (lineDedup _),
     "text_repetition" -> (textRepetition _),
     "text_dup_ngrams" -> (textDupNgrams _),
@@ -1494,6 +1499,32 @@ object TextQueries {
          | ranked AS (SELECT *, row_number() OVER
          |     (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
          |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+         |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // Okapi BM25: every score input is an exact integer or a quotient of
+    // exact integers, and the expression tree below mirrors the Scala
+    // operator association token for token (SURVEY §4 — round once, at
+    // the end, of bit-identical doubles). `(1.2 + 1.0)` is written as the
+    // sum, not `2.2`, to match `lit(k1 + 1.0)` exactly.
+    "bm25_topterms" ->
+      s"""WITH ${normWordsFrom("documents")},
+         | t AS (SELECT doc_id, unnest(ws) AS term FROM nw),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |        WHERE term <> '' GROUP BY 1, 2),
+         | dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         | stats AS (SELECT count(*) AS n_docs,
+         |     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         | scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+         |     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf_raw,
+         |     round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |       * (tf.tf * (1.2 + 1.0))
+         |       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))), 6) AS bm25
+         |   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+         | ranked AS (SELECT *, row_number() OVER
+         |     (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn FROM scored)
+         |SELECT doc_id, term, tf, df, dl, round(idf_raw, 6) AS idf, bm25,
+         |  CAST(rn AS INT) AS rank
          |FROM ranked WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "line_dedup" ->
