@@ -317,10 +317,14 @@ object Multimodal {
         var h = 0
         var lumaAcc = 0.0
         scan.frames.foreach { case (off, len) =>
+          // ImageIO.read on a corrupt JPEG payload can throw beyond
+          // IOException (IllegalArgumentException, CMMException,
+          // NegativeArraySizeException from codec internals) — any
+          // per-frame failure means "skip the frame", never a task kill.
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes, off, len))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) {
             if (nDecoded == 0) { w = img.getWidth; h = img.getHeight }
             lumaAcc += ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
@@ -335,7 +339,10 @@ object Multimodal {
           else 0.0
         VideoFeatures(id, w, h, nDecoded, fps, lumaAcc / nDecoded, decoded = true)
       } catch {
-        case _: IndexOutOfBoundsException => VideoStub.decode(id, bytes)
+        // a malformed container (lying chunk sizes, truncated headers)
+        // must degrade to the stub, upholding the VideoDecoder contract
+        // that decode() never throws on a bad payload
+        case scala.util.control.NonFatal(_) => VideoStub.decode(id, bytes)
       }
     }
   }

@@ -1504,22 +1504,29 @@ object TextQueries {
     // Okapi BM25: every score input is an exact integer or a quotient of
     // exact integers, and the expression tree below mirrors the Scala
     // operator association token for token (SURVEY §4 — round once, at
-    // the end, of bit-identical doubles). `(1.2 + 1.0)` is written as the
-    // sum, not `2.2`, to match `lit(k1 + 1.0)` exactly.
+    // the end, of bit-identical doubles). Every fractional literal is
+    // CAST to DOUBLE: DuckDB types a bare `1.2` as DECIMAL and evaluates
+    // the arithmetic exactly, which diverges from Spark's step-by-step
+    // double evaluation at the 6th decimal (the round-10 hash miss).
+    // `(1.2 + 1.0)` is written as the runtime double sum, not `2.2`, to
+    // match `lit(k1 + 1.0)` exactly.
     "bm25_topterms" ->
       s"""WITH ${normWordsFrom("documents")},
          | t AS (SELECT doc_id, unnest(ws) AS term FROM nw),
          | tf AS (SELECT doc_id, term, count(*) AS tf FROM t
          |        WHERE term <> '' GROUP BY 1, 2),
          | dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-         | dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         | dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          | stats AS (SELECT count(*) AS n_docs,
          |     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
          | scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
-         |     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf_raw,
-         |     round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-         |       * (tf.tf * (1.2 + 1.0))
-         |       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))), 6) AS bm25
+         |     ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+         |        / (dfreq.df + CAST(0.5 AS DOUBLE))) AS idf_raw,
+         |     round(ln(CAST(1.0 AS DOUBLE) + (stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+         |         / (dfreq.df + CAST(0.5 AS DOUBLE)))
+         |       * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |       / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |            + CAST(0.75 AS DOUBLE) * (dl.dl / stats.avgdl))), 6) AS bm25
          |   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
          | ranked AS (SELECT *, row_number() OVER
          |     (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn FROM scored)
