@@ -24,8 +24,10 @@ import org.apache.spark.sql.SparkSession
   *  - the rewrite lands under a hidden `_staging_*` prefix and moves into
   *    place per-partition via [[graft.sources.RawLayer]]'s publish
   *    machinery (rename-atomic on HDFS/POSIX): a crash before publish
-  *    leaves the table untouched, mid-publish every partition is either
-  *    fully old or fully new;
+  *    leaves the table untouched, and publish renames each old partition
+  *    ASIDE into a hidden `_trash_*` dir before renaming the new one in —
+  *    no crash point destroys data (worst case: one partition momentarily
+  *    absent from discovery, its old files recoverable from trash);
   *  - re-running is a no-op (the plan comes out empty once layout is good).
   */
 object Compaction {

@@ -14,10 +14,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   * AQE/stats variance below the recorded shape stays green while a
   * regression above it goes red.
   *
-  * Counts come from `queryExecution.sparkPlan` — the pre-AQE physical
-  * plan, which is deterministic for fixed testdata + config (AQE's
-  * runtime re-plan only ever REMOVES work relative to it: SMJ→BHJ,
-  * coalesced partitions), including subquery plans.
+  * Counts come from `queryExecution.executedPlan` — the PREPARED physical
+  * plan (after `EnsureRequirements` inserts Exchanges; `sparkPlan` would
+  * count none). With AQE on, that plan is an `AdaptiveSparkPlanExec` leaf
+  * whose deterministic pre-runtime tree hangs off `initialPlan`; the walk
+  * in [[of]] unwraps those wrappers, subqueries included. AQE's runtime
+  * re-plan only ever REMOVES work relative to the initial plan (SMJ→BHJ,
+  * coalesced partitions), so ceilings asserted on it are sound.
   */
 object PlanShape {
 

@@ -549,19 +549,37 @@ object RawLayer {
 
   /** Move every `col=value` partition directory from `staging` into `dest`,
     * replacing same-name partitions (partition-grain overwrite, the publish
-    * half of the staged [[Loaded.writeRaw]]), then drop the staging dir. */
+    * half of the staged [[Loaded.writeRaw]]), then drop the staging dir.
+    *
+    * Crash safety: a replaced partition is renamed ASIDE into a hidden
+    * `_trash_*` sibling (invisible to partition discovery) before the new
+    * directory renames in — never delete-then-rename. The trash is dropped
+    * only after EVERY partition has landed. So no crash point destroys
+    * data: the worst case (crash between the aside-rename and the in-rename)
+    * leaves that one partition momentarily absent from discovery with its
+    * old files intact under `_trash_*` for recovery; every other crash
+    * point leaves each partition fully old or fully new. */
   private[graft] def publishPartitions(fs: org.apache.hadoop.fs.FileSystem,
                                        staging: org.apache.hadoop.fs.Path,
                                        dest: org.apache.hadoop.fs.Path): Unit = {
     fs.mkdirs(dest)
+    val trash = new org.apache.hadoop.fs.Path(dest,
+      s"_trash_${java.util.UUID.randomUUID().toString.take(8)}")
+    var trashUsed = false
     fs.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach { st =>
         val target = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
-        if (fs.exists(target)) fs.delete(target, true)
+        if (fs.exists(target)) {
+          if (!trashUsed) { fs.mkdirs(trash); trashUsed = true }
+          val aside = new org.apache.hadoop.fs.Path(trash, st.getPath.getName)
+          if (!fs.rename(target, aside)) throw new java.io.IOException(
+            s"publish: aside-rename $target -> $aside failed")
+        }
         if (!fs.rename(st.getPath, target)) throw new java.io.IOException(
           s"publish: rename ${st.getPath} -> $target failed")
       }
+    if (trashUsed) fs.delete(trash, true)
     fs.delete(staging, true)
   }
 }
