@@ -121,5 +121,9 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
+    // fail loudly: a bench with errored queries must not read as healthy to
+    // anything keying on the exit code (the JSON artifacts above are already
+    // written, so the evidence survives the nonzero exit)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

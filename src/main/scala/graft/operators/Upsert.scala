@@ -53,9 +53,14 @@ object Upsert {
     * Untouched partitions are never read and never written — their files
     * stay byte-identical. Re-running the same batch is idempotent
     * (latest-wins yields the same rows). A crash before publish leaves
-    * the staging dir behind and the table exactly as it was; a crash
-    * mid-publish leaves every partition either old or new, never mixed —
-    * readers are never broken.
+    * the staging dir behind and the table exactly as it was. During
+    * publish a replaced partition is renamed aside into a hidden
+    * `_trash_*` dir before the new one renames in, so the worst crash
+    * point leaves that one partition momentarily absent from discovery but
+    * recoverable from trash — every other crash point leaves each
+    * partition fully old or fully new, and no crash point destroys data.
+    * A live-process rename failure rolls the aside copy back in place
+    * before throwing (see [[graft.sources.RawLayer.publishPartitions]]).
     *
     * Contract: `updates` carries the table's full schema; `partitionCol`
     * values must be non-null and STABLE per key (a key whose partition

@@ -20,21 +20,12 @@ object StarQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark only reads via
-    * the nanosAsLong legacy flag; normalize to µs TimestampType up front so
-    * all downstream logic (and the oracle, which CASTs to µs first) agree.
-    *
-    * DELIBERATE session-conf set (the exception to the per-write-option
-    * rule enforced on RawLayer/StreamSink): nanosAsLong is a READ-side
-    * flag with no per-scan option form, it is set-once to a constant
-    * (never toggled back, so there is no order-dependence to leak), and
-    * its only effect is enabling a scan that would otherwise throw —
-    * reading ns-timestamp parquet through any other path fails loudly
-    * rather than differently. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events with `ts` normalized to µs TimestampType whatever the on-disk
+    * encoding (INT64 ns, TIMESTAMP_NTZ, or TIMESTAMP) — the schema-adaptive
+    * coercion lives centrally in [[graft.Tables.load]]; the DuckDB oracle
+    * side does `CAST(ts AS TIMESTAMP)` and agrees under the UTC session. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
 
   def dimDates(s: SparkSession, dir: String): DataFrame =
     DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")

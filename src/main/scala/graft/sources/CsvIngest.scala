@@ -547,6 +547,30 @@ object RawLayer {
   def truncateWrite(df: DataFrame, outPath: String): Unit =
     df.write.mode("overwrite").parquet(outPath)
 
+  /** Retention for orphaned hidden `_trash_*`/`_staging_*` dirs left under
+    * dest by a CRASHED publish: the next successful publish sweeps them once
+    * older than this. Generous, so a slow concurrent publish's live staging
+    * or trash can never be reaped out from under it. */
+  private[graft] val OrphanRetentionMs: Long = 24L * 3600 * 1000
+
+  /** Delete hidden publish-machinery dirs under `dest` older than
+    * [[OrphanRetentionMs]] — a crashed run's `_trash_*` (recovery window
+    * expired) and `_staging_*` (never published, dead weight). Both prefixes
+    * start with `_` so partition discovery never saw them; this only stops
+    * unbounded storage growth across crashes. */
+  private[graft] def sweepOrphans(fs: org.apache.hadoop.fs.FileSystem,
+                                  dest: org.apache.hadoop.fs.Path): Unit = {
+    val cutoff = System.currentTimeMillis() - OrphanRetentionMs
+    if (fs.exists(dest))
+      fs.listStatus(dest)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isDirectory && (n.startsWith("_trash_") || n.startsWith("_staging_")) &&
+            st.getModificationTime < cutoff
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** Move every `col=value` partition directory from `staging` into `dest`,
     * replacing same-name partitions (partition-grain overwrite, the publish
     * half of the staged [[Loaded.writeRaw]]), then drop the staging dir.
@@ -558,11 +582,19 @@ object RawLayer {
     * data: the worst case (crash between the aside-rename and the in-rename)
     * leaves that one partition momentarily absent from discovery with its
     * old files intact under `_trash_*` for recovery; every other crash
-    * point leaves each partition fully old or fully new. */
+    * point leaves each partition fully old or fully new.
+    *
+    * Live-process failure (an in-rename returns false with the process still
+    * alive): the aside copy is renamed BACK into place before throwing, so a
+    * non-crash failure never leaves a partition absent — only a genuine
+    * crash can, and then the data still survives in `_trash_*`. Orphaned
+    * trash/staging from previous crashed runs is swept here once past
+    * [[OrphanRetentionMs]]. */
   private[graft] def publishPartitions(fs: org.apache.hadoop.fs.FileSystem,
                                        staging: org.apache.hadoop.fs.Path,
                                        dest: org.apache.hadoop.fs.Path): Unit = {
     fs.mkdirs(dest)
+    sweepOrphans(fs, dest)
     val trash = new org.apache.hadoop.fs.Path(dest,
       s"_trash_${java.util.UUID.randomUUID().toString.take(8)}")
     var trashUsed = false
@@ -570,14 +602,26 @@ object RawLayer {
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .foreach { st =>
         val target = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
-        if (fs.exists(target)) {
-          if (!trashUsed) { fs.mkdirs(trash); trashUsed = true }
-          val aside = new org.apache.hadoop.fs.Path(trash, st.getPath.getName)
-          if (!fs.rename(target, aside)) throw new java.io.IOException(
-            s"publish: aside-rename $target -> $aside failed")
+        val aside: Option[org.apache.hadoop.fs.Path] =
+          if (!fs.exists(target)) None
+          else {
+            if (!trashUsed) { fs.mkdirs(trash); trashUsed = true }
+            val a = new org.apache.hadoop.fs.Path(trash, st.getPath.getName)
+            if (!fs.rename(target, a)) throw new java.io.IOException(
+              s"publish: aside-rename $target -> $a failed")
+            Some(a)
+          }
+        if (!fs.rename(st.getPath, target)) {
+          // still alive: restore the displaced partition so a non-crash
+          // failure leaves dest availability unchanged
+          val restored = aside.exists(a => fs.rename(a, target))
+          throw new java.io.IOException(
+            s"publish: rename ${st.getPath} -> $target failed" + (aside match {
+              case Some(_) if restored => "; previous partition restored in place"
+              case Some(a) => s"; ROLLBACK ALSO FAILED — previous partition preserved at $a"
+              case None => ""
+            }))
         }
-        if (!fs.rename(st.getPath, target)) throw new java.io.IOException(
-          s"publish: rename ${st.getPath} -> $target failed")
       }
     if (trashUsed) fs.delete(trash, true)
     fs.delete(staging, true)

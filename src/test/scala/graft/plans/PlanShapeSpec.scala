@@ -35,12 +35,23 @@ class PlanShapeSpec extends SparkSpec {
       c.shuffleJoins, c.nestedLoops))
 
   test("every gate query's plan shape is at or under the committed snapshot") {
-    val shapes: Seq[(String, Counts)] =
+    // per-query failure isolation: one unbuildable query must surface as a
+    // NAMED failure list while the other ~113 still get their ceiling check
+    // (r11: a testdata schema drift broke 9 builds and this spec previously
+    // aborted wholesale on the first, yielding zero plan coverage)
+    val built: Seq[(String, Either[Throwable, Counts])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> PlanShape.of(fn(spark, sf001))
+        name -> scala.util.Try(PlanShape.of(fn(spark, sf001))).toEither
       }
+    val unbuildable = built.collect { case (name, Left(e)) =>
+      s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" / ").take(200)}"
+    }
+    val shapes: Seq[(String, Counts)] = built.collect { case (name, Right(c)) => name -> c }
 
     if (sys.env.get("GRAFT_PLAN_SNAPSHOT").contains("1")) {
+      assert(unbuildable.isEmpty,
+        "refusing to write a PARTIAL snapshot; unbuildable queries:\n  " +
+          unbuildable.mkString("\n  "))
       val mapper = new ObjectMapper()
       val root = mapper.createObjectNode()
       shapes.foreach { case (name, c) =>
@@ -55,26 +66,26 @@ class PlanShapeSpec extends SparkSpec {
         s"missing $snapshotPath - generate with GRAFT_PLAN_SNAPSHOT=1")
       val root = new ObjectMapper().readTree(snapshotPath).asInstanceOf[ObjectNode]
       val snapNames = root.fieldNames.asScala.toSet
-      val liveNames = shapes.map(_._1).toSet
+      val liveNames = built.map(_._1).toSet
 
-      val missing = liveNames -- snapNames
-      assert(missing.isEmpty,
-        s"queries not in plan snapshot (regenerate with GRAFT_PLAN_SNAPSHOT=1): " +
-          missing.toSeq.sorted.mkString(", "))
-      val stale = snapNames -- liveNames
-      assert(stale.isEmpty,
-        s"snapshot has queries no longer in the gate (regenerate): " +
-          stale.toSeq.sorted.mkString(", "))
-
-      val violations = shapes.flatMap { case (name, c) =>
+      // collect ALL problem classes, then assert once — so a build failure
+      // cannot mask ceiling regressions elsewhere (or vice versa)
+      val problems = Seq.newBuilder[String]
+      unbuildable.foreach(u => problems += s"unbuildable: $u")
+      (liveNames -- snapNames).toSeq.sorted.foreach(n =>
+        problems += s"not in plan snapshot (regenerate with GRAFT_PLAN_SNAPSHOT=1): $n")
+      (snapNames -- liveNames).toSeq.sorted.foreach(n =>
+        problems += s"snapshot has query no longer in the gate (regenerate): $n")
+      shapes.filter { case (name, _) => snapNames(name) }.foreach { case (name, c) =>
         val s = root.get(name)
         val ceiling = Counts(s.get("shuffles").asInt, s.get("broadcasts").asInt,
           s.get("sorts").asInt, s.get("windows").asInt,
           s.get("shuffleJoins").asInt, s.get("nestedLoops").asInt)
-        c.overages(ceiling).map(o => s"$name -> $o")
+        c.overages(ceiling).foreach(o => problems += s"plan-shape regression: $name -> $o")
       }
-      assert(violations.isEmpty,
-        "plan-shape regressions:\n  " + violations.mkString("\n  "))
+      val all = problems.result()
+      info(s"ceiling-checked ${shapes.count { case (n, _) => snapNames(n) }} of ${built.size} queries")
+      assert(all.isEmpty, "plan-shape problems:\n  " + all.mkString("\n  "))
     }
   }
 
