@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * an `errors` map with its message, so a broken query can never read as
   * a fast one.
   *
-  * Timing is per-query STEADY-STATE: each query runs once untimed, then
-  * once timed, in sorted name order. Rationale (R6 regression diagnosis):
+  * Timing is per-query STEADY-STATE in TWO FULL PASSES: first every query
+  * runs once (the warm pass, summed as cold_total), then every query runs
+  * once timed, both in sorted name order. Rationale (R6 regression
+  * diagnosis, hardened after R11):
   * whole-stage-codegen compilation + JIT of a query family's fused
   * expressions is a one-time JVM cost that previously landed on whichever
   * family member HashMap iteration order ran first — adding queries in
@@ -71,14 +73,22 @@ object Bench {
       case None => SparkEntry.queries
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // warm run: compiles the plan's generated code and JITs the family's
-      // expression kernels so the timed run is steady-state. Timed too —
-      // its sum (cold_total) keeps cold-start regressions (codegen compile
-      // blow-ups) visible, which pure steady-state timing would hide.
+    val sorted = selected.toSeq.sortBy(_._1)
+    // PASS 1 — warm EVERY query before ANY timed pass. The warm run
+    // compiles each plan's generated code and JITs the family's expression
+    // kernels; doing the whole set first (instead of warm+time per query)
+    // means adding or removing queries can never shift one-time JVM costs
+    // between neighbors' timed numbers (the R6/R11 phantom-regression
+    // mechanism). Timed too — its sum (cold_total) keeps cold-start
+    // regressions (codegen compile blow-ups) visible, which pure
+    // steady-state timing would hide.
+    val colds = sorted.map { case (name, fn) =>
       val c0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      val cold = (System.nanoTime() - c0) / 1e9
+      name -> (System.nanoTime() - c0) / 1e9
+    }.toMap
+    // PASS 2 — steady-state timing over the identically-ordered set.
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -87,7 +97,7 @@ object Bench {
             errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
             false
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, cold)
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, colds(name))
     }
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson =
