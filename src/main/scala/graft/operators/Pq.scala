@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{PqAdc, PqEncode}
+
+/** Product quantization (Jégou et al. 2011) — the third ANN scale path next
+  * to LSH ([[Similarity.lshTopK]]) and IVF ([[Ivf]]), attacking a different
+  * axis: REPRESENTATION WIDTH. LSH/IVF shrink the candidate set; PQ shrinks
+  * every candidate to an m-byte-scale code (d=64 floats = 256 B → m=8
+  * smallints), so the corpus-side scan, shuffle, and resident index all
+  * narrow ~16×. At 100 TB of embeddings that is the difference between a
+  * 100 TB probe scan and a ~6 TB one — and the two compose (IVF-PQ is the
+  * published billion-scale recipe: coarse cells bound the candidates, codes
+  * bound the bytes per candidate).
+  *
+  * Scale shape mirrors [[Ivf]]: codebooks FIT on a bounded seeded sample
+  * (m in-sample k-means jobs, ≤maxFitRows rows each), then encoding is one
+  * map pass with a fused codegen expression ([[PqEncode]]) — no shuffle,
+  * no driver loop. Distances are asymmetric (ADC): the RAW query against
+  * the code's reconstruction, exact to quantization — [[PqAdc]] — so query
+  * precision is never quantized away, only corpus storage is.
+  *
+  * All vectors are unit-normalized first (the repo-wide similarity
+  * convention): squared L2 on unit vectors is 2 - 2·cosine, so min-ADC
+  * ranking is max-cosine ranking with quantization error only on the
+  * corpus side.
+  */
+object Pq {
+
+  /** Fitted per-subspace codebooks: `centers(j)(c)(t)`. */
+  final case class Codebooks(centers: Array[Array[Array[Float]]]) {
+    val m: Int = centers.length
+    val dsub: Int = centers(0)(0).length
+    val dim: Int = m * dsub
+    /** Effective centroid count per subspace (k-means may return < k). */
+    def ksub(j: Int): Int = centers(j).length
+  }
+
+  import graft.functions.VectorOps.{asDouble, unitNorm}
+
+  private def encodeCol(vec: Column, cb: Codebooks): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), cb.centers))
+
+  private def adcCol(code: Column, q: Column, cb: Codebooks): Column =
+    Bridge.column(PqAdc(Bridge.expression(code), Bridge.expression(q), cb.centers))
+
+  /** Fit per-subspace codebooks on a bounded seeded sample (the [[Ivf]]
+    * sampling contract: oversampled Bernoulli draw hard-capped by limit).
+    * One sample scan pinned once; m k-means fits run over its column
+    * slices — each job sees dsub-dim points, so total fit work ≈ one
+    * d-dim k-means regardless of m. */
+  def fit(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+          seed: Long = 42L, maxFitRows: Long = Ivf.MaxFitRows): Codebooks = {
+    require(m >= 1, s"m=$m")
+    require(ksub >= 1 && ksub <= Short.MaxValue, s"ksub=$ksub out of short range")
+    require(maxFitRows >= ksub, s"maxFitRows=$maxFitRows < ksub=$ksub")
+    val vecs = corpus.select(unitNorm(asDouble(col(vecCol))).as("_vn"))
+    val dimRow = vecs.select(size(col("_vn"))).head()
+    val dim = dimRow.getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val n = corpus.count()
+    val fitInput =
+      if (n <= maxFitRows) vecs
+      else vecs.sample(withReplacement = false,
+          math.min(1.0, 1.2 * maxFitRows.toDouble / n), seed)
+        .limit(maxFitRows.toInt)
+    val pinned = fitInput.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pinned.count()
+      // the m fits are independent dsub-dim jobs over the SAME pinned
+      // sample — submit them concurrently (Spark schedules driver-side
+      // concurrent jobs fine) so codebook training costs ~one k-means of
+      // wall-clock, not m; each estimator instance is thread-private
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val centers = Await.result(
+        Future.sequence((0 until m).map { j => Future {
+          // slice is 1-based; each subspace trains on its own dsub-dim slice
+          val sub = pinned.select(
+            array_to_vector(slice(col("_vn"), j * dsub + 1, dsub)).as("_feat"))
+          val model = new KMeans()
+            .setK(ksub).setSeed(seed + j)
+            .setMaxIter(5)
+            .setFeaturesCol("_feat").setPredictionCol("_c")
+            .fit(sub)
+          model.clusterCenters.map(_.toArray.map(_.toFloat))
+        }}), Duration.Inf).toArray
+      Codebooks(centers)
+    } finally pinned.unpersist(blocking = false)
+  }
+
+  /** Encode the corpus: one map pass, `(id, pq_code array<smallint>)`.
+    * This narrow relation (plus the codebooks) IS the persisted index —
+    * write it out partitioned/bucketed however the probe side joins. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
+    df.select(col(idCol),
+      encodeCol(unitNorm(asDouble(col(vecCol))), cb).as("pq_code"))
+
+  /** Reconstruction of a code, driver-side (for tests/diagnostics). */
+  def decode(code: Seq[Short], cb: Codebooks): Array[Double] =
+    code.toArray.zipWithIndex.flatMap { case (c, j) =>
+      cb.centers(j)(c.toInt).map(_.toDouble)
+    }
+
+  /** ADC top-k: every (query, code) pair scored with the fused [[PqAdc]]
+    * kernel, per-query top-k by ascending approximate distance. The scan
+    * side reads CODES only — the full-width vectors never enter this plan.
+    * Queries are few and broadcast; ties break on id (deterministic). */
+  def adcTopK(codes: DataFrame, cb: Codebooks, idCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol),
+      unitNorm(asDouble(col(qVecCol))).as("_qn"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc_d2").asc, col(idCol))
+    codes.crossJoin(broadcast(q))
+      .where(col(idCol) =!= col(qIdCol))
+      .withColumn("adc_d2", round(adcCol(col("pq_code"), col("_qn"), cb), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("adc_d2"), col("rank"))
+  }
+
+  /** ADC shortlist + EXACT re-rank (the published PQ deployment shape):
+    * the code scan nominates `k × shortlistFactor` candidates per query,
+    * then ONLY those candidates' raw vectors are fetched and rescored with
+    * the codegen'd dot product. Quantization error now only costs recall
+    * at the shortlist boundary — reported similarities are exact, and the
+    * full-width vector relation is touched for queries×shortlist rows, not
+    * the corpus (the shortlist is broadcast; the fetch is a broadcast
+    * semi-join-shaped equi-join against the vector table, which at 100 TB
+    * is a pruned point-lookup scan, not a full pass). Output shape matches
+    * [[Similarity.bruteForceTopK]]: (q_id, id, cos_sim, rank). */
+  def topKRerank(codes: DataFrame, cb: Codebooks, idCol: String,
+                 corpus: DataFrame, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int, shortlistFactor: Int = 5): DataFrame = {
+    require(shortlistFactor >= 1, s"shortlistFactor=$shortlistFactor")
+    import graft.functions.VectorOps.dotCol
+    val shortlist = adcTopK(codes, cb, idCol, queries, qIdCol, qVecCol,
+        k * shortlistFactor)
+      .select(col(qIdCol), col(idCol))
+    val cn = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
+    val qn = queries.select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
+    cn.join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(qn), Seq(qIdCol))
+      .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+  }
+
+  /** One-shot fit + encode + ADC + exact re-rank (the `ann_*` gate shape;
+    * deployments [[fit]]/[[encode]] once and probe per batch). */
+  def topK(corpus: DataFrame, queries: DataFrame,
+           idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+           k: Int, m: Int, ksub: Int, seed: Long = 42L,
+           shortlistFactor: Int = 5): DataFrame = {
+    val cb = fit(corpus, vecCol, m, ksub, seed)
+    topKRerank(encode(corpus, idCol, vecCol, cb), cb, idCol, corpus, vecCol,
+      queries, qIdCol, qVecCol, k, shortlistFactor)
+  }
+}

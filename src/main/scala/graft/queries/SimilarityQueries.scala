@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hyperplanes
-import graft.operators.{Ivf, Similarity}
+import graft.operators.{Ivf, Pq, Similarity}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
   * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
@@ -128,8 +128,56 @@ object SimilarityQueries {
       .orderBy("vec_id", "eval_id")
   }
 
+  val PqM = 16
+  val PqKsub = 64
+
+  /** Product-quantization ANN with exact re-rank (rows-only like `ann_ivf`:
+    * the per-subspace k-means codebooks are not DuckDB-reproducible; PqSpec
+    * pins the ADC = exact-distance-to-reconstruction identity, encode
+    * determinism, and recall vs the brute-force oracle — 0.975 at this
+    * config). The shortlist scan reads m=16 smallint codes per corpus row
+    * (32 B vs 256 B of floats, 8×); full vectors are fetched only for the
+    * queries×shortlist re-rank — the 100 TB claim. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Pq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, m = PqM, ksub = PqKsub)
+      .orderBy("q_id", "rank")
+  }
+
+  // Build-once PQ index cache (codebooks + persisted codes), the exact
+  // ivfIndexes pattern: a deployment trains codebooks and encodes the
+  // corpus once, then answers probe batches against the narrow code
+  // relation. Bench prewarms this outside its timed region.
+  private val pqIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Pq.Codebooks, DataFrame)]
+
+  def pqIndex(s: SparkSession, dir: String): (Pq.Codebooks, DataFrame) =
+    pqIndexes.getOrElseUpdate((s, dir), {
+      val e = emb(s, dir)
+      val cb = Pq.fit(e, "embedding", PqM, PqKsub, seed = 42L)
+      val codes = Pq.encode(e, "vec_id", "embedding", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count() // materialize — probes must never re-trigger training
+      (cb, codes)
+    })
+
+  /** PQ ANN, probe-only — the build-once/probe-many half of [[annPq]]:
+    * identical results (same codebook seed), but the plan is an ADC scan
+    * of the persisted code relation + exact re-rank; no training jobs.
+    * Rows-only like `ann_pq`; PqSpec asserts probe == cold path. */
+  def annPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (cb, codes) = pqIndex(s, dir)
+    Pq.topKRerank(codes, cb, "vec_id", e, "embedding",
+        queriesDf(e), "q_id", "q_vec", K)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
+    "ann_pq" -> (annPq _),
+    "ann_pq_probe" -> (annPqProbe _),
     "decon_semantic" -> (deconSemantic _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pq, Scd2, Sessionize, Similarity}
 
 /** Scale-shape stress: replicate the test corpus 20-50× and run the
   * dedup/ANN paths end-to-end. Verifies the operators' complexity claims
@@ -291,6 +291,23 @@ object Stress {
       val c = graft.operators.Behavior.cohortRetention(bigEv, "user_id", "ts")
       println("   cohort cells: " + c.count())
     }
+    time("sessionize 2M events / 30k users (30-min gap)") {
+      // per-user window only: replication widened the key space, so the
+      // per-partition sort stays the original ~670 events per user
+      val s = Sessionize.sessionize(
+        bigEv.withColumn("value", (col("user_id") % 100).cast("double")),
+        "user_id", "ts", "value", 30, "event_type")
+      val nEx = "Exchange hashpartitioning".r
+        .findAllIn(s.queryExecution.executedPlan.toString).length
+      println(s"   sessions: ${s.count()} (hash exchanges: $nEx)")
+    }
+    time("scd2 fromHistory over 2M events (state = event_type)") {
+      // change-detection + interval build are both (user)-keyed windows;
+      // version count is bounded by events, work linear per user
+      val d = Scd2.fromHistory(bigEv, "user_id", "ts", "event_type",
+        Seq("event_type"))
+      println("   versions: " + d.count())
+    }
     time("asofJoin: 2M events each carrying the user's latest purchase") {
       // union-tag-window: must stay join-free — one exchange of the
       // unioned relation on the key, per-key work linear in that key's rows
@@ -399,6 +416,20 @@ object Stress {
       println("   rows: " + Similarity.lshTopK(
         bigEmb, q, "vec_id", "embedding", "q_id", "q_vec", 10,
         nTables = 12, planesPerTable = 4, dim = 64, multiProbe = true).count())
+    }
+    time("PQ fit+encode+ADC+rerank over 40k vectors (m=16, ksub=64)") {
+      // every query (a replica of original 0) has 19 EXACT replicas at
+      // cos 1.0, and k=10 < 19 — so a correct PQ+rerank must return ONLY
+      // replica-group members (identical vectors ⇒ identical codes ⇒ the
+      // shortlist can't miss them; the exact rerank ranks them at 1.0)
+      val cbS = Pq.fit(bigEmb, "embedding", m = 16, ksub = 64, seed = 42L)
+      val codes = Pq.encode(bigEmb, "vec_id", "embedding", cbS).localCheckpoint()
+      val out = Pq.topKRerank(codes, cbS, "vec_id", bigEmb, "embedding",
+        q, "q_id", "q_vec", k = 10, shortlistFactor = 5).localCheckpoint()
+      val wrong = out.where(expr("vec_id div 20") =!= 0L).count()
+      assert(wrong == 0L, s"$wrong results outside the exact-replica group")
+      println(s"   rows: ${out.count()} (all from the cos=1.0 replica group; " +
+        "shortlist scan reads 32 B codes, not 256 B vectors)")
     }
 
     // Embedding near-dup at self-join scale: every vector has 19 EXACT
