@@ -44,10 +44,12 @@ object Pq {
 
   import graft.functions.VectorOps.{asDouble, unitNorm}
 
-  private def encodeCol(vec: Column, cb: Codebooks): Column =
+  /** Raw column kernels (no normalization — [[IvfPq]] feeds RESIDUALS,
+    * which must never be re-normalized). */
+  private[operators] def encodeCol(vec: Column, cb: Codebooks): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), cb.centers))
 
-  private def adcCol(code: Column, q: Column, cb: Codebooks): Column =
+  private[operators] def adcCol(code: Column, q: Column, cb: Codebooks): Column =
     Bridge.column(PqAdc(Bridge.expression(code), Bridge.expression(q), cb.centers))
 
   /** Fit per-subspace codebooks on a bounded seeded sample (the [[Ivf]]
@@ -56,16 +58,23 @@ object Pq {
     * slices — each job sees dsub-dim points, so total fit work ≈ one
     * d-dim k-means regardless of m. */
   def fit(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
-          seed: Long = 42L, maxFitRows: Long = Ivf.MaxFitRows): Codebooks = {
+          seed: Long = 42L, maxFitRows: Long = Ivf.MaxFitRows): Codebooks =
+    fitVecs(corpus.select(unitNorm(asDouble(col(vecCol))).as("_vn")),
+      m, ksub, seed, maxFitRows)
+
+  /** [[fit]] over an ALREADY-PREPARED double-array column `_vn` — the
+    * entry point for residual codebooks ([[IvfPq]]), where normalizing
+    * would destroy the residual geometry. */
+  private[operators] def fitVecs(vecs: DataFrame, m: Int, ksub: Int,
+                                 seed: Long, maxFitRows: Long): Codebooks = {
     require(m >= 1, s"m=$m")
     require(ksub >= 1 && ksub <= Short.MaxValue, s"ksub=$ksub out of short range")
     require(maxFitRows >= ksub, s"maxFitRows=$maxFitRows < ksub=$ksub")
-    val vecs = corpus.select(unitNorm(asDouble(col(vecCol))).as("_vn"))
     val dimRow = vecs.select(size(col("_vn"))).head()
     val dim = dimRow.getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val n = corpus.count()
+    val n = vecs.count()
     val fitInput =
       if (n <= maxFitRows) vecs
       else vecs.sample(withReplacement = false,

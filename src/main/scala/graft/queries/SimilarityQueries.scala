@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hyperplanes
-import graft.operators.{Ivf, Pq, Similarity}
+import graft.operators.{Ivf, IvfPq, Pq, Similarity}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
   * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
@@ -162,6 +162,18 @@ object SimilarityQueries {
       (cb, codes)
     })
 
+  /** IVF-PQ (rows-only like its two parents): coarse cells bound the
+    * candidates, residual PQ codes bound the bytes per candidate, exact
+    * re-rank bounds the error — the published billion-scale composition.
+    * IvfPqSpec pins the two-level ADC identity, probed-cell locality,
+    * recall (0.65 at nProbe=4/16), and the no-all-pairs plan. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    IvfPq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, nCells = IvfCells, nProbe = 4, m = PqM, ksub = PqKsub)
+      .orderBy("q_id", "rank")
+  }
+
   /** PQ ANN, probe-only — the build-once/probe-many half of [[annPq]]:
     * identical results (same codebook seed), but the plan is an ADC scan
     * of the persisted code relation + exact re-rank; no training jobs.
@@ -178,6 +190,7 @@ object SimilarityQueries {
     "ann_topk" -> (annTopK _),
     "ann_pq" -> (annPq _),
     "ann_pq_probe" -> (annPqProbe _),
+    "ann_ivfpq" -> (annIvfPq _),
     "decon_semantic" -> (deconSemantic _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),
