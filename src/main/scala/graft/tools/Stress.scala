@@ -308,6 +308,20 @@ object Stress {
         Seq("event_type"))
       println("   versions: " + d.count())
     }
+    time("pitJoin: 2M facts against their own 1.6M-version SCD2 dim") {
+      // half-open [eff, exp) intervals tile each user's timeline from the
+      // first event on, so EVERY fact matches exactly one version — the
+      // count is the correctness oracle at this scale
+      val dim = Scd2.fromHistory(bigEv, "user_id", "ts", "event_type",
+          Seq("event_type"))
+        .select(col("user_id").as("d_user"), col("effective_ts"),
+          col("expiration_ts"))
+      val joined = graft.operators.PointInTime.pitJoin(
+        bigEv.select(col("user_id"), col("ts")), dim, "user_id", "d_user", "ts")
+      val n = joined.count()
+      assert(n == 2000000L, s"each fact must match exactly one version, got $n")
+      println(s"   matched: $n of 2000000 (key equi-join + residual interval filter)")
+    }
     time("asofJoin: 2M events each carrying the user's latest purchase") {
       // union-tag-window: must stay join-free — one exchange of the
       // unioned relation on the key, per-key work linear in that key's rows
@@ -416,6 +430,20 @@ object Stress {
       println("   rows: " + Similarity.lshTopK(
         bigEmb, q, "vec_id", "embedding", "q_id", "q_vec", 10,
         nTables = 12, planesPerTable = 4, dim = 64, multiProbe = true).count())
+    }
+    time("IVF-PQ build+probe over 40k vectors (16 cells, m=16, ksub=64)") {
+      // identical replicas share a cell (identical centroid distances) and
+      // a residual code; the query's own cell is its nearest probe — so the
+      // exact-replica truth set must survive the full two-level pipeline
+      val idx = graft.operators.IvfPq.build(bigEmb, "vec_id", "embedding",
+        nCells = 16, m = 16, ksub = 64, seed = 42L)
+      val out = graft.operators.IvfPq.probe(idx, bigEmb, "embedding",
+        q, "q_id", "q_vec", k = 10, nProbe = 4).localCheckpoint()
+      val wrong = out.where(expr("vec_id div 20") =!= 0L).count()
+      assert(wrong == 0L, s"$wrong results outside the exact-replica group")
+      println(s"   rows: ${out.count()} (all from the cos=1.0 replica group; " +
+        "probed 4 of 16 cells, codes-only candidate scan)")
+      idx.unpersist()
     }
     time("PQ fit+encode+ADC+rerank over 40k vectors (m=16, ksub=64)") {
       // every query (a replica of original 0) has 19 EXACT replicas at
