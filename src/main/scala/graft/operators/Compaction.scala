@@ -66,9 +66,19 @@ object Compaction {
       }.toSeq
   }
 
-  /** Rewrite exactly the partitions [[plan]] flags, staged-atomic. */
+  /** Rewrite exactly the partitions [[plan]] flags, staged-atomic.
+    *
+    * @param zorderBy when non-empty, the rewrite Z-orders each compacted
+    *   partition on these columns ([[ZOrder]]) instead of plain
+    *   bin-packing — compaction is the moment a deployment applies layout
+    *   optimization, since the bytes are being rewritten anyway. The
+    *   price is one range exchange per partition (coalesce moves bytes
+    *   once, clustering must also re-order them); the payoff is tight
+    *   per-file min-max stats on every listed column for all later scans.
+    *   Good partitions still skip the rewrite entirely, so repeated runs
+    *   converge to a no-op either way. */
   def compact(spark: SparkSession, path: String, targetBytes: Long,
-              minFiles: Int = 4): Report = {
+              minFiles: Int = 4, zorderBy: Seq[String] = Nil): Report = {
     val todo = plan(spark, path, targetBytes, minFiles).filter(_.compact)
     if (todo.isEmpty) return Report(0, 0, 0, 0L)
     val root = new Path(path)
@@ -77,9 +87,17 @@ object Compaction {
       s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       todo.foreach { p =>
-        spark.read.parquet(s"$path/${p.partition}")
-          .coalesce(p.targetFiles)
-          .write.mode("overwrite").parquet(s"$staging/${p.partition}")
+        val df = spark.read.parquet(s"$path/${p.partition}")
+        val out =
+          if (zorderBy.isEmpty) df.coalesce(p.targetFiles)
+          else {
+            import org.apache.spark.sql.functions.col
+            df.withColumn("_z", ZOrder.zvalue(df, zorderBy))
+              .repartitionByRange(p.targetFiles, col("_z"))
+              .sortWithinPartitions("_z")
+              .drop("_z")
+          }
+        out.write.mode("overwrite").parquet(s"$staging/${p.partition}")
       }
       graft.sources.RawLayer.publishPartitions(fs, staging, root)
     } catch {

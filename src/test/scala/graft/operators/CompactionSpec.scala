@@ -71,4 +71,42 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.plan(spark, dir, targetBytes = 1L << 20)
       .find(_.partition == "day=a").get.compact == false)
   }
+
+  test("zorderBy: compacted partition gains multi-column data skipping") {
+    import org.apache.spark.sql.functions.{col, rand}
+    // one bad-layout partition of 8k rows over two independent dims
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-z").toString
+    val seeded = new scala.util.Random(7)
+    (1 to 8000).map { i =>
+      (i.toLong, seeded.nextInt(1000).toLong, seeded.nextDouble() * 500, "a")
+    }.toDF("id", "uid", "score", "day")
+      .repartition(16).write.partitionBy("day").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .select("id").as[Long].collect().sorted.toSeq
+
+    // compact 16 bad files into 8 z-ordered ones; the skipping assertion
+    // below is absolute (fraction of ROWS materialized), so it measures
+    // clustering, not merely fewer files
+    val bytes = Compaction.plan(spark, dir, targetBytes = 1L << 30)
+      .find(_.partition == "day=a").get.bytes
+    val report = Compaction.compact(spark, dir, targetBytes = bytes / 8 + 1,
+      zorderBy = Seq("uid", "score"))
+    assert(report.partitionsCompacted == 1)
+
+    val after = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "z-ordered compaction changed the data")
+
+    def scanRows(p: String): Long = {
+      val q = spark.read.parquet(p)
+        .where(col("uid").between(100L, 220L) && col("score").between(50.0, 140.0))
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numOutputRows").value
+    }
+    val rows = scanRows(s"$dir/day=a")
+    val total = 8000L
+    assert(rows * 2 <= total,
+      s"z-ordered compaction skipped too little: scanned $rows of $total")
+  }
 }
