@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over double arrays.
   *
@@ -126,6 +126,78 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused unit-normalization over a float- or double-array column: one loop
+  * computes the sum of squares (index order — bitwise-identical to the
+  * previous `aggregate(transform(cast))` lambda fold), a second emits
+  * `x_i / sqrt(sum)`. Replacing the HigherOrderFunction composition
+  * matters beyond constant factors: `transform`/`aggregate` are
+  * CodegenFallback in Spark, so ANY projection containing them falls out
+  * of whole-stage codegen — which silently un-fused every ANN operator's
+  * prep stage. With this expression the whole normalize→encode/dot
+  * pipeline stays inside one codegen span (asserted in PqSpec).
+  *
+  * Element nulls are not handled (the embedding corpus contract has
+  * none); float elements are widened exactly as `CAST(x AS DOUBLE)` does.
+  */
+case class UnitNormalize(child: Expression) extends UnaryExpression {
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => DoubleType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_unit_norm expects array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "graft_unit_norm"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out =
+      if (elemType == FloatType) UnitNormalize.normalizeF(arr)
+      else UnitNormalize.normalizeD(arr)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => {
+      val helper = if (elemType == FloatType) "normalizeF" else "normalizeD"
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.UnitNormalize.$helper($v))"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnitNormalize {
+  def normalizeD(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n); i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    out
+  }
+
+  def normalizeF(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n); i = 0
+    while (i < n) { out(i) = a.getFloat(i).toDouble / norm; i += 1 }
+    out
+  }
+}
+
 /** Shared vector column helpers — ONE definition of the cast/normalize/dot
   * pipeline so every similarity operator (brute force, LSH, IVF) stays
   * bitwise-comparable: the fold order and rounding here are what the
@@ -138,12 +210,13 @@ object VectorOps {
 
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Unit-normalize a double-array column (one pass per VECTOR, not per
-    * pair) so pairwise cosine reduces to the codegen'd [[DotProduct]]. */
-  def unitNorm(c: Column): Column = {
-    val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
-    transform(c, x => x / norm)
-  }
+  /** Unit-normalize a float- or double-array column (one pass per VECTOR,
+    * not per pair) so pairwise cosine reduces to the codegen'd
+    * [[DotProduct]]. Fused ([[UnitNormalize]]) — takes the RAW vector
+    * column; no `asDouble` lambda needed (or wanted: it would break
+    * whole-stage codegen). */
+  def unitNorm(c: Column): Column =
+    Bridge.column(UnitNormalize(Bridge.expression(c)))
 
   def dotCol(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))

@@ -25,7 +25,7 @@ import graft.functions.DotProduct
   */
 object Ivf {
 
-  import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
+  import graft.functions.VectorOps.{dotCol, unitNorm}
 
   /** Hard cap on the quantizer's training-set size: the fit never sees
     * more than this many vectors regardless of corpus size (enforced by a
@@ -50,7 +50,7 @@ object Ivf {
     require(maxFitRows >= nCells, s"maxFitRows=$maxFitRows < nCells=$nCells")
     require(maxFitRows <= Int.MaxValue, s"maxFitRows=$maxFitRows exceeds Int range")
     val vecs = corpus
-      .select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
+      .select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
       .withColumn("_feat", array_to_vector(col("_vn")))
     // the count projects zero data columns — far cheaper than the vector
     // scans KMeans would otherwise repeat per iteration
@@ -196,7 +196,7 @@ object Ivf {
       lit(0.0), (acc, v) => acc + v)
     val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("_d2").asc, col("cell"))
     val qCells = queries
-      .select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+      .select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
       .select(col(qIdCol), col("_qn"), explode(centerRows).as("cc"))
       .select(col(qIdCol), col("_qn"), col("cc.cell").as("cell"), col("cc.ctr").as("_ctr"))
       .withColumn("_d2", dist2)

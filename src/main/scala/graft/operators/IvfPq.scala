@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
+  import graft.functions.VectorOps.{dotCol, unitNorm}
 
   /** Built index: `(id, cell, pq_code)` + cell centroids + residual
     * codebooks. The relation is code-narrow — vectors live only in the
@@ -98,7 +98,7 @@ object IvfPq {
     val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("_d2").asc, col("cell"))
     // (query, cell, residual-query) — tiny: queries × nProbe rows
     val qCells = queries
-      .select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+      .select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
       .select(col(qIdCol), col("_qn"), explode(centerRows).as("cc"))
       .select(col(qIdCol), col("_qn"), col("cc.cell").as("cell"), col("cc.ctr").as("_ctr"))
       .withColumn("_d2", dist2)
@@ -116,8 +116,8 @@ object IvfPq {
       .where(col("_sr") <= k * shortlistFactor)
       .select(col(qIdCol), col(idCol), col("adc_d2"))
 
-    val cn = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
-    val qn = queries.select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+    val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+    val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
     cn.join(broadcast(shortlist.select(col(qIdCol), col(idCol))), Seq(idCol))
       .join(broadcast(qn), Seq(qIdCol))

@@ -42,7 +42,7 @@ object Pq {
     def ksub(j: Int): Int = centers(j).length
   }
 
-  import graft.functions.VectorOps.{asDouble, unitNorm}
+  import graft.functions.VectorOps.unitNorm
 
   /** Raw column kernels (no normalization — [[IvfPq]] feeds RESIDUALS,
     * which must never be re-normalized). */
@@ -59,7 +59,7 @@ object Pq {
     * d-dim k-means regardless of m. */
   def fit(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
           seed: Long = 42L, maxFitRows: Long = Ivf.MaxFitRows): Codebooks =
-    fitVecs(corpus.select(unitNorm(asDouble(col(vecCol))).as("_vn")),
+    fitVecs(corpus.select(unitNorm(col(vecCol)).as("_vn")),
       m, ksub, seed, maxFitRows)
 
   /** [[fit]] over an ALREADY-PREPARED double-array column `_vn` — the
@@ -111,7 +111,7 @@ object Pq {
     * write it out partitioned/bucketed however the probe side joins. */
   def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame =
     df.select(col(idCol),
-      encodeCol(unitNorm(asDouble(col(vecCol))), cb).as("pq_code"))
+      encodeCol(unitNorm(col(vecCol)), cb).as("pq_code"))
 
   /** Reconstruction of a code, driver-side (for tests/diagnostics). */
   def decode(code: Seq[Short], cb: Codebooks): Array[Double] =
@@ -127,7 +127,7 @@ object Pq {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int): DataFrame = {
     val q = queries.select(col(qIdCol),
-      unitNorm(asDouble(col(qVecCol))).as("_qn"))
+      unitNorm(col(qVecCol)).as("_qn"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc_d2").asc, col(idCol))
     codes.crossJoin(broadcast(q))
       .where(col(idCol) =!= col(qIdCol))
@@ -156,8 +156,8 @@ object Pq {
     val shortlist = adcTopK(codes, cb, idCol, queries, qIdCol, qVecCol,
         k * shortlistFactor)
       .select(col(qIdCol), col(idCol))
-    val cn = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
-    val qn = queries.select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+    val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+    val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
     cn.join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(qn), Seq(qIdCol))

@@ -42,8 +42,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String,
                      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
-    val q = queries.select(col(qIdCol), unitNorm(asDouble(col(qVecCol))).as("_qn"))
+    val c = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+    val q = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
     val scored = c
       .crossJoin(broadcast(q))
       .where(col(idCol) =!= col(qIdCol))
@@ -58,8 +58,8 @@ object Similarity {
   /** All pairs (i < j) with cosine >= threshold (exact, self-join). */
   def neardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("i"), unitNorm(asDouble(col(vecCol))).as("va"))
-    val b = corpus.select(col(idCol).as("j"), unitNorm(asDouble(col(vecCol))).as("vb"))
+    val a = corpus.select(col(idCol).as("i"), unitNorm(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("j"), unitNorm(col(vecCol)).as("vb"))
     a.join(b, col("i") < col("j"))
       .withColumn("cos_sim", round(dotCol(col("va"), col("vb")), 6))
       .where(col("cos_sim") >= threshold)
@@ -171,9 +171,9 @@ object Similarity {
 
     val scored = cand
       .join(broadcast(queries.select(col(qIdCol),
-        unitNorm(asDouble(col(qVecCol))).as("_qn"))), Seq(qIdCol))
+        unitNorm(col(qVecCol)).as("_qn"))), Seq(qIdCol))
       .join(corpus.select(col(idCol),
-        unitNorm(asDouble(col(vecCol))).as("_vn")), Seq(idCol))
+        unitNorm(col(vecCol)).as("_vn")), Seq(idCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
     scored
@@ -224,9 +224,9 @@ object Similarity {
                             threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0, 1]")
-    val c = corpus.select(col(idCol), unitNorm(asDouble(col(vecCol))).as("_vn"))
+    val c = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
     val e = eval.select(col(evalIdCol).as("eval_id"),
-      unitNorm(asDouble(col(evalVecCol))).as("_en"))
+      unitNorm(col(evalVecCol)).as("_en"))
     c.crossJoin(broadcast(e))
       .withColumn("cos_sim", round(dotCol(col("_vn"), col("_en")), 6))
       .where(col("cos_sim") >= threshold)

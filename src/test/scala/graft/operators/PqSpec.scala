@@ -118,6 +118,27 @@ class PqSpec extends SparkSpec {
     assert(cold == probe, "cached-index probe diverged from the cold path")
   }
 
+  test("PqEncode and PqAdc stay inside whole-stage codegen") {
+    // both kernels sit in per-row hot paths; falling back to interpreted
+    // eval would tax every corpus row. A '*' prefix on the Project node
+    // in the simple plan marks whole-stage codegen.
+    val enc = Pq.encode(emb, "vec_id", "embedding", cb)
+    val encPlan = enc.queryExecution.executedPlan.toString
+    // the encode projection must sit inside a codegen span ("*(n)" marks
+    // one) — whether it plans fresh or resolves through a cached
+    // InMemoryRelation whose inner plan carries the span
+    assert(encPlan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_pq_encode")),
+      s"encode projection not codegen'd:\n$encPlan")
+    val adc = Pq.adcTopK(Pq.encode(emb, "vec_id", "embedding", cb), cb,
+      "vec_id", queriesDf, "q_id", "q_vec", k = 5)
+    adc.collect() // materialize THIS df's AQE final plan before reading it
+    val adcPlan = adc.queryExecution.executedPlan.toString
+    assert(adcPlan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_pq_adc")),
+      s"the ADC scoring projection fell out of codegen:\n$adcPlan")
+  }
+
   test("the shortlist plan reads codes, not vectors (the compression claim)") {
     val codes = Pq.encode(emb, "vec_id", "embedding", cb)
     val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
