@@ -167,6 +167,41 @@ object Pq {
       .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
   }
 
+  /** Streaming ANN against a static PQ index: arriving query vectors →
+    * ADC prefilter over the code relation → exact rescore → cos ≥ minCos.
+    *
+    * Per-query top-k needs a rank window, which streaming append mode
+    * cannot run — so the streaming surface is THRESHOLDED neighbors (the
+    * [[Similarity.decontaminateSemantic]] shape). Both joins are
+    * stream-static (legal, stateless per micro-batch): first the
+    * code-narrow scan for the ADC gate, then a point-fetch of raw vectors
+    * for survivors only. The ADC gate keeps every true neighbor whose
+    * quantization error fits `adcSlack`: true d² on unit vectors is
+    * 2−2·cos, ADC measures distance to the code's reconstruction, and the
+    * triangle inequality bounds the gap by the per-vector quantization
+    * error — planted exact duplicates always pass (their gap is exactly
+    * the corpus vector's own quantization error). Rescore is exact, so
+    * slack only costs candidates, never precision.
+    */
+  def streamingNeighbors(queries: DataFrame, qIdCol: String, qVecCol: String,
+                         codes: DataFrame, cb: Codebooks, idCol: String,
+                         corpus: DataFrame, vecCol: String,
+                         minCos: Double, adcSlack: Double = 0.3): DataFrame = {
+    import graft.functions.VectorOps.dotCol
+    require(adcSlack >= 0.0, s"adcSlack=$adcSlack")
+    val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
+    val dBound = 2.0 - 2.0 * minCos + adcSlack
+    val cand = qn.crossJoin(codes)
+      .withColumn("adc_d2", adcCol(col("pq_code"), col("_qn"), cb))
+      .where(col("adc_d2") <= dBound && col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col("_qn"), col(idCol))
+    val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+    cand.join(cn, Seq(idCol))
+      .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
+      .where(col("cos_sim") >= minCos)
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+  }
+
   /** One-shot fit + encode + ADC + exact re-rank (the `ann_*` gate shape;
     * deployments [[fit]]/[[encode]] once and probe per batch). */
   def topK(corpus: DataFrame, queries: DataFrame,

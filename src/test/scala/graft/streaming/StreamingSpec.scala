@@ -376,4 +376,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming ANN probe: arriving vectors against a static PQ index") {
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cb = graft.operators.Pq.fit(emb, "embedding", m = 16, ksub = 64, seed = 42L)
+    val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+      .persist()
+    codes.count()
+    try {
+      // arriving queries: two real corpus vectors (exact duplicates of
+      // their own corpus entries, offset ids) and their batch twin
+      val arriving = emb.where(col("vec_id").isin(3L, 7L))
+        .select((col("vec_id") + 1000L).as("q_id"),
+          col("embedding").as("q_vec"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val mem = MemoryStream[(Long, Array[Float])]
+      val stream = graft.operators.Pq.streamingNeighbors(
+        mem.toDF().toDF("q_id", "q_vec"), "q_id", "q_vec",
+        codes, cb, "vec_id", emb, "embedding", minCos = 0.45)
+      assert(stream.isStreaming, "PQ probe must stay streaming")
+      val q = stream.writeStream.format("memory").queryName("stream_ann")
+        .outputMode("append").start()
+      try {
+        mem.addData(arriving: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("stream_ann")
+          .as[(Long, Long, Double)].collect().toSet
+        val batch = graft.operators.Pq.streamingNeighbors(
+            arriving.toDF("q_id", "q_vec"), "q_id", "q_vec",
+            codes, cb, "vec_id", emb, "embedding", minCos = 0.45)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(streamed == batch, "streaming diverged from the batch twin")
+        // each planted duplicate finds its own corpus original at cos 1.0
+        assert(streamed.contains((1003L, 3L, 1.0)))
+        assert(streamed.contains((1007L, 7L, 1.0)))
+      } finally q.stop()
+    } finally codes.unpersist()
+  }
 }
