@@ -127,6 +127,54 @@ object IvfPq {
       .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
   }
 
+  /** Persist a built index: the code relation as parquet PARTITIONED BY
+    * cell (a probe's broadcast cell join prunes to the probed cells'
+    * directories on disk — the [[Ivf.save]] contract), centroids and
+    * codebooks alongside. The whole artifact is code-narrow: at 100 TB of
+    * vectors the on-disk index is ~the codes (32 B/row) plus two tiny
+    * tables. */
+  def save(index: Index, spark: SparkSession, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    centersDf(spark, index.centers).select(col("cell"), col("_ctr").as("ctr"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    import scala.jdk.CollectionConverters._
+    val cbRows = index.cb.centers.zipWithIndex.flatMap { case (sub, j) =>
+      sub.zipWithIndex.map { case (ctr, c) =>
+        org.apache.spark.sql.Row(j, c, ctr.toSeq)
+      }
+    }.toSeq.asJava
+    val cbSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ctr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false)))
+    spark.createDataFrame(cbRows, cbSchema).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load a [[save]]d index. The code relation stays disk-resident so the
+    * probe's cell join prunes partitions; centroids/codebooks are tiny and
+    * collected. */
+  def load(spark: SparkSession, path: String, idCol: String): Index = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centers = spark.read.parquet(s"$path/centers")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("ctr")).toArray)
+    require(centers.nonEmpty, s"ivfpq load: no centroids at $path/centers")
+    val cbCenters = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "idx").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](r.fieldIndex("ctr")).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2))
+      .toArray
+    require(cbCenters.nonEmpty, s"ivfpq load: no codebooks at $path/codebooks")
+    Index(assigned, centers, Pq.Codebooks(cbCenters), idCol)
+  }
+
   /** One-shot build + probe (gate shape; deployments [[build]] once). */
   def topK(corpus: DataFrame, queries: DataFrame,
            idCol: String, vecCol: String, qIdCol: String, qVecCol: String,

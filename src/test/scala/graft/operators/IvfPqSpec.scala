@@ -82,6 +82,21 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ recall degraded: $recall")
   }
 
+  test("disk round-trip: probe(load(save(index))) == probe(built index)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfPq.save(index, spark, dir)
+    val loaded = IvfPq.load(spark, dir, "vec_id")
+    assert(loaded.centers.length == index.centers.length)
+    assert(loaded.cb.m == index.cb.m && loaded.cb.dsub == index.cb.dsub)
+    val a = IvfPq.probe(index, emb, "embedding", queriesDf,
+        "q_id", "q_vec", k = 10, nProbe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = IvfPq.probe(loaded, emb, "embedding", queriesDf,
+        "q_id", "q_vec", k = 10, nProbe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a == b, "loaded-index probe diverged from the built index")
+  }
+
   test("probe plan: cell equi-join, never all-pairs") {
     val out = IvfPq.probe(index, emb, "embedding", queriesDf,
       "q_id", "q_vec", k = 10, nProbe = 4)
