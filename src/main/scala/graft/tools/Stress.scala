@@ -322,6 +322,33 @@ object Stress {
       assert(n == 2000000L, s"each fact must match exactly one version, got $n")
       println(s"   matched: $n of 2000000 (key equi-join + residual interval filter)")
     }
+    time("Z-order 2M events on (user_id, value): layout write + skip ratio, 32 files") {
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-z").toString
+      // a value dimension independent of user, so 2-D skipping has to come
+      // from the curve, not a lucky correlation
+      val data = bigEv.select(col("user_id"),
+        pmod(hash(col("ts")), lit(1000)).cast("double").as("value"), col("ts"))
+      data.repartitionByRange(32, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$root/naive")
+      graft.operators.ZOrder.writeClustered(data, Seq("user_id", "value"),
+        s"$root/z", nFiles = 32)
+      val qs = data.selectExpr("CAST(user_id AS DOUBLE) AS u", "value")
+        .stat.approxQuantile(Array("u", "value"), Array(0.2, 0.35, 0.1, 0.3), 0.001)
+      def scanRows(p: String): Long = {
+        val q = spark.read.parquet(p).where(
+          col("user_id").between(qs(0)(0).toLong, qs(0)(1).toLong) &&
+          col("value").between(qs(1)(2), qs(1)(3)))
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.head.metrics("numOutputRows").value
+      }
+      val naive = scanRows(s"$root/naive")
+      val z = scanRows(s"$root/z")
+      assert(z * 2 <= naive, s"z-order skipped too little: $z of $naive")
+      println(f"   scan materialized: naive=$naive z=$z " +
+        f"(${z.toDouble / naive}%.2f of naive; ~3%% selectivity box)")
+    }
     time("asofJoin: 2M events each carrying the user's latest purchase") {
       // union-tag-window: must stay join-free — one exchange of the
       // unioned relation on the key, per-key work linear in that key's rows
