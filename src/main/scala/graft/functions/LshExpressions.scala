@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Deterministic ±1 random hyperplanes, shared by the Spark expression and
   * the DuckDB oracle-SQL generator (seeded, so both sides see byte-identical
@@ -46,15 +46,23 @@ object Hyperplanes {
   * sketch. The dot is a sequential ascending-index fold so the DuckDB
   * oracle's left-associative sum ([[Hyperplanes.planeDotSql]]) reproduces it
   * bitwise.
+  *
+  * Full codegen (R12, the [[UnitNormalize]] treatment): the kernel is a
+  * static helper shared by eval and the generated code — identical
+  * arithmetic either way — with the plane tables attached once per codegen
+  * instance via `addReferenceObj`. Accepts float arrays too (widened
+  * exactly as `CAST(x AS DOUBLE)` would), so call sites can feed the RAW
+  * embedding column and the whole projection stays in one codegen span.
   */
 case class HyperplaneSignatures(child: Expression, nTables: Int,
                                 planesPerTable: Int, dim: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_signatures expects array<double>, got ${other.simpleString}")
+      s"hyperplane_signatures expects array<float|double>, got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -64,41 +72,61 @@ case class HyperplaneSignatures(child: Expression, nTables: Int,
   @transient private lazy val tables: Array[Array[Array[Double]]] =
     Hyperplanes.tables(nTables, planesPerTable, dim, seed)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    // Fail fast on length mismatch: silently truncating (or zero-padding)
-    // would diverge from the oracle SQL, which indexes v[1..dim] and folds
-    // out-of-range NULLs to bit 0. Same for null elements.
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HyperplaneSignatures.signatures(
+      input.asInstanceOf[ArrayData], isFloat, tables, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => {
+      val tablesRef = ctx.addReferenceObj("lshTables", tables, "double[][][]")
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HyperplaneSignatures.signatures($v, $isFloat, $tablesRef, $dim))"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
+    copy(child = newChild)
+}
+
+object HyperplaneSignatures {
+  /** The signature kernel — one vector copy, then a fused dot/sign loop per
+    * (table, plane). Fails fast on length mismatch or null elements:
+    * silently truncating (or zero-padding) would diverge from the oracle
+    * SQL, which indexes v[1..dim] and folds out-of-range NULLs to bit 0. */
+  def signatures(v: ArrayData, isFloat: Boolean,
+                 tables: Array[Array[Array[Double]]], dim: Int): Array[Int] = {
     if (v.numElements() != dim) throw new IllegalArgumentException(
       s"hyperplane_signatures: expected array of length $dim, got ${v.numElements()}")
-    val n = dim
-    val vec = new Array[Double](n)
+    val vec = new Array[Double](dim)
     var i = 0
-    while (i < n) {
+    while (i < dim) {
       if (v.isNullAt(i)) throw new IllegalArgumentException(
         s"hyperplane_signatures: null element at index $i")
-      vec(i) = v.getDouble(i); i += 1
+      vec(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
     }
+    val nTables = tables.length
     val sigs = new Array[Int](nTables)
     var t = 0
     while (t < nTables) {
       val planes = tables(t)
       var sig = 0
       var b = 0
-      while (b < planesPerTable) {
+      while (b < planes.length) {
         val plane = planes(b)
         var dot = 0.0
         i = 0
-        while (i < n) { dot += vec(i) * plane(i); i += 1 }
+        while (i < dim) { dot += vec(i) * plane(i); i += 1 }
         if (dot >= 0) sig |= 1 << b
         b += 1
       }
       sigs(t) = sig
       t += 1
     }
-    new GenericArrayData(sigs)
+    sigs
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignatures =
-    copy(child = newChild)
 }

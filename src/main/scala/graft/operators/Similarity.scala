@@ -89,11 +89,12 @@ object Similarity {
                       threshold: Double, nTables: Int, planesPerTable: Int,
                       dim: Int, seed: Long = 42L): DataFrame = {
     val buckets = corpus
-      .select(col(idCol), asDouble(col(vecCol)).as("_vd"))
-      .withColumn("_vn", unitNorm(col("_vd")))
       // signatures from the RAW vector (what the oracle sees) — signs are
-      // normalization-invariant mathematically, this keeps them bitwise so
-      .withColumn("_sigs", lshSignatures(col("_vd"), nTables, planesPerTable, dim, seed))
+      // normalization-invariant mathematically, this keeps them bitwise so.
+      // Both expressions are fused + codegen'd and take the raw column
+      // directly: no asDouble lambda, the projection stays in one span.
+      .select(col(idCol), unitNorm(col(vecCol)).as("_vn"),
+        lshSignatures(col(vecCol), nTables, planesPerTable, dim, seed).as("_sigs"))
       .select(col(idCol), col("_vn"), posexplode(col("_sigs")).as(Seq("tbl", "sig")))
       .localCheckpoint(false)
     val a = buckets.select(col(idCol).as("i"), col("_vn").as("va"), col("tbl"), col("sig"))
@@ -161,9 +162,9 @@ object Similarity {
           col("sig").bitwiseXOR(lit(1 << b)))): _*)))
 
     val qBuckets = probeRows(
-        bucketRows(queries.select(col(qIdCol), col(qVecCol)), asDouble(col(qVecCol))))
+        bucketRows(queries.select(col(qIdCol), col(qVecCol)), col(qVecCol)))
       .select(col(qIdCol), col("tbl"), col("sig"))
-    val cand = bucketRows(corpus.select(col(idCol), col(vecCol)), asDouble(col(vecCol)))
+    val cand = bucketRows(corpus.select(col(idCol), col(vecCol)), col(vecCol))
       .select(col(idCol), col("tbl"), col("sig"))
       .join(broadcast(qBuckets), Seq("tbl", "sig"))
       .where(col(idCol) =!= col(qIdCol))
