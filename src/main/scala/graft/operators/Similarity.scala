@@ -34,7 +34,7 @@ object Similarity {
 
   // cast/normalize/dot shared with Ivf so every similarity operator stays
   // bitwise-comparable — see graft.functions.VectorOps
-  import graft.functions.VectorOps.{asDouble, dotCol, unitNorm}
+  import graft.functions.VectorOps.{dotCol, unitNorm}
 
   /** Exact top-k cosine neighbors for each query vector.
     * @param queries small DataFrame (q_id, q_vec) — broadcast.
