@@ -56,6 +56,7 @@ object Bench {
     // times ONLY the probe. (`ann_ivf` keeps the cold train+probe cost.)
     try queries.SimilarityQueries.ivfIndex(spark, sfDir) catch { case _: Throwable => () }
     try queries.SimilarityQueries.pqIndex(spark, sfDir) catch { case _: Throwable => () }
+    try queries.SimilarityQueries.ivfPqIndex(spark, sfDir) catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=name1,name2 isolates queries (fresh-JVM single-query
     // timing for regression diagnosis); unset = the full set.

@@ -174,6 +174,25 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  // Build-once IVF-PQ index cache — the ivfIndexes/pqIndexes pattern.
+  private val ivfPqIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfPq.Index]
+
+  def ivfPqIndex(s: SparkSession, dir: String): IvfPq.Index =
+    ivfPqIndexes.getOrElseUpdate((s, dir),
+      IvfPq.build(emb(s, dir), "vec_id", "embedding",
+        nCells = IvfCells, m = PqM, ksub = PqKsub, seed = 42L))
+
+  /** IVF-PQ, probe-only — the build-once/probe-many half of [[annIvfPq]]:
+    * identical results (same quantizer seeds), no training jobs in the
+    * plan. Rows-only like its parents; IvfPqSpec pins probe parity. */
+  def annIvfPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    IvfPq.probe(ivfPqIndex(s, dir), e, "embedding", queriesDf(e),
+        "q_id", "q_vec", K, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
   /** PQ ANN, probe-only — the build-once/probe-many half of [[annPq]]:
     * identical results (same codebook seed), but the plan is an ADC scan
     * of the persisted code relation + exact re-rank; no training jobs.
@@ -191,6 +210,7 @@ object SimilarityQueries {
     "ann_pq" -> (annPq _),
     "ann_pq_probe" -> (annPqProbe _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_probe" -> (annIvfPqProbe _),
     "decon_semantic" -> (deconSemantic _),
     "emb_neardup" -> (embNeardup _),
     "emb_neardup_lsh" -> (embNeardupLsh _),

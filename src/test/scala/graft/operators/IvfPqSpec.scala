@@ -97,6 +97,13 @@ class IvfPqSpec extends SparkSpec {
     assert(a == b, "loaded-index probe diverged from the built index")
   }
 
+  test("gate probe path (cached index) == cold fit path") {
+    import graft.queries.SimilarityQueries
+    val cold = SimilarityQueries.annIvfPq(spark, sf001).collect().toSeq
+    val probe = SimilarityQueries.annIvfPqProbe(spark, sf001).collect().toSeq
+    assert(cold == probe, "cached-index probe diverged from the cold path")
+  }
+
   test("probe plan: cell equi-join, never all-pairs") {
     val out = IvfPq.probe(index, emb, "embedding", queriesDf,
       "q_id", "q_vec", k = 10, nProbe = 4)
