@@ -35,22 +35,28 @@ object Analytics {
     * order) than under the window's asc-nulls-first, and the identity
     * contract is only claimed for clean keys.
     * The identity to the window path is pinned in AnalyticsSpec and by
-    * the gate, whose oracle is `q_topk_group`'s SQL verbatim. */
+    * the gate, whose oracle is `q_topk_group`'s SQL verbatim.
+    *
+    * `ascending = true` flips the measure's direction (`orderCol` ASC —
+    * the distance-shaped ANN shortlists) by inverting it the same way the
+    * tie-break is inverted; the tie-break stays ASC in both modes. */
   def topKPerGroupAgg(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                      tieBreak: String, k: Int): DataFrame = {
+                      tieBreak: String, k: Int,
+                      ascending: Boolean = false): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
     // ASC-under-DESC inversion: integral tie-breaks invert with bitwise NOT
     // (~x = -x-1, total and order-reversing at every value incl. MinValue,
     // where `* -1` wraps in non-ANSI and throws in ANSI — the TopKRewrite
     // convention); fractional ones keep negation (no overflow to dodge)
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val inverted = df.schema(tieBreak).dataType match {
+    def inverted(c: String): Column = df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        bitwise_not(col(tieBreak).cast("long"))
-      case _ => col(tieBreak) * lit(-1)
+        bitwise_not(col(c).cast("long"))
+      case _ => col(c) * lit(-1)
     }
-    val sortKey = struct(col(orderCol).as("_o"),
-      inverted.as("_t"), payload.as("_p"))
+    val orderKey = if (ascending) inverted(orderCol) else col(orderCol)
+    val sortKey = struct(orderKey.as("_o"),
+      inverted(tieBreak).as("_t"), payload.as("_p"))
     val agg = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.TopKRows(
         org.apache.spark.sql.graft.Bridge.expression(sortKey), k)

@@ -90,13 +90,7 @@ object Compaction {
         val df = spark.read.parquet(s"$path/${p.partition}")
         val out =
           if (zorderBy.isEmpty) df.coalesce(p.targetFiles)
-          else {
-            import org.apache.spark.sql.functions.col
-            df.withColumn("_z", ZOrder.zvalue(df, zorderBy))
-              .repartitionByRange(p.targetFiles, col("_z"))
-              .sortWithinPartitions("_z")
-              .drop("_z")
-          }
+          else ZOrder.clustered(df, zorderBy, p.targetFiles)
         out.write.mode("overwrite").parquet(s"$staging/${p.partition}")
       }
       graft.sources.RawLayer.publishPartitions(fs, staging, root)

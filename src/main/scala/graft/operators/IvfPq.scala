@@ -107,24 +107,26 @@ object IvfPq {
       .withColumn("_qres", zip_with(col("_qn"), col("_ctr"), (x, c) => x - c))
       .select(col(qIdCol), col("cell"), col("_qres"))
 
-    val shortW = Window.partitionBy(col(qIdCol)).orderBy(col("adc_d2").asc, col(idCol))
-    val shortlist = index.assigned
+    // shortlist via the TopKRows bounded heap, not a per-query row_number
+    // window: the probed cells bound the candidates, but a window would
+    // still sort every probed-cell code through one task per query — the
+    // heap moves ≤ k·shortlistFactor rows per (query, task)
+    val scored = index.assigned
       .join(broadcast(qCells), Seq("cell"))
       .where(col(idCol) =!= col(qIdCol))
       .withColumn("adc_d2", Pq.adcCol(col("pq_code"), col("_qres"), index.cb))
-      .withColumn("_sr", row_number().over(shortW))
-      .where(col("_sr") <= k * shortlistFactor)
       .select(col(qIdCol), col(idCol), col("adc_d2"))
+    val shortlist = Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "adc_d2",
+        idCol, k * shortlistFactor, ascending = true)
+      .select(col(qIdCol), col(idCol))
 
     val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
     val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
-    cn.join(broadcast(shortlist.select(col(qIdCol), col(idCol))), Seq(idCol))
+    val rescored = cn.join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(qn), Seq(qIdCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+    Analytics.topKPerGroupAgg(rescored, Seq(qIdCol), "cos_sim", idCol, k)
   }
 
   /** Persist a built index: the code relation as parquet PARTITIONED BY

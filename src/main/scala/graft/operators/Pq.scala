@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -32,6 +31,9 @@ import graft.functions.{PqAdc, PqEncode}
   * corpus side.
   */
 object Pq {
+
+  /** Max concurrent driver-side k-means fit jobs ([[fitVecs]]). */
+  private val FitPoolSize = 8
 
   /** Fitted per-subspace codebooks: `centers(j)(c)(t)`. */
   final case class Codebooks(centers: Array[Array[Array[Float]]]) {
@@ -70,8 +72,12 @@ object Pq {
     require(m >= 1, s"m=$m")
     require(ksub >= 1 && ksub <= Short.MaxValue, s"ksub=$ksub out of short range")
     require(maxFitRows >= ksub, s"maxFitRows=$maxFitRows < ksub=$ksub")
-    val dimRow = vecs.select(size(col("_vn"))).head()
-    val dim = dimRow.getInt(0)
+    require(maxFitRows <= Int.MaxValue,
+      s"maxFitRows=$maxFitRows exceeds Int.MaxValue (limit() takes an Int)")
+    val dim = vecs.select(size(col("_vn"))).head(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "pq fit: empty corpus — no vectors to train codebooks on"))
+      .getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val n = vecs.count()
@@ -86,23 +92,31 @@ object Pq {
       // the m fits are independent dsub-dim jobs over the SAME pinned
       // sample — submit them concurrently (Spark schedules driver-side
       // concurrent jobs fine) so codebook training costs ~one k-means of
-      // wall-clock, not m; each estimator instance is thread-private
-      import scala.concurrent.{Await, Future}
+      // wall-clock, not m; each estimator instance is thread-private.
+      // A dedicated bounded pool (not the global ForkJoin EC): a large-m
+      // fit must not starve other driver work, and the pool dies with the
+      // fit instead of lingering as daemon ForkJoin threads
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val centers = Await.result(
-        Future.sequence((0 until m).map { j => Future {
-          // slice is 1-based; each subspace trains on its own dsub-dim slice
-          val sub = pinned.select(
-            array_to_vector(slice(col("_vn"), j * dsub + 1, dsub)).as("_feat"))
-          val model = new KMeans()
-            .setK(ksub).setSeed(seed + j)
-            .setMaxIter(5)
-            .setFeaturesCol("_feat").setPredictionCol("_c")
-            .fit(sub)
-          model.clusterCenters.map(_.toArray.map(_.toFloat))
-        }}), Duration.Inf).toArray
-      Codebooks(centers)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(m, FitPoolSize),
+        r => { val t = new Thread(r, "graft-pq-fit"); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val centers = Await.result(
+          Future.sequence((0 until m).map { j => Future {
+            // slice is 1-based; each subspace trains on its own dsub-dim slice
+            val sub = pinned.select(
+              array_to_vector(slice(col("_vn"), j * dsub + 1, dsub)).as("_feat"))
+            val model = new KMeans()
+              .setK(ksub).setSeed(seed + j)
+              .setMaxIter(5)
+              .setFeaturesCol("_feat").setPredictionCol("_c")
+              .fit(sub)
+            model.clusterCenters.map(_.toArray.map(_.toFloat))
+          }}), Duration.Inf).toArray
+        Codebooks(centers)
+      } finally pool.shutdown()
     } finally pinned.unpersist(blocking = false)
   }
 
@@ -122,19 +136,24 @@ object Pq {
   /** ADC top-k: every (query, code) pair scored with the fused [[PqAdc]]
     * kernel, per-query top-k by ascending approximate distance. The scan
     * side reads CODES only — the full-width vectors never enter this plan.
-    * Queries are few and broadcast; ties break on id (deterministic). */
+    * Queries are few and broadcast; ties break on id (deterministic).
+    *
+    * Ranking is the [[graft.functions.TopKRows]] bounded-heap aggregate,
+    * not a window: a `row_number` over `partitionBy(q_id)` would hold the
+    * ENTIRE code relation in one task per query (queries are few, so
+    * per-query partitions are corpus-sized); the heap moves at most k rows
+    * per (query, task) with map-side partials. Output is invariant. */
   def adcTopK(codes: DataFrame, cb: Codebooks, idCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int): DataFrame = {
     val q = queries.select(col(qIdCol),
       unitNorm(col(qVecCol)).as("_qn"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("adc_d2").asc, col(idCol))
-    codes.crossJoin(broadcast(q))
+    val scored = codes.crossJoin(broadcast(q))
       .where(col(idCol) =!= col(qIdCol))
       .withColumn("adc_d2", round(adcCol(col("pq_code"), col("_qn"), cb), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("adc_d2"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("adc_d2"))
+    Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "adc_d2", idCol, k,
+      ascending = true)
   }
 
   /** ADC shortlist + EXACT re-rank (the published PQ deployment shape):
@@ -158,13 +177,11 @@ object Pq {
       .select(col(qIdCol), col(idCol))
     val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
     val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
-    cn.join(broadcast(shortlist), Seq(idCol))
+    val rescored = cn.join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(qn), Seq(qIdCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+    Analytics.topKPerGroupAgg(rescored, Seq(qIdCol), "cos_sim", idCol, k)
   }
 
   /** Streaming ANN against a static PQ index: arriving query vectors →
@@ -175,13 +192,20 @@ object Pq {
     * [[Similarity.decontaminateSemantic]] shape). Both joins are
     * stream-static (legal, stateless per micro-batch): first the
     * code-narrow scan for the ADC gate, then a point-fetch of raw vectors
-    * for survivors only. The ADC gate keeps every true neighbor whose
-    * quantization error fits `adcSlack`: true d² on unit vectors is
-    * 2−2·cos, ADC measures distance to the code's reconstruction, and the
-    * triangle inequality bounds the gap by the per-vector quantization
-    * error — planted exact duplicates always pass (their gap is exactly
-    * the corpus vector's own quantization error). Rescore is exact, so
-    * slack only costs candidates, never precision.
+    * for survivors only.
+    *
+    * The ADC gate is a RECALL/COST dial, not a completeness guarantee:
+    * for a true neighbor at distance d with per-vector quantization error
+    * ε (`ε = ‖x − decode(code_x)‖`), the triangle inequality gives
+    * `adc ≤ (d + ε)² = d² + 2·d·ε + ε²` — the gap grows with `2·d·ε`,
+    * so a neighbor NEAR the distance threshold is dropped whenever
+    * `2·d·ε + ε² > adcSlack`. To make the gate lossless for a measured
+    * index, size the slack from the corpus's worst quantization error:
+    * `adcSlack ≥ 2·√(2−2·minCos)·maxε + maxε²`. Planted exact duplicates
+    * (d = 0) always pass at any slack ≥ ε² — their ADC distance IS the
+    * corpus vector's own quantization error, no d-cross-term. Rescore is
+    * exact, so slack only trades recall against candidate count, never
+    * precision of reported similarities.
     */
   def streamingNeighbors(queries: DataFrame, qIdCol: String, qVecCol: String,
                          codes: DataFrame, cb: Codebooks, idCol: String,

@@ -53,7 +53,10 @@ object ZOrder {
 
   /** The z-value column for `df` over `cols` (numeric or castable to
     * double; nulls land in bucket 0 and so cluster together at the low end
-    * of the curve). Cut points are computed HERE, driver-side, once. */
+    * of the curve — enforced by an explicit coalesce, since [[BucketIndex]]
+    * itself is null-propagating). Cut points are computed HERE,
+    * driver-side, once. Fails fast, naming the column, when a clustering
+    * column has no non-null values (no quantile cuts exist). */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits): Column = {
     require(cols.nonEmpty, "zvalue: no clustering columns")
     val nBuckets = 1 << bits
@@ -66,23 +69,37 @@ object ZOrder {
     val cutsPerCol = doubled.stat.approxQuantile(cols.toArray, probs,
       1.0 / (4 * nBuckets))
     val bucketCols = cols.zip(cutsPerCol).map { case (c, cuts) =>
-      Bridge.column(BucketIndex(
-        Bridge.expression(col(c).cast("double")), cuts.distinct.sorted))
+      val cleaned = cuts.distinct.sorted
+      require(cleaned.nonEmpty,
+        s"zvalue: no non-null values for clustering column '$c' — cannot bucketize")
+      coalesce(Bridge.column(BucketIndex(
+        Bridge.expression(col(c).cast("double")), cleaned)), lit(0))
     }
     interleaveBits(bucketCols, bits)
+  }
+
+  /** `df` physically re-clustered on the z-value over `cols`: one range
+    * exchange into `nFiles` partitions, sorted within each. The staging
+    * column name is collision-proofed against `df`'s own columns — a user
+    * table with a `_z` column must not get it silently overwritten and
+    * dropped. Shared by [[writeClustered]] and compaction's zorder
+    * rewrite ([[Compaction.compact]]). */
+  private[operators] def clustered(df: DataFrame, cols: Seq[String],
+                                   nFiles: Int, bits: Int = DefaultBits): DataFrame = {
+    require(nFiles >= 1, s"nFiles=$nFiles")
+    val zc = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zvalue(df, cols, bits))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 
   /** Write `df` to `path` Z-ordered on `cols` across `nFiles` files. The
     * single exchange is the range partitioning on the z-value — the
     * physical re-clustering itself; everything else rides map-side. */
   def writeClustered(df: DataFrame, cols: Seq[String], path: String,
-                     nFiles: Int, bits: Int = DefaultBits): Unit = {
-    require(nFiles >= 1, s"nFiles=$nFiles")
-    val z = zvalue(df, cols, bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+                     nFiles: Int, bits: Int = DefaultBits): Unit =
+    clustered(df, cols, nFiles, bits)
       .write.mode("overwrite").parquet(path)
-  }
 }

@@ -160,4 +160,27 @@ class PqSpec extends SparkSpec {
     assert(schema == Set("vec_id", "pq_code"),
       s"shortlist scan should read only (vec_id, pq_code), got $schema")
   }
+
+  test("fit on an empty corpus fails with a named error, not NoSuchElementException") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.fit(emb.where(lit(false)), "embedding", m = 4, ksub = 2)
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
+
+  test("an oversized maxFitRows is rejected instead of overflowing limit()") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.fit(emb, "embedding", m = 4, ksub = 2, maxFitRows = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("Int.MaxValue"), e.getMessage)
+  }
+
+  test("no window operator in the ANN plans (heap-aggregated shortlists)") {
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val out = Pq.topKRerank(codes, cb, "vec_id", emb, "embedding",
+      queriesDf, "q_id", "q_vec", k = 5)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number"),
+      s"PQ rerank plan still ranks via a window:\n$plan")
+  }
 }

@@ -106,4 +106,34 @@ class ZOrderSpec extends SparkSpec {
       ev.select("event_id").as[Long].collect().sorted.toSeq)
     assert(!back.schema.fieldNames.contains("_z"), "helper column leaked into the layout")
   }
+
+  test("a user column named _z survives clustering (collision-proof staging name)") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, "keep-a"), (2L, 20.0, "keep-b"), (3L, 30.0, "keep-c"))
+      .toDF("id", "value", "_z")
+    val root = Files.createTempDirectory("graft-zorder3").toString
+    ZOrder.writeClustered(df, Seq("id", "value"), s"$root/z", nFiles = 2)
+    val back = spark.read.parquet(s"$root/z")
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("_z", "id", "value"))
+    assert(back.select("_z").as[String].collect().sorted.toSeq ==
+      Seq("keep-a", "keep-b", "keep-c"),
+      "user _z column was clobbered by the staging z-value")
+  }
+
+  test("zvalue names the offending column when it has no non-null values") {
+    val df = spark.range(10).selectExpr("id", "CAST(NULL AS DOUBLE) AS dead")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zvalue(df, Seq("id", "dead"))
+    }
+    assert(e.getMessage.contains("dead"), s"error should name the column: ${e.getMessage}")
+  }
+
+  test("nulls land in bucket 0: null rows cluster at the curve's low end") {
+    val df = spark.range(100)
+      .selectExpr("id", "IF(id < 5, CAST(NULL AS DOUBLE), CAST(id AS DOUBLE)) AS v")
+    val z = ZOrder.zvalue(df, Seq("v"))
+    val rows = df.select(df("id"), z.as("z")).collect()
+    val nullZ = rows.filter(_.getLong(0) < 5).map(_.getLong(1)).toSet
+    assert(nullZ == Set(0L), s"null rows should get z-value 0, got $nullZ")
+  }
 }
