@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,9 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    it.
   *
   * Map-side scalar; supplementary codepoints handled (codepoint
-  * iteration, not char). */
+  * iteration, not char). Full codegen via the shared static kernel, so
+  * the text_clean/text_unicode projections stay in whole-stage codegen. */
 case class NormalizeText(child: Expression, stripAccents: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -36,9 +37,22 @@ case class NormalizeText(child: Expression, stripAccents: Boolean)
 
   override def prettyName: String = "normalize_text"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeText.normalize(input.asInstanceOf[UTF8String], stripAccents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.NormalizeText.normalize($v, $stripAccents)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  /** The normalization kernel, shared by eval and generated code. */
+  def normalize(input: UTF8String, stripAccents: Boolean): UTF8String = {
     import java.text.Normalizer
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = input.toString
     val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
     val out =
       if (!stripAccents) nfc
@@ -53,7 +67,4 @@ case class NormalizeText(child: Expression, stripAccents: Boolean)
       }
     UTF8String.fromString(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
-    copy(child = newChild)
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * this is none.
   *
   * Returns NULL for an empty token array (no votes — the explode version
-  * produced no row, callers filter).
+  * produced no row, callers filter). Full codegen via the shared static
+  * kernel ([[HyperplaneSignatures]] pattern), so the simhash projection
+  * stays inside whole-stage codegen.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -44,14 +46,34 @@ case class SimHash64(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHash64.simhash(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($v.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SimHash64.simhash($v);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** The sketch kernel over a NON-EMPTY token array, shared by eval and
+    * generated code. Null tokens count toward n but cast no votes (the
+    * explode+sum formulation skipped null hashes in the sums but counted
+    * the row). */
+  def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
-    if (n == 0) return null
     val counts = new Array[Int](64)
     val md = MinHashSignature.digest.get()
     var t = 0
     while (t < n) {
-      // null tokens count toward n but cast no votes (the explode+sum
-      // formulation skipped null hashes in the sums but counted the row)
       if (!arr.isNullAt(t)) {
         md.reset()
         val d = md.digest(arr.getUTF8String(t).getBytes)
@@ -77,7 +99,4 @@ case class SimHash64(child: Expression)
     }
     sim
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }

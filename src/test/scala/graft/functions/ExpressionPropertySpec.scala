@@ -93,6 +93,58 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("signature kernels stay inside whole-stage codegen (no fallback projection)") {
+    // the dedup signature pass is the highest-volume map projection in the
+    // LLM-pipeline path — a CodegenFallback expression expels its ENTIRE
+    // projection from WSC, so assert each kernel's projection carries the
+    // codegen star (the PqSpec WholeStageCodegen-marker pattern)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+    val words = split(lower(col("text")), "\\s+")
+    def assertFused(df: org.apache.spark.sql.DataFrame, kernel: String): Unit = {
+      df.collect() // materialize the AQE final plan before reading it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains(kernel)),
+        s"$kernel projection fell out of whole-stage codegen:\n$plan")
+    }
+    assertFused(docs.select(Bridge.column(MinHashSignature(
+      Bridge.expression(words), 12, shingleSize = 3)).as("sig")), "minhash_signature")
+    assertFused(docs.select(Bridge.column(ShingleSet(
+      Bridge.expression(words), 3)).as("sh")), "shingle_set")
+    assertFused(docs.select(Bridge.column(SimHash64(
+      Bridge.expression(words))).as("sh")), "simhash64")
+    assertFused(docs.select(TextFunctions.normalizeText(col("text"),
+      stripAccents = true).as("t")), "normalize_text")
+  }
+
+  test("signature kernels: codegen and interpreted eval agree (null/empty edges included)") {
+    val docs = Seq(
+      "three words here exactly matching shingles",
+      "two words", // < shingle size -> minhash NULL, shingle set empty
+      "", // empty token edge
+      "Café señor naïve façade").toDF("text")
+    val words = split(lower(col("text")), "\\s+")
+    val exprs = docs.select(
+      Bridge.column(MinHashSignature(Bridge.expression(words), 4, 3)).as("mh"),
+      Bridge.column(ShingleSet(Bridge.expression(words), 3)).as("sh"),
+      Bridge.column(SimHash64(Bridge.expression(words))).as("sim"),
+      TextFunctions.normalizeText(col("text"), stripAccents = true).as("nt"))
+    val fused = exprs.collect().map(_.toString).toSeq
+    val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      exprs.collect().map(_.toString).toSeq
+    }
+    assert(fused == interp, "codegen and interpreted kernels diverge")
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("HyperplaneSignatures == sign-projection reference on random vectors") {
     val tables = Hyperplanes.tables(4, 6, 8, 42L)
     for (_ <- 1 to 30) {
