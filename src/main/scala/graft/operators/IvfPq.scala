@@ -77,16 +77,16 @@ object IvfPq {
     Index(assigned, centers, cb, idCol)
   }
 
-  /** Probe: rank cells per query (broadcast-side arithmetic, the
+  /** ADC shortlist: rank cells per query (broadcast-side arithmetic, the
     * [[Ivf.probe]] shape), ADC-score ONLY the probed cells' codes against
-    * the per-(query, cell) residual query `q − ctr`, shortlist
-    * k·shortlistFactor, then exact re-rank from `corpus`. */
-  def probe(index: Index, corpus: DataFrame, vecCol: String,
-            queries: DataFrame, qIdCol: String, qVecCol: String,
-            k: Int, nProbe: Int, shortlistFactor: Int = 5): DataFrame = {
-    require(nProbe >= 1 && nProbe <= index.centers.length,
-      s"nProbe=$nProbe out of [1,${index.centers.length}]")
-    require(shortlistFactor >= 1, s"shortlistFactor=$shortlistFactor")
+    * the per-(query, cell) residual query `q − ctr`, keep the `nShort`
+    * best ids per query. Ranking is the TopKRows bounded heap, not a
+    * per-query row_number window: the probed cells bound the candidates,
+    * but a window would still sort every probed-cell code through one
+    * task per query — the heap moves ≤ nShort rows per (query, task). */
+  private def adcShortlist(index: Index, queries: DataFrame,
+                           qIdCol: String, qVecCol: String,
+                           nShort: Int, nProbe: Int): DataFrame = {
     val idCol = index.idCol
     val np = math.min(nProbe, index.centers.length)
     val centerRows = array(index.centers.zipWithIndex.map { case (c, i) =>
@@ -107,26 +107,108 @@ object IvfPq {
       .withColumn("_qres", zip_with(col("_qn"), col("_ctr"), (x, c) => x - c))
       .select(col(qIdCol), col("cell"), col("_qres"))
 
-    // shortlist via the TopKRows bounded heap, not a per-query row_number
-    // window: the probed cells bound the candidates, but a window would
-    // still sort every probed-cell code through one task per query — the
-    // heap moves ≤ k·shortlistFactor rows per (query, task)
     val scored = index.assigned
       .join(broadcast(qCells), Seq("cell"))
       .where(col(idCol) =!= col(qIdCol))
       .withColumn("adc_d2", Pq.adcCol(col("pq_code"), col("_qres"), index.cb))
       .select(col(qIdCol), col(idCol), col("adc_d2"))
-    val shortlist = Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "adc_d2",
-        idCol, k * shortlistFactor, ascending = true)
+    Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "adc_d2",
+        idCol, nShort, ascending = true)
       .select(col(qIdCol), col(idCol))
+  }
 
-    val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+  /** Exact re-rank of a (q_id, id) shortlist from the raw vector relation:
+    * broadcast-join fetch of shortlist vectors only, codegen'd dot, top-k
+    * per query via the bounded heap. */
+  private def exactRerank(vectors: DataFrame, idCol: String, vecCol: String,
+                          shortlist: DataFrame, queries: DataFrame,
+                          qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val cn = vectors.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
     val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
     val rescored = cn.join(broadcast(shortlist), Seq(idCol))
       .join(broadcast(qn), Seq(qIdCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
       .select(col(qIdCol), col(idCol), col("cos_sim"))
     Analytics.topKPerGroupAgg(rescored, Seq(qIdCol), "cos_sim", idCol, k)
+  }
+
+  /** Probe: ADC shortlist of k·shortlistFactor per query, then exact
+    * re-rank from `corpus`. Lazy — one declarative plan, no driver
+    * actions. Deployments that persisted the vector relation with
+    * [[saveVectors]] should prefer [[probeSaved]], whose re-rank fetch
+    * pushes the shortlist ids into the scan and prunes by id stats. */
+  def probe(index: Index, corpus: DataFrame, vecCol: String,
+            queries: DataFrame, qIdCol: String, qVecCol: String,
+            k: Int, nProbe: Int, shortlistFactor: Int = 5): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.centers.length,
+      s"nProbe=$nProbe out of [1,${index.centers.length}]")
+    require(shortlistFactor >= 1, s"shortlistFactor=$shortlistFactor")
+    val shortlist = adcShortlist(index, queries, qIdCol, qVecCol,
+      k * shortlistFactor, nProbe)
+    exactRerank(corpus, index.idCol, vecCol, shortlist, queries,
+      qIdCol, qVecCol, k)
+  }
+
+  /** Streaming ANN against a static IVF-PQ index — the scale path for
+    * [[Pq.streamingNeighbors]], which cross-joins every micro-batch
+    * against the ENTIRE code relation. Here each arriving query is
+    * assigned to its `nProbe` nearest cells MAP-SIDE (the centroid table
+    * rides into the plan as a literal array; ranking is a
+    * sort_array + slice over queries×nCells structs — no window, so the
+    * plan stays streaming-append-legal), then a stream-static EQUI-JOIN
+    * on `cell` scores only the probed cells' codes. Per batch the ADC
+    * work is nProbe cells' worth of 32 B codes, not the corpus.
+    *
+    * Same thresholded-neighbors surface as [[Pq.streamingNeighbors]]
+    * (per-query top-k needs a rank, which append mode cannot run):
+    * survivors of the residual-ADC gate `adc_d2 ≤ 2−2·minCos + adcSlack`
+    * are exact-rescored from `corpus` and filtered at `minCos`. Two
+    * approximation dials, both recall-only (reported similarities are
+    * exact): `adcSlack` (see the [[Pq.streamingNeighbors]] bound — size
+    * it from the measured max quantization error to make the gate
+    * lossless) and `nProbe` (a neighbor living outside the probed cells
+    * is never scored — the IVF trade, identical to the batch [[probe]]).
+    */
+  def streamingNeighbors(queries: DataFrame, qIdCol: String, qVecCol: String,
+                         index: Index, corpus: DataFrame, vecCol: String,
+                         minCos: Double, nProbe: Int,
+                         adcSlack: Double = 0.3): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.centers.length,
+      s"nProbe=$nProbe out of [1,${index.centers.length}]")
+    require(adcSlack >= 0.0, s"adcSlack=$adcSlack")
+    val idCol = index.idCol
+    val centerRows = array(index.centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("ctr"))
+    }: _*)
+    // per-centroid squared distance, ranked by (d2, cell) via the struct's
+    // natural order — sort_array instead of a window keeps it append-legal
+    val ranked = sort_array(transform(centerRows, cc => struct(
+      aggregate(zip_with(col("_qn"), cc.getField("ctr"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v).as("d2"),
+      cc.getField("cell").as("cell"),
+      cc.getField("ctr").as("ctr"))))
+    val dBound = 2.0 - 2.0 * minCos + adcSlack
+    // `_qn` RIDES ALONG through the probe (the Pq.streamingNeighbors
+    // shape): re-joining the query relation at rescore time would be a
+    // stream-stream self-join, which append mode cannot run unwatermarked
+    val qCells = queries
+      .select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
+      .select(col(qIdCol), col("_qn"),
+        explode(slice(ranked, 1, nProbe)).as("cc"))
+      .select(col(qIdCol), col("_qn"),
+        col("cc.cell").as("cell"),
+        zip_with(col("_qn"), col("cc.ctr"), (x, c) => x - c).as("_qres"))
+    val cand = qCells
+      .join(index.assigned, Seq("cell")) // stream-static equi-join on cell
+      .where(col(idCol) =!= col(qIdCol))
+      .withColumn("adc_d2", Pq.adcCol(col("pq_code"), col("_qres"), index.cb))
+      .where(col("adc_d2") <= dBound)
+      .select(col(qIdCol), col("_qn"), col(idCol))
+    val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+    cand.join(cn, Seq(idCol))
+      .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
+      .where(col("cos_sim") >= minCos)
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
   }
 
   /** Persist a built index: the code relation as parquet PARTITIONED BY
@@ -136,7 +218,13 @@ object IvfPq {
     * vectors the on-disk index is ~the codes (32 B/row) plus two tiny
     * tables. */
   def save(index: Index, spark: SparkSession, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("cell")
+    // sort by (cell, id) inside each cell partition: every file then
+    // carries a tight id min-max range, so point-fetches of codes by id
+    // (incremental probes, diagnostics) prune row groups instead of
+    // scanning the whole cell directory
+    index.assigned
+      .sortWithinPartitions(col("cell"), col(index.idCol))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     centersDf(spark, index.centers).select(col("cell"), col("_ctr").as("ctr"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
@@ -175,6 +263,59 @@ object IvfPq {
       .toArray
     require(cbCenters.nonEmpty, s"ivfpq load: no codebooks at $path/codebooks")
     Index(assigned, centers, Pq.Codebooks(cbCenters), idCol)
+  }
+
+  /** Persist the raw vector relation alongside the index, id-CLUSTERED:
+    * range-partitioned and sorted by id, so every file/row-group carries a
+    * tight id min-max range. This is what makes the re-rank a real point
+    * lookup at 100 TB — [[probeSaved]]'s fetch pushes the shortlist ids
+    * into this scan and skips every file whose id range misses them. */
+  def saveVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                  path: String, nFiles: Int = 32): Unit = {
+    require(nFiles >= 1, s"nFiles=$nFiles")
+    corpus.select(col(idCol), col(vecCol))
+      .repartitionByRange(nFiles, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** The [[saveVectors]] relation. */
+  def loadVectors(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+
+  /** Bounded point-fetch for the exact re-rank: the shortlist ids
+    * (≤ queries × k × shortlistFactor — driver-bounded BY DESIGN, the
+    * same bound that lets [[probe]] broadcast the shortlist) are pushed
+    * into the vector scan as an IN/range predicate. A broadcast join
+    * alone never prunes the scan — the join filter does not reach
+    * parquet — so without this the "point lookup" reads the whole vector
+    * table; with it, an id-clustered relation ([[saveVectors]]) skips
+    * every file/row-group whose id stats miss the shortlist. */
+  def fetchVectors(vectors: DataFrame, idCol: String, ids: Seq[Any]): DataFrame = {
+    require(ids.nonEmpty, "fetchVectors: empty id list")
+    vectors.where(col(idCol).isin(ids: _*))
+  }
+
+  /** Probe against a [[save]]d index with a [[saveVectors]] relation —
+    * the deployment path. EAGER, unlike [[probe]]: the (bounded)
+    * shortlist is materialized on the driver so its ids can be pushed
+    * into the re-rank's vector scan as a predicate; the fetch then reads
+    * only the files/row-groups covering shortlist ids instead of the
+    * full vector table. Results are identical to [[probe]] with the same
+    * quantizer state. */
+  def probeSaved(spark: SparkSession, path: String, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int, nProbe: Int, shortlistFactor: Int = 5): DataFrame = {
+    require(shortlistFactor >= 1, s"shortlistFactor=$shortlistFactor")
+    val index = load(spark, path, idCol)
+    val sl = adcShortlist(index, queries, qIdCol, qVecCol,
+      k * shortlistFactor, nProbe)
+    val rows = sl.collect() // bounded: queries × k × shortlistFactor rows
+    import scala.jdk.CollectionConverters._
+    val local = spark.createDataFrame(rows.toSeq.asJava, sl.schema)
+    val ids = rows.map(_.get(1)).distinct.toSeq
+    val vecs = fetchVectors(loadVectors(spark, path), idCol, ids)
+    exactRerank(vecs, idCol, vecCol, local, queries, qIdCol, qVecCol, k)
   }
 
   /** One-shot build + probe (gate shape; deployments [[build]] once). */

@@ -414,4 +414,48 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally codes.unpersist()
   }
+
+  test("streaming IVF-PQ probe: cell equi-join per batch, no stream-side crossJoin") {
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val index = graft.operators.IvfPq.build(emb, "vec_id", "embedding",
+      nCells = 8, m = 16, ksub = 64, seed = 42L)
+    try {
+      val arriving = emb.where(col("vec_id").isin(3L, 7L))
+        .select((col("vec_id") + 1000L).as("q_id"),
+          col("embedding").as("q_vec"))
+        .as[(Long, Array[Float])].collect().toSeq
+      val mem = MemoryStream[(Long, Array[Float])]
+      val stream = graft.operators.IvfPq.streamingNeighbors(
+        mem.toDF().toDF("q_id", "q_vec"), "q_id", "q_vec",
+        index, emb, "embedding", minCos = 0.45, nProbe = 3)
+      assert(stream.isStreaming, "IVF-PQ probe must stay streaming")
+      val q = stream.writeStream.format("memory").queryName("stream_ivfpq")
+        .outputMode("append").start()
+      try {
+        mem.addData(arriving: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("stream_ivfpq")
+          .as[(Long, Long, Double)].collect().toSet
+
+        val batchDf = graft.operators.IvfPq.streamingNeighbors(
+          arriving.toDF("q_id", "q_vec"), "q_id", "q_vec",
+          index, emb, "embedding", minCos = 0.45, nProbe = 3)
+        val batch = batchDf.as[(Long, Long, Double)].collect().toSet
+        assert(streamed == batch, "streaming diverged from the batch twin")
+        // a planted exact duplicate's nearest cell is its original's own
+        // cell (rank-1 probe), so it must find it at cos 1.0
+        assert(streamed.contains((1003L, 3L, 1.0)))
+        assert(streamed.contains((1007L, 7L, 1.0)))
+
+        // plan shape: candidates come from an equi-join on cell — never a
+        // cross/nested-loop of the batch against the whole code relation
+        val plan = batchDf.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop"),
+          s"streaming IVF-PQ probe degenerated to a cross join:\n$plan")
+        assert(plan.contains("cell"), s"no cell equi-join in:\n$plan")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
 }
