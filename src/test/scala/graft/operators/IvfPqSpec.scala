@@ -111,4 +111,51 @@ class IvfPqSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"IVF-PQ probe went all-pairs:\n$plan")
   }
+
+  test("probeSaved == probe, and its re-rank fetch prunes the vector scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-pf").toString
+    IvfPq.save(index, spark, dir)
+    IvfPq.saveVectors(emb, "vec_id", "embedding", dir, nFiles = 16)
+
+    val a = IvfPq.probeSaved(spark, dir, "vec_id", "embedding", queriesDf,
+        "q_id", "q_vec", k = 10, nProbe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = IvfPq.probe(index, emb, "embedding", queriesDf,
+        "q_id", "q_vec", k = 10, nProbe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a == b, "probeSaved diverged from the lazy probe")
+
+    // measured skipping (the ZOrderSpec pattern): a point-fetch of a few
+    // ids from the id-clustered relation must materialize a fraction of
+    // the relation; the same fetch against an id-shuffled naive layout
+    // cannot skip (every file's id stats straddle)
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+    }
+    val total = emb.count()
+    val ids: Seq[Any] = Seq(3L, 7L, 11L, 200L, 201L)
+    val clustered = scanRows(IvfPq.fetchVectors(
+      IvfPq.loadVectors(spark, dir), "vec_id", ids))
+    emb.select("vec_id", "embedding").repartition(16)
+      .write.mode("overwrite").parquet(s"$dir/naive")
+    val naive = scanRows(IvfPq.fetchVectors(
+      spark.read.parquet(s"$dir/naive"), "vec_id", ids))
+    assert(naive == total,
+      s"naive layout unexpectedly skipped: $naive of $total")
+    assert(clustered * 2 <= naive,
+      s"id-clustered fetch skipped too little: $clustered of $naive")
+    info(f"re-rank fetch materialized: naive=$naive clustered=$clustered " +
+      f"(${clustered.toDouble / naive}%.2f of naive)")
+
+    // the saved code relation is likewise id-sorted within each cell: a
+    // bounded id fetch prunes row groups there too
+    val codesAll = spark.read.parquet(s"$dir/assigned")
+    val codeFetch = scanRows(codesAll.where(col("vec_id").isin(ids: _*)))
+    assert(codeFetch < total,
+      s"code point-fetch read the whole index: $codeFetch of $total")
+  }
 }
