@@ -31,6 +31,41 @@ object AnalyticsQueries {
     Analytics.topKPerGroupAgg(brandRevenue(s, dir), Seq("brand"), "revenue", "part_id", 3)
       .orderBy("brand", "rank")
 
+  /** The OPTIMIZER-REWRITE path end-to-end at the gate: the [[topkGroup]]
+    * window idiom verbatim, optimized under `spark.graft.rewrite.topk=
+    * true` so [[graft.plans.TopKRewrite]] replaces the window with the
+    * bounded-heap aggregate. The plan is forced (and memoized by the
+    * QueryExecution) inside the flag window, then the flag is restored —
+    * other gate queries never see it. Fails loudly if the rewrite did
+    * not fire; oracle is `q_topk_group`'s SQL verbatim. */
+  def topkRewrite(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.graft.rewrite.topk"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      // the rule only inverts NON-NULLABLE integral ascending tie-breaks
+      // (nullable asc-nulls-first is inexpressible by value inversion), and
+      // parquet-sourced l_partkey is nullable by schema — coalesce makes
+      // the tie-break attribute non-nullable without changing any value
+      // (the inner join guarantees no nulls reach it)
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          coalesce(col("l_partkey"), lit(-1L)).as("part_id"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"))
+      val df = Analytics.topKPerGroup(rev, Seq("brand"), "revenue", "part_id", 3)
+        .orderBy("brand", "rank")
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("graft_topk"),
+        s"q_topk_rewrite: TopKRewrite did not fire:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def windowRunning(s: SparkSession, dir: String): DataFrame =
     Analytics.runningOrderStats(t(s, dir, "orders"))
       .orderBy("o_custkey", "order_date", "o_orderkey")
@@ -76,6 +111,7 @@ object AnalyticsQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
     "q_topk_agg" -> (topkGroupAgg _),
+    "q_topk_rewrite" -> (topkRewrite _),
     "q_window_running" -> (windowRunning _),
     "q_rollup" -> (rollup _),
     "q_pivot" -> (pivot _),
@@ -104,6 +140,7 @@ object AnalyticsQueries {
     // one oracle serves both
     "q_topk_agg" -> topkOracle,
     "q_topk_group" -> topkOracle,
+    "q_topk_rewrite" -> topkOracle,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
