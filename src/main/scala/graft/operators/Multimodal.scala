@@ -347,6 +347,107 @@ object Multimodal {
     }
   }
 
+  /** REAL uncompressed-video decoding with the JDK alone: Y4M
+    * (YUV4MPEG2) is a plain-text header —
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> [C<colorspace>] …\n` — followed
+    * by `FRAME…\n` markers each carrying one raw planar YUV picture, so
+    * "decoding" is arithmetic, no codec. The Y plane IS luma: per-frame
+    * mean luma is the byte average of the first w·h plane bytes, fps is
+    * the header's exact rational. Plane sizes per colorspace: C420*
+    * w·h·3/2, C422 2·w·h, C444 3·w·h, Cmono w·h.
+    *
+    * Degrade-don't-kill ([[AviMjpegDecoder]] convention): a payload
+    * without the magic, an unparsable header, or zero complete frames
+    * falls back to [[VideoStub]]; a truncated trailing frame is dropped,
+    * not fatal. */
+  object Y4mDecoder extends VideoDecoder {
+    private val Magic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def lineEnd(b: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != 0x0a) i += 1
+      i // index of \n, or b.length when unterminated
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures = {
+      if (bytes == null || bytes.length < Magic.length ||
+          !Magic.indices.forall(i => bytes(i) == Magic(i)))
+        return VideoStub.decode(id, bytes)
+      try {
+        val hEnd = lineEnd(bytes, 0)
+        if (hEnd >= bytes.length) return VideoStub.decode(id, bytes)
+        val header = new String(bytes, 0, hEnd,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var w = 0
+        var h = 0
+        var fpsNum = 0L
+        var fpsDen = 0L
+        var colorspace = "C420"
+        header.split(' ').drop(1).foreach { tok =>
+          if (tok.nonEmpty) tok.charAt(0) match {
+            case 'W' => w = tok.substring(1).toInt
+            case 'H' => h = tok.substring(1).toInt
+            case 'F' =>
+              val nd = tok.substring(1).split(':')
+              if (nd.length == 2) { fpsNum = nd(0).toLong; fpsDen = nd(1).toLong }
+            case 'C' => colorspace = tok
+            case _ => // I (interlace), A (aspect), X (extension): irrelevant here
+          }
+        }
+        if (w <= 0 || h <= 0) return VideoStub.decode(id, bytes)
+        val ySize = w * h
+        val frameSize: Long = colorspace match {
+          case c if c.startsWith("C420") => ySize + 2L * ((w / 2) * (h / 2))
+          case c if c.startsWith("C422") => ySize + 2L * ((w / 2) * h)
+          case c if c.startsWith("C444") => 3L * ySize
+          case c if c.startsWith("Cmono") => ySize.toLong
+          case _ => return VideoStub.decode(id, bytes)
+        }
+        var pos = hEnd + 1
+        var nFrames = 0
+        var lumaAcc = 0.0
+        while (pos + 5 <= bytes.length &&
+               new String(bytes, pos, 5,
+                 java.nio.charset.StandardCharsets.US_ASCII) == "FRAME") {
+          val fEnd = lineEnd(bytes, pos)
+          val dataStart = fEnd + 1
+          if (fEnd >= bytes.length || dataStart + frameSize > bytes.length) {
+            pos = bytes.length // truncated trailing frame: keep what we have
+          } else {
+            var sum = 0L
+            var i = dataStart
+            val yEnd = dataStart + ySize
+            while (i < yEnd) { sum += bytes(i) & 0xff; i += 1 }
+            lumaAcc += sum.toDouble / ySize
+            nFrames += 1
+            pos = (dataStart + frameSize).toInt
+          }
+        }
+        if (nFrames == 0) return VideoStub.decode(id, bytes)
+        val fps = if (fpsNum > 0 && fpsDen > 0) fpsNum.toDouble / fpsDen else 0.0
+        VideoFeatures(id, w, h, nFrames, fps, lumaAcc / nFrames, decoded = true)
+      } catch {
+        // malformed header numerals etc. — the VideoDecoder contract says
+        // degrade to the stub, never throw on a bad payload
+        case scala.util.control.NonFatal(_) => VideoStub.decode(id, bytes)
+      }
+    }
+  }
+
+  /** Container sniffer: routes each payload to the decoder its magic
+    * bytes identify (RIFF-AVI → MJPEG, YUV4MPEG2 → Y4M, else stub), so
+    * a mixed video column decodes in one pass. */
+  object SniffingVideoDecoder extends VideoDecoder {
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures =
+      if (bytes != null && bytes.length >= 12 &&
+          new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "RIFF")
+        AviMjpegDecoder.decode(id, bytes)
+      else if (bytes != null && bytes.length >= 9 &&
+          new String(bytes, 0, 9, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2")
+        Y4mDecoder.decode(id, bytes)
+      else VideoStub.decode(id, bytes)
+  }
+
   /** Batched video decode over (id, binary) rows — the `mapPartitions`
     * twin of [[decodeFeatures]] for the video seam. */
   def decodeVideo(df: DataFrame, idCol: String, binCol: String,

@@ -301,6 +301,75 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.VideoStub.decode(9L, allBad))
   }
 
+  /** Generated Y4M: header + FRAME markers + planar YUV with constant Y
+    * per frame (closed-form luma). */
+  private def y4m(w: Int, h: Int, fps: String, colorspace: String,
+                  frameLumas: Seq[Int]): Array[Byte] = {
+    val chroma = colorspace match {
+      case c if c.startsWith("C420") => 2 * ((w / 2) * (h / 2))
+      case c if c.startsWith("C422") => 2 * ((w / 2) * h)
+      case c if c.startsWith("C444") => 2 * w * h
+      case _ => 0 // Cmono
+    }
+    val header = s"YUV4MPEG2 W$w H$h F$fps Ip A1:1 $colorspace\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frames = frameLumas.flatMap { y =>
+      "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array.fill(w * h)(y.toByte) ++ Array.fill(chroma)(128.toByte)
+    }
+    header ++ frames
+  }
+
+  test("Y4mDecoder: exact dims/frames/fps and closed-form luma from a generated Y4M") {
+    val v = y4m(16, 8, "30000:1001", "C420jpeg", Seq(50, 60, 70))
+    val got = Multimodal.Y4mDecoder.decode(5L, v)
+    assert(got.decoded && got.width == 16 && got.height == 8 &&
+      got.nFrames == 3, s"got $got")
+    assert(math.abs(got.fps - 30000.0 / 1001.0) < 1e-12, s"fps ${got.fps}")
+    assert(math.abs(got.meanLuma - 60.0) < 1e-9, s"luma ${got.meanLuma}")
+
+    // every colorspace's frame stride parses (same luma, same count)
+    for (cs <- Seq("C420", "C422", "C444", "Cmono")) {
+      val g = Multimodal.Y4mDecoder.decode(1L, y4m(12, 6, "25:1", cs, Seq(100, 200)))
+      assert(g.decoded && g.nFrames == 2 && g.fps == 25.0 &&
+        math.abs(g.meanLuma - 150.0) < 1e-9, s"$cs -> $g")
+    }
+  }
+
+  test("Y4mDecoder: truncated trailing frame dropped; junk falls back to the stub") {
+    val full = y4m(8, 8, "24:1", "C420", Seq(10, 20, 30))
+    val truncated = full.dropRight(20) // cuts into the last frame's planes
+    val got = Multimodal.Y4mDecoder.decode(2L, truncated)
+    assert(got.decoded && got.nFrames == 2 &&
+      math.abs(got.meanLuma - 15.0) < 1e-9, s"got $got")
+
+    Seq("garbage".getBytes, "YUV4MPEG2".getBytes, // magic but no header line
+        y4m(8, 8, "24:1", "C420", Nil), // zero frames
+        null: Array[Byte])
+      .zipWithIndex.foreach { case (b, i) =>
+        assert(Multimodal.Y4mDecoder.decode(i.toLong, b) ==
+          Multimodal.VideoStub.decode(i.toLong, b), s"payload $i")
+      }
+  }
+
+  test("SniffingVideoDecoder routes a mixed corpus by magic bytes") {
+    val avi = mjpegAvi(Seq(jpegFrame(10, 10, 0x404040)), 10, 10, scale = 1, rate = 24)
+    val yuv = y4m(16, 8, "25:1", "C420", Seq(77))
+    val noise = "noise".getBytes
+    assert(Multimodal.SniffingVideoDecoder.decode(1L, avi) ==
+      Multimodal.AviMjpegDecoder.decode(1L, avi))
+    assert(Multimodal.SniffingVideoDecoder.decode(2L, yuv) ==
+      Multimodal.Y4mDecoder.decode(2L, yuv))
+    assert(Multimodal.SniffingVideoDecoder.decode(3L, noise) ==
+      Multimodal.VideoStub.decode(3L, noise))
+    val out = Multimodal.decodeVideo(
+      Seq((1L, avi), (2L, yuv), (3L, noise)).toDF("id", "payload"),
+      "id", "payload", Multimodal.SniffingVideoDecoder).collect()
+      .map(f => f.id -> f).toMap
+    assert(out(1L).decoded && out(2L).decoded && !out(3L).decoded)
+    assert(out(2L).nFrames == 1 && math.abs(out(2L).meanLuma - 77.0) < 1e-9)
+  }
+
   test("decodeVideo streams AVIs distributed; mixed corpus degrades per-row") {
     val avi = mjpegAvi(Seq(jpegFrame(10, 10, 0x202020),
       jpegFrame(10, 10, 0xE0E0E0)), 10, 10, scale = 1, rate = 24)
