@@ -204,13 +204,14 @@ object Ivf {
       .where(col("_pr") <= np)
       .select(col(qIdCol), col("_qn"), col("cell"))
 
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
-    assigned
+    // per-query top-k via the TopKRows bounded heap, not a row_number
+    // window: a window would sort every probed-cell candidate through one
+    // task per query; the heap moves ≤ k rows per (query, task)
+    val scored = assigned
       .join(broadcast(qCells), Seq("cell"))
       .where(col(idCol) =!= col(qIdCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+    Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "cos_sim", idCol, k)
   }
 }

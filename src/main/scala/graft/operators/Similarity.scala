@@ -44,15 +44,16 @@ object Similarity {
                      qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
     val q = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
+    // per-query top-k via the TopKRows bounded heap: the window
+    // formulation holds the ENTIRE corpus in one task per query (queries
+    // are few) — even for this declared brute-force baseline, the
+    // selection should not be the scale bottleneck, only the scoring
     val scored = c
       .crossJoin(broadcast(q))
       .where(col(idCol) =!= col(qIdCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+    Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "cos_sim", idCol, k)
   }
 
   /** All pairs (i < j) with cosine >= threshold (exact, self-join). */
@@ -176,11 +177,10 @@ object Similarity {
       .join(corpus.select(col(idCol),
         unitNorm(col(vecCol)).as("_vn")), Seq(idCol))
       .withColumn("cos_sim", round(dotCol(col("_qn"), col("_vn")), 6))
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos_sim").desc, col(idCol))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("cos_sim"), col("rank"))
+      .select(col(qIdCol), col(idCol), col("cos_sim"))
+    // bounded-heap top-k (LSH buckets bound the candidates, but the
+    // per-query selection still must not sort them through one task)
+    Analytics.topKPerGroupAgg(scored, Seq(qIdCol), "cos_sim", idCol, k)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
