@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -152,9 +151,16 @@ object Bpe {
   * steady-state throughput is a hash lookup per word. The merge table is
   * part of the expression (query-constant, serialized with the plan) —
   * the [[MinHashSignature]] convention for literal parameters.
+  *
+  * Full codegen WITHOUT a static kernel: the cache and rank table are
+  * per-instance state, so the generated code references the expression
+  * instance itself (`addReferenceObj`) and calls [[evalKernel]] — one
+  * virtual call per row, but the projection stays inside whole-stage
+  * codegen instead of being expelled wholesale (what CodegenFallback
+  * would do to every co-projected column).
   */
 case class BpeTokens(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -185,8 +191,21 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     }
   private val MaxCacheEntries = 1 << 16
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    evalKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("bpe", this, "graft.functions.BpeTokens")
+      s"$ref.evalKernel($v)"
+    })
+
+  /** The tokenize kernel — shared verbatim by interpreted eval and the
+    * generated code (never null: empty text yields an empty array). */
+  def evalKernel(input: UTF8String): GenericArrayData = {
+    val text = input.toString
     val words = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val c = cache.get()
     val out = mutable.ArrayBuffer.empty[UTF8String]

@@ -150,4 +150,14 @@ class BpeSpec extends SparkSpec {
     assert(stats._1 >= stats._2 && stats._1 <= stats._3,
       s"bpe=${stats._1} ws=${stats._2} chars=${stats._3}")
   }
+
+  test("BpeTokens stays inside whole-stage codegen (instance-referenced kernel)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(20)
+    val df = docs.select(
+      TextFunctions.bpeTokens(col("text"), Seq(("t", "h"), ("th", "e</w>"))).as("toks"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("bpe_tokens")),
+      s"bpe_tokens projection fell out of whole-stage codegen:\n$plan")
+  }
 }
