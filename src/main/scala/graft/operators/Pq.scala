@@ -226,6 +226,35 @@ object Pq {
       .select(col(qIdCol), col(idCol), col("cos_sim"))
   }
 
+  /** Max per-vector quantization error `ε = max ‖x − decode(code_x)‖`
+    * over the corpus — the measured quantity that sizes a LOSSLESS ADC
+    * gate ([[losslessSlack]]). Reuses the [[PqAdc]] kernel: probing a
+    * code with its OWN raw vector gives exactly
+    * `adc(code_x, x) = ‖x − decode(code_x)‖² = ε_x²`. One map-side pass
+    * over codes⋈vectors; the driver receives a single double. Compute it
+    * once at index-build time and persist it with the codebooks. */
+  def maxQuantizationError(codes: DataFrame, cb: Codebooks, idCol: String,
+                           corpus: DataFrame, vecCol: String): Double = {
+    val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+    val row = codes.join(cn, Seq(idCol))
+      .agg(max(adcCol(col("pq_code"), col("_vn"), cb)).as("m"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else math.sqrt(math.max(0.0, row.getDouble(0)))
+  }
+
+  /** The smallest `adcSlack` making the [[streamingNeighbors]] ADC gate
+    * LOSSLESS for per-vector quantization error ≤ `maxEps`: a true
+    * neighbor at distance d ≤ √(2−2·minCos) has
+    * `adc ≤ (d+ε)² = d² + 2·d·ε + ε²`, and the d-cross-term is largest
+    * exactly at the threshold — so `2·√(2−2·minCos)·maxEps + maxEps²`
+    * covers every in-threshold neighbor. Spec-pinned: with this slack the
+    * gate drops NO neighbor the exact computation keeps. */
+  def losslessSlack(minCos: Double, maxEps: Double): Double = {
+    require(maxEps >= 0.0, s"maxEps=$maxEps")
+    val dMax = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    2.0 * dMax * maxEps + maxEps * maxEps
+  }
+
   /** One-shot fit + encode + ADC + exact re-rank (the `ann_*` gate shape;
     * deployments [[fit]]/[[encode]] once and probe per batch). */
   def topK(corpus: DataFrame, queries: DataFrame,

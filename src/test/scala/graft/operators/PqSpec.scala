@@ -175,6 +175,34 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage.contains("Int.MaxValue"), e.getMessage)
   }
 
+  test("measured-slack ADC gate is lossless: no neighbor the exact computation keeps is dropped") {
+    import graft.functions.VectorOps.{dotCol, unitNorm}
+    val minCos = 0.45
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val maxEps = Pq.maxQuantizationError(codes, cb, "vec_id", emb, "embedding")
+    assert(maxEps > 0.0 && maxEps < 1.0, s"implausible maxEps=$maxEps")
+    val slack = Pq.losslessSlack(minCos, maxEps)
+
+    // offset query ids so each query's own corpus original is a planted
+    // exact neighbor (cos 1.0) rather than excluded as a self-pair
+    val qdf = emb.where(col("vec_id") < 8)
+      .select((col("vec_id") + 1000L).as("q_id"), col("embedding").as("q_vec"))
+    val got = Pq.streamingNeighbors(qdf, "q_id", "q_vec",
+        codes, cb, "vec_id", emb, "embedding", minCos, adcSlack = slack)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+
+    // exact reference: every (query, corpus) pair at cos >= minCos
+    val qn = qdf.select(col("q_id"), unitNorm(col("q_vec")).as("_qn"))
+    val cn = emb.select(col("vec_id"), unitNorm(col("embedding")).as("_vn"))
+    val exact = cn.crossJoin(qn).where(col("vec_id") =!= col("q_id"))
+      .where(round(dotCol(col("_qn"), col("_vn")), 6) >= minCos)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "sanity: the threshold should match some pairs")
+    assert(got == exact,
+      s"measured-slack gate diverged: missing=${(exact -- got).take(5)} " +
+        s"extra=${(got -- exact).take(5)}")
+  }
+
   test("no window operator in the ANN plans (heap-aggregated shortlists)") {
     val codes = Pq.encode(emb, "vec_id", "embedding", cb)
     val out = Pq.topKRerank(codes, cb, "vec_id", emb, "embedding",
