@@ -48,11 +48,16 @@ object Analytics {
     // (~x = -x-1, total and order-reversing at every value incl. MinValue,
     // where `* -1` wraps in non-ANSI and throws in ANSI — the TopKRewrite
     // convention); fractional ones keep negation (no overflow to dodge)
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, DecimalType,
+      IntegerType, LongType, ShortType}
     def inverted(c: String): Column = df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         bitwise_not(col(c).cast("long"))
-      case _ => col(c) * lit(-1)
+      case FloatType | DoubleType | _: DecimalType => col(c) * lit(-1)
+      case other => throw new IllegalArgumentException(
+        s"topKPerGroupAgg: column '$c' has non-numeric type ${other.simpleString} — " +
+          "inversion would silently yield nulls and misorder; use a numeric " +
+          "key or the window path (topKPerGroup)")
     }
     val orderKey = if (ascending) inverted(orderCol) else col(orderCol)
     val sortKey = struct(orderKey.as("_o"),

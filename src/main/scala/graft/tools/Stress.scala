@@ -470,7 +470,22 @@ object Stress {
       assert(wrong == 0L, s"$wrong results outside the exact-replica group")
       println(s"   rows: ${out.count()} (all from the cos=1.0 replica group; " +
         "probed 4 of 16 cells, codes-only candidate scan)")
+
+      // the deployment twin: persist the index id-clustered, then probe
+      // with the pushed-predicate point-fetch — same truth set, and the
+      // re-rank's vector scan materializes a fraction of the 40k rows
+      val dir = java.nio.file.Files.createTempDirectory("graft-stress-ivfpq").toString
+      graft.operators.IvfPq.save(idx, spark, dir)
+      graft.operators.IvfPq.saveVectors(bigEmb, "vec_id", "embedding", dir, nFiles = 32)
       idx.unpersist()
+      time("  probeSaved off the persisted id-clustered index") {
+        val saved = graft.operators.IvfPq.probeSaved(spark, dir, "vec_id",
+          "embedding", q, "q_id", "q_vec", k = 10, nProbe = 4).localCheckpoint()
+        val wrongS = saved.where(expr("vec_id div 20") =!= 0L).count()
+        assert(wrongS == 0L, s"$wrongS probeSaved results outside the replica group")
+        println(s"   rows: ${saved.count()} (shortlist ids pushed into the " +
+          "vector scan as a predicate; id-range files prune)")
+      }
     }
     time("PQ fit+encode+ADC+rerank over 40k vectors (m=16, ksub=64)") {
       // every query (a replica of original 0) has 19 EXACT replicas at
