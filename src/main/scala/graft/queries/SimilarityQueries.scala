@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hyperplanes
-import graft.operators.{Ivf, IvfPq, Pq, Similarity}
+import graft.operators.{Ivf, IvfPq, Pq, Similarity, Sq}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
   * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
@@ -33,6 +33,18 @@ object SimilarityQueries {
     val e = emb(s, dir)
     Similarity.bruteForceTopK(e, queriesDf(e), "vec_id", "embedding",
         "q_id", "q_vec", K)
+      .orderBy("q_id", "rank")
+  }
+
+  /** SQ8 scalar-quantized ANN — the one HASH-ORACLED quantized query in
+    * the family: the fixed-range uniform quantizer is data-independent
+    * and every loop is sequential double arithmetic, so the DuckDB
+    * oracle re-derives the ENTIRE pipeline (normalize → byte codes →
+    * asymmetric approx shortlist → exact re-rank) value-for-value. The
+    * k-means families (IVF/PQ/IVF-PQ) are rows-only by necessity. */
+  def annSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Sq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec", K)
       .orderBy("q_id", "rank")
   }
 
@@ -207,6 +219,7 @@ object SimilarityQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
+    "ann_sq" -> (annSq _),
     "ann_pq" -> (annPq _),
     "ann_pq_probe" -> (annPqProbe _),
     "ann_ivfpq" -> (annIvfPq _),
@@ -276,7 +289,44 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB re-derivation of [[annSq]] — the WHOLE quantized pipeline:
+    * sequential-sum unit normalization (bitwise the [[graft.functions
+    * .UnitNormalize]] kernel), fixed-range byte codes
+    * (`least(255, greatest(0, round((x+1)·127.5)))`, round half-away on
+    * both engines), asymmetric approx dot as an inline left-associative
+    * 64-term sum (the [[Hyperplanes.planeDotSql]] parity discipline),
+    * top-k·5 shortlist, exact rescore, top-k. */
+  private def annSqOracle: String = {
+    val sumSq = (1 to Dim).map(i => s"v[$i]*v[$i]").mkString("(0.0 + ", " + ", ")")
+    val dot = (1 to Dim).map(i => s"q.qn[$i]*d.xh[$i]").mkString("(0.0 + ", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($sumSq) AS nrm FROM e),
+       |en AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
+       |codes AS (SELECT vec_id,
+       |  list_transform(vn, x -> least(255.0, greatest(0.0, round((x + 1.0) * 127.5)))) AS c
+       |  FROM en),
+       |dec AS (SELECT vec_id, list_transform(c, x -> x / 127.5 - 1.0) AS xh FROM codes),
+       |q AS (SELECT vec_id AS q_id, vn AS qn FROM en WHERE vec_id < $QueryCount),
+       |approx AS (
+       |  SELECT q.q_id, d.vec_id, round($dot, 6) AS sq_dot
+       |  FROM q CROSS JOIN dec d WHERE d.vec_id <> q.q_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sq_dot DESC, vec_id) AS r FROM approx)
+       |  WHERE r <= ${K * 5})
+       |SELECT q_id, vec_id, cos_sim, rank FROM (
+       |  SELECT s.q_id, s.vec_id,
+       |    round(list_cosine_similarity(qe.v, ce.v), 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC, s.vec_id) AS INT) AS rank
+       |  FROM short s JOIN e ce ON s.vec_id = ce.vec_id
+       |               JOIN e qe ON qe.vec_id = s.q_id)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_sq" -> annSqOracle,
     "ann_lsh" -> annLshOracle,
     "decon_semantic" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
