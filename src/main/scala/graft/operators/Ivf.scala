@@ -136,7 +136,12 @@ object Ivf {
     * [[build]]'s in-memory persist. */
   def save(index: Index, spark: org.apache.spark.sql.SparkSession,
            path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("cell")
+    // sorted by (cell, id) within each cell partition (the IvfPq.save
+    // layout): files carry tight id min-max stats, so id point-fetches
+    // prune row groups instead of scanning the whole cell directory
+    index.assigned
+      .sortWithinPartitions(col("cell"), col(index.idCol))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     import scala.jdk.CollectionConverters._
     val rows = index.centers.zipWithIndex.map { case (c, i) =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, TopKRows}
+import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, Sq8Dot, Sq8Encode, TopKRows}
 
 /** SparkSessionExtensions registration for graft's native expressions
   * (SURVEY.md §2 #35). Activate with either:
@@ -104,6 +104,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("k must be an int literal")
         }
         ShingleSet(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sq8_encode"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, "graft_sq8_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_sq8_encode(unitVec) takes exactly 1 argument")
+        Sq8Encode(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sq8_dot"),
+      new ExpressionInfo(classOf[Sq8Dot].getName, "graft_sq8_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_sq8_dot(code, unitVec) takes exactly 2 arguments")
+        Sq8Dot(children.head, children(1))
       }))
   }
 }

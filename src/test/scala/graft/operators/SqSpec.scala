@@ -57,6 +57,21 @@ class SqSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall below 0.95")
   }
 
+  test("graft_sq8_encode / graft_sq8_dot SQL functions == the library columns") {
+    import graft.functions.VectorOps.unitNorm
+    val a = emb.limit(50)
+      .select(col("vec_id"), unitNorm(col("embedding")).as("vn"))
+      .selectExpr("vec_id", "graft_sq8_dot(graft_sq8_encode(vn), vn) AS d")
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    val b = emb.limit(50)
+      .select(col("vec_id"), unitNorm(col("embedding")).as("vn"))
+      .select(col("vec_id"), Sq.dotCol8(Sq.encodeCol(col("vn")), col("vn")).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    assert(a == b, "SQL-registered kernels diverge from the library columns")
+    // self-dot of a unit vector through the quantizer ~ 1 within step error
+    assert(a.forall(d => math.abs(d - 1.0) < 0.01), s"implausible self-dots: ${a.take(3)}")
+  }
+
   test("Sq8Encode and Sq8Dot stay inside whole-stage codegen") {
     val codes = Sq.encode(emb, "vec_id", "embedding")
     val out = Sq.topKRerank(codes, "vec_id", emb, "embedding",
