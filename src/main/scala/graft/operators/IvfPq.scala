@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,22 @@ object IvfPq {
     * lossless) and `nProbe` (a neighbor living outside the probed cells
     * is never scored — the IVF trade, identical to the batch [[probe]]).
     */
+  /** All cells ranked by squared distance to the normalized vector in
+    * `vnCol`, as a sorted array of `(d2, cell, ctr)` structs — map-side
+    * arithmetic (centroids ride in as a literal array; sort_array, not a
+    * window), so it is legal in streaming-append plans and one-pass cell
+    * assignment alike. */
+  private def rankedCells(centers: Array[Array[Double]], vnCol: String): Column = {
+    val centerRows = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("ctr"))
+    }: _*)
+    sort_array(transform(centerRows, cc => struct(
+      aggregate(zip_with(col(vnCol), cc.getField("ctr"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v).as("d2"),
+      cc.getField("cell").as("cell"),
+      cc.getField("ctr").as("ctr"))))
+  }
+
   def streamingNeighbors(queries: DataFrame, qIdCol: String, qVecCol: String,
                          index: Index, corpus: DataFrame, vecCol: String,
                          minCos: Double, nProbe: Int,
@@ -177,16 +193,7 @@ object IvfPq {
       s"nProbe=$nProbe out of [1,${index.centers.length}]")
     require(adcSlack >= 0.0, s"adcSlack=$adcSlack")
     val idCol = index.idCol
-    val centerRows = array(index.centers.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("ctr"))
-    }: _*)
-    // per-centroid squared distance, ranked by (d2, cell) via the struct's
-    // natural order — sort_array instead of a window keeps it append-legal
-    val ranked = sort_array(transform(centerRows, cc => struct(
-      aggregate(zip_with(col("_qn"), cc.getField("ctr"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v).as("d2"),
-      cc.getField("cell").as("cell"),
-      cc.getField("ctr").as("ctr"))))
+    val ranked = rankedCells(index.centers, "_qn")
     val dBound = 2.0 - 2.0 * minCos + adcSlack
     // `_qn` RIDES ALONG through the probe (the Pq.streamingNeighbors
     // shape): re-joining the query relation at rescore time would be a
@@ -294,6 +301,49 @@ object IvfPq {
   def fetchVectors(vectors: DataFrame, idCol: String, ids: Seq[Any]): DataFrame = {
     require(ids.nonEmpty, "fetchVectors: empty id list")
     vectors.where(col(idCol).isin(ids: _*))
+  }
+
+  /** Append new vectors to a [[save]]d index WITHOUT retraining — the
+    * incremental-maintenance half of the deployment loop (the
+    * [[graft.operators.Dedup]] incremental-store pattern, for ANN): each
+    * new row is assigned to its nearest EXISTING cell map-side
+    * ([[rankedCells]], rank 1), residual-encoded with the EXISTING
+    * codebooks, and appended to the cell-partitioned code relation (and
+    * to the [[saveVectors]] relation when present, as its own id-sorted
+    * files — per-batch id clustering, which is what parquet stats need).
+    * One map pass + one write; no shuffle of the existing index, no
+    * k-means.
+    *
+    * Quantizer state is FROZEN: appended rows get exactly the recall a
+    * same-distribution rebuild would give; under distribution drift the
+    * residuals grow and shortlist recall decays — the published practice
+    * is to monitor drift (e.g. [[Pq.maxQuantizationError]] on the
+    * appended batch) and rebuild when it accumulates. Returns the
+    * appended row count. */
+  def append(spark: SparkSession, path: String, idCol: String, vecCol: String,
+             newRows: DataFrame): Long = {
+    val index = load(spark, path, idCol)
+    val n = newRows.count()
+    val assigned = newRows
+      .select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
+      .withColumn("_cc", element_at(rankedCells(index.centers, "_vn"), 1))
+      .select(col(idCol), col("_cc.cell").as("cell"),
+        Pq.encodeCol(zip_with(col("_vn"), col("_cc.ctr"), (x, c) => x - c),
+          index.cb).as("pq_code"))
+    assigned
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col(idCol))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    val vectorsPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vectorsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(vectorsPath)) {
+      newRows.select(col(idCol), col(vecCol))
+        .repartitionByRange(math.max(1, (n / 100000L).toInt + 1), col(idCol))
+        .sortWithinPartitions(idCol)
+        .write.mode("append").parquet(s"$path/vectors")
+    }
+    n
   }
 
   /** Probe against a [[save]]d index with a [[saveVectors]] relation —

@@ -112,6 +112,50 @@ class IvfPqSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"IVF-PQ probe went all-pairs:\n$plan")
   }
 
+  test("append: new vectors join a saved index without retraining and are found at cos 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString
+    // corpus excludes ids < 100; queries are ids < 8 — absent from the index
+    val corpusA = emb.where(col("vec_id") >= 100)
+    val idxA = IvfPq.build(corpusA, "vec_id", "embedding",
+      nCells = 16, m = 16, ksub = 64, seed = 42L)
+    try {
+      IvfPq.save(idxA, spark, dir)
+      IvfPq.saveVectors(corpusA, "vec_id", "embedding", dir, nFiles = 8)
+      val nA = corpusA.count()
+
+      val before = IvfPq.probeSaved(spark, dir, "vec_id", "embedding",
+          queriesDf, "q_id", "q_vec", k = 5, nProbe = 4)
+        .where(col("cos_sim") >= 0.999999).count()
+      assert(before == 0, s"exact matches present before append: $before")
+
+      // append exact copies of the queries under fresh ids
+      val batch = emb.where(col("vec_id") < 8)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val appended = IvfPq.append(spark, dir, "vec_id", "embedding", batch)
+      assert(appended == 8, s"appended=$appended")
+
+      val reloaded = spark.read.parquet(s"$dir/assigned")
+      assert(reloaded.count() == nA + 8, "appended codes missing from the relation")
+      assert(reloaded.where(col("vec_id") >= 10000L)
+        .where(col("cell") < 0 || col("cell") >= 16).count() == 0,
+        "appended rows landed outside the existing cell range")
+
+      // each query's nearest cell is its duplicate's assigned cell (same
+      // vector, same frozen quantizer) — rank-1 probe must find it exactly
+      val after = IvfPq.probeSaved(spark, dir, "vec_id", "embedding",
+          queriesDf, "q_id", "q_vec", k = 5, nProbe = 4)
+      val hits = after.where(col("rank") === 1)
+        .select("q_id", "vec_id", "cos_sim")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, v, c) => q -> (v, c) }.toMap
+      (0L until 8L).foreach { q =>
+        val (v, c) = hits(q)
+        assert(v == q + 10000L && c == 1.0,
+          s"query $q: expected appended duplicate ${q + 10000L} at cos 1.0, got ($v, $c)")
+      }
+    } finally idxA.unpersist()
+  }
+
   test("probeSaved == probe, and its re-rank fetch prunes the vector scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-pf").toString
