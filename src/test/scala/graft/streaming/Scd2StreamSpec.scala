@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Scd2
+
+/** [[Scd2Stream]]: continuous SCD2 maintenance must equal the batch
+  * full-history rebuild EXACTLY — including under out-of-order arrival,
+  * where a late event inserts a version mid-history and resurrects an
+  * observation previously collapsed as a non-change (the case no
+  * current-row-only MERGE can reproduce). */
+class Scd2StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** The full CDC feed, in ARRIVAL order, as (batch -> rows). Key 7 is the
+    * adversarial case: its batch-2 event lands between two already-seen
+    * observations with a brand-new value, so the correct final history
+    * re-splits around it — observation (Jan 3, "A"), originally collapsed
+    * as a non-change after (Jan 1, "A"), becomes a change row again. */
+  private val batches: Seq[Seq[(Long, Timestamp, String, Double)]] = Seq(
+    Seq(
+      (7L, ts("2024-01-01 10:00:00"), "A", 1.0),
+      (7L, ts("2024-01-03 10:00:00"), "A", 2.0),
+      (7L, ts("2024-01-05 10:00:00"), "B", 3.0),
+      (1L, ts("2024-01-01 09:00:00"), "bronze", 10.0),
+      (2L, ts("2024-01-01 09:30:00"), "silver", 20.0),
+      (3L, ts("2024-01-02 09:00:00"), "bronze", 30.0)),
+    Seq(
+      (1L, ts("2024-01-04 09:00:00"), "gold", 11.0),
+      (2L, ts("2024-01-03 09:30:00"), "silver", 21.0), // non-change
+      (4L, ts("2024-01-03 12:00:00"), "bronze", 40.0)),
+    Seq(
+      (7L, ts("2024-01-02 10:00:00"), "Z", 4.0), // LATE: mid-history insert
+      (3L, ts("2024-01-01 08:00:00"), "gold", 31.0), // LATE: pre-history
+      (5L, ts("2024-01-05 15:00:00"), "silver", 50.0)),
+    Seq(
+      (1L, ts("2024-01-06 09:00:00"), "bronze", 12.0),
+      (6L, ts("2024-01-06 10:00:00"), "gold", 60.0)))
+
+  private def feedDf(rows: Seq[(Long, Timestamp, String, Double)]): DataFrame =
+    rows.toDF("cust_id", "ts", "segment", "value")
+
+  private val dimCols =
+    Seq("cust_id", "segment", "effective_ts", "expiration_ts", "is_current", "version", "sk")
+
+  private def keyRows(df: DataFrame) =
+    df.select(dimCols.head, dimCols.tail: _*)
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Int, Long)]
+      .collect().toSet
+
+  private def fileHashes(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map { p =>
+        val md = MessageDigest.getInstance("MD5")
+        root.relativize(p).toString ->
+          md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("streamed out-of-order CDC feed == batch full-history rebuild, exactly") {
+    implicit val sq = spark.sqlContext
+    val raw = Files.createTempDirectory("graft-scd2s-raw").toString
+    val dim = Files.createTempDirectory("graft-scd2s-dim").toString + "/dim"
+    val ckpt = Files.createTempDirectory("graft-scd2s-ckpt").toString
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("cust_id", "ts", "segment", "value")
+    val q = Scd2Stream.run(stream, raw, dim, ckpt,
+      key = "cust_id", ts = "ts", tracked = "segment", nBuckets = 8)
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = keyRows(Scd2Stream.readDim(spark, dim))
+    val want = keyRows(Scd2.fromHistory(
+      feedDf(batches.flatten), "cust_id", "ts", "segment"))
+    assert(got == want)
+
+    // the adversarial key's final history: the late Z event split A's run
+    val k7 = got.filter(_._1 == 7L).toSeq.sortBy(_._6)
+      .map(r => (r._2, r._3, r._5))
+    assert(k7 == Seq(
+      ("A", ts("2024-01-01 10:00:00"), false),
+      ("Z", ts("2024-01-02 10:00:00"), false),
+      ("A", ts("2024-01-03 10:00:00"), false), // resurrected non-change
+      ("B", ts("2024-01-05 10:00:00"), true)))
+  }
+
+  test("applyBatch rewrites only touched buckets; replay is idempotent") {
+    val raw = Files.createTempDirectory("graft-scd2s-raw2").toString
+    val dim = Files.createTempDirectory("graft-scd2s-dim2").toString + "/dim"
+
+    Scd2Stream.applyBatch(feedDf(batches.head), 0L, raw, dim,
+      "cust_id", "ts", "segment", nBuckets = 4)
+    val before = fileHashes(dim)
+
+    // a single-key batch touches exactly one bucket
+    val single = Seq((2L, ts("2024-01-07 09:00:00"), "gold", 22.0))
+    val bucket = feedDf(single)
+      .select(Scd2Stream.bucketOf(col("cust_id"), 4)).head().getLong(0)
+    Scd2Stream.applyBatch(feedDf(single), 1L, raw, dim,
+      "cust_id", "ts", "segment", nBuckets = 4)
+    val after = fileHashes(dim)
+
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"_kb=$bucket"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"_kb=$bucket"))
+    assert(untouchedBefore == untouchedAfter) // byte-identical, never rewritten
+    assert(before.keys.exists(_.startsWith(s"_kb=$bucket")) ||
+      after.keys.exists(_.startsWith(s"_kb=$bucket")))
+
+    // crash-replay of the same batch id converges to the same dimension
+    val once = keyRows(Scd2Stream.readDim(spark, dim))
+    Scd2Stream.applyBatch(feedDf(single), 1L, raw, dim,
+      "cust_id", "ts", "segment", nBuckets = 4)
+    assert(keyRows(Scd2Stream.readDim(spark, dim)) == once)
+
+    // and the maintained dim equals the full rebuild of everything landed
+    val want = keyRows(Scd2.fromHistory(
+      feedDf(batches.head ++ single), "cust_id", "ts", "segment"))
+    assert(once == want)
+  }
+
+  test("missing column fails loudly up front") {
+    val e = intercept[IllegalArgumentException] {
+      Scd2Stream.applyBatch(feedDf(batches.head).drop("segment"), 0L,
+        "/tmp/x", "/tmp/y", "cust_id", "ts", "segment")
+    }
+    assert(e.getMessage.contains("batch missing"))
+  }
+}
