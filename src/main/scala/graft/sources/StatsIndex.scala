@@ -1,0 +1,245 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.column.statistics.Statistics
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** File-level min/max statistics index over a parquet table — the
+  * metadata layer that makes [[graft.operators.ZOrder]]'s clustering
+  * pay off at catalog scale, the same role Delta's add-file stats /
+  * Iceberg's manifest entries play.
+  *
+  * Spark's parquet reader already prunes ROW GROUPS from footers — but
+  * only after planning has listed every file and a task has opened each
+  * footer. At 100 TB (millions of files) the per-query footer pass IS
+  * the bottleneck a metadata index removes: footers are read ONCE, in a
+  * distributed pass, into a tiny queryable relation (one row per
+  * file × column); query-time pruning is then a filter over that
+  * relation producing the surviving file list, and the actual scan opens
+  * only those files. The index is incremental — [[update]] appends stats
+  * for files not yet indexed, never rewriting existing entries — so an
+  * append-mostly raw layer pays one footer read per file, ever.
+  *
+  * Pruning is CONSERVATIVE by construction: a file is dropped only when
+  * its stats PROVE every matching row absent — the column's
+  * [min, max] is disjoint from the predicate range, or the column is
+  * all-null (range predicates never match null). Missing stats (column
+  * not indexed, writer emitted none, unknown null count) always keep the
+  * file, and integer min/max are widened one ulp when cast to double so
+  * representation error can never fabricate disjointness. The caller
+  * re-applies the real predicate after [[prunedRead]]; the index only
+  * shrinks the file list.
+  *
+  * The surviving file list is collected driver-side — the Delta/Iceberg
+  * shape (log replay and manifest pruning are driver work there too);
+  * it is bounded by the file count AFTER pruning, which is exactly the
+  * quantity the index minimizes.
+  */
+object StatsIndex {
+
+  /** One (file, column) stats row. Numeric stats are conservative
+    * doubles (ulp-widened for 64-bit integers); string stats carry the
+    * writer's UTF-8 min/max truncation as-is (parquet guarantees those
+    * bound the true range). `null_count` is -1 when any row group left
+    * it unset (unknown ⇒ never used to exclude). */
+  final case class FileColStats(file: String, rows: Long, column: String,
+                                typ: String,
+                                min_num: Option[Double], max_num: Option[Double],
+                                min_str: Option[String], max_str: Option[String],
+                                null_count: Long)
+
+  /** Data files under `tablePath`, recursive, skipping hidden
+    * (`_`/`.`-prefixed) segments — the same visibility rule partition
+    * discovery uses, so staging/trash/checkpoint dirs never index. */
+  def listDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Nil
+      }
+    walk(root)
+  }
+
+  /** Build the stats relation for `tablePath`: one distributed footer
+    * pass (files round-robin over tasks), one output row per
+    * file × indexed column. `columns` empty = every primitive leaf
+    * column the footers carry. */
+  def build(spark: SparkSession, tablePath: String,
+            columns: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val files = listDataFiles(spark, tablePath)
+    if (files.isEmpty) return spark.emptyDataset[FileColStats].toDF()
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val wanted = columns.toSet
+    val par = math.min(files.size, spark.sparkContext.defaultParallelism)
+    spark.createDataset(files).repartition(par)
+      .mapPartitions(_.flatMap(f => footerStats(f, conf, wanted)))
+      .toDF()
+  }
+
+  /** Stats rows for one file's footer. Per-column chunks aggregate
+    * across row groups: min of mins, max of maxes, null counts summed
+    * only while every group reports one. */
+  private def footerStats(file: String, conf: SerializableConfiguration,
+                          wanted: Set[String]): Seq[FileColStats] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf.value))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+        .filter { case (c, _) => wanted.isEmpty || wanted(c) }
+      byCol.toSeq.sortBy(_._1).flatMap { case (colName, chunks) =>
+        val pt = chunks.head.getPrimitiveType
+        val stats = chunks.map(_.getStatistics).filter(_ != null)
+        val nulls =
+          if (stats.size == chunks.size && stats.forall(_.isNumNullsSet))
+            stats.map(_.getNumNulls).sum
+          else -1L
+        val present = stats.filter(s => !s.isEmpty && s.hasNonNullValue)
+        numericBounds(pt, present) match {
+          case Some((lo, hi)) =>
+            Some(FileColStats(file, rows, colName, pt.getPrimitiveTypeName.name,
+              Some(lo), Some(hi), None, None, nulls))
+          case None if isString(pt) && present.nonEmpty =>
+            val mins = present.map(_.minAsString)
+            val maxs = present.map(_.maxAsString)
+            Some(FileColStats(file, rows, colName, "STRING",
+              None, None, Some(mins.min), Some(maxs.max), nulls))
+          case None =>
+            // unsupported type, or no non-null values in any group (the
+            // all-null case — excludable for range predicates iff the
+            // null count is trustworthy)
+            Some(FileColStats(file, rows, colName, pt.getPrimitiveTypeName.name,
+              None, None, None, None, nulls))
+        }
+      }
+    } finally reader.close()
+  }
+
+  private def isString(pt: PrimitiveType): Boolean =
+    pt.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.BINARY &&
+      pt.getLogicalTypeAnnotation != null &&
+      pt.getLogicalTypeAnnotation.isInstanceOf[
+        LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+
+  /** Conservative double bounds for a numeric chunk set; None for
+    * non-numeric types or absent stats. INT64 widens one ulp each way —
+    * a long above 2^53 rounds when cast, and a round UP of the min (or
+    * down of the max) could otherwise fabricate disjointness. */
+  private def numericBounds(pt: PrimitiveType,
+                            stats: Seq[Statistics[_]]): Option[(Double, Double)] = {
+    import PrimitiveType.PrimitiveTypeName._
+    if (stats.isEmpty) return None
+    pt.getPrimitiveTypeName match {
+      case INT32 =>
+        Some((stats.map(_.genericGetMin.asInstanceOf[Integer].toDouble).min,
+          stats.map(_.genericGetMax.asInstanceOf[Integer].toDouble).max))
+      case INT64 =>
+        Some((Math.nextDown(
+            stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toDouble).min),
+          Math.nextUp(
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toDouble).max)))
+      case FLOAT =>
+        Some((stats.map(_.genericGetMin.asInstanceOf[java.lang.Float].toDouble).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Float].toDouble).max))
+      case DOUBLE =>
+        Some((stats.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max))
+      case _ => None
+    }
+  }
+
+  /** Persist the index (one small parquet relation). */
+  def save(stats: DataFrame, indexPath: String): Unit =
+    stats.write.mode("overwrite").parquet(indexPath)
+
+  def load(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+
+  /** Incremental maintenance: index stats for files under `tablePath`
+    * NOT yet in the index at `indexPath`, appending only those rows —
+    * existing entries are never read back or rewritten, so an
+    * append-mostly table pays one footer read per file over its life.
+    * Returns the number of newly indexed files. (Deleted files' stale
+    * rows are harmless for pruning — they name files the scan will
+    * never be asked to read — but [[build]]+[[save]] rebuilds clean.) */
+  def update(spark: SparkSession, tablePath: String, indexPath: String,
+             columns: Seq[String] = Nil): Long = {
+    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val existing: Set[String] =
+      if (!fs.exists(new Path(indexPath))) Set.empty
+      else load(spark, indexPath).select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val fresh = listDataFiles(spark, tablePath).filterNot(existing)
+    if (fresh.isEmpty) return 0L
+    import spark.implicits._
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val columnSet = columns.toSet
+    val par = math.min(fresh.size, spark.sparkContext.defaultParallelism)
+    spark.createDataset(fresh).repartition(par)
+      .mapPartitions(_.flatMap(f => footerStats(f, conf, columnSet)))
+      .toDF()
+      .write.mode("append").parquet(indexPath)
+    fresh.size.toLong
+  }
+
+  /** Files that MAY contain rows matching every range predicate —
+    * conjunctive semantics, conservative per column: a file is dropped
+    * only when stats prove a column disjoint from its range
+    * (`max < lo` or `min > hi`) or prove it all-null. Unknown stats
+    * keep the file. `numRanges` compare against the numeric bounds
+    * (give timestamps/dates in their physical units — µs / days);
+    * `strRanges` against the UTF-8 string bounds. */
+  def pruneFiles(stats: DataFrame,
+                 numRanges: Map[String, (Double, Double)],
+                 strRanges: Map[String, (String, String)] = Map.empty): Seq[String] = {
+    val allFiles = stats.select(col("file")).distinct()
+    val allNull = col("null_count") >= 0 && col("null_count") === col("rows")
+    val violations = numRanges.map { case (c, (lo, hi)) =>
+      col("column") === c &&
+        (allNull ||
+          (col("max_num").isNotNull && col("max_num") < lo) ||
+          (col("min_num").isNotNull && col("min_num") > hi))
+    } ++ strRanges.map { case (c, (lo, hi)) =>
+      col("column") === c &&
+        (allNull ||
+          (col("max_str").isNotNull && col("max_str") < lo) ||
+          (col("min_str").isNotNull && col("min_str") > hi))
+    }
+    if (violations.isEmpty)
+      return allFiles.collect().map(_.getString(0)).toSeq.sorted
+    val excluded = stats.where(violations.reduce(_ || _))
+      .select(col("file")).distinct()
+    allFiles.except(excluded).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Read only the files the index cannot rule out. The result still
+    * contains non-matching rows from surviving files — re-apply the
+    * real predicate; the index only shrinks the FILE list (and with it
+    * listing, footer, and scan work). */
+  def prunedRead(spark: SparkSession, stats: DataFrame,
+                 numRanges: Map[String, (Double, Double)],
+                 strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val files = pruneFiles(stats, numRanges, strRanges)
+    require(files.nonEmpty,
+      "prunedRead: every file pruned — the predicate matches nothing; " +
+        "short-circuit upstream instead of scanning")
+    spark.read.parquet(files: _*)
+  }
+}

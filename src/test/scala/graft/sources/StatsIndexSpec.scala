@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.ZOrder
+
+/** [[StatsIndex]]: footer-derived per-file stats must prune files a
+  * range predicate provably cannot match — never a file it might — and
+  * the incremental [[StatsIndex.update]] must append only new files'
+  * rows. */
+class StatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("box predicate over a z-ordered table: pruned read == full filter, most files dropped") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "value")
+    val root = Files.createTempDirectory("graft-statsidx").toString
+    ZOrder.writeClustered(ev, Seq("user_id", "value"), s"$root/z", nFiles = 16)
+
+    val stats = StatsIndex.build(spark, s"$root/z")
+    val nFiles = stats.select("file").distinct().count()
+    assert(nFiles == 16, s"expected 16 indexed files, got $nFiles")
+    // every (file, column) pair present, numeric bounds populated
+    assert(stats.count() == 16 * 3)
+    assert(stats.where(col("min_num").isNull).count() == 0)
+
+    // probe box from the data's own quantiles (~3% selectivity)
+    val qs = ev.selectExpr("CAST(user_id AS DOUBLE) AS u", "value")
+      .stat.approxQuantile(Array("u", "value"), Array(0.2, 0.35, 0.1, 0.3), 0.001)
+    val ranges = Map("user_id" -> (qs(0)(0), qs(0)(1)),
+      "value" -> (qs(1)(2), qs(1)(3)))
+
+    val surviving = StatsIndex.pruneFiles(stats, ranges)
+    assert(surviving.nonEmpty && surviving.size * 2 <= 16,
+      s"index pruned too little: ${surviving.size} of 16 files survive")
+    info(s"surviving files: ${surviving.size} of 16")
+
+    val pred = col("user_id").between(qs(0)(0), qs(0)(1)) &&
+      col("value").between(qs(1)(2), qs(1)(3))
+    val full = spark.read.parquet(s"$root/z").where(pred)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val pruned = StatsIndex.prunedRead(spark, stats, ranges).where(pred)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(full.nonEmpty && pruned == full,
+      "pruned read lost or fabricated matching rows")
+  }
+
+  test("string range pruning; unknown predicate columns never prune") {
+    val root = Files.createTempDirectory("graft-statsidx-str").toString
+    val df = (0 until 400)
+      .map(i => (i.toLong, f"key_${i / 100}%02d_$i%04d", i.toDouble))
+      .toDF("id", "k", "v")
+    // range-cluster on k so each file covers one key_NN prefix family
+    df.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t", columns = Seq("k"))
+    assert(stats.count() == 4 && stats.where(col("min_str").isNull).count() == 0)
+
+    val hit = StatsIndex.pruneFiles(stats,
+      numRanges = Map.empty, strRanges = Map("k" -> ("key_02_", "key_02_~")))
+    assert(hit.size == 1, s"expected 1 surviving file, got ${hit.size}")
+    val rows = StatsIndex.prunedRead(spark, stats,
+        numRanges = Map.empty, strRanges = Map("k" -> ("key_02_", "key_02_~")))
+      .where(col("k") >= "key_02_" && col("k") <= "key_02_~")
+    assert(rows.count() == 100)
+
+    // a predicate on a column the index has no rows for keeps everything
+    val unknown = StatsIndex.pruneFiles(stats, Map("v" -> (0.0, 1.0)))
+    assert(unknown.size == 4, "unknown-column predicate must not prune")
+  }
+
+  test("all-null files are excluded for range predicates; mixed-null kept") {
+    val root = Files.createTempDirectory("graft-statsidx-null").toString
+    Seq[(Long, Option[Double])]((1L, None), (2L, None)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$root/t/a")
+    Seq[(Long, Option[Double])]((3L, Some(5.0)), (4L, None)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$root/t/b")
+    val stats = StatsIndex.build(spark, s"$root/t", columns = Seq("v"))
+    val surviving = StatsIndex.pruneFiles(stats, Map("v" -> (0.0, 10.0)))
+    assert(surviving.size == 1 && surviving.head.contains("/b/"),
+      s"all-null file should prune, mixed-null survive: $surviving")
+  }
+
+  test("update appends only new files' stats; existing rows untouched") {
+    val root = Files.createTempDirectory("graft-statsidx-upd").toString
+    val t = s"$root/t"
+    val idx = s"$root/idx"
+    (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(2).write.parquet(t)
+    assert(StatsIndex.update(spark, t, idx, Seq("id")) == 2L)
+    val first = StatsIndex.load(spark, idx).as[StatsIndex.FileColStats]
+      .collect().toSet
+    // second update with nothing new: no-op
+    assert(StatsIndex.update(spark, t, idx, Seq("id")) == 0L)
+    assert(StatsIndex.load(spark, idx).as[StatsIndex.FileColStats]
+      .collect().toSet == first)
+    // append a file; only it is indexed, old rows identical
+    (100 until 150).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(t)
+    assert(StatsIndex.update(spark, t, idx, Seq("id")) == 1L)
+    val after = StatsIndex.load(spark, idx).as[StatsIndex.FileColStats]
+      .collect().toSet
+    assert(first.subsetOf(after) && after.size == first.size + 1)
+    // and the updated index prunes correctly across old + new files
+    val hot = StatsIndex.pruneFiles(after.toSeq.toDF(), Map("id" -> (120.0, 130.0)))
+    assert(hot.size == 1, s"expected only the appended file: $hot")
+  }
+
+  test("INT64 bounds are ulp-widened: a >2^53 long never fabricates disjointness") {
+    val root = Files.createTempDirectory("graft-statsidx-big").toString
+    val big = (1L << 60) + 3L // rounds when cast to double
+    Seq(big).toDF("id").coalesce(1).write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    // probe exactly at the true value: the file must survive
+    val surviving = StatsIndex.pruneFiles(stats,
+      Map("id" -> (big.toDouble, big.toDouble)))
+    assert(surviving.size == 1, "ulp widening failed: true value pruned away")
+  }
+}
