@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch corpus monitoring — distinct counts and overlap
+  * estimates that NEVER rescan history, built on Spark's native
+  * DataSketches aggregates (`hll_sketch_agg`/`hll_union_agg`,
+  * `theta_sketch_agg`/`theta_intersection`).
+  *
+  * The scale problem: "distinct shingles per language, corpus-wide" is a
+  * full shuffle of the widest relation every time it's asked, and at
+  * 100 TB/day the history becomes unrescannable — while the question is
+  * asked daily (vocabulary growth, dedup planning, drift monitoring).
+  * Sketches split the cost: each ingest BATCH pays one map-side pass to
+  * produce a kilobyte-scale sketch row per group ([[sketchBatch]] →
+  * [[appendBatch]] — append-only, no read-modify-write), and any later
+  * question merges the persisted sketch rows ([[merged]]) — work
+  * proportional to #batches × #groups, independent of corpus size.
+  * HLL union is register-wise max: associative, commutative,
+  * idempotent — so re-merging, merging in any order, and merging
+  * overlapping day ranges all give the SAME registers, hence the same
+  * estimate a single-pass sketch of the union would (spec-pinned
+  * exactly, not approximately).
+  *
+  * Theta sketches add SET ALGEBRA: [[overlap]] estimates |A∩B| and
+  * Jaccard between two keyed corpora from two single-row aggregates —
+  * the contamination question ([[graft.operators.Curate.decontaminate]])
+  * answered without any join, for a few KB of state per side. Use it as
+  * the cheap screen; the exact join remains the gate's authority.
+  */
+object SketchStats {
+
+  /** Default lgK: 2^12 registers ≈ 1.6% relative standard error, 4 KB. */
+  val DefaultLgK = 12
+
+  /** One batch's sketch relation: per `keys` group — `n_rows`,
+    * `sum_<c>` for each of `sumCols`, and a binary HLL sketch
+    * `hll_<c>` for each of `distinctCols`. Map-side partials do the
+    * heavy lifting (sketches merge in the combiner); the shuffle moves
+    * one sketch per (task, group). */
+  def sketchBatch(df: DataFrame, keys: Seq[String],
+                  distinctCols: Seq[String], sumCols: Seq[String] = Nil,
+                  lgK: Int = DefaultLgK): DataFrame = {
+    require(distinctCols.nonEmpty, "sketchBatch: no distinct columns")
+    val aggs =
+      sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        distinctCols.map(c => hll_sketch_agg(col(c), lgK).as(s"hll_$c"))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Land one batch's sketch rows (append-only: history is never read
+    * back, never rewritten — the whole point). */
+  def appendBatch(df: DataFrame, path: String, keys: Seq[String],
+                  distinctCols: Seq[String], sumCols: Seq[String] = Nil,
+                  lgK: Int = DefaultLgK): Unit =
+    sketchBatch(df, keys, distinctCols, sumCols, lgK)
+      .write.mode("append").parquet(path)
+
+  /** Merge persisted (or in-memory) sketch rows down to per-key
+    * estimates: sums add, sketches union (`hll_union_agg`), estimates
+    * come out as exact-integer longs. Input columns follow the
+    * [[sketchBatch]] naming contract. */
+  def merged(batches: DataFrame, keys: Seq[String]): DataFrame = {
+    val sumCols = batches.columns.filter(_.startsWith("sum_")).toSeq
+    val hllCols = batches.columns.filter(_.startsWith("hll_")).toSeq
+    val aggs =
+      sumCols.map(c => sum(col(c)).as(c)) ++
+        hllCols.map(c => hll_union_agg(col(c)).as(c))
+    val unioned = batches.groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
+    val ests = hllCols.map(c =>
+      hll_sketch_estimate(col(c)).as(s"est_distinct_${c.stripPrefix("hll_")}"))
+    unioned.select(keys.map(col) ++ Seq(col("n_rows")) ++
+      sumCols.map(col) ++ ests: _*)
+  }
+
+  def mergedFrom(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
+    merged(spark.read.parquet(path), keys)
+
+  /** Sketch-estimated set overlap between two keyed columns: one row —
+    * `est_a`, `est_b`, `est_overlap` (theta intersection), `est_union`,
+    * and `jaccard_est` = overlap/union. Each side aggregates to a
+    * single few-KB sketch (map-side partials, 1-row shuffle); the
+    * set algebra is driver-scale arithmetic on two binaries. The
+    * decontamination screen at corpus scale: no join, no shuffle of
+    * either relation against the other. */
+  def overlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+              lgNomEntries: Int = DefaultLgK): DataFrame = {
+    val sa = a.agg(theta_sketch_agg(col(aCol), lgNomEntries).as("ska"))
+    val sb = b.agg(theta_sketch_agg(col(bCol), lgNomEntries).as("skb"))
+    sa.crossJoin(sb) // 1 × 1
+      .select(
+        theta_sketch_estimate(col("ska")).as("est_a"),
+        theta_sketch_estimate(col("skb")).as("est_b"),
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+          .as("est_overlap"),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+          .as("est_union"))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0, col("est_overlap") / col("est_union"))
+          .otherwise(lit(0.0)))
+  }
+}

@@ -89,6 +89,36 @@ object ExtraQueries {
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
       .orderBy("l_returnflag")
 
+  /** Per-language corpus stats from MERGED per-(lang, source) batch
+    * sketches — the incremental monitoring shape end-to-end in one query:
+    * each (lang, source) group sketches its word-3-shingle vocabulary
+    * independently (standing in for one ingest batch), then
+    * [[SketchStats.merged]] unions down to lang. Rows-only: HLL register
+    * contents are engine-specific; mergeability (union == single-pass,
+    * exactly) and accuracy (3·RSE) are spec-pinned in SketchStatsSpec. */
+  def corpusSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normWords, shingles}
+    val sh = t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        explode(shingles(normWords(col("text")), 3)).as("shingle"))
+    val batches = SketchStats.sketchBatch(sh, Seq("lang", "source"), Seq("shingle"))
+    SketchStats.merged(batches, Seq("lang")).orderBy("lang")
+  }
+
+  /** Sketch-estimated train/eval contamination screen: theta-sketch
+    * overlap between the two sides' 8-gram shingle sets — the no-join
+    * estimate of what `decontaminate` computes exactly. Rows-only;
+    * the estimate-vs-exact bound is spec-pinned. */
+  def deconOverlapEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normWords, shingles}
+    val d = t(s, dir, "documents")
+    def sh(df: DataFrame) =
+      df.select(explode(shingles(normWords(col("text")), 8)).as("sh"))
+    SketchStats.overlap(
+      sh(d.where(pmod(col("doc_id"), lit(11)) =!= 0)), "sh",
+      sh(d.where(pmod(col("doc_id"), lit(11)) === 0)), "sh")
+  }
+
   /** Ordered view → click → purchase funnel over the events table. */
   def funnel(s: SparkSession, dir: String): DataFrame =
     Behavior.funnel(StarQueries.events(s, dir), "user_id", "ts", "event_type",
@@ -155,7 +185,9 @@ object ExtraQueries {
     "q_cohort" -> (cohortRetention _),
     "q_asof" -> (qAsof _),
     "q_range" -> (qRange _),
-    "q_approx" -> (approxSketches _)
+    "q_approx" -> (approxSketches _),
+    "corpus_sketch" -> (corpusSketch _),
+    "decon_overlap_est" -> (deconOverlapEst _)
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[SketchStats]]: the mergeability contract (union of per-batch
+  * sketches == single-pass sketch, EXACTLY — register-wise max is
+  * associative/commutative/idempotent), the accuracy contract (3·RSE),
+  * and the theta overlap estimator vs exact set arithmetic. */
+class SketchStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** lgK=12 → RSE ≈ 1.04/√4096 ≈ 1.6%; assert within 3·RSE ≈ 4.9%. */
+  private val tol = 3 * 1.04 / math.sqrt(1 << 12)
+
+  test("per-batch sketch union == single-pass sketch, exactly; order-invariant") {
+    val root = Files.createTempDirectory("graft-sketch").toString + "/s"
+    // 3 "ingest batches" with overlapping key populations per group
+    val batches = Seq(0, 1, 2).map { b =>
+      spark.range(b * 30000L, b * 30000L + 60000L)
+        .select((col("id") % 2).cast("string").as("grp"),
+          concat(lit("k"), col("id")).as("k"), lit(1L).as("w"))
+    }
+    batches.foreach(SketchStats.appendBatch(_, root, Seq("grp"), Seq("k"), Seq("w")))
+
+    val inc = SketchStats.mergedFrom(spark, root, Seq("grp"))
+      .orderBy("grp")
+      .select("grp", "est_distinct_k").as[(String, Long)].collect().toSeq
+    val whole = SketchStats.merged(
+        SketchStats.sketchBatch(batches.reduce(_ union _), Seq("grp"), Seq("k"), Seq("w")),
+        Seq("grp"))
+      .orderBy("grp")
+      .select("grp", "est_distinct_k").as[(String, Long)].collect().toSeq
+    assert(inc == whole, "incremental merge must equal the single-pass sketch exactly")
+
+    // merge order invariance: reversed batch order, same registers
+    val rev = SketchStats.merged(
+        batches.reverse.map(SketchStats.sketchBatch(_, Seq("grp"), Seq("k"), Seq("w")))
+          .reduce(_ unionByName _), Seq("grp"))
+      .orderBy("grp").select("grp", "est_distinct_k").as[(String, Long)].collect().toSeq
+    assert(rev == whole)
+
+    // idempotent on the DISTINCT estimate: re-merging a batch's sketch
+    // changes nothing (registers max with themselves)...
+    val doubled = SketchStats.merged(
+        (batches :+ batches.head).map(
+          SketchStats.sketchBatch(_, Seq("grp"), Seq("k"), Seq("w")))
+          .reduce(_ unionByName _), Seq("grp"))
+      .orderBy("grp")
+    assert(doubled.select("grp", "est_distinct_k").as[(String, Long)]
+      .collect().toSeq == whole)
+    // ...while the additive stats double-count — replay dedup is the
+    // SINK's job (StreamSink batch-id overwrite), not the sketch's
+    val n = SketchStats.mergedFrom(spark, root, Seq("grp"))
+      .agg(sum("n_rows")).as[Long].head()
+    assert(n == 180000L)
+    assert(doubled.agg(sum("n_rows")).as[Long].head() == 240000L)
+  }
+
+  test("estimates within 3·RSE of exact distinct counts") {
+    // 120k rows, 40k distinct keys, skewed repetition
+    val df = spark.range(120000L)
+      .select(lit("g").as("grp"), concat(lit("k"), col("id") % 40000).as("k"))
+    val est = SketchStats.merged(
+        SketchStats.sketchBatch(df, Seq("grp"), Seq("k")), Seq("grp"))
+      .select("est_distinct_k").as[Long].head()
+    assert(math.abs(est - 40000.0) / 40000.0 <= tol,
+      s"estimate $est outside 3-RSE of 40000")
+  }
+
+  test("theta overlap estimates |A∩B|, |A∪B|, Jaccard within 3·RSE") {
+    val a = spark.range(0L, 30000L).select(concat(lit("x"), col("id")).as("k"))
+    val b = spark.range(20000L, 50000L).select(concat(lit("x"), col("id")).as("k"))
+    val row = SketchStats.overlap(a, "k", b, "k")
+      .select("est_a", "est_b", "est_overlap", "est_union", "jaccard_est")
+      .as[(Long, Long, Long, Long, Double)].head()
+    def close(est: Long, exact: Double, scale: Double) =
+      assert(math.abs(est - exact) / scale <= tol, s"$est vs $exact")
+    close(row._1, 30000.0, 30000.0)
+    close(row._2, 30000.0, 30000.0)
+    // intersection error compounds from both sides — scale by the union
+    close(row._3, 10000.0, 50000.0)
+    close(row._4, 50000.0, 50000.0)
+    assert(math.abs(row._5 - 0.2) <= 2 * tol, s"jaccard ${row._5} vs 0.2")
+  }
+
+  test("disjoint sides estimate ~zero overlap") {
+    val a = spark.range(0L, 10000L).select(concat(lit("a"), col("id")).as("k"))
+    val b = spark.range(0L, 10000L).select(concat(lit("b"), col("id")).as("k"))
+    val row = SketchStats.overlap(a, "k", b, "k")
+      .select("est_overlap", "jaccard_est").as[(Long, Double)].head()
+    assert(row._1 <= (20000 * tol).toLong, s"phantom overlap ${row._1}")
+    assert(row._2 <= tol)
+  }
+
+  test("gate queries run: corpus_sketch groups by lang, decon_overlap_est sane") {
+    val cs = graft.queries.ExtraQueries.corpusSketch(spark, sf001)
+    val langs = cs.select("lang").as[String].collect().toSeq
+    assert(langs.nonEmpty && langs == langs.sorted && langs.distinct == langs)
+    assert(cs.where(col("est_distinct_shingle") <= 0).count() == 0)
+
+    val ov = graft.queries.ExtraQueries.deconOverlapEst(spark, sf001)
+      .select("est_a", "est_b", "est_overlap", "jaccard_est")
+      .as[(Long, Long, Long, Double)].head()
+    assert(ov._1 > 0 && ov._2 > 0)
+    assert(ov._4 >= 0.0 && ov._4 <= 1.0)
+  }
+}
