@@ -34,18 +34,31 @@ object SketchStats {
   /** Default lgK: 2^12 registers ≈ 1.6% relative standard error, 4 KB. */
   val DefaultLgK = 12
 
+  /** Default KLL k: rank error ≈ 1.65% at k=200 (the library default). */
+  val DefaultKllK = 200
+
+  /** Quantiles [[merged]] reports per KLL column. */
+  val DefaultQuantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
   /** One batch's sketch relation: per `keys` group — `n_rows`,
-    * `sum_<c>` for each of `sumCols`, and a binary HLL sketch
-    * `hll_<c>` for each of `distinctCols`. Map-side partials do the
-    * heavy lifting (sketches merge in the combiner); the shuffle moves
-    * one sketch per (task, group). */
+    * `sum_<c>` for each of `sumCols`, a binary HLL sketch `hll_<c>` for
+    * each of `distinctCols`, and a binary KLL quantile sketch `kll_<c>`
+    * for each of `quantileCols` (the distribution-drift monitor: doc
+    * length, quality score — "did this batch shift the p99?" without
+    * rescanning history). Map-side partials do the heavy lifting
+    * (sketches merge in the combiner); the shuffle moves one sketch per
+    * (task, group). */
   def sketchBatch(df: DataFrame, keys: Seq[String],
                   distinctCols: Seq[String], sumCols: Seq[String] = Nil,
-                  lgK: Int = DefaultLgK): DataFrame = {
-    require(distinctCols.nonEmpty, "sketchBatch: no distinct columns")
+                  quantileCols: Seq[String] = Nil,
+                  lgK: Int = DefaultLgK, kllK: Int = DefaultKllK): DataFrame = {
+    require(distinctCols.nonEmpty || quantileCols.nonEmpty,
+      "sketchBatch: nothing to sketch")
     val aggs =
       sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-        distinctCols.map(c => hll_sketch_agg(col(c), lgK).as(s"hll_$c"))
+        distinctCols.map(c => hll_sketch_agg(col(c), lgK).as(s"hll_$c")) ++
+        quantileCols.map(c =>
+          kll_sketch_agg_double(col(c).cast("double"), kllK).as(s"kll_$c"))
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
@@ -54,30 +67,40 @@ object SketchStats {
     * back, never rewritten — the whole point). */
   def appendBatch(df: DataFrame, path: String, keys: Seq[String],
                   distinctCols: Seq[String], sumCols: Seq[String] = Nil,
-                  lgK: Int = DefaultLgK): Unit =
-    sketchBatch(df, keys, distinctCols, sumCols, lgK)
+                  quantileCols: Seq[String] = Nil,
+                  lgK: Int = DefaultLgK, kllK: Int = DefaultKllK): Unit =
+    sketchBatch(df, keys, distinctCols, sumCols, quantileCols, lgK, kllK)
       .write.mode("append").parquet(path)
 
   /** Merge persisted (or in-memory) sketch rows down to per-key
-    * estimates: sums add, sketches union (`hll_union_agg`), estimates
-    * come out as exact-integer longs. Input columns follow the
-    * [[sketchBatch]] naming contract. */
-  def merged(batches: DataFrame, keys: Seq[String]): DataFrame = {
+    * estimates: sums add, HLL sketches union (`hll_union_agg`) into
+    * exact-integer distinct estimates, KLL sketches merge
+    * (`kll_merge_agg_double`) into `p<q>_<col>` quantile estimates.
+    * Input columns follow the [[sketchBatch]] naming contract. */
+  def merged(batches: DataFrame, keys: Seq[String],
+             quantiles: Seq[Double] = DefaultQuantiles): DataFrame = {
     val sumCols = batches.columns.filter(_.startsWith("sum_")).toSeq
     val hllCols = batches.columns.filter(_.startsWith("hll_")).toSeq
+    val kllCols = batches.columns.filter(_.startsWith("kll_")).toSeq
     val aggs =
       sumCols.map(c => sum(col(c)).as(c)) ++
-        hllCols.map(c => hll_union_agg(col(c)).as(c))
+        hllCols.map(c => hll_union_agg(col(c)).as(c)) ++
+        kllCols.map(c => kll_merge_agg_double(col(c)).as(c))
     val unioned = batches.groupBy(keys.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
     val ests = hllCols.map(c =>
-      hll_sketch_estimate(col(c)).as(s"est_distinct_${c.stripPrefix("hll_")}"))
+      hll_sketch_estimate(col(c)).as(s"est_distinct_${c.stripPrefix("hll_")}")) ++
+      kllCols.flatMap { c =>
+        quantiles.map(q => kll_sketch_get_quantile_double(col(c), lit(q))
+          .as(s"p${(q * 100).round}_${c.stripPrefix("kll_")}"))
+      }
     unioned.select(keys.map(col) ++ Seq(col("n_rows")) ++
       sumCols.map(col) ++ ests: _*)
   }
 
-  def mergedFrom(spark: SparkSession, path: String, keys: Seq[String]): DataFrame =
-    merged(spark.read.parquet(path), keys)
+  def mergedFrom(spark: SparkSession, path: String, keys: Seq[String],
+                 quantiles: Seq[Double] = DefaultQuantiles): DataFrame =
+    merged(spark.read.parquet(path), keys, quantiles)
 
   /** Sketch-estimated set overlap between two keyed columns: one row —
     * `est_a`, `est_b`, `est_overlap` (theta intersection), `est_union`,

@@ -105,6 +105,16 @@ object ExtraQueries {
     SketchStats.merged(batches, Seq("lang")).orderBy("lang")
   }
 
+  /** Per-language doc-length distribution from MERGED per-(lang, source)
+    * KLL quantile sketches — the drift monitor ("did this batch shift
+    * the p99?") answered from KB-scale persisted state instead of a
+    * history rescan. Rows-only; rank-error bounds spec-pinned. */
+  def corpusKll(s: SparkSession, dir: String): DataFrame = {
+    val batches = SketchStats.sketchBatch(t(s, dir, "documents"),
+      Seq("lang", "source"), Nil, Nil, quantileCols = Seq("n_chars"))
+    SketchStats.merged(batches, Seq("lang")).orderBy("lang")
+  }
+
   /** Sketch-estimated train/eval contamination screen: theta-sketch
     * overlap between the two sides' 8-gram shingle sets — the no-join
     * estimate of what `decontaminate` computes exactly. Rows-only;
@@ -187,6 +197,7 @@ object ExtraQueries {
     "q_range" -> (qRange _),
     "q_approx" -> (approxSketches _),
     "corpus_sketch" -> (corpusSketch _),
+    "corpus_kll" -> (corpusKll _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 

@@ -96,6 +96,25 @@ class SketchStatsSpec extends SparkSpec {
     assert(row._2 <= tol)
   }
 
+  test("KLL quantiles from merged per-batch sketches within rank-error bounds") {
+    // uniform 0..99999 across 4 interleaved batches; k=200 → ~1.65% rank
+    // error, so on uniform data the value error is ~the same fraction of
+    // the range — assert within 5%
+    val batches = (0 until 4).map { b =>
+      spark.range(100000L).where(col("id") % 4 === b)
+        .select(lit("g").as("grp"), col("id").as("v"))
+    }
+    val rel = batches.map(
+        SketchStats.sketchBatch(_, Seq("grp"), Nil, Nil, quantileCols = Seq("v")))
+      .reduce(_ unionByName _)
+    val row = SketchStats.merged(rel, Seq("grp"))
+      .select("p50_v", "p90_v", "p99_v").as[(Double, Double, Double)].head()
+    assert(math.abs(row._1 - 50000.0) <= 5000.0, s"p50 ${row._1}")
+    assert(math.abs(row._2 - 90000.0) <= 5000.0, s"p90 ${row._2}")
+    assert(math.abs(row._3 - 99000.0) <= 5000.0, s"p99 ${row._3}")
+    assert(row._1 <= row._2 && row._2 <= row._3)
+  }
+
   test("gate queries run: corpus_sketch groups by lang, decon_overlap_est sane") {
     val cs = graft.queries.ExtraQueries.corpusSketch(spark, sf001)
     val langs = cs.select("lang").as[String].collect().toSeq
@@ -107,5 +126,10 @@ class SketchStatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].head()
     assert(ov._1 > 0 && ov._2 > 0)
     assert(ov._4 >= 0.0 && ov._4 <= 1.0)
+
+    val kll = graft.queries.ExtraQueries.corpusKll(spark, sf001)
+    val qs = kll.select("p50_n_chars", "p90_n_chars", "p99_n_chars")
+      .as[(Double, Double, Double)].collect()
+    assert(qs.nonEmpty && qs.forall(r => r._1 <= r._2 && r._2 <= r._3 && r._1 > 0))
   }
 }
