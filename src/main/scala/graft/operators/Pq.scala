@@ -171,10 +171,22 @@ object Pq {
                  queries: DataFrame, qIdCol: String, qVecCol: String,
                  k: Int, shortlistFactor: Int = 5): DataFrame = {
     require(shortlistFactor >= 1, s"shortlistFactor=$shortlistFactor")
-    import graft.functions.VectorOps.dotCol
     val shortlist = adcTopK(codes, cb, idCol, queries, qIdCol, qVecCol,
         k * shortlistFactor)
       .select(col(qIdCol), col(idCol))
+    exactRerank(shortlist, idCol, corpus, vecCol, queries, qIdCol, qVecCol, k)
+  }
+
+  /** Exact cosine re-rank of a nominated (query, candidate) shortlist —
+    * shared by every shortlist producer (PQ ADC, OPQ's rotated ADC): the
+    * shortlist is broadcast, the fetch is a broadcast equi-join against
+    * the vector table (a pruned point-lookup scan at 100 TB, never a full
+    * pass), similarities are codegen'd exact dot products. */
+  private[operators] def exactRerank(shortlist: DataFrame, idCol: String,
+                                     corpus: DataFrame, vecCol: String,
+                                     queries: DataFrame, qIdCol: String,
+                                     qVecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorOps.dotCol
     val cn = corpus.select(col(idCol), unitNorm(col(vecCol)).as("_vn"))
     val qn = queries.select(col(qIdCol), unitNorm(col(qVecCol)).as("_qn"))
     val rescored = cn.join(broadcast(shortlist), Seq(idCol))

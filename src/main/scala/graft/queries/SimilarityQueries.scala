@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hyperplanes
-import graft.operators.{Ivf, IvfPq, Pq, Similarity, Sq}
+import graft.operators.{Ivf, IvfPq, Opq, Pq, Similarity, Sq}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
   * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
@@ -217,9 +217,48 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** OPQ ANN (Ge et al. 2013; rows-only like its PQ parent): a learned
+    * orthonormal rotation decorrelates the subspaces before PQ — lower
+    * quantization error at the SAME 32 B code size (the win is pinned
+    * against an iters=0 ablation in OpqSpec). Cold path: driver-side
+    * alternating fit on the bounded sample, fused rotate+encode map
+    * pass, rotated-ADC bounded-heap shortlist, exact re-rank in the
+    * ORIGINAL space (cosine is rotation-invariant). */
+  def annOpq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Opq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, m = PqM, ksub = PqKsub)
+      .orderBy("q_id", "rank")
+  }
+
+  private val opqIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Opq.Model, DataFrame)]
+
+  def opqIndex(s: SparkSession, dir: String): (Opq.Model, DataFrame) =
+    opqIndexes.getOrElseUpdate((s, dir), {
+      val e = emb(s, dir)
+      val model = Opq.fit(e, "embedding", PqM, PqKsub)
+      val codes = Opq.encode(e, "vec_id", "embedding", model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count() // materialize — probes must never re-trigger training
+      (model, codes)
+    })
+
+  /** OPQ, probe-only — the build-once/probe-many half of [[annOpq]]:
+    * identical results (same seed), no training jobs in the plan. */
+  def annOpqProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (model, codes) = opqIndex(s, dir)
+    Opq.topKRerank(codes, model, "vec_id", e, "embedding",
+        queriesDf(e), "q_id", "q_vec", K)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
     "ann_sq" -> (annSq _),
+    "ann_opq" -> (annOpq _),
+    "ann_opq_probe" -> (annOpqProbe _),
     "ann_pq" -> (annPq _),
     "ann_pq_probe" -> (annPqProbe _),
     "ann_ivfpq" -> (annIvfPq _),
