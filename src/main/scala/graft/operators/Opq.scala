@@ -192,6 +192,27 @@ object Opq {
     scored.agg(avg(col("e"))).head().getDouble(0)
   }
 
+  /** OPQ + IVF-PQ — the complete published billion-scale recipe (the
+    * FAISS `OPQ…,IVF…,PQ…` index string): one global rotation, then
+    * coarse cells + product-quantized RESIDUALS in the rotated space.
+    * Pure composition: the rotated relation feeds [[IvfPq.topK]]
+    * unchanged (rotation preserves norms, so the internal normalization
+    * is a no-op, and reported cosines are rotation-invariant — exact
+    * either way). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+              k: Int, nCells: Int, nProbe: Int, m: Int, ksub: Int,
+              seed: Long = 42L, iters: Int = 4,
+              shortlistFactor: Int = 5): DataFrame = {
+    val model = fit(corpus, vecCol, m, ksub, iters, seed)
+    val rot = corpus.select(col(idCol),
+      rotateCol(unitNorm(col(vecCol)), model).as("_vr"))
+    val qRot = queries.select(col(qIdCol),
+      rotateCol(unitNorm(col(qVecCol)), model).as("_qr"))
+    IvfPq.topK(rot, qRot, idCol, "_vr", qIdCol, "_qr", k, nCells, nProbe,
+      m, ksub, seed, shortlistFactor)
+  }
+
   /** One-shot fit + encode + rotated-ADC + exact re-rank (the `ann_opq`
     * gate shape; deployments [[fit]]/[[encode]] once and probe). */
   def topK(corpus: DataFrame, queries: DataFrame,

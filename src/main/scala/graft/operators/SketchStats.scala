@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * question merges the persisted sketch rows ([[merged]]) — work
   * proportional to #batches × #groups, independent of corpus size.
   * HLL union is register-wise max: associative, commutative,
-  * idempotent — so re-merging, merging in any order, and merging
-  * overlapping day ranges all give the SAME registers, hence the same
-  * estimate a single-pass sketch of the union would (spec-pinned
-  * exactly, not approximately).
+  * idempotent — merging one sketch set in any order or multiplicity
+  * gives the SAME estimate (spec-pinned exactly, not approximately).
+  * One estimator nuance: a sketch built by direct updates reports via
+  * the HIP estimator, while anything that passed through a union
+  * reports the composite estimator — so differently-STRUCTURED builds
+  * over identical data can differ sub-RSE (SketchStreamSpec pins the
+  * band); only merge-ORDER comparisons are exact.
   *
   * Theta sketches add SET ALGEBRA: [[overlap]] estimates |A∩B| and
   * Jaccard between two keyed corpora from two single-row aggregates —

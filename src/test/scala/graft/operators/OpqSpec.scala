@@ -95,6 +95,28 @@ class OpqSpec extends SparkSpec {
       s"rotation degraded recall: $rOpq vs plain $rPlain")
   }
 
+  test("OPQ + IVF-PQ composition: exact cosines, high recall at wide probe") {
+    val qs = queriesOf(correlated, 6)
+    val k = 10
+    val got = Opq.ivfTopK(correlated, qs, "vec_id", "embedding",
+        "q_id", "q_vec", k, nCells = 8, nProbe = 6, m = 8, ksub = 16)
+      .select("q_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exact = Similarity.bruteForceTopK(correlated, qs,
+        "vec_id", "embedding", "q_id", "q_vec", k)
+      .select("q_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == k))
+    val exactByPair = exact.map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (q, id, cos) =>
+      exactByPair.get((q, id)).foreach(e => assert(math.abs(e - cos) < 1e-9))
+    }
+    val want = exact.map(r => (r._1, r._2)).toSet
+    val recall = got.count(r => want((r._1, r._2))).toDouble / want.size
+    info(f"opq-ivfpq recall@$k: $recall%.3f")
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("gate wiring: ann_opq runs on the embeddings table; probe == cold") {
     val cold = graft.queries.SimilarityQueries.annOpq(spark, sf001)
       .collect().toSeq
