@@ -97,10 +97,18 @@ object ExtraQueries {
     * contents are engine-specific; mergeability (union == single-pass,
     * exactly) and accuracy (3·RSE) are spec-pinned in SketchStatsSpec. */
   def corpusSketch(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{normWords, shingles}
+    import graft.functions.TextFunctions.normWords
+    import org.apache.spark.sql.graft.Bridge
+    // per-doc-DEDUPED hashed shingles (the fused ShingleSet kernel +
+    // xxhash64): per-doc dedup cannot change the GLOBAL distinct count,
+    // and sketch updates on 8-byte longs beat re-hashing ~30-char
+    // strings — same estimate, a fraction of the explode volume and
+    // per-row cost
     val sh = t(s, dir, "documents")
       .select(col("lang"), col("source"),
-        explode(shingles(normWords(col("text")), 3)).as("shingle"))
+        explode(Bridge.column(graft.functions.ShingleSet(
+          Bridge.expression(normWords(col("text"))), 3))).as("_s"))
+      .select(col("lang"), col("source"), xxhash64(col("_s")).as("shingle"))
     val batches = SketchStats.sketchBatch(sh, Seq("lang", "source"), Seq("shingle"))
     SketchStats.merged(batches, Seq("lang")).orderBy("lang")
   }
@@ -120,10 +128,15 @@ object ExtraQueries {
     * estimate of what `decontaminate` computes exactly. Rows-only;
     * the estimate-vs-exact bound is spec-pinned. */
   def deconOverlapEst(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{normWords, shingles}
+    import graft.functions.TextFunctions.normWords
+    import org.apache.spark.sql.graft.Bridge
     val d = t(s, dir, "documents")
-    def sh(df: DataFrame) =
-      df.select(explode(shingles(normWords(col("text")), 8)).as("sh"))
+    // hashed per-doc-deduped 8-shingles (see [[corpusSketch]]) — set
+    // overlap is hash-invariant up to 2^-64 collisions
+    def sh(df: DataFrame) = df
+      .select(explode(Bridge.column(graft.functions.ShingleSet(
+        Bridge.expression(normWords(col("text"))), 8))).as("_s"))
+      .select(xxhash64(col("_s")).as("sh"))
     SketchStats.overlap(
       sh(d.where(pmod(col("doc_id"), lit(11)) =!= 0)), "sh",
       sh(d.where(pmod(col("doc_id"), lit(11)) === 0)), "sh")
