@@ -349,6 +349,40 @@ object Stress {
       println(f"   scan materialized: naive=$naive z=$z " +
         f"(${z.toDouble / naive}%.2f of naive; ~3%% selectivity box)")
     }
+    time("StatsIndex: 2M rows / 32 z-ordered files — footer pass + box prune") {
+      // the metadata layer over the Z-order layout: ONE distributed
+      // footer pass into a (file × column) relation, then query-time
+      // pruning filters that relation instead of opening 32 footers —
+      // the shape that removes the per-query footer pass at millions
+      // of files
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-si").toString
+      val data = bigEv.select(col("user_id"),
+        pmod(hash(col("ts")), lit(1000)).cast("double").as("value"), col("ts"))
+      graft.operators.ZOrder.writeClustered(data, Seq("user_id", "value"),
+        s"$root/z", nFiles = 32)
+      val t0 = System.nanoTime()
+      val stats = graft.sources.StatsIndex.build(spark, s"$root/z")
+        .localCheckpoint()
+      val nStats = stats.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val qs = data.selectExpr("CAST(user_id AS DOUBLE) AS u", "value")
+        .stat.approxQuantile(Array("u", "value"), Array(0.2, 0.35, 0.1, 0.3), 0.001)
+      val ranges = Map("user_id" -> (qs(0)(0), qs(0)(1)),
+        "value" -> (qs(1)(2), qs(1)(3)))
+      val t1 = System.nanoTime()
+      val surviving = graft.sources.StatsIndex.pruneFiles(stats, ranges)
+      val tPrune = (System.nanoTime() - t1) / 1e9
+      assert(surviving.nonEmpty && surviving.size * 2 <= 32,
+        s"index pruned too little: ${surviving.size} of 32")
+      val pred = col("user_id").between(qs(0)(0), qs(0)(1)) &&
+        col("value").between(qs(1)(2), qs(1)(3))
+      val full = spark.read.parquet(s"$root/z").where(pred).count()
+      val pruned = graft.sources.StatsIndex.prunedRead(spark, stats, ranges)
+        .where(pred).count()
+      assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
+      println(f"   stats rows=$nStats build=$tBuild%.1fs prune=$tPrune%.2fs " +
+        f"files=${surviving.size}/32 rows=$full (identical either path)")
+    }
     time("asofJoin: 2M events each carrying the user's latest purchase") {
       // union-tag-window: must stay join-free — one exchange of the
       // unioned relation on the key, per-key work linear in that key's rows
