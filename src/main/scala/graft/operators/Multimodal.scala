@@ -434,9 +434,82 @@ object Multimodal {
     }
   }
 
+  /** REAL animated-GIF decoding with the JDK alone: `javax.imageio`'s
+    * GIF reader yields every frame, and each frame's
+    * GraphicsControlExtension carries its display delay (centiseconds) —
+    * fps = frames / Σdelay. Per-frame BT.601 luma rides the shared
+    * [[ImageIoDecoder.lumaSum]]. Frames are measured AS DELIVERED by the
+    * reader: a GIF whose later frames are sub-rect patches over the
+    * previous canvas is not composited here (declared limit — full
+    * disposal-method compositing is a renderer concern, not a feature
+    * extractor's; generated/screen-capture GIFs are full-frame).
+    * Degrade-don't-kill like every decoder: non-GIF magic, zero frames,
+    * or a reader error falls back to [[VideoStub]]. */
+  object GifDecoder extends VideoDecoder {
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures = {
+      if (bytes == null || bytes.length < 6 ||
+          !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
+        return VideoStub.decode(id, bytes)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return VideoStub.decode(id, bytes)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return VideoStub.decode(id, bytes)
+          var w = 0; var h = 0
+          var nFrames = 0
+          var lumaAcc = 0.0
+          var delayCs = 0L
+          var i = 0
+          while (i < n) {
+            // an individually corrupt frame is skipped, not fatal (the
+            // AviMjpegDecoder convention)
+            try {
+              val img = reader.read(i)
+              if (nFrames == 0) { w = img.getWidth; h = img.getHeight }
+              lumaAcc += ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
+                (img.getWidth.toDouble * img.getHeight)
+              delayCs += frameDelayCs(reader, i)
+              nFrames += 1
+            } catch { case _: java.io.IOException => }
+            i += 1
+          }
+          if (nFrames == 0) return VideoStub.decode(id, bytes)
+          val fps =
+            if (delayCs > 0) nFrames / (delayCs / 100.0) else 0.0
+          VideoFeatures(id, w, h, nFrames, fps, lumaAcc / nFrames, decoded = true)
+        } finally reader.dispose()
+      } catch {
+        case scala.util.control.NonFatal(_) => VideoStub.decode(id, bytes)
+      } finally iis.close()
+    }
+
+    /** The frame's GraphicsControlExtension delay in centiseconds (0 when
+      * absent — some writers omit it on single-frame GIFs). */
+    private def frameDelayCs(reader: javax.imageio.ImageReader, i: Int): Long = {
+      val md = reader.getImageMetadata(i)
+      val root = md.getAsTree("javax_imageio_gif_image_1.0")
+      val kids = root.getChildNodes
+      var k = 0
+      while (k < kids.getLength) {
+        val node = kids.item(k)
+        if (node.getNodeName == "GraphicControlExtension") {
+          val attr = node.getAttributes.getNamedItem("delayTime")
+          if (attr != null) return attr.getNodeValue.toLong
+        }
+        k += 1
+      }
+      0L
+    }
+  }
+
   /** Container sniffer: routes each payload to the decoder its magic
-    * bytes identify (RIFF-AVI → MJPEG, YUV4MPEG2 → Y4M, else stub), so
-    * a mixed video column decodes in one pass. */
+    * bytes identify (RIFF-AVI → MJPEG, YUV4MPEG2 → Y4M, GIF8 → GIF,
+    * else stub), so a mixed video column decodes in one pass. */
   object SniffingVideoDecoder extends VideoDecoder {
     def decode(id: Long, bytes: Array[Byte]): VideoFeatures =
       if (bytes != null && bytes.length >= 12 &&
@@ -445,6 +518,9 @@ object Multimodal {
       else if (bytes != null && bytes.length >= 9 &&
           new String(bytes, 0, 9, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2")
         Y4mDecoder.decode(id, bytes)
+      else if (bytes != null && bytes.length >= 6 &&
+          new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "GIF8")
+        GifDecoder.decode(id, bytes)
       else VideoStub.decode(id, bytes)
   }
 

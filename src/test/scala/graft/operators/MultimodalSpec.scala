@@ -352,6 +352,56 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  /** Animated GIF via the JDK writer: solid-gray full frames with an
+    * explicit GraphicsControlExtension delay per frame. */
+  private def gif(w: Int, h: Int, grays: Seq[Int], delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { v =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      val md = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = new IIOMetadataNode(fmt)
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      md.mergeTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("GifDecoder: exact frames/fps/dims and closed-form luma from a generated GIF") {
+    // solid gray (v,v,v): BT.601 luma == v exactly (coefficients sum to 1)
+    val bytes = gif(48, 24, Seq(10, 60, 110, 160), delayCs = 5)
+    val f = Multimodal.GifDecoder.decode(9L, bytes)
+    assert(f.decoded, "GIF should really decode")
+    assert(f.width == 48 && f.height == 24 && f.nFrames == 4)
+    // 4 frames x 5 cs = 0.2 s -> 20 fps
+    assert(math.abs(f.fps - 20.0) < 1e-9, s"fps ${f.fps}")
+    assert(math.abs(f.meanLuma - 85.0) < 1e-6, s"luma ${f.meanLuma}")
+    // junk with a GIF header degrades to the stub, not a throw
+    val junk = "GIF89a then garbage".getBytes
+    assert(Multimodal.GifDecoder.decode(1L, junk) ==
+      Multimodal.VideoStub.decode(1L, junk))
+  }
+
   test("SniffingVideoDecoder routes a mixed corpus by magic bytes") {
     val avi = mjpegAvi(Seq(jpegFrame(10, 10, 0x404040)), 10, 10, scale = 1, rate = 24)
     val yuv = y4m(16, 8, "25:1", "C420", Seq(77))
@@ -362,12 +412,16 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Y4mDecoder.decode(2L, yuv))
     assert(Multimodal.SniffingVideoDecoder.decode(3L, noise) ==
       Multimodal.VideoStub.decode(3L, noise))
+    val anim = gif(10, 10, Seq(42, 84), delayCs = 4)
+    assert(Multimodal.SniffingVideoDecoder.decode(4L, anim) ==
+      Multimodal.GifDecoder.decode(4L, anim))
     val out = Multimodal.decodeVideo(
-      Seq((1L, avi), (2L, yuv), (3L, noise)).toDF("id", "payload"),
+      Seq((1L, avi), (2L, yuv), (3L, noise), (4L, anim)).toDF("id", "payload"),
       "id", "payload", Multimodal.SniffingVideoDecoder).collect()
       .map(f => f.id -> f).toMap
-    assert(out(1L).decoded && out(2L).decoded && !out(3L).decoded)
+    assert(out(1L).decoded && out(2L).decoded && !out(3L).decoded && out(4L).decoded)
     assert(out(2L).nFrames == 1 && math.abs(out(2L).meanLuma - 77.0) < 1e-9)
+    assert(out(4L).nFrames == 2 && math.abs(out(4L).meanLuma - 63.0) < 1e-6)
   }
 
   test("decodeVideo streams AVIs distributed; mixed corpus degrades per-row") {
