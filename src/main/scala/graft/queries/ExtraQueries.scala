@@ -89,6 +89,39 @@ object ExtraQueries {
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
       .orderBy("l_returnflag")
 
+  /** The [[graft.sources.StatsIndex]] stats relation over the lineitem
+    * table, FULLY ORACLED: DuckDB's `parquet_metadata()` exposes the
+    * same footer statistics, so the metadata layer itself is
+    * hash-checked against an independent reader — min/max/null-count
+    * per (file, column) must agree bit-for-bit after round(4) (which
+    * also absorbs the index's deliberate INT64 ulp-widening). `+ 0.0`
+    * normalizes the -0.0 that widening min=0 produces. Oracle paths are
+    * pinned to sf0.01 — the driver's verification scale by contract. */
+  def statsIndexQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.StatsIndex.build(s, s"$dir/lineitem.parquet",
+        Seq("l_orderkey", "l_quantity", "l_extendedprice"))
+      .select(regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
+        col("column"), col("rows"),
+        (round(col("min_num"), 4) + lit(0.0)).as("min_v"),
+        (round(col("max_num"), 4) + lit(0.0)).as("max_v"),
+        col("null_count"))
+      .orderBy("file", "column")
+
+  private val statsIndexOracle: String = {
+    val p = "/root/testdata/sf0.01/lineitem.parquet"
+    s"""SELECT regexp_extract(m.file_name, '([^/]+)$$', 1) AS file,
+       |  m.path_in_schema AS "column",
+       |  f.num_rows AS rows,
+       |  round(min(m.stats_min_value::DOUBLE), 4) + 0.0 AS min_v,
+       |  round(max(m.stats_max_value::DOUBLE), 4) + 0.0 AS max_v,
+       |  sum(m.stats_null_count)::BIGINT AS null_count
+       |FROM parquet_metadata('$p') m
+       |JOIN parquet_file_metadata('$p') f USING (file_name)
+       |WHERE m.path_in_schema IN ('l_orderkey','l_quantity','l_extendedprice')
+       |GROUP BY 1, 2, f.num_rows
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Per-language corpus stats from MERGED per-(lang, source) batch
     * sketches — the incremental monitoring shape end-to-end in one query:
     * each (lang, source) group sketches its word-3-shingle vocabulary
@@ -211,10 +244,12 @@ object ExtraQueries {
     "q_approx" -> (approxSketches _),
     "corpus_sketch" -> (corpusSketch _),
     "corpus_kll" -> (corpusKll _),
+    "stats_index" -> (statsIndexQ _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
   val oracle: Map[String, String] = Map(
+    "stats_index" -> statsIndexOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
