@@ -235,22 +235,7 @@ object IvfPq {
       .parquet(s"$path/assigned")
     centersDf(spark, index.centers).select(col("cell"), col("_ctr").as("ctr"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
-    import scala.jdk.CollectionConverters._
-    val cbRows = index.cb.centers.zipWithIndex.flatMap { case (sub, j) =>
-      sub.zipWithIndex.map { case (ctr, c) =>
-        org.apache.spark.sql.Row(j, c, ctr.toSeq)
-      }
-    }.toSeq.asJava
-    val cbSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sub",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("idx",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("ctr",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType), nullable = false)))
-    spark.createDataFrame(cbRows, cbSchema).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Pq.saveCodebooks(spark, index.cb, s"$path/codebooks")
   }
 
   /** Load a [[save]]d index. The code relation stays disk-resident so the
@@ -262,14 +247,7 @@ object IvfPq {
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("ctr")).toArray)
     require(centers.nonEmpty, s"ivfpq load: no centroids at $path/centers")
-    val cbCenters = spark.read.parquet(s"$path/codebooks")
-      .orderBy("sub", "idx").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](r.fieldIndex("ctr")).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.map(_._2))
-      .toArray
-    require(cbCenters.nonEmpty, s"ivfpq load: no codebooks at $path/codebooks")
-    Index(assigned, centers, Pq.Codebooks(cbCenters), idCol)
+    Index(assigned, centers, Pq.loadCodebooks(spark, s"$path/codebooks"), idCol)
   }
 
   /** Persist the raw vector relation alongside the index, id-CLUSTERED:

@@ -1,7 +1,7 @@
 package graft.operators
 
 import breeze.linalg.{svd, DenseMatrix}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -190,6 +190,31 @@ object Opq {
     val scored = rotated.select(
       Pq.adcCol(Pq.encodeCol(col("_vr"), model.cb), col("_vr"), model.cb).as("e"))
     scored.agg(avg(col("e"))).head().getDouble(0)
+  }
+
+  /** Persist the OPQ deployment state: the code relation id-range-
+    * clustered (point fetches prune row groups — the [[IvfPq.saveVectors]]
+    * rationale), plus the rotation and codebooks (tiny). */
+  def save(model: Model, codes: DataFrame, idCol: String,
+           spark: SparkSession, path: String, nFiles: Int = 32): Unit = {
+    require(nFiles >= 1, s"nFiles=$nFiles")
+    codes.repartitionByRange(nFiles, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    Seq((model.dim, model.flat.toSeq)).toDF("dim", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    Pq.saveCodebooks(spark, model.cb, s"$path/codebooks")
+  }
+
+  /** Load a [[save]]d model + code relation (codes stay disk-resident). */
+  def load(spark: SparkSession, path: String): (Model, DataFrame) = {
+    val row = spark.read.parquet(s"$path/rotation").head()
+    val model = Model(
+      row.getSeq[Float](row.fieldIndex("flat")).toArray,
+      row.getInt(row.fieldIndex("dim")),
+      Pq.loadCodebooks(spark, s"$path/codebooks"))
+    (model, spark.read.parquet(s"$path/codes"))
   }
 
   /** OPQ + IVF-PQ — the complete published billion-scale recipe (the

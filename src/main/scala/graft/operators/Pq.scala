@@ -267,6 +267,37 @@ object Pq {
     2.0 * dMax * maxEps + maxEps * maxEps
   }
 
+  /** Persist codebooks as a tiny (sub, idx, ctr) relation — shared by
+    * [[IvfPq.save]] and [[Opq.save]]. */
+  private[operators] def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                       cb: Codebooks, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val rows = cb.centers.zipWithIndex.flatMap { case (sub, j) =>
+      sub.zipWithIndex.map { case (ctr, c) =>
+        org.apache.spark.sql.Row(j, c, ctr.toSeq)
+      }
+    }.toSeq.asJava
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("ctr", ArrayType(FloatType), nullable = false)))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private[operators] def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Codebooks = {
+    val centers = spark.read.parquet(path)
+      .orderBy("sub", "idx").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](r.fieldIndex("ctr")).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2))
+      .toArray
+    require(centers.nonEmpty, s"pq load: no codebooks at $path")
+    Codebooks(centers)
+  }
+
   /** One-shot fit + encode + ADC + exact re-rank (the `ann_*` gate shape;
     * deployments [[fit]]/[[encode]] once and probe per batch). */
   def topK(corpus: DataFrame, queries: DataFrame,

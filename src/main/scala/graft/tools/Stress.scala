@@ -349,6 +349,36 @@ object Stress {
       println(f"   scan materialized: naive=$naive z=$z " +
         f"(${z.toDouble / naive}%.2f of naive; ~3%% selectivity box)")
     }
+    time("Scd2Stream: 2M-event CDC feed in 4 out-of-order batches + 1 point update") {
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-cdc").toString
+      val feed = bigEv.select(col("user_id"), col("ts"), col("event_type"))
+      def apply(batch: org.apache.spark.sql.DataFrame, id: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.Scd2Stream.applyBatch(batch, id, s"$root/raw", s"$root/dim",
+          "user_id", "ts", "event_type", tieBreak = Seq("event_type"), nBuckets = 64)
+        (System.nanoTime() - t0) / 1e9
+      }
+      // 4 bulk batches split by hash(ts): every batch arrives out of order
+      // relative to event time, and every batch touches ~all 64 buckets —
+      // the worst case (full-dim rebuild per batch)
+      val bulk = (0 until 4).map { b =>
+        apply(feed.where(pmod(hash(col("ts")), lit(4)) === b), b.toLong)
+      }
+      // a single-user point update touches ONE bucket: the rebuild prunes
+      // to 1/64th of the raw log
+      val oneUser = feed.orderBy("user_id").limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+        .localCheckpoint()
+      val tPoint = apply(oneUser, 4L)
+      val dim = graft.streaming.Scd2Stream.readDim(spark, s"$root/dim")
+      val want = Scd2.fromHistory(
+        feed.unionByName(oneUser), "user_id", "ts", "event_type",
+        tieBreak = Seq("event_type"))
+      val (nd, nw) = (dim.count(), want.count())
+      assert(nd == nw, s"incremental dim $nd != full rebuild $nw")
+      println(f"   bulk batches: ${bulk.map(t => f"$t%.1f").mkString("/")}s " +
+        f"point update: $tPoint%.1fs versions: $nd (== full-history rebuild)")
+    }
     time("StatsIndex: 2M rows / 32 z-ordered files — footer pass + box prune") {
       // the metadata layer over the Z-order layout: ONE distributed
       // footer pass into a (file × column) relation, then query-time

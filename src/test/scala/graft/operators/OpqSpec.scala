@@ -117,6 +117,25 @@ class OpqSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("disk round-trip: probing a loaded model reproduces the in-memory probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-opq").toString + "/idx"
+    val model = Opq.fit(correlated, "embedding", m = 8, ksub = 16, iters = 2)
+    val codes = Opq.encode(correlated, "vec_id", "embedding", model)
+    val qs = queriesOf(correlated, 5)
+    def probe(m: Opq.Model, c: org.apache.spark.sql.DataFrame) =
+      Opq.topKRerank(c, m, "vec_id", correlated, "embedding",
+          qs, "q_id", "q_vec", 10)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val want = probe(model, codes)
+    Opq.save(model, codes, "vec_id", spark, root, nFiles = 4)
+    val (loaded, loadedCodes) = Opq.load(spark, root)
+    assert(loaded.dim == model.dim &&
+      java.util.Arrays.equals(loaded.flat, model.flat))
+    assert(probe(loaded, loadedCodes) == want,
+      "loaded model must probe identically")
+  }
+
   test("gate wiring: ann_opq runs on the embeddings table; probe == cold") {
     val cold = graft.queries.SimilarityQueries.annOpq(spark, sf001)
       .collect().toSeq
