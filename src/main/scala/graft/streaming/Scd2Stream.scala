@@ -63,6 +63,13 @@ object Scd2Stream {
         batch.columns.contains(tracked),
       s"scd2Stream: batch missing one of '$key'/'$ts'/'$tracked' " +
         s"(columns: ${batch.columns.mkString(", ")})")
+    // the bucket column is OURS throughout the raw log and the dim — a
+    // user column of the same name would be silently overwritten here and
+    // materialized as a partition value downstream (the Compaction `_z`
+    // lesson: never shadow user data in a path that persists)
+    require(!batch.columns.contains("_kb"),
+      "scd2Stream: batch already has a column named '_kb' — rename it; " +
+        "'_kb' is the reserved key-hash bucket column")
     val spark = batch.sparkSession
     val kb = batch.withColumn("_kb", bucketOf(col(key), nBuckets))
     StreamSink.writeBatch(kb, batchId, rawPath, "_kb")

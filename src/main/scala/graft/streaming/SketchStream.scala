@@ -26,13 +26,17 @@ object SketchStream {
   def writeBatch(batch: DataFrame, batchId: Long, path: String,
                  keys: Seq[String], distinctCols: Seq[String],
                  sumCols: Seq[String] = Nil,
-                 quantileCols: Seq[String] = Nil): Unit =
+                 quantileCols: Seq[String] = Nil): Unit = {
+    require(!keys.contains("_batch_id"),
+      "sketchStream: '_batch_id' is the reserved replay-idempotency " +
+        "partition column and cannot be a group key")
     SketchStats.sketchBatch(batch, keys, distinctCols, sumCols, quantileCols)
       .withColumn("_batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(path)
+  }
 
   /** Start the maintenance stream. */
   def run(stream: DataFrame, path: String, checkpointDir: String,

@@ -28,6 +28,9 @@ object StreamSink {
     * of the application. */
   def writeBatch(batch: DataFrame, batchId: Long, outPath: String,
                  partitionCol: String): Unit = {
+    require(!batch.columns.contains("_batch_id"),
+      "sink: batch already has a column named '_batch_id' — rename it; " +
+        "'_batch_id' is the reserved replay-idempotency partition column")
     batch.withColumn("_batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -141,4 +141,23 @@ class Scd2StreamSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("batch missing"))
   }
+
+  test("reserved columns are refused, never silently overwritten") {
+    import org.apache.spark.sql.functions.lit
+    val kb = intercept[IllegalArgumentException] {
+      Scd2Stream.applyBatch(feedDf(batches.head).withColumn("_kb", lit(1)),
+        0L, "/tmp/x", "/tmp/y", "cust_id", "ts", "segment")
+    }
+    assert(kb.getMessage.contains("'_kb'"))
+    val bid = intercept[IllegalArgumentException] {
+      StreamSink.writeBatch(
+        feedDf(batches.head).withColumn("_batch_id", lit(9)), 0L, "/tmp/x", "ts")
+    }
+    assert(bid.getMessage.contains("'_batch_id'"))
+    val key = intercept[IllegalArgumentException] {
+      SketchStream.writeBatch(feedDf(batches.head), 0L, "/tmp/x",
+        keys = Seq("_batch_id"), distinctCols = Seq("segment"))
+    }
+    assert(key.getMessage.contains("'_batch_id'"))
+  }
 }

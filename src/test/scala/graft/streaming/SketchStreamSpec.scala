@@ -71,14 +71,20 @@ class SketchStreamSpec extends SparkSpec {
       assert(math.abs(r._4 - s._4).toDouble / s._4 <= 0.01, s"${r._1}: ${r._4} vs ${s._4}")
     }
 
-    // a replay that recomputes the SAME batch frame is bit-identical:
-    // deterministic sketch bytes, partition overwrite, exact equality
+    // a replay that recomputes the SAME batch frame is bit-identical for
+    // the DETERMINISTIC sketches (HLL registers, sums) — KLL is excluded
+    // here because datasketches KLL compaction is genuinely randomized
+    // (not seeded), so its bytes differ run-to-run; its estimates stay in
+    // the rank band asserted above
     val p2 = Files.createTempDirectory("graft-skstream2").toString + "/s"
     val b1 = adds(1).toDF("grp", "k", "w")
-    SketchStream.writeBatch(b1, 0L, p2, Seq("grp"), Seq("k"), Seq("w"), Seq("w"))
-    val once = rows(SketchStream.stats(spark, p2, Seq("grp")))
-    SketchStream.writeBatch(b1, 0L, p2, Seq("grp"), Seq("k"), Seq("w"), Seq("w"))
-    assert(rows(SketchStream.stats(spark, p2, Seq("grp"))) == once,
-      "same-frame replay must be bit-identical")
+    def rowsNoKll(path: String) =
+      SketchStream.stats(spark, path, Seq("grp")).orderBy("grp")
+        .selectExpr("grp", "n_rows", "sum_w", "est_distinct_k")
+        .as[(String, Long, Long, Long)].collect().toSeq
+    SketchStream.writeBatch(b1, 0L, p2, Seq("grp"), Seq("k"), Seq("w"))
+    val once = rowsNoKll(p2)
+    SketchStream.writeBatch(b1, 0L, p2, Seq("grp"), Seq("k"), Seq("w"))
+    assert(rowsNoKll(p2) == once, "same-frame replay must be bit-identical")
   }
 }
