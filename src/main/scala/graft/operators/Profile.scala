@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiling — the data-quality census run before a table
+  * is trusted: per column, row/null/distinct counts and numeric bounds.
+  *
+  * Scale shape: ONE scan regardless of column count — every metric for
+  * every column lives in a single aggregation (Spark plans the multiple
+  * `count(distinct)`s as one expand + two-phase aggregate, so the input
+  * is read once; the expand multiplies rows × profiled columns, which is
+  * the standard price of exact multi-distinct and the reason `exact =
+  * false` swaps in `approx_count_distinct` for 100 TB-scale profiles —
+  * map-side HLL partials, no expand, ~2% error). The wide one-row result
+  * unpivots to (column, metric...) rows via `stack`, driver-free.
+  *
+  * Determinism (SURVEY §4): counts and min/max are exact; `sum_v` rounds
+  * at 4 (whole-table magnitude); averages are left to the caller
+  * (round-sum-then-divide) — no stddev, whose FP accumulation order is
+  * not cross-engine-stable.
+  */
+object Profile {
+
+  /** Numeric profile of `cols` (castable to double): one row per column —
+    * `(column, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)`. */
+  def numeric(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        count(v).as(s"_cnt_$c"),
+        (if (exact) countDistinct(v) else approx_count_distinct(v))
+          .as(s"_dst_$c"),
+        min(v).as(s"_min_$c"),
+        max(v).as(s"_max_$c"),
+        round(sum(v), 4).as(s"_sum_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', _cnt_$c, _dst_$c, _min_$c, _max_$c, _sum_$c"
+    }.mkString(", ")
+    wide.selectExpr("_n",
+        s"stack(${cols.size}, $stackExpr) AS " +
+          "(column, _cnt, n_distinct, min_v, max_v, sum_v)")
+      .select(col("column"), col("_n").as("n_rows"),
+        (col("_n") - col("_cnt")).as("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy("column")
+  }
+}

@@ -89,6 +89,24 @@ object ExtraQueries {
         round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
       .orderBy("l_returnflag")
 
+  /** One-pass numeric profile of lineitem — the data-quality census as a
+    * gate query, fully oracled (counts/min/max exact, sum round(4)). */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    Profile.numeric(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  private val profileOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c::DOUBLE) AS min_v, max($c::DOUBLE) AS max_v,
+         |  round(sum($c::DOUBLE), 4) AS sum_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+  }
+
   /** The [[graft.sources.StatsIndex]] stats relation over the lineitem
     * table, FULLY ORACLED: DuckDB's `parquet_metadata()` exposes the
     * same footer statistics, so the metadata layer itself is
@@ -245,11 +263,13 @@ object ExtraQueries {
     "corpus_sketch" -> (corpusSketch _),
     "corpus_kll" -> (corpusKll _),
     "stats_index" -> (statsIndexQ _),
+    "profile_lineitem" -> (profileLineitem _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
   val oracle: Map[String, String] = Map(
     "stats_index" -> statsIndexOracle,
+    "profile_lineitem" -> profileOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
