@@ -50,4 +50,38 @@ object Profile {
         col("n_distinct"), col("min_v"), col("max_v"), col("sum_v"))
       .orderBy("column")
   }
+
+  /** Equi-width histogram over a FIXED range — one scan, one shrinking
+    * shuffle (≤ bins+2 groups), fully deterministic: bin i covers
+    * `[lo + i·w, lo + (i+1)·w)` with the last bin right-closed; values
+    * outside [lo, hi] land in bins -1 / `bins` (never silently dropped —
+    * a histogram that hides out-of-range rows misreports the table).
+    * Fixed range (vs data-derived min/max) is what makes the result
+    * stable across days and oracles exactly; derive lo/hi once from
+    * [[numeric]] and pin them. Empty bins are emitted with count 0 so
+    * the output shape is constant. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins >= 1, s"histogram: bins=$bins")
+    require(lo < hi, s"histogram: lo=$lo >= hi=$hi")
+    require(df.columns.contains(c), s"histogram: no such column '$c'")
+    val v = col(c).cast("double")
+    val raw = floor((v - lo) / (hi - lo) * bins).cast("int")
+    val bin = when(v.isNull, lit(null))
+      .when(v < lo, lit(-1)).when(v > hi, lit(bins))
+      .when(raw === bins, lit(bins - 1)) // v == hi: right-closed last bin
+      .otherwise(raw)
+    val counts = df.select(bin.as("bin")).where(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    val allBins = spark.range(-1, bins + 1)
+      .select(col("id").cast("int").as("bin"))
+    val w = (hi - lo) / bins
+    allBins.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * w, 6).as("bin_lo"),
+        round(lit(lo) + (col("bin") + 1) * w, 6).as("bin_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bin")
+  }
 }

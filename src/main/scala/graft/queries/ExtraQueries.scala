@@ -95,6 +95,28 @@ object ExtraQueries {
     Profile.numeric(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Equi-width histogram of l_extendedprice over a pinned range — the
+    * profiler's distribution view, oracled exactly (the bin expression is
+    * mirrored operation-for-operation so IEEE arithmetic agrees). */
+  def histLineitem(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+      lo = 900.0, hi = 105000.0, bins = 20)
+
+  private val histOracle: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN l_extendedprice < 900.0 THEN -1
+      |    WHEN l_extendedprice > 105000.0 THEN 20
+      |    WHEN CAST(floor((l_extendedprice - 900.0) / (105000.0 - 900.0) * 20) AS INT) = 20 THEN 19
+      |    ELSE CAST(floor((l_extendedprice - 900.0) / (105000.0 - 900.0) * 20) AS INT) END AS bin
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |bins AS (SELECT CAST(range AS INT) AS bin FROM range(-1, 21))
+      |SELECT bins.bin,
+      |  round(900.0 + bins.bin * 5205.0, 6) AS bin_lo,
+      |  round(900.0 + (bins.bin + 1) * 5205.0, 6) AS bin_hi,
+      |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+      |FROM bins LEFT JOIN (SELECT bin, count(*) AS cnt FROM b GROUP BY 1) c USING (bin)
+      |ORDER BY bin""".stripMargin
+
   private val profileOracle: String = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     cols.map { c =>
@@ -264,12 +286,14 @@ object ExtraQueries {
     "corpus_kll" -> (corpusKll _),
     "stats_index" -> (statsIndexQ _),
     "profile_lineitem" -> (profileLineitem _),
+    "hist_lineitem" -> (histLineitem _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
   val oracle: Map[String, String] = Map(
     "stats_index" -> statsIndexOracle,
     "profile_lineitem" -> profileOracle,
+    "hist_lineitem" -> histOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,

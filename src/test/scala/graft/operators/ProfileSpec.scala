@@ -38,6 +38,22 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("histogram: edges, out-of-range bins, right-closed last bin, nulls") {
+    val df = Seq[Option[Double]](Some(0.0), Some(2.5), Some(5.0), Some(10.0),
+      Some(-3.0), Some(12.0), None, Some(9.999)).toDF("v")
+    // lo=0, hi=10, 4 bins of width 2.5
+    val rows = Profile.histogram(df, "v", 0.0, 10.0, 4)
+      .as[(Int, Double, Double, Long)].collect().toList
+    assert(rows == List(
+      (-1, -2.5, 0.0, 1L),   // -3.0 below range, counted not dropped
+      (0, 0.0, 2.5, 1L),     // 0.0
+      (1, 2.5, 5.0, 1L),     // 2.5 (left-closed)
+      (2, 5.0, 7.5, 1L),     // 5.0
+      (3, 7.5, 10.0, 2L),    // 9.999 and 10.0 (right-closed last bin)
+      (4, 10.0, 12.5, 1L)))  // 12.0 above range
+    assert(rows.map(_._4).sum == 7) // everything but the null
+  }
+
   test("one scan regardless of profiled column count") {
     val li = Tables.load(spark, sf001, "lineitem")
     val p = Profile.numeric(li,
