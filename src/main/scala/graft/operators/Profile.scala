@@ -51,6 +51,40 @@ object Profile {
       .orderBy("column")
   }
 
+  /** String profile of `cols`: one row per column —
+    * `(column, n_rows, n_nulls, n_empty, n_distinct, min_len, max_len,
+    * total_len)`. Same one-scan contract as [[numeric]]; `total_len`
+    * (not an average) so callers divide per SURVEY §4's
+    * round-sum-then-divide rule. */
+  def strings(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: no such columns: ${missing.mkString(", ")}")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("string")
+      Seq(
+        count(v).as(s"_cnt_$c"),
+        sum(when(v === "", 1L).otherwise(0L)).as(s"_emp_$c"),
+        (if (exact) countDistinct(v) else approx_count_distinct(v))
+          .as(s"_dst_$c"),
+        min(length(v)).as(s"_mnl_$c"),
+        max(length(v)).as(s"_mxl_$c"),
+        sum(length(v).cast("long")).as(s"_tot_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', _cnt_$c, _emp_$c, _dst_$c, _mnl_$c, _mxl_$c, _tot_$c"
+    }.mkString(", ")
+    wide.selectExpr("_n",
+        s"stack(${cols.size}, $stackExpr) AS " +
+          "(column, _cnt, n_empty, n_distinct, min_len, max_len, total_len)")
+      .select(col("column"), col("_n").as("n_rows"),
+        (col("_n") - col("_cnt")).as("n_nulls"),
+        col("n_empty"), col("n_distinct"),
+        col("min_len"), col("max_len"), col("total_len"))
+      .orderBy("column")
+  }
+
   /** Equi-width histogram over a FIXED range — one scan, one shrinking
     * shuffle (≤ bins+2 groups), fully deterministic: bin i covers
     * `[lo + i·w, lo + (i+1)·w)` with the last bin right-closed; values

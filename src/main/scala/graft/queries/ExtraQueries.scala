@@ -95,6 +95,23 @@ object ExtraQueries {
     Profile.numeric(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** String profile of the documents table — null/empty/distinct census
+    * and length bounds per text column, oracled (Spark's `length` and
+    * DuckDB's both count codepoints). */
+  def profileDocs(s: SparkSession, dir: String): DataFrame =
+    Profile.strings(t(s, dir, "documents"), Seq("lang", "source", "text"))
+
+  private val profileDocsOracle: String =
+    Seq("lang", "source", "text").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min(length($c)) AS min_len, max(length($c)) AS max_len,
+         |  CAST(sum(length($c)) AS BIGINT) AS total_len
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+
   /** Equi-width histogram of l_extendedprice over a pinned range — the
     * profiler's distribution view, oracled exactly (the bin expression is
     * mirrored operation-for-operation so IEEE arithmetic agrees). */
@@ -287,6 +304,7 @@ object ExtraQueries {
     "stats_index" -> (statsIndexQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
+    "profile_docs" -> (profileDocs _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
@@ -294,6 +312,7 @@ object ExtraQueries {
     "stats_index" -> statsIndexOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
+    "profile_docs" -> profileDocsOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,

@@ -38,6 +38,14 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("string profile: nulls, empties, lengths, distinct — hand-computed") {
+    val df = Seq(Option("ab"), Option(""), None, Option("abcd"), Option("ab"))
+      .toDF("s")
+    val row = Profile.strings(df, Seq("s"))
+      .as[(String, Long, Long, Long, Long, Int, Int, Long)].head()
+    assert(row == (("s", 5L, 1L, 1L, 3L, 0, 4, 8L)))
+  }
+
   test("histogram: edges, out-of-range bins, right-closed last bin, nulls") {
     val df = Seq[Option[Double]](Some(0.0), Some(2.5), Some(5.0), Some(10.0),
       Some(-3.0), Some(12.0), None, Some(9.999)).toDF("v")
