@@ -95,6 +95,50 @@ object ExtraQueries {
     Profile.numeric(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  /** Declarative data-quality report over lineitem — every check type
+    * exercised, fully oracled; `range(l_tax,0.0,0.05)` is DELIBERATELY
+    * too tight so the gate pins a failing row (pass=false with a real
+    * violation count), not just an all-green report. */
+  def dqCheck(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    run(t(s, dir, "lineitem"), Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1.0, 50.0),
+      InRange("l_tax", 0.0, 0.05),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      UniqueKey(Seq("l_orderkey", "l_linenumber")),
+      RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+  }
+
+  private val dqOracle: String =
+    """SELECT "check", violations, violations = 0 AS pass FROM (
+      |  SELECT 'not_null(l_orderkey)' AS "check",
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'range(l_quantity,1.0,50.0)',
+      |    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'range(l_tax,0.0,0.05)',
+      |    CAST(sum(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0.0 OR l_tax > 0.05) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'in_set(l_returnflag)',
+      |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'unique(l_orderkey,l_linenumber)',
+      |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'ref(l_orderkey->o_orderkey)',
+      |    CAST((SELECT count(*) FROM lineitem l
+      |          WHERE l.l_orderkey IS NOT NULL
+      |            AND NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |) ORDER BY "check"""".stripMargin
+
   /** String profile of the documents table — null/empty/distinct census
     * and length bounds per text column, oracled (Spark's `length` and
     * DuckDB's both count codepoints). */
@@ -305,6 +349,7 @@ object ExtraQueries {
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
+    "dq_check" -> (dqCheck _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
@@ -313,6 +358,7 @@ object ExtraQueries {
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,
+    "dq_check" -> dqOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,

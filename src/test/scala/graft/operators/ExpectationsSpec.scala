@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Expectations]]: hand-computed violation counts for every check
+  * type, the predicate null rule, the anti-join FK check, and the loud
+  * gate. */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+  import Expectations._
+
+  private lazy val df = Seq(
+    (Option(1L), Option(5.0), "A", 1),
+    (Option(1L), Option(5.0), "A", 1), // duplicate key (1,1)
+    (Option(2L), Option(99.0), "X", 1), // range + set violations
+    (None, None, "A", 2),               // null key
+    (Option(9L), Option(3.0), "N", 1)   // key 9 absent from ref
+  ).toDF("k", "v", "flag", "line")
+
+  private lazy val ref = Seq(1L, 2L).toDF("rk")
+
+  test("every check type counts hand-computed violations") {
+    val rows = Expectations.run(df, Seq(
+        NotNull("k"),
+        InRange("v", 0.0, 10.0),
+        InSet("flag", Seq("A", "N", "R")),
+        UniqueKey(Seq("k", "line")),
+        RefIntegrity("k", ref, "rk"),
+        Predicate("v_lt_k_times_10", $"v" < $"k" * 10)))
+      .as[(String, Long, Boolean)].collect().toList
+    assert(rows == List(
+      ("in_set(flag)", 1L, false),
+      ("not_null(k)", 1L, false),
+      // null v and null k rows: predicate null => violation (3 rows: the
+      // None row, plus v=99 >= 20? no: 99 < 2*10 is false => violation;
+      // 5 < 10 true, 5 < 10 true, 3 < 90 true)
+      ("predicate(v_lt_k_times_10)", 2L, false),
+      ("range(v,0.0,10.0)", 1L, false),
+      ("ref(k->rk)", 1L, false),
+      ("unique(k,line)", 1L, false)))
+  }
+
+  test("a clean table passes everything; requirePass is silent then loud") {
+    val clean = Expectations.run(df.where($"k".isNotNull && $"k" =!= 2L && $"k" =!= 9L),
+      Seq(NotNull("k"), InRange("v", 0.0, 10.0)))
+    assert(clean.where(!$"pass").count() == 0)
+    requirePass(clean)
+    val e = intercept[IllegalArgumentException] {
+      requirePass(Expectations.run(df, Seq(NotNull("k"))))
+    }
+    assert(e.getMessage.contains("not_null(k)") && e.getMessage.contains("1 violations"))
+  }
+
+  test("ref-only check list works (no scalar aggregation pass)") {
+    val rows = Expectations.run(df, Seq(RefIntegrity("k", ref, "rk")))
+      .as[(String, Long, Boolean)].collect().toList
+    assert(rows == List(("ref(k->rk)", 1L, false)))
+  }
+}
