@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** The driver contract itself, spec-guarded: a typo'd oracle key or a
+  * query dropped without its oracle would otherwise only surface in the
+  * driver's gate run, as a confusing "no spark output dir" — here it
+  * fails the suite by name. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key names a real query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
+
+  test("query names are unique, non-empty, snake_case") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.nonEmpty)
+    val bad = names.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"non-snake_case query names: ${bad.mkString(", ")}")
+  }
+
+  test("rows-only queries are a declared, bounded set") {
+    // every query WITHOUT an oracle must be one we deliberately declared
+    // rows-only (k-means / sketch / iterative internals not reproducible
+    // in DuckDB) — a new query accidentally missing its oracle trips this
+    val declared = Set(
+      "ann_ivf", "ann_ivf_probe", "ann_pq", "ann_pq_probe",
+      "ann_ivfpq", "ann_ivfpq_probe", "ann_opq", "ann_opq_probe",
+      "semantic_dedup", "q_approx", "bpe_tokens",
+      "corpus_sketch", "corpus_kll", "decon_overlap_est")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undeclared = rowsOnly -- declared
+    assert(undeclared.isEmpty,
+      s"queries missing an oracle and not declared rows-only: ${undeclared.mkString(", ")}")
+    val stale = declared -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"declared rows-only but no such query: ${stale.mkString(", ")}")
+  }
+
+  test("the flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).limit(1).count() == 1)
+  }
+
+  test("every query builds against sf0.001 without throwing") {
+    // building (not executing) catches missing columns/tables at suite
+    // time; PlanShapeSpec separately ceilings the physical shapes
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        scala.util.Try {
+          fn(spark, sf001).select(col("*")).queryExecution.analyzed
+        }.failed.toOption.map(e => s"$name: ${e.getMessage.take(120)}")
+    }
+    assert(failures.isEmpty, s"unbuildable queries:\n  ${failures.mkString("\n  ")}")
+  }
+}
