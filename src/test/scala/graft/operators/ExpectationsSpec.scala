@@ -51,6 +51,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(e.getMessage.contains("not_null(k)") && e.getMessage.contains("1 violations"))
   }
 
+  test("quality gate in a DAG: a red report blocks publish, downstream skipped") {
+    import graft.pipeline.Dag
+    // transform -> dq gate -> publish: the gate is just requirePass as a
+    // Dag task, so a failing contract stops the publish exactly like any
+    // failed upstream (downstream Skipped, independent branches unaffected)
+    var published = false
+    def tasks(checks: Seq[Check]) = Seq(
+      Dag.Task("transform")(() => ()),
+      Dag.Task("dq_gate", deps = Seq("transform"))(() =>
+        requirePass(Expectations.run(df, checks))),
+      Dag.Task("publish", deps = Seq("dq_gate"))(() => published = true))
+
+    val red = Dag.run(tasks(Seq(NotNull("k"))))
+    assert(!red.succeeded && !published)
+    assert(red.statuses("publish") == Dag.Skipped)
+    assert(red.statuses("dq_gate").isInstanceOf[Dag.Failed])
+
+    val green = Dag.run(tasks(Seq(InSet("flag", Seq("A", "N", "R", "X")))))
+    assert(green.succeeded && published)
+  }
+
   test("ref-only check list works (no scalar aggregation pass)") {
     val rows = Expectations.run(df, Seq(RefIntegrity("k", ref, "rk")))
       .as[(String, Long, Boolean)].collect().toList
