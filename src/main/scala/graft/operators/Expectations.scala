@@ -56,6 +56,17 @@ object Expectations {
     val name = s"unique(${columns.mkString(",")})"
   }
 
+  /** Table-level staleness contract (the Airflow-sensor class of check):
+    * the newest `tsCol` value must lie within `maxLagDays` of `anchorTs`
+    * (the run's logical date — pass it in; never CURRENT_DATE, which
+    * would make the report non-reproducible). An empty or all-null table
+    * is STALE by definition — no data is not fresh data. Violations are
+    * 0 or 1: staleness is a table property, not a row count. */
+  final case class Freshness(tsCol: String, anchorTs: String,
+                             maxLagDays: Int) extends Check {
+    val name = s"freshness($tsCol,${maxLagDays}d)"
+  }
+
   /** Violations = rows (not keys) whose non-null `column` has no match
     * in `ref.refColumn` — the FK contract. */
   final case class RefIntegrity(column: String, ref: DataFrame,
@@ -75,6 +86,14 @@ object Expectations {
       case c: UniqueKey =>
         c.name -> (count(lit(1)) -
           countDistinct(struct(c.columns.map(col): _*)))
+      case c: Freshness =>
+        // fresh → 0; stale → the when is false → null → coalesce to 1;
+        // empty/all-null → max is null → null → 1 (stale by definition)
+        c.name -> coalesce(
+          when(max(col(c.tsCol)) >=
+            to_timestamp(lit(c.anchorTs)) -
+              expr(s"INTERVAL ${c.maxLagDays} DAYS"), 0L),
+          lit(1L))
     }
     val scalarReport =
       if (onePass.isEmpty) None

@@ -107,6 +107,7 @@ object ExtraQueries {
       InRange("l_tax", 0.0, 0.05),
       InSet("l_returnflag", Seq("A", "N", "R")),
       UniqueKey(Seq("l_orderkey", "l_linenumber")),
+      Freshness("l_shipdate", "2001-12-01 00:00:00", maxLagDays = 60),
       RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
   }
 
@@ -126,6 +127,11 @@ object ExtraQueries {
       |  UNION ALL
       |  SELECT 'in_set(l_returnflag)',
       |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'freshness(l_shipdate,60d)',
+      |    CAST(CASE WHEN max(l_shipdate) >= TIMESTAMP '2001-12-01 00:00:00' - INTERVAL 60 DAY
+      |              THEN 0 ELSE 1 END AS BIGINT)
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'unique(l_orderkey,l_linenumber)',

@@ -51,6 +51,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(e.getMessage.contains("not_null(k)") && e.getMessage.contains("1 violations"))
   }
 
+  test("freshness: fresh passes, stale fails, empty/all-null is stale by definition") {
+    import java.sql.Timestamp
+    def run1(rows: Seq[Option[Timestamp]], lagDays: Int): (Long, Boolean) =
+      Expectations.run(rows.toDF("ts"),
+          Seq(Freshness("ts", "2024-03-01 00:00:00", lagDays)))
+        .as[(String, Long, Boolean)].head() match { case (_, v, p) => (v, p) }
+    val recent = Some(Timestamp.valueOf("2024-02-25 12:00:00"))
+    val old = Some(Timestamp.valueOf("2023-11-01 00:00:00"))
+    assert(run1(Seq(old, recent), 10) == ((0L, true)))   // newest within 10d
+    assert(run1(Seq(old), 10) == ((1L, false)))          // stale
+    assert(run1(Seq(None), 10) == ((1L, false)))         // all-null: stale
+    assert(run1(Seq.empty[Option[Timestamp]], 10) == ((1L, false))) // empty: stale
+  }
+
   test("quality gate in a DAG: a red report blocks publish, downstream skipped") {
     import graft.pipeline.Dag
     // transform -> dq gate -> publish: the gate is just requirePass as a
