@@ -109,6 +109,45 @@ class StatsIndexSpec extends SparkSpec {
     assert(hot.size == 1, s"expected only the appended file: $hot")
   }
 
+  test("property: pruning is SOUND on randomized data and boxes — never loses a matching row") {
+    // adversarial value mix: negatives, huge longs (double-rounding
+    // territory), NaN-free doubles across magnitudes, nulls
+    val rng = new scala.util.Random(1234L)
+    val rows = (0 until 4000).map { i =>
+      val x =
+        if (i % 13 == 0) Long.MinValue / 2 + rng.nextInt(1000)
+        else if (i % 7 == 0) (1L << 60) + rng.nextInt(1000)
+        else rng.nextLong() % 100000L
+      val y: java.lang.Double =
+        if (i % 11 == 0) null
+        else rng.nextGaussian() * math.pow(10, rng.nextInt(6))
+      (x, y)
+    }
+    val root = Files.createTempDirectory("graft-statsidx-prop").toString
+    rows.toDF("x", "y").repartitionByRange(8, col("x"))
+      .sortWithinPartitions("x")
+      .write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+
+    for (trial <- 0 until 12) {
+      val (a, b) = (rng.nextLong() % 100000L, rng.nextLong() % 100000L)
+      val (xLo, xHi) = (math.min(a, b).toDouble, math.max(a, b).toDouble)
+      val (c, d) = (rng.nextGaussian() * 1000, rng.nextGaussian() * 1000)
+      val (yLo, yHi) = (math.min(c, d), math.max(c, d))
+      val ranges = Map("x" -> (xLo, xHi), "y" -> (yLo, yHi))
+      val pred = col("x").between(xLo, xHi) && col("y").between(yLo, yHi)
+      val full = spark.read.parquet(s"$root/t").where(pred)
+        .select("x").as[Long].collect().sorted.toSeq
+      val surviving = StatsIndex.pruneFiles(stats, ranges)
+      val pruned =
+        if (surviving.isEmpty) Seq.empty[Long]
+        else spark.read.parquet(surviving: _*).where(pred)
+          .select("x").as[Long].collect().sorted.toSeq
+      assert(pruned == full,
+        s"trial $trial: pruned read lost rows (box x=[$xLo,$xHi] y=[$yLo,$yHi])")
+    }
+  }
+
   test("INT64 bounds are ulp-widened: a >2^53 long never fabricates disjointness") {
     val root = Files.createTempDirectory("graft-statsidx-big").toString
     val big = (1L << 60) + 3L // rounds when cast to double
