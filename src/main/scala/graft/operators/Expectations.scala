@@ -74,6 +74,121 @@ object Expectations {
     val name = s"ref($column->$refColumn)"
   }
 
+  // ── Baseline-relative drift checks ──────────────────────────────────
+  // "Did today's load look like the last trusted one?" — the profiling
+  // census ([[Profile]]) and the sketch monitor ([[SketchStats]]) turned
+  // into publish gates. Scale shape: every check's today-side metric
+  // folds into the SAME single aggregation as the row-local checks (the
+  // scan count stays one), and each baseline reduces to a one-row
+  // aggregate crossJoined in (broadcast 1×1 — the audited
+  // constant-sided-crossJoin pattern). A missing or empty baseline is a
+  // VIOLATION, not a pass: an unevaluable contract never gates anything
+  // open (the [[Predicate]] rule).
+  sealed trait DriftCheck extends Check {
+    /** The persisted baseline relation this check compares against. */
+    def baseline: DataFrame
+    /** Today-side aggregates over the gated table, aliased under `p`. */
+    private[operators] def todayAggs(p: String): Seq[Column]
+    /** Baseline-side aggregates (reduce `baseline` to one row). */
+    private[operators] def baselineAggs(p: String): Seq[Column]
+    /** Violation count (0 or 1) over the joined today+baseline row. */
+    private[operators] def violationCount(p: String): Column
+  }
+
+  /** Row-count drift vs a [[Profile.numeric]] (or any `n_rows`-bearing)
+    * baseline: violated when today's count falls outside
+    * [base/maxRatio, base·maxRatio]. */
+  final case class RowCountDrift(baseline: DataFrame,
+                                 maxRatio: Double) extends DriftCheck {
+    require(maxRatio >= 1.0, s"row_count_drift: maxRatio=$maxRatio < 1")
+    val name = s"row_count_drift($maxRatio)"
+    private[operators] def todayAggs(p: String): Seq[Column] =
+      Seq(count(lit(1)).as(s"${p}_t"))
+    private[operators] def baselineAggs(p: String): Seq[Column] =
+      Seq(max(col("n_rows")).as(s"${p}_b"))
+    private[operators] def violationCount(p: String): Column = {
+      val t = col(s"${p}_t"); val b = col(s"${p}_b")
+      when(b.isNull, lit(1L))
+        .when(t > b * maxRatio || t * maxRatio < b, lit(1L))
+        .otherwise(lit(0L))
+    }
+  }
+
+  /** Null-rate drift for `column` vs its [[Profile.numeric]] baseline
+    * row: violated when |rate_today − rate_base| > maxDelta (or either
+    * side is unevaluable — empty table, missing baseline row). */
+  final case class NullRateDrift(column: String, baseline: DataFrame,
+                                 maxDelta: Double) extends DriftCheck {
+    val name = s"null_rate_drift($column,$maxDelta)"
+    private[operators] def todayAggs(p: String): Seq[Column] = Seq(
+      count(lit(1)).as(s"${p}_n"),
+      sum(when(col(column).isNull, 1L).otherwise(0L)).as(s"${p}_z"))
+    private[operators] def baselineAggs(p: String): Seq[Column] = Seq(
+      max(when(col("column") === column, col("n_nulls"))).as(s"${p}_bz"),
+      max(when(col("column") === column, col("n_rows"))).as(s"${p}_bn"))
+    private[operators] def violationCount(p: String): Column = {
+      val n = col(s"${p}_n"); val z = col(s"${p}_z")
+      val bn = col(s"${p}_bn"); val bz = col(s"${p}_bz")
+      when(n === 0 || bn.isNull || bn === 0, lit(1L))
+        .when(abs(z.cast("double") / n - bz.cast("double") / bn) > maxDelta,
+          lit(1L))
+        .otherwise(lit(0L))
+    }
+  }
+
+  /** Mean drift for `column` vs its [[Profile.numeric]] baseline row
+    * (baseline mean = `sum_v / (n_rows − n_nulls)`): violated when
+    * |mean_today − mean_base| > maxDelta. The baseline `sum_v` carries
+    * Profile's round-at-4 — pick maxDelta ≫ 1e-4, which any real drift
+    * band is. */
+  final case class MeanDrift(column: String, baseline: DataFrame,
+                             maxDelta: Double) extends DriftCheck {
+    val name = s"mean_drift($column,$maxDelta)"
+    private[operators] def todayAggs(p: String): Seq[Column] = Seq(
+      count(col(column)).as(s"${p}_c"),
+      sum(col(column).cast("double")).as(s"${p}_s"))
+    private[operators] def baselineAggs(p: String): Seq[Column] = Seq(
+      max(when(col("column") === column, col("sum_v"))).as(s"${p}_bs"),
+      max(when(col("column") === column, col("n_rows") - col("n_nulls")))
+        .as(s"${p}_bc"))
+    private[operators] def violationCount(p: String): Column = {
+      val c = col(s"${p}_c"); val s = col(s"${p}_s")
+      val bc = col(s"${p}_bc"); val bs = col(s"${p}_bs")
+      when(c === 0 || bc.isNull || bc === 0 || bs.isNull, lit(1L))
+        .when(abs(s / c - bs / bc) > maxDelta, lit(1L))
+        .otherwise(lit(0L))
+    }
+  }
+
+  /** Quantile-shift gate — the [[SketchStats]] "did this batch move the
+    * p99?" question as a publish blocker: violated when today's
+    * `prob`-quantile of `column` differs from the baseline's by more
+    * than `band`. `baseline` is persisted [[SketchStats.sketchBatch]]
+    * rows carrying `kll_<column>` (history merges, never rescans —
+    * mergeable sketches are what make a quantile gate affordable at
+    * 100 TB). KLL is an ε-rank sketch with randomized compaction: size
+    * `band` ≫ the value-space width of ±1.65% rank error at the compared
+    * quantile, and never hash-oracle the estimate itself. */
+  final case class QuantileBandDrift(column: String, prob: Double, band: Double,
+                                     baseline: DataFrame,
+                                     kllK: Int = SketchStats.DefaultKllK)
+      extends DriftCheck {
+    require(prob > 0 && prob < 1, s"quantile_drift: prob=$prob")
+    val name = s"quantile_drift($column,p${(prob * 100).round},$band)"
+    private[operators] def todayAggs(p: String): Seq[Column] = Seq(
+      kll_sketch_agg_double(col(column).cast("double"), kllK).as(s"${p}_sk"))
+    private[operators] def baselineAggs(p: String): Seq[Column] = Seq(
+      kll_merge_agg_double(col(s"kll_$column")).as(s"${p}_bsk"))
+    private[operators] def violationCount(p: String): Column = {
+      val sk = col(s"${p}_sk"); val bsk = col(s"${p}_bsk")
+      val qt = kll_sketch_get_quantile_double(sk, lit(prob))
+      val qb = kll_sketch_get_quantile_double(bsk, lit(prob))
+      when(sk.isNull || bsk.isNull, lit(1L))
+        .when(abs(qt - qb) > band, lit(1L))
+        .otherwise(lit(0L))
+    }
+  }
+
   /** Evaluate all checks → `(check, violations, pass)`, one row per
     * check, ordered by name. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
@@ -82,7 +197,9 @@ object Expectations {
       "expectations: duplicate check names")
     val onePass: Seq[(String, Column)] = checks.collect {
       case c: RowCheck =>
-        c.name -> sum(when(c.violated, 1L).otherwise(0L))
+        // sum over zero rows is NULL — coalesce so an empty table reports
+        // 0 violations / pass=true instead of a NULL the gate would skip
+        c.name -> coalesce(sum(when(c.violated, 1L).otherwise(0L)), lit(0L))
       case c: UniqueKey =>
         c.name -> (count(lit(1)) -
           countDistinct(struct(c.columns.map(col): _*)))
@@ -95,16 +212,30 @@ object Expectations {
               expr(s"INTERVAL ${c.maxLagDays} DAYS"), 0L),
           lit(1L))
     }
+    val drifts = checks.collect { case c: DriftCheck => c }
     val scalarReport =
-      if (onePass.isEmpty) None
+      if (onePass.isEmpty && drifts.isEmpty) None
       else {
-        val aggRow = df.agg(onePass.head._2.as("c0"),
-          onePass.tail.zipWithIndex.map { case ((_, a), i) => a.as(s"c${i + 1}") }: _*)
-        val stackExpr = onePass.zipWithIndex
-          .map { case ((n, _), i) => s"'${n.replace("'", "''")}', c$i" }
+        // ONE aggregation over df carries every scalar check AND every
+        // drift check's today-side metrics; each drift baseline joins in
+        // as a broadcast one-row aggregate.
+        val aggs = onePass.zipWithIndex.map { case ((_, a), i) => a.as(s"c$i") } ++
+          drifts.zipWithIndex.flatMap { case (c, i) => c.todayAggs(s"_d$i") }
+        val aggRow = df.agg(aggs.head, aggs.tail: _*)
+        val joined = drifts.zipWithIndex.foldLeft(aggRow) { case (acc, (c, i)) =>
+          val bAggs = c.baselineAggs(s"_d$i")
+          acc.crossJoin(c.baseline.agg(bAggs.head, bAggs.tail: _*))
+        }
+        val withViol = drifts.zipWithIndex.foldLeft(joined) { case (acc, (c, i)) =>
+          acc.withColumn(s"vd$i", c.violationCount(s"_d$i"))
+        }
+        val stackExpr = (onePass.zipWithIndex
+          .map { case ((n, _), i) => s"'${n.replace("'", "''")}', c$i" } ++
+          drifts.zipWithIndex
+            .map { case (c, i) => s"'${c.name.replace("'", "''")}', vd$i" })
           .mkString(", ")
-        Some(aggRow.selectExpr(
-          s"stack(${onePass.size}, $stackExpr) AS (check, violations)"))
+        Some(withViol.selectExpr(
+          s"stack(${onePass.size + drifts.size}, $stackExpr) AS (check, violations)"))
       }
     val refReports = checks.collect { case c: RefIntegrity =>
       df.select(col(c.column)).where(col(c.column).isNotNull)

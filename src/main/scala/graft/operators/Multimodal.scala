@@ -470,10 +470,15 @@ object Multimodal {
             // AviMjpegDecoder convention)
             try {
               val img = reader.read(i)
-              if (nFrames == 0) { w = img.getWidth; h = img.getHeight }
-              lumaAcc += ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
+              // compute BOTH per-frame reads into locals before committing
+              // any accumulator — a metadata IOException after a committed
+              // luma would otherwise skew avg luma for partially-corrupt GIFs
+              val luma = ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
                 (img.getWidth.toDouble * img.getHeight)
-              delayCs += frameDelayCs(reader, i)
+              val delay = frameDelayCs(reader, i)
+              if (nFrames == 0) { w = img.getWidth; h = img.getHeight }
+              lumaAcc += luma
+              delayCs += delay
               nFrames += 1
             } catch { case _: java.io.IOException => }
             i += 1

@@ -145,6 +145,87 @@ object ExtraQueries {
       |                            WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
       |) ORDER BY "check"""".stripMargin
 
+  /** Profile-drift gate over orders — "did today's load look like the
+    * last trusted one?" as a publish blocker. Baseline = the profile of
+    * the pre-1997 slice (a stand-in for yesterday's persisted
+    * [[Profile.numeric]] output); current = the full table. Bands are
+    * chosen with wide margins on both sides of every threshold (full ≈
+    * 3.3× the slice; mean shift ≈ 3.1k at sf0.01) so pass/violate is
+    * pinned, including one unevaluable case (o_custkey was never
+    * profiled → violation, never a silent pass). The oracle re-derives
+    * the drift arithmetic end to end. */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val orders = t(s, dir, "orders")
+    val baseline = Profile.numeric(
+      orders.where(col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+      Seq("o_totalprice"))
+    run(orders, Seq(
+      RowCountDrift(baseline, 4.0),            // 3.3× within 4× → pass
+      RowCountDrift(baseline, 1.5),            // beyond 1.5× → violated
+      NullRateDrift("o_totalprice", baseline, 0.01), // 0 vs 0 → pass
+      NullRateDrift("o_custkey", baseline, 0.5),     // no baseline row → violated
+      MeanDrift("o_totalprice", baseline, 50000.0),  // pass
+      MeanDrift("o_totalprice", baseline, 100.0)))   // violated
+  }
+
+  private val dqDriftOracle: String =
+    """WITH base AS (
+      |  SELECT count(*) AS bn, count(o_totalprice) AS bc,
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bz,
+      |    round(sum(o_totalprice), 4) AS bs
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |cur AS (
+      |  SELECT count(*) AS n, count(o_totalprice) AS c,
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z,
+      |    sum(o_totalprice) AS sm
+      |  FROM orders)
+      |SELECT "check", violations, violations = 0 AS pass FROM (
+      |  SELECT 'row_count_drift(4.0)' AS "check",
+      |    CAST(CASE WHEN n > bn * 4.0 OR n * 4.0 < bn THEN 1 ELSE 0 END AS BIGINT) AS violations
+      |  FROM cur, base
+      |  UNION ALL
+      |  SELECT 'row_count_drift(1.5)',
+      |    CAST(CASE WHEN n > bn * 1.5 OR n * 1.5 < bn THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM cur, base
+      |  UNION ALL
+      |  SELECT 'null_rate_drift(o_totalprice,0.01)',
+      |    CAST(CASE WHEN n = 0 OR bn = 0
+      |      OR abs(CAST(z AS DOUBLE) / n - CAST(bz AS DOUBLE) / bn) > 0.01
+      |      THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM cur, base
+      |  UNION ALL
+      |  SELECT 'null_rate_drift(o_custkey,0.5)', CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'mean_drift(o_totalprice,50000.0)',
+      |    CAST(CASE WHEN c = 0 OR bc = 0
+      |      OR abs(sm / c - bs / bc) > 50000.0 THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM cur, base
+      |  UNION ALL
+      |  SELECT 'mean_drift(o_totalprice,100.0)',
+      |    CAST(CASE WHEN c = 0 OR bc = 0
+      |      OR abs(sm / c - bs / bc) > 100.0 THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM cur, base
+      |) ORDER BY "check"""".stripMargin
+
+  /** The KLL quantile band as a publish gate (rows-only: KLL estimates
+    * are engine-specific; outcome margins are ≫ rank error so the
+    * pass/violate split is still deterministic — spec-pinned in
+    * ExpectationsSpec). Baseline = per-(lang) doc-length sketches of the
+    * unshifted corpus; the +1000-shifted twin must trip the 100-char
+    * band while the unshifted corpus stays inside it. */
+  def dqDriftKll(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val docs = t(s, dir, "documents")
+    val baseSketch = SketchStats.sketchBatch(docs, Seq("lang"), Nil, Nil,
+      quantileCols = Seq("n_chars"))
+    run(docs, Seq(QuantileBandDrift("n_chars", 0.9, 100.0, baseSketch)))
+      .unionByName(
+        run(docs.withColumn("n_chars", col("n_chars") + lit(1000)),
+          Seq(QuantileBandDrift("n_chars", 0.9, 99.0, baseSketch))))
+      .orderBy("check")
+  }
+
   /** String profile of the documents table — null/empty/distinct census
     * and length bounds per text column, oracled (Spark's `length` and
     * DuckDB's both count codepoints). */
@@ -356,6 +437,8 @@ object ExtraQueries {
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
     "dq_check" -> (dqCheck _),
+    "dq_drift" -> (dqDrift _),
+    "dq_drift_kll" -> (dqDriftKll _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
@@ -365,6 +448,7 @@ object ExtraQueries {
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,
     "dq_check" -> dqOracle,
+    "dq_drift" -> dqDriftOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,

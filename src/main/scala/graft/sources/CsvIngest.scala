@@ -493,10 +493,16 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
     * @param createDisposition reference `create_disposition`
     *   (`utils/operators.py:22`): CREATE_IF_NEEDED creates the target
     *   directory; CREATE_NEVER fails fast when it does not already exist.
+    * @param statsIndexPath when set, the publish feeds its OWN file delta
+    *   to [[StatsIndex.updateFiles]] — the publish path knows exactly
+    *   which files it just moved in, so index maintenance costs one
+    *   `listStatus` per published partition instead of a table walk.
     * @return the bad-record count.
     */
   def writeRaw(outPath: String,
-               createDisposition: String = "CREATE_IF_NEEDED"): Long = {
+               createDisposition: String = "CREATE_IF_NEEDED",
+               statsIndexPath: Option[String] = None,
+               statsColumns: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val dest = new org.apache.hadoop.fs.Path(outPath)
@@ -517,7 +523,11 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
     val bad =
       try enforceBadLimit()
       catch { case e: Throwable => fs.delete(staging, true); throw e }
-    RawLayer.publishPartitions(fs, staging, dest)
+    val published = RawLayer.publishPartitions(fs, staging, dest)
+    statsIndexPath.foreach { idx =>
+      StatsIndex.updateFiles(spark,
+        RawLayer.partitionFiles(fs, published), idx, statsColumns)
+    }
     bad
   }
 }
@@ -589,18 +599,23 @@ object RawLayer {
     * non-crash failure never leaves a partition absent — only a genuine
     * crash can, and then the data still survives in `_trash_*`. Orphaned
     * trash/staging from previous crashed runs is swept here once past
-    * [[OrphanRetentionMs]]. */
+    * [[OrphanRetentionMs]].
+    *
+    * Returns the published partition directories under `dest` — the
+    * exact delta a downstream [[graft.sources.StatsIndex.updateFiles]]
+    * can index without re-walking the table. */
   private[graft] def publishPartitions(fs: org.apache.hadoop.fs.FileSystem,
                                        staging: org.apache.hadoop.fs.Path,
-                                       dest: org.apache.hadoop.fs.Path): Unit = {
+                                       dest: org.apache.hadoop.fs.Path
+                                      ): Seq[org.apache.hadoop.fs.Path] = {
     fs.mkdirs(dest)
     sweepOrphans(fs, dest)
     val trash = new org.apache.hadoop.fs.Path(dest,
       s"_trash_${java.util.UUID.randomUUID().toString.take(8)}")
     var trashUsed = false
-    fs.listStatus(staging)
+    val published = fs.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .foreach { st =>
+      .map { st =>
         val target = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
         val aside: Option[org.apache.hadoop.fs.Path] =
           if (!fs.exists(target)) None
@@ -622,8 +637,22 @@ object RawLayer {
               case None => ""
             }))
         }
+        target
       }
     if (trashUsed) fs.delete(trash, true)
     fs.delete(staging, true)
+    published.toSeq
   }
+
+  /** Parquet files directly under the given partition directories — the
+    * publish delta, listed with one `listStatus` per partition instead of
+    * a table walk. */
+  private[graft] def partitionFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                    dirs: Seq[org.apache.hadoop.fs.Path]): Seq[String] =
+    dirs.flatMap { d =>
+      fs.listStatus(d).toSeq
+        .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+    }
 }

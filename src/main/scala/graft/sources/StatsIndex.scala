@@ -57,21 +57,52 @@ object StatsIndex {
 
   /** Data files under `tablePath`, recursive, skipping hidden
     * (`_`/`.`-prefixed) segments — the same visibility rule partition
-    * discovery uses, so staging/trash/checkpoint dirs never index. */
-  def listDataFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+    * discovery uses, so staging/trash/checkpoint dirs never index.
+    *
+    * The walk fans out over a bounded driver thread pool (the
+    * `InMemoryFileIndex` shape): each directory's `listStatus` is one
+    * task, discovered subdirectories re-enqueue. On object stores a
+    * listing round-trip is milliseconds of latency, so a
+    * partition-per-day × buckets layout lists `listParallelism`× faster
+    * than the sequential walk this replaces — at millions of files the
+    * LISTING, not the footers, is otherwise the planning bottleneck the
+    * index exists to remove. Result is sorted (deterministic). */
+  def listDataFiles(spark: SparkSession, tablePath: String,
+                    listParallelism: Int = 16): Seq[String] = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def visible(p: Path): Boolean = {
       val n = p.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    def walk(p: Path): Seq[String] =
-      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath.toString)
-        else Nil
+    val files = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, listParallelism))
+    val pending = new java.util.concurrent.atomic.AtomicLong(0L)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def submit(p: Path): Unit = {
+      pending.incrementAndGet()
+      pool.execute { () =>
+        try {
+          if (failure.get() == null)
+            fs.listStatus(p).foreach { st =>
+              if (visible(st.getPath)) {
+                if (st.isDirectory) submit(st.getPath)
+                else if (st.getPath.getName.endsWith(".parquet"))
+                  files.add(st.getPath.toString)
+              }
+            }
+        } catch {
+          case t: Throwable => failure.compareAndSet(null, t)
+        } finally if (pending.decrementAndGet() == 0L) done.countDown()
       }
-    walk(root)
+    }
+    submit(root)
+    done.await()
+    pool.shutdown()
+    if (failure.get() != null) throw failure.get()
+    files.asScala.toSeq.sorted
   }
 
   /** Build the stats relation for `tablePath`: one distributed footer
@@ -93,7 +124,13 @@ object StatsIndex {
 
   /** Stats rows for one file's footer. Per-column chunks aggregate
     * across row groups: min of mins, max of maxes, null counts summed
-    * only while every group reports one. */
+    * only while every group reports one. Bounds are emitted ONLY when
+    * EVERY row group's chunk is accounted for — carries value stats, is
+    * provably all-null (numNulls == group rows), or sits in an empty
+    * group. A chunk with rows but missing/suppressed/empty stats
+    * (older or foreign writers) makes the whole column's bounds unknown:
+    * partial bounds could otherwise prove a false "disjoint" and prune a
+    * file that contains matching rows. */
   private def footerStats(file: String, conf: SerializableConfiguration,
                           wanted: Set[String]): Seq[FileColStats] = {
     val reader = ParquetFileReader.open(
@@ -101,26 +138,44 @@ object StatsIndex {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val byCol = blocks.flatMap(_.getColumns.asScala)
-        .groupBy(_.getPath.toDotString)
+      // pair each chunk with its row group's row count — whether absent
+      // value stats are safely ignorable depends on the group having rows
+      val byCol = blocks
+        .flatMap(b => b.getColumns.asScala.map(c => (c, b.getRowCount)))
+        .groupBy(_._1.getPath.toDotString)
         .filter { case (c, _) => wanted.isEmpty || wanted(c) }
-      byCol.toSeq.sortBy(_._1).flatMap { case (colName, chunks) =>
-        val pt = chunks.head.getPrimitiveType
-        val stats = chunks.map(_.getStatistics).filter(_ != null)
+      byCol.toSeq.sortBy(_._1).flatMap { case (colName, chunkRows) =>
+        val pt = chunkRows.head._1.getPrimitiveType
+        val allStats = chunkRows.map(_._1.getStatistics)
         val nulls =
-          if (stats.size == chunks.size && stats.forall(_.isNumNullsSet))
-            stats.map(_.getNumNulls).sum
+          if (allStats.forall(s => s != null && s.isNumNullsSet))
+            allStats.map(_.getNumNulls).sum
           else -1L
-        val present = stats.filter(s => !s.isEmpty && s.hasNonNullValue)
-        numericBounds(pt, present) match {
+        val trusted = chunkRows.forall { case (ch, groupRows) =>
+          val s = ch.getStatistics
+          groupRows == 0L ||
+            (s != null && !s.isEmpty &&
+              (s.hasNonNullValue ||
+                (s.isNumNullsSet && s.getNumNulls == groupRows)))
+        }
+        val present = allStats.filter(s =>
+          s != null && !s.isEmpty && s.hasNonNullValue)
+        if (!trusted)
+          Some(FileColStats(file, rows, colName, pt.getPrimitiveTypeName.name,
+            None, None, None, None, nulls))
+        else numericBounds(pt, present) match {
           case Some((lo, hi)) =>
             Some(FileColStats(file, rows, colName, pt.getPrimitiveTypeName.name,
               Some(lo), Some(hi), None, None, nulls))
           case None if isString(pt) && present.nonEmpty =>
+            // aggregate with UTF-8 byte order (what pruneFiles' Spark
+            // string comparison uses) — Java String order disagrees on
+            // supplementary-plane characters and could mis-bound the file
             val mins = present.map(_.minAsString)
             val maxs = present.map(_.maxAsString)
             Some(FileColStats(file, rows, colName, "STRING",
-              None, None, Some(mins.min), Some(maxs.max), nulls))
+              None, None, Some(mins.min(Utf8Ordering)),
+              Some(maxs.max(Utf8Ordering)), nulls))
           case None =>
             // unsupported type, or no non-null values in any group (the
             // all-null case — excludable for range predicates iff the
@@ -130,6 +185,14 @@ object StatsIndex {
         }
       }
     } finally reader.close()
+  }
+
+  /** UTF-8 byte / code-point order — matches Spark's UTF8String binary
+    * comparison used by [[pruneFiles]]'s string range predicates. */
+  private object Utf8Ordering extends Ordering[String] {
+    def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
   }
 
   private def isString(pt: PrimitiveType): Boolean =
@@ -180,13 +243,22 @@ object StatsIndex {
     * rows are harmless for pruning — they name files the scan will
     * never be asked to read — but [[build]]+[[save]] rebuilds clean.) */
   def update(spark: SparkSession, tablePath: String, indexPath: String,
-             columns: Seq[String] = Nil): Long = {
+             columns: Seq[String] = Nil): Long =
+    updateFiles(spark, listDataFiles(spark, tablePath), indexPath, columns)
+
+  /** [[update]] fed a PRE-LISTED candidate set — the ingest publish path
+    * already knows exactly which files it just wrote, so it can skip the
+    * tree walk entirely (at millions of files the walk is the cost the
+    * delta avoids). Candidates already indexed are skipped, making the
+    * call idempotent under publish replay. */
+  def updateFiles(spark: SparkSession, candidates: Seq[String], indexPath: String,
+                  columns: Seq[String] = Nil): Long = {
     val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
     val existing: Set[String] =
       if (!fs.exists(new Path(indexPath))) Set.empty
       else load(spark, indexPath).select("file").distinct()
         .collect().map(_.getString(0)).toSet
-    val fresh = listDataFiles(spark, tablePath).filterNot(existing)
+    val fresh = candidates.filterNot(existing)
     if (fresh.isEmpty) return 0L
     import spark.implicits._
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 /** [[Expectations]]: hand-computed violation counts for every check
   * type, the predicate null rule, the anti-join FK check, and the loud
@@ -90,5 +91,90 @@ class ExpectationsSpec extends SparkSpec {
     val rows = Expectations.run(df, Seq(RefIntegrity("k", ref, "rk")))
       .as[(String, Long, Boolean)].collect().toList
     assert(rows == List(("ref(k->rk)", 1L, false)))
+  }
+
+  test("empty table: row checks report 0 violations / pass=true, never NULL") {
+    val empty = Seq.empty[(Option[Long], Option[Double])].toDF("k", "v")
+    val rows = Expectations.run(empty, Seq(NotNull("k"), InRange("v", 0.0, 10.0)))
+      .as[(String, Long, Boolean)].collect().toList
+    assert(rows == List(("not_null(k)", 0L, true), ("range(v,0.0,10.0)", 0L, true)))
+    requirePass(Expectations.run(empty, Seq(NotNull("k"))))
+  }
+
+  // ── drift checks ────────────────────────────────────────────────────
+
+  // baseline corpus: 100 rows, x = 0..99 (mean 49.5, no nulls)
+  private lazy val driftBase =
+    Seq.tabulate(100)(i => (i.toLong, Option(i.toDouble))).toDF("id", "x")
+  private lazy val driftBaseline = Profile.numeric(driftBase, Seq("x"))
+  // today: 3× rows, 10% nulls, non-null mean 100 (drift +50.5)
+  private lazy val driftToday = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 10 == 0) None else Option((i % 100) + 50.0)))
+    .toDF("id", "x")
+
+  test("drift vs a profile baseline: hand-computed pass/violate per band") {
+    val report = Expectations.run(driftToday, Seq(
+        RowCountDrift(driftBaseline, 4.0),      // 3.0× within 4× → pass
+        RowCountDrift(driftBaseline, 2.0),      // 3.0× beyond 2× → violated
+        NullRateDrift("x", driftBaseline, 0.2), // 0.1 vs 0.0, band 0.2 → pass
+        NullRateDrift("x", driftBaseline, 0.05),// beyond 0.05 → violated
+        MeanDrift("x", driftBaseline, 100.0),   // +50.5 within 100 → pass
+        MeanDrift("x", driftBaseline, 10.0)))   // beyond 10 → violated
+      .as[(String, Long, Boolean)].collect()
+      .map { case (n, v, p) => n -> ((v, p)) }.toMap
+    assert(report == Map(
+      "row_count_drift(4.0)" -> ((0L, true)),
+      "row_count_drift(2.0)" -> ((1L, false)),
+      "null_rate_drift(x,0.2)" -> ((0L, true)),
+      "null_rate_drift(x,0.05)" -> ((1L, false)),
+      "mean_drift(x,100.0)" -> ((0L, true)),
+      "mean_drift(x,10.0)" -> ((1L, false))))
+  }
+
+  test("drift: shrink direction violates symmetrically") {
+    // today 100 rows vs baseline 300: ratio 1/3 beyond 2× either way
+    val shrunkBaseline = Profile.numeric(driftToday, Seq("x"))
+    val rows = Expectations.run(driftBase, Seq(RowCountDrift(shrunkBaseline, 2.0)))
+      .as[(String, Long, Boolean)].collect().toList
+    assert(rows == List(("row_count_drift(2.0)", 1L, false)))
+  }
+
+  test("drift: missing baseline row / empty baseline violate (unevaluable ≠ pass)") {
+    // 'id' was never profiled into the baseline → no row → violation
+    val noRow = Expectations.run(driftToday,
+        Seq(NullRateDrift("id", driftBaseline, 0.9),
+          MeanDrift("id", driftBaseline, 1e9)))
+      .as[(String, Long, Boolean)].collect().toList
+    assert(noRow.forall { case (_, v, p) => v == 1L && !p })
+    // a zero-row baseline relation proves nothing → violation
+    val emptyBaseline = driftBaseline.where($"column" === "no_such")
+    val empty = Expectations.run(driftToday,
+        Seq(RowCountDrift(emptyBaseline, 10.0)))
+      .as[(String, Long, Boolean)].collect().toList
+    assert(empty == List(("row_count_drift(10.0)", 1L, false)))
+  }
+
+  test("quantile drift: shifted distribution trips the KLL band; unshifted passes") {
+    val base = spark.range(0, 2000)
+      .select($"id".cast("double").as("x"), lit("a").as("g"))
+    val baseSketch = SketchStats.sketchBatch(base, Seq("g"), Nil, Nil,
+      quantileCols = Seq("x"))
+    // KLL rank error ≈1.65% → value error ≲ ~70 on a 0..1999 uniform;
+    // band 200 ≫ error, shift 500 ≫ band: both outcomes deterministic
+    def check(today: org.apache.spark.sql.DataFrame) =
+      Expectations.run(today, Seq(QuantileBandDrift("x", 0.9, 200.0, baseSketch)))
+        .as[(String, Long, Boolean)].head()
+    assert(check(base) == (("quantile_drift(x,p90,200.0)", 0L, true)))
+    assert(check(base.withColumn("x", $"x" + 500.0)) ==
+      (("quantile_drift(x,p90,200.0)", 1L, false)))
+  }
+
+  test("drift + row-local checks share one report and gate together") {
+    val report = Expectations.run(driftToday, Seq(
+      NotNull("id"),
+      RowCountDrift(driftBaseline, 2.0)))
+    val e = intercept[IllegalArgumentException] { requirePass(report) }
+    assert(e.getMessage.contains("row_count_drift(2.0): 1 violations"))
+    assert(!e.getMessage.contains("not_null(id)"))
   }
 }
