@@ -108,4 +108,71 @@ object Scd2Stream {
     * identical to [[Scd2.fromHistory]] so consumers can swap freely. */
   def readDim(spark: SparkSession, dimPath: String): DataFrame =
     spark.read.parquet(dimPath).drop("_kb")
+
+  /** `_batch_id` partition value compacted observations land under. Real
+    * batch ids are ≥ 0, so the sentinel never collides with a replay. */
+  val CompactedBatchId: Long = -1L
+
+  /** Bucket-grain raw-log compaction — the operator's real scale
+    * ceiling removed: without it every touched-bucket rebuild re-reads
+    * the bucket's FULL observation history, which at years of CDC grows
+    * without bound. Compaction rewrites each bucket down to one
+    * observation per (key, change) — exactly the rows
+    * [[Scd2.fromHistory]]'s own change-collapse keeps, so a rebuild from
+    * the compacted log is IDENTICAL to one from the full log (dropped
+    * rows are precisely the rows `fromHistory` filters first; the spec
+    * pins this on the out-of-order adversarial feed).
+    *
+    * LATE-ARRIVAL CONTRACT: a dropped non-change row can be resurrected
+    * by a later event landing mid-history BEFORE it (the key-7 case in
+    * Scd2StreamSpec) — compacting it away would lose that version. So
+    * compaction takes a `watermark`: only rows with `ts ≤ watermark`
+    * may be dropped; everything younger stays raw, change or not. Under
+    * bounded lateness (no arrival carries a ts ≤ the chosen watermark),
+    * a resurrecting insert below the watermark is impossible and
+    * compaction is EXACT — the same bounded-lateness bargain a streaming
+    * watermark always is. `watermark = None` compacts the whole bucket:
+    * exact for the history seen so far, only safe once a bucket can no
+    * longer receive late data.
+    *
+    * Crash safety rides the existing staged publish: the compacted
+    * buckets land under a hidden `_staging_*` dir and replace their
+    * `_kb=` partitions wholesale via [[graft.sources.RawLayer
+    * .publishPartitions]] (aside-rename to trash, then in-rename — no
+    * crash point destroys observations). Replay convergence is
+    * preserved: a pre-compaction batch id replayed later re-lands its
+    * rows alongside the compacted set, and `fromHistory` collapses the
+    * duplicates — the dim is unchanged.
+    *
+    * Run it from the same serial `foreachBatch` loop as [[applyBatch]]
+    * (micro-batches execute one at a time) — never concurrently with a
+    * landing batch, whose partitions the wholesale bucket replace would
+    * clobber. */
+  def compactBuckets(spark: SparkSession, rawPath: String, buckets: Seq[Long],
+                     key: String, ts: String, tracked: String,
+                     tieBreak: Seq[String] = Nil,
+                     watermark: Option[Column] = None): Unit = {
+    if (buckets.isEmpty) return
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(rawPath)
+      .where(col("_kb").isin(buckets: _*))
+    val orderCols: Seq[Column] = col(ts) +: tieBreak.map(col)
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val nonChange = lag(col(tracked), 1).over(w) === col(tracked)
+    val droppable = watermark match {
+      case Some(wm) => nonChange && col(ts) <= wm
+      case None => nonChange
+    }
+    val compacted = raw
+      .withColumn("_drop", coalesce(droppable, lit(false)))
+      .where(!col("_drop")).drop("_drop")
+      .withColumn("_batch_id", lit(CompactedBatchId))
+    val root = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    compacted.write.mode("overwrite")
+      .partitionBy("_kb", "_batch_id").parquet(staging.toString)
+    graft.sources.RawLayer.publishPartitions(fs, staging, root)
+  }
 }

@@ -376,8 +376,31 @@ object Stress {
         tieBreak = Seq("event_type"))
       val (nd, nw) = (dim.count(), want.count())
       assert(nd == nw, s"incremental dim $nd != full rebuild $nw")
+      // raw-log compaction: one observation per (key, change) — the
+      // re-read every future rebuild pays shrinks to the version count
+      val rawRowsBefore = spark.read.parquet(s"$root/raw").count()
+      val tc0 = System.nanoTime()
+      graft.streaming.Scd2Stream.compactBuckets(spark, s"$root/raw",
+        0L until 64L, "user_id", "ts", "event_type",
+        tieBreak = Seq("event_type"))
+      val tCompact = (System.nanoTime() - tc0) / 1e9
+      val rawRowsAfter = spark.read.parquet(s"$root/raw").count()
+      assert(rawRowsAfter < rawRowsBefore,
+        s"compaction did not shrink the log: $rawRowsAfter vs $rawRowsBefore")
+      // a post-compaction point update must still match the full rebuild
+      val oneUser2 = oneUser.withColumn("ts", col("ts") + expr("INTERVAL 1 DAYS"))
+        .localCheckpoint()
+      val tPoint2 = apply(oneUser2, 5L)
+      val nd2 = graft.streaming.Scd2Stream.readDim(spark, s"$root/dim").count()
+      val nw2 = Scd2.fromHistory(
+        feed.unionByName(oneUser).unionByName(oneUser2),
+        "user_id", "ts", "event_type", tieBreak = Seq("event_type")).count()
+      assert(nd2 == nw2, s"post-compaction dim $nd2 != full rebuild $nw2")
       println(f"   bulk batches: ${bulk.map(t => f"$t%.1f").mkString("/")}s " +
-        f"point update: $tPoint%.1fs versions: $nd (== full-history rebuild)")
+        f"point update: $tPoint%.1fs versions: $nd (== full-history rebuild); " +
+        f"compaction $tCompact%.1fs shrank raw $rawRowsBefore -> $rawRowsAfter " +
+        f"rows (${(100.0 * rawRowsAfter / rawRowsBefore).round}%%), " +
+        f"post-compaction point update $tPoint2%.1fs (== full rebuild)")
     }
     time("StatsIndex: 2M rows / 32 z-ordered files — footer pass + box prune") {
       // the metadata layer over the Z-order layout: ONE distributed
@@ -412,6 +435,36 @@ object Stress {
       assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
       println(f"   stats rows=$nStats build=$tBuild%.1fs prune=$tPrune%.2fs " +
         f"files=${surviving.size}/32 rows=$full (identical either path)")
+    }
+    time("StatsIndex.listDataFiles: 10k files / 100 dirs, 2ms simulated LIST RTT") {
+      // the planning-cost half of the millions-of-files problem: on an
+      // object store each directory listing is a round-trip, so the walk
+      // must hide latency, not chase local syscall throughput — simulate
+      // the RTT with a delaying FileSystem and measure the fan-out win
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-ls")
+      for (d <- 0 until 100) {
+        val dir = root.resolve(f"part=$d%03d")
+        java.nio.file.Files.createDirectory(dir)
+        for (f <- 0 until 100)
+          java.nio.file.Files.createFile(dir.resolve(f"f$f%03d.parquet"))
+      }
+      spark.sparkContext.hadoopConfiguration.set("fs.slowls.impl",
+        classOf[SlowListingFs].getName)
+      val uri = s"slowls://$root"
+      val t0 = System.nanoTime()
+      val seq = graft.sources.StatsIndex.listDataFiles(spark, uri,
+        listParallelism = 1)
+      val tSeq = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val par = graft.sources.StatsIndex.listDataFiles(spark, uri,
+        listParallelism = 16)
+      val tPar = (System.nanoTime() - t1) / 1e9
+      assert(seq.size == 10000 && par == seq,
+        s"parallel listing diverged: ${par.size} vs ${seq.size}")
+      assert(tPar * 3 < tSeq,
+        f"parallel walk hid too little latency: $tPar%.2fs vs $tSeq%.2fs")
+      println(f"   10000 files: sequential $tSeq%.2fs, 16-way $tPar%.2fs " +
+        f"(${tSeq / tPar}%.1fx; 2ms/LIST models object-store RTT)")
     }
     time("asofJoin: 2M events each carrying the user's latest purchase") {
       // union-tag-window: must stay join-free — one exchange of the
@@ -606,5 +659,20 @@ object Stress {
         "cell-local rescore, never all-pairs)")
     }
     spark.stop()
+  }
+}
+
+/** [[org.apache.hadoop.fs.RawLocalFileSystem]] under the `slowls://`
+  * scheme with a fixed per-`listStatus` delay — models an object
+  * store's LIST round-trip so [[Stress]]'s parallel-walk datapoint
+  * measures latency hiding (the quantity that matters at millions of
+  * files), not local syscall throughput. */
+class SlowListingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "slowls"
+  override def getUri: java.net.URI = java.net.URI.create("slowls:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path
+                         ): Array[org.apache.hadoop.fs.FileStatus] = {
+    Thread.sleep(2)
+    super.listStatus(p)
   }
 }

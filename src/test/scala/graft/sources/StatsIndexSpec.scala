@@ -148,6 +148,70 @@ class StatsIndexSpec extends SparkSpec {
     }
   }
 
+  test("suppressed writer stats: bounds withheld, file always kept (conservative contract)") {
+    val root = Files.createTempDirectory("graft-statsidx-nostats").toString
+    // a writer that records NO stats for v (parquet.column.statistics
+    // writer property) — the older/foreign-writer case: the column HAS
+    // rows, so partial or fabricated bounds could prove a false disjoint
+    (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(1).write
+      .option("parquet.column.statistics.enabled#v", "false")
+      .parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val vRow = stats.where(col("column") === "v")
+      .as[StatsIndex.FileColStats].collect()
+    assert(vRow.length == 1)
+    assert(vRow.head.min_num.isEmpty && vRow.head.max_num.isEmpty,
+      s"bounds must be withheld when the writer recorded no stats: ${vRow.head}")
+    // a v-range that matches nothing still cannot prune the file —
+    // while the id column (with stats) still can
+    assert(StatsIndex.pruneFiles(stats, Map("v" -> (1e9, 2e9))).size == 1)
+    assert(StatsIndex.pruneFiles(stats, Map("id" -> (1e9, 2e9))).isEmpty)
+  }
+
+  test("updateFiles indexes a pre-listed delta, idempotently") {
+    val root = Files.createTempDirectory("graft-statsidx-delta").toString
+    val t = s"$root/t"
+    val idx = s"$root/idx"
+    (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .coalesce(2).write.parquet(t)
+    val files = StatsIndex.listDataFiles(spark, t)
+    assert(files.size == 2)
+    // feed one file as the publish delta, then both: the second call
+    // indexes only the remaining one, the third is a no-op
+    assert(StatsIndex.updateFiles(spark, files.take(1), idx, Seq("id")) == 1L)
+    assert(StatsIndex.updateFiles(spark, files, idx, Seq("id")) == 1L)
+    assert(StatsIndex.updateFiles(spark, files, idx, Seq("id")) == 0L)
+    assert(StatsIndex.load(spark, idx).select("file").distinct().count() == 2)
+  }
+
+  test("writeRaw publish feeds its own file delta to the stats index") {
+    val root = Files.createTempDirectory("graft-statsidx-raw").toString
+    val out = s"$root/raw"
+    val idx = s"$root/idx"
+    val csv = s"$root/in.csv"
+    val cols = Seq(CsvIngest.ColumnSpec("id", "INTEGER"),
+      CsvIngest.ColumnSpec("v", "FLOAT"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+      "1,10.0\n2,20.0\n3,30.0\n".getBytes("UTF-8"))
+    CsvIngest.load(spark, csv, cols, ingestionDate = "2024-03-01")
+      .writeRaw(out, statsIndexPath = Some(idx))
+    val stats = StatsIndex.load(spark, idx)
+    // every published parquet file is indexed, none of the machinery dirs
+    val indexed = stats.select("file").distinct().as[String].collect()
+    assert(indexed.nonEmpty && indexed.forall(f =>
+      f.contains("ingestion_date=2024-03-01") && f.endsWith(".parquet")))
+    assert(indexed.toSet == StatsIndex.listDataFiles(spark, out).toSet)
+    // a second day's publish appends only its own delta
+    val csv2 = s"$root/in2.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv2),
+      "4,40.0\n".getBytes("UTF-8"))
+    CsvIngest.load(spark, csv2, cols, ingestionDate = "2024-03-02")
+      .writeRaw(out, statsIndexPath = Some(idx))
+    assert(StatsIndex.load(spark, idx).select("file").distinct().count() ==
+      StatsIndex.listDataFiles(spark, out).size)
+  }
+
   test("INT64 bounds are ulp-widened: a >2^53 long never fabricates disjointness") {
     val root = Files.createTempDirectory("graft-statsidx-big").toString
     val big = (1L << 60) + 3L // rounds when cast to double

@@ -134,6 +134,88 @@ class Scd2StreamSpec extends SparkSpec {
     assert(once == want)
   }
 
+  test("log compaction: compacted-log rebuild == full-log rebuild on the adversarial feed") {
+    val raw = Files.createTempDirectory("graft-scd2s-raw3").toString
+    val dim = Files.createTempDirectory("graft-scd2s-dim3").toString + "/dim"
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Scd2Stream.applyBatch(feedDf(b), i.toLong, raw, dim,
+        "cust_id", "ts", "segment", nBuckets = 4)
+    }
+    val want = keyRows(Scd2.fromHistory(
+      feedDf(batches.flatten), "cust_id", "ts", "segment"))
+    val rowsBefore = spark.read.parquet(raw).count()
+
+    Scd2Stream.compactBuckets(spark, raw, 0L until 4L,
+      "cust_id", "ts", "segment")
+
+    // the log shrank (the duplicate/non-change observations are gone) and
+    // every bucket collapsed to the single compacted batch partition
+    val after = spark.read.parquet(raw)
+    assert(after.count() < rowsBefore)
+    assert(after.select(col("_batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(Scd2Stream.CompactedBatchId))
+
+    // a rebuild from the compacted log is EXACTLY the full-log rebuild
+    val rebuilt = keyRows(Scd2.fromHistory(
+      after.drop("_batch_id", "_kb"), "cust_id", "ts", "segment"))
+    assert(rebuilt == want)
+
+    // and the maintained dim keeps matching across a post-compaction batch
+    val more = Seq((1L, ts("2024-01-08 09:00:00"), "silver", 13.0))
+    Scd2Stream.applyBatch(feedDf(more), 4L, raw, dim,
+      "cust_id", "ts", "segment", nBuckets = 4)
+    assert(keyRows(Scd2Stream.readDim(spark, dim)) ==
+      keyRows(Scd2.fromHistory(feedDf(batches.flatten ++ more),
+        "cust_id", "ts", "segment")))
+
+    // pre-compaction batch-id replay after compaction still converges
+    Scd2Stream.applyBatch(feedDf(batches(1)), 1L, raw, dim,
+      "cust_id", "ts", "segment", nBuckets = 4)
+    assert(keyRows(Scd2Stream.readDim(spark, dim)) ==
+      keyRows(Scd2.fromHistory(feedDf(batches.flatten ++ more),
+        "cust_id", "ts", "segment")))
+  }
+
+  test("watermarked compaction keeps resurrectable rows; unguarded compaction documents the loss") {
+    // key 7 after batch 0 alone: A@Jan1, A@Jan3 (non-change), B@Jan5.
+    // The late Z@Jan2 in batch 2 must RESURRECT A@Jan3 — so a compaction
+    // that ran before Z arrived may only drop observations at or below a
+    // watermark that bounds lateness.
+    def land(raw: String, dim: String, b: Seq[(Long, Timestamp, String, Double)],
+             id: Long): Unit =
+      Scd2Stream.applyBatch(feedDf(b), id, raw, dim,
+        "cust_id", "ts", "segment", nBuckets = 4)
+    val late = Seq((7L, ts("2024-01-02 10:00:00"), "Z", 4.0))
+
+    // watermark Jan 2 00:00 < the non-change A@Jan3 → A@Jan3 survives
+    val raw1 = Files.createTempDirectory("graft-scd2s-raw4").toString
+    val dim1 = Files.createTempDirectory("graft-scd2s-dim4").toString + "/dim"
+    land(raw1, dim1, batches.head, 0L)
+    Scd2Stream.compactBuckets(spark, raw1, 0L until 4L,
+      "cust_id", "ts", "segment",
+      watermark = Some(lit(ts("2024-01-02 00:00:00"))))
+    land(raw1, dim1, late, 1L)
+    val k7 = keyRows(Scd2Stream.readDim(spark, dim1))
+      .filter(_._1 == 7L).toSeq.sortBy(_._6).map(r => (r._2, r._3))
+    assert(k7 == Seq(
+      ("A", ts("2024-01-01 10:00:00")),
+      ("Z", ts("2024-01-02 10:00:00")),
+      ("A", ts("2024-01-03 10:00:00")), // resurrected — the watermark kept it
+      ("B", ts("2024-01-05 10:00:00"))))
+
+    // no watermark: A@Jan3 is compacted away, and the late Z then loses it
+    // (the documented bounded-lateness bargain — this pins the contract)
+    val raw2 = Files.createTempDirectory("graft-scd2s-raw5").toString
+    val dim2 = Files.createTempDirectory("graft-scd2s-dim5").toString + "/dim"
+    land(raw2, dim2, batches.head, 0L)
+    Scd2Stream.compactBuckets(spark, raw2, 0L until 4L,
+      "cust_id", "ts", "segment")
+    land(raw2, dim2, late, 1L)
+    val k7lost = keyRows(Scd2Stream.readDim(spark, dim2))
+      .filter(_._1 == 7L).toSeq.sortBy(_._6).map(_._2)
+    assert(k7lost == Seq("A", "Z", "B")) // A@Jan3 version gone
+  }
+
   test("missing column fails loudly up front") {
     val e = intercept[IllegalArgumentException] {
       Scd2Stream.applyBatch(feedDf(batches.head).drop("segment"), 0L,
