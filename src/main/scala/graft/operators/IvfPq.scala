@@ -295,9 +295,9 @@ object IvfPq {
     * Quantizer state is FROZEN: appended rows get exactly the recall a
     * same-distribution rebuild would give; under distribution drift the
     * residuals grow and shortlist recall decays — the published practice
-    * is to monitor drift (e.g. [[Pq.maxQuantizationError]] on the
-    * appended batch) and rebuild when it accumulates. Returns the
-    * appended row count. */
+    * is to monitor drift and rebuild when it accumulates, implemented
+    * here by [[appendOrRebuild]] against the [[saveFitStats]] baseline.
+    * Returns the appended row count. */
   def append(spark: SparkSession, path: String, idCol: String, vecCol: String,
              newRows: DataFrame): Long = {
     val index = load(spark, path, idCol)
@@ -322,6 +322,86 @@ object IvfPq {
         .write.mode("append").parquet(s"$path/vectors")
     }
     n
+  }
+
+  /** Mean squared two-level quantization error of `rows` under the
+    * index's FROZEN quantizers — the drift monitor's measurement: each
+    * row is assigned to its nearest existing cell, residual-encoded with
+    * the existing codebooks, and probed with its OWN residual
+    * (`adc(code_x, x−ctr) = ‖x − (ctr + decode(code_x))‖²`). One
+    * map-side pass over a bounded sample; the driver receives a double. */
+  def quantizationMse(index: Index, rows: DataFrame, vecCol: String,
+                      maxSample: Int = 100000): Double = {
+    require(maxSample >= 1, s"maxSample=$maxSample")
+    val sampled = rows.limit(maxSample)
+      .select(unitNorm(col(vecCol)).as("_vn"))
+      .withColumn("_cc", element_at(rankedCells(index.centers, "_vn"), 1))
+      .withColumn("_res", zip_with(col("_vn"), col("_cc.ctr"), (x, c) => x - c))
+      .withColumn("_e2",
+        Pq.adcCol(Pq.encodeCol(col("_res"), index.cb), col("_res"), index.cb))
+    val r = sampled.agg(avg(col("_e2"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Persist the fit-time error baseline alongside a [[save]]d index —
+    * the reference point [[appendOrRebuild]]'s drift decision compares
+    * against. Call once at build time with the build corpus. */
+  def saveFitStats(spark: SparkSession, path: String, index: Index,
+                   corpus: DataFrame, vecCol: String,
+                   maxSample: Int = 100000): Unit = {
+    val mse = quantizationMse(index, corpus, vecCol, maxSample)
+    import spark.implicits._
+    Seq(mse).toDF("fit_mse")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/fit_stats")
+  }
+
+  /** The persisted fit-time baseline, when [[saveFitStats]] ran. */
+  def loadFitMse(spark: SparkSession, path: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/fit_stats")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) None
+    else spark.read.parquet(s"$path/fit_stats").collect()
+      .headOption.map(_.getDouble(0))
+  }
+
+  /** The monitor-decide loop [[append]]'s scaladoc prescribes, closed:
+    * measure the NEW batch's quantization error under the frozen
+    * quantizers; while it stays within `driftFactor ×` the persisted
+    * fit-time baseline, this IS [[append]] (one map pass, no retrain);
+    * past it, the batch has drifted from the fitted distribution — land
+    * it, then RETRAIN the whole index from the persisted vector relation
+    * (same nCells/m/ksub, read back from the index itself) and refresh
+    * the baseline, restoring fresh-build recall. Returns true iff a
+    * rebuild happened.
+    *
+    * Requires [[saveFitStats]] at build time (no baseline = no sound
+    * decision — fail loudly, never guess) and [[saveVectors]] (a retrain
+    * needs the raw vectors; the code relation alone cannot refit). */
+  def appendOrRebuild(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, newRows: DataFrame,
+                      driftFactor: Double = 2.0, seed: Long = 42L,
+                      maxSample: Int = 100000): Boolean = {
+    require(driftFactor >= 1.0, s"driftFactor=$driftFactor")
+    val index = load(spark, path, idCol)
+    val base = loadFitMse(spark, path).getOrElse(throw new IllegalStateException(
+      s"appendOrRebuild: no fit-time baseline at $path/fit_stats — " +
+        "call saveFitStats when the index is built"))
+    val newMse = quantizationMse(index, newRows, vecCol, maxSample)
+    append(spark, path, idCol, vecCol, newRows)
+    if (newMse <= driftFactor * base) false
+    else {
+      val vp = new org.apache.hadoop.fs.Path(s"$path/vectors")
+      require(vp.getFileSystem(spark.sessionState.newHadoopConf()).exists(vp),
+        s"appendOrRebuild: drift past threshold but no vector relation at " +
+          s"$path/vectors to retrain from — use saveVectors at build time")
+      val all = loadVectors(spark, path) // includes the batch just landed
+      val rebuilt = build(all, idCol, vecCol,
+        nCells = index.centers.length, m = index.cb.m,
+        ksub = index.cb.centers(0).length, seed = seed)
+      save(rebuilt, spark, path)
+      saveFitStats(spark, path, rebuilt, all, vecCol, maxSample)
+      rebuilt.unpersist()
+      true
+    }
   }
 
   /** Probe against a [[save]]d index with a [[saveVectors]] relation —

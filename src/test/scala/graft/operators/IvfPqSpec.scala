@@ -156,6 +156,89 @@ class IvfPqSpec extends SparkSpec {
     } finally idxA.unpersist()
   }
 
+  test("appendOrRebuild: in-distribution appends are a no-op; drifted appends retrain and recover") {
+    val dirM = java.nio.file.Files.createTempDirectory("graft-ivfpq-drift").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft-ivfpq-frozen").toString
+    val corpusA = emb.where(col("vec_id") >= 100)
+    val idxA = IvfPq.build(corpusA, "vec_id", "embedding",
+      nCells = 16, m = 16, ksub = 64, seed = 42L)
+    try {
+      for (d <- Seq(dirM, dirF)) {
+        IvfPq.save(idxA, spark, d)
+        IvfPq.saveVectors(corpusA, "vec_id", "embedding", d, nFiles = 8)
+      }
+      IvfPq.saveFitStats(spark, dirM, idxA, corpusA, "embedding")
+      val fitMse = IvfPq.loadFitMse(spark, dirM).get
+      assert(fitMse > 0.0)
+
+      // in-distribution batch: real embeddings under fresh ids — append,
+      // no retrain (centers and baseline byte-identical), rows landed
+      val sameDist = emb.where(col("vec_id") >= 8 && col("vec_id") < 58)
+        .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+      assert(!IvfPq.appendOrRebuild(spark, dirM, "vec_id", "embedding", sameDist))
+      assert(IvfPq.load(spark, dirM, "vec_id").centers.map(_.toSeq).toSeq ==
+        idxA.centers.map(_.toSeq).toSeq, "no-op append must not retrain")
+      assert(IvfPq.loadFitMse(spark, dirM).get == fitMse)
+      assert(spark.read.parquet(s"$dirM/assigned")
+        .where(col("vec_id") >= 20000L).count() == 50)
+
+      // drifted batch: every other coordinate sign-flipped — off the
+      // fitted distribution, must trip the 2x band and retrain
+      val drifted = emb.where(col("vec_id") < 8)
+        .select((col("vec_id") + 30000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(pmod(i, lit(2)) === 0, -x).otherwise(x))
+            .as("embedding"))
+      val idxFrozen = IvfPq.load(spark, dirM, "vec_id")
+      val driftedMse = IvfPq.quantizationMse(idxFrozen, drifted, "embedding")
+      info(f"fit mse=$fitMse%.4f drifted-batch mse=$driftedMse%.4f " +
+        f"(${driftedMse / fitMse}%.1fx)")
+      assert(IvfPq.appendOrRebuild(spark, dirM, "vec_id", "embedding", drifted,
+          driftFactor = 1.5),
+        s"drifted batch (mse ${driftedMse / fitMse}x fit) did not trigger a rebuild")
+      assert(IvfPq.load(spark, dirM, "vec_id").centers.map(_.toSeq).toSeq !=
+        idxA.centers.map(_.toSeq).toSeq, "rebuild did not retrain the quantizers")
+      assert(IvfPq.loadFitMse(spark, dirM).get != fitMse,
+        "rebuild did not refresh the baseline")
+
+      // frozen twin: the same two batches via plain append, no retrain
+      IvfPq.append(spark, dirF, "vec_id", "embedding", sameDist)
+      IvfPq.append(spark, dirF, "vec_id", "embedding", drifted)
+
+      // recovery: near the drifted cluster, the rebuilt index must match
+      // brute force at least as well as the frozen one, and find each
+      // drifted vector's exact copy at rank 1 / cos 1.0
+      val dq = drifted.select((col("vec_id") - 30000L).as("q_id"),
+        col("embedding").as("q_vec")).localCheckpoint()
+      val all = corpusA.select("vec_id", "embedding")
+        .unionByName(sameDist).unionByName(drifted)
+      val brute = Similarity.bruteForceTopK(all, dq, "vec_id", "embedding",
+          "q_id", "q_vec", 10)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      def recallOf(dir: String): Double = {
+        val got = IvfPq.probeSaved(spark, dir, "vec_id", "embedding", dq,
+            "q_id", "q_vec", k = 10, nProbe = 4)
+          .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+        (brute & got).size.toDouble / brute.size
+      }
+      val (rRebuilt, rFrozen) = (recallOf(dirM), recallOf(dirF))
+      info(f"drifted-query recall@10: rebuilt=$rRebuilt%.3f frozen=$rFrozen%.3f")
+      assert(rRebuilt >= rFrozen,
+        s"rebuild lost recall: $rRebuilt vs frozen $rFrozen")
+      assert(rRebuilt >= 0.5, s"post-rebuild recall degraded: $rRebuilt")
+      val hits = IvfPq.probeSaved(spark, dirM, "vec_id", "embedding", dq,
+          "q_id", "q_vec", k = 5, nProbe = 4)
+        .where(col("rank") === 1)
+        .select("q_id", "vec_id", "cos_sim")
+        .as[(Long, Long, Double)].collect()
+        .map { case (q, v, c) => q -> ((v, c)) }.toMap
+      (0L until 8L).foreach { q =>
+        assert(hits(q) == ((q + 30000L, 1.0)),
+          s"query $q: expected its drifted copy at cos 1.0, got ${hits(q)}")
+      }
+    } finally idxA.unpersist()
+  }
+
   test("probeSaved == probe, and its re-rank fetch prunes the vector scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-pf").toString

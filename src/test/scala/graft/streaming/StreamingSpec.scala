@@ -214,6 +214,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup loop: two copies in ONE micro-batch — exactly one survives; replay converges") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def doc(family: String, tail: String) =
+      s"the $family quick brown fox jumps over the lazy dog near $tail"
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-loop").toString
+    val (store, verdicts, ckpt) = (s"$root/store", s"$root/verdicts", s"$root/ckpt")
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupStream.run(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, verdicts, ckpt)
+    try {
+      // batch 0: ids 20 and 21 are IDENTICAL copies in the SAME batch —
+      // the leg streamingCandidates alone cannot see — plus a unique doc
+      mem.addData((20L, doc("red", "rivers")), (21L, doc("red", "rivers")),
+        (22L, doc("blue", "harbors")))
+      q.processAllAvailable()
+      // batch 1: a copy of the batch-0 survivor + a fresh doc
+      mem.addData((30L, doc("red", "rivers")), (31L, doc("green", "cities")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def verdictMap() = spark.read.parquet(verdicts)
+      .select("doc_id", "is_dup", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val v = verdictMap()
+    // within-batch: exactly the lower id of the same-batch pair survives
+    assert(v(20L) == ((false, None)) && v(21L) == ((true, Some(20L))))
+    assert(v(22L) == ((false, None)))
+    // across batches: the later copy dedups against the stored survivor
+    assert(v(30L) == ((true, Some(20L))) && v(31L) == ((false, None)))
+    // the store holds ONLY survivors' fingerprints
+    val storedIds = spark.read.parquet(store).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(storedIds == Set(20L, 22L, 31L))
+
+    // crash-replay of batch 1 (its writes already landed): verdicts and
+    // store byte-semantics converge — the half-landed-own-ids case
+    DedupStream.applyBatch(
+      Seq((30L, doc("red", "rivers")), (31L, doc("green", "cities")))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", store, verdicts)
+    assert(verdictMap() == v)
+    assert(spark.read.parquet(store).select("doc_id").distinct()
+      .as[Long].collect().toSet == storedIds)
+  }
+
   test("intervalJoin: stream-stream pairs events within the window, drops outside") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, Long)]
