@@ -359,9 +359,23 @@ object Multimodal {
     * Degrade-don't-kill ([[AviMjpegDecoder]] convention): a payload
     * without the magic, an unparsable header, or zero complete frames
     * falls back to [[VideoStub]]; a truncated trailing frame is dropped,
-    * not fatal. */
+    * not fatal.
+    *
+    * FRAME-SAMPLE STRIDE: [[strided]] measures luma on every `stride`-th
+    * frame only — and because the container is uncompressed, a skipped
+    * frame is a genuine SEEK (`pos += frameSize`, zero plane bytes
+    * touched), so the per-frame O(w·h) cost scales with sampled frames
+    * while `nFrames`/fps still report the whole container (the marker
+    * walk is O(1) per frame). The real 100 TB video pipeline shape:
+    * feature-extract at a stride, never decode what you won't use. */
   object Y4mDecoder extends VideoDecoder {
     private val Magic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Every-`stride`-th-frame decoder (frames 0, stride, 2·stride, …). */
+    def strided(stride: Int): VideoDecoder = {
+      require(stride >= 1, s"y4m stride=$stride")
+      (id: Long, bytes: Array[Byte]) => decodeStrided(id, bytes, stride)
+    }
 
     private def lineEnd(b: Array[Byte], from: Int): Int = {
       var i = from
@@ -369,7 +383,11 @@ object Multimodal {
       i // index of \n, or b.length when unterminated
     }
 
-    def decode(id: Long, bytes: Array[Byte]): VideoFeatures = {
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures =
+      decodeStrided(id, bytes, 1)
+
+    private def decodeStrided(id: Long, bytes: Array[Byte],
+                              stride: Int): VideoFeatures = {
       if (bytes == null || bytes.length < Magic.length ||
           !Magic.indices.forall(i => bytes(i) == Magic(i)))
         return VideoStub.decode(id, bytes)
@@ -405,6 +423,7 @@ object Multimodal {
         }
         var pos = hEnd + 1
         var nFrames = 0
+        var nSampled = 0
         var lumaAcc = 0.0
         while (pos + 5 <= bytes.length &&
                new String(bytes, pos, 5,
@@ -414,18 +433,21 @@ object Multimodal {
           if (fEnd >= bytes.length || dataStart + frameSize > bytes.length) {
             pos = bytes.length // truncated trailing frame: keep what we have
           } else {
-            var sum = 0L
-            var i = dataStart
-            val yEnd = dataStart + ySize
-            while (i < yEnd) { sum += bytes(i) & 0xff; i += 1 }
-            lumaAcc += sum.toDouble / ySize
+            if (nFrames % stride == 0) { // sampled frame: touch its Y plane
+              var sum = 0L
+              var i = dataStart
+              val yEnd = dataStart + ySize
+              while (i < yEnd) { sum += bytes(i) & 0xff; i += 1 }
+              lumaAcc += sum.toDouble / ySize
+              nSampled += 1
+            } // else: pure seek — no plane byte read
             nFrames += 1
             pos = (dataStart + frameSize).toInt
           }
         }
-        if (nFrames == 0) return VideoStub.decode(id, bytes)
+        if (nFrames == 0 || nSampled == 0) return VideoStub.decode(id, bytes)
         val fps = if (fpsNum > 0 && fpsDen > 0) fpsNum.toDouble / fpsDen else 0.0
-        VideoFeatures(id, w, h, nFrames, fps, lumaAcc / nFrames, decoded = true)
+        VideoFeatures(id, w, h, nFrames, fps, lumaAcc / nSampled, decoded = true)
       } catch {
         // malformed header numerals etc. — the VideoDecoder contract says
         // degrade to the stub, never throw on a bad payload
@@ -446,7 +468,21 @@ object Multimodal {
     * Degrade-don't-kill like every decoder: non-GIF magic, zero frames,
     * or a reader error falls back to [[VideoStub]]. */
   object GifDecoder extends VideoDecoder {
-    def decode(id: Long, bytes: Array[Byte]): VideoFeatures = {
+
+    /** Every-`stride`-th-frame decoder: full pixel decode + luma only for
+      * frames 0, stride, 2·stride, …; skipped frames pay the (cheap)
+      * metadata read alone, so the per-frame delay sum — and with it fps
+      * and `nFrames` — still covers the whole animation. */
+    def strided(stride: Int): VideoDecoder = {
+      require(stride >= 1, s"gif stride=$stride")
+      (id: Long, bytes: Array[Byte]) => decodeStrided(id, bytes, stride)
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): VideoFeatures =
+      decodeStrided(id, bytes, 1)
+
+    private def decodeStrided(id: Long, bytes: Array[Byte],
+                              stride: Int): VideoFeatures = {
       if (bytes == null || bytes.length < 6 ||
           !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
         return VideoStub.decode(id, bytes)
@@ -462,6 +498,7 @@ object Multimodal {
           if (n <= 0) return VideoStub.decode(id, bytes)
           var w = 0; var h = 0
           var nFrames = 0
+          var nSampled = 0
           var lumaAcc = 0.0
           var delayCs = 0L
           var i = 0
@@ -469,24 +506,31 @@ object Multimodal {
             // an individually corrupt frame is skipped, not fatal (the
             // AviMjpegDecoder convention)
             try {
-              val img = reader.read(i)
-              // compute BOTH per-frame reads into locals before committing
-              // any accumulator — a metadata IOException after a committed
-              // luma would otherwise skew avg luma for partially-corrupt GIFs
-              val luma = ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
-                (img.getWidth.toDouble * img.getHeight)
-              val delay = frameDelayCs(reader, i)
-              if (nFrames == 0) { w = img.getWidth; h = img.getHeight }
-              lumaAcc += luma
-              delayCs += delay
-              nFrames += 1
+              if (i % stride == 0) {
+                val img = reader.read(i)
+                // compute BOTH per-frame reads into locals before
+                // committing any accumulator — a metadata IOException
+                // after a committed luma would otherwise skew avg luma
+                // for partially-corrupt GIFs
+                val luma = ImageIoDecoder.lumaSum(img, img.getWidth, img.getHeight) /
+                  (img.getWidth.toDouble * img.getHeight)
+                val delay = frameDelayCs(reader, i)
+                if (nSampled == 0) { w = img.getWidth; h = img.getHeight }
+                lumaAcc += luma
+                nSampled += 1
+                delayCs += delay
+                nFrames += 1
+              } else { // skipped frame: metadata only, still counted for fps
+                delayCs += frameDelayCs(reader, i)
+                nFrames += 1
+              }
             } catch { case _: java.io.IOException => }
             i += 1
           }
-          if (nFrames == 0) return VideoStub.decode(id, bytes)
+          if (nSampled == 0) return VideoStub.decode(id, bytes)
           val fps =
             if (delayCs > 0) nFrames / (delayCs / 100.0) else 0.0
-          VideoFeatures(id, w, h, nFrames, fps, lumaAcc / nFrames, decoded = true)
+          VideoFeatures(id, w, h, nFrames, fps, lumaAcc / nSampled, decoded = true)
         } finally reader.dispose()
       } catch {
         case scala.util.control.NonFatal(_) => VideoStub.decode(id, bytes)
@@ -569,15 +613,37 @@ object Multimodal {
       .where(col("frame_idx") % everyNth === 0)
   }
 
+  /** The video twin of [[sampleFrames]], matched to the strided decoders:
+    * one row per SAMPLED frame index (0, n, 2n, … — exactly the frames
+    * [[Y4mDecoder.strided]]/[[GifDecoder.strided]] measured), so the
+    * per-frame fan-out downstream of a strided decode names the frames
+    * the decode actually touched. */
+  def sampleVideoFrames(features: Dataset[VideoFeatures], everyNth: Int): DataFrame = {
+    require(everyNth >= 1, s"sampleVideoFrames: everyNth=$everyNth")
+    features.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("nFrames") - 1)))
+      .where(col("frame_idx") % everyNth === 0)
+  }
+
   /** Resize plumbing: aspect-preserving fit into a target box — the
     * per-item geometry a real resizer needs, computed map-side from the
     * decoded dims (the real implementation would also carry the resized
     * tensor; the arithmetic and schema are the contract). */
-  def resizePlan(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+  def resizePlan(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame =
+    resizePlanOf(features.toDF(), maxW, maxH)
+
+  /** [[resizePlan]] for decoded video: same geometry over
+    * [[VideoFeatures]] dims — compose with [[sampleVideoFrames]] for the
+    * per-sampled-frame resize plan a training pipeline feeds its (stub)
+    * tensor stage. */
+  def resizePlanVideo(features: Dataset[VideoFeatures], maxW: Int, maxH: Int): DataFrame =
+    resizePlanOf(features.toDF(), maxW, maxH)
+
+  private def resizePlanOf(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(lit(maxW).cast("double") / col("width"),
                       lit(maxH).cast("double") / col("height"), lit(1.0))
-    features.toDF()
-      .withColumn("scale", scale)
+    df.withColumn("scale", scale)
       .withColumn("out_w", greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
       .withColumn("out_h", greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
   }

@@ -68,9 +68,23 @@ object Upsert {
     * partition — the same constraint BigQuery's pruned MERGE ON
     * `target.day IN (...)` optimization imposes). First run (no table at
     * `path`) degenerates to a plain partitioned write of `updates`.
+    *
+    * `statsIndexPath`: with a [[graft.sources.StatsIndex]] over the
+    * table, the slice read takes its file list FROM THE INDEX
+    * ([[graft.sources.StatsIndex.partitionFiles]]) instead of listing
+    * the whole table tree and pruning afterwards — at millions of files
+    * the listing is the planning cost, and a merge touching two days
+    * should pay two directories' worth of it. After publish the touched
+    * partitions' index rows are replaced
+    * ([[graft.sources.StatsIndex.replacePartitions]]), so the index
+    * keeps matching the table across merges. The index must cover the
+    * table (e.g. maintained by the ingest publish path); it IS the
+    * listing here, so a stale index would read stale files — that is
+    * why this merge refreshes it in the same call.
     */
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
-                partitionCol: String): Unit = {
+                partitionCol: String,
+                statsIndexPath: Option[String] = None): Unit = {
     require(keys.nonEmpty, "mergeInto: empty key list")
     require(!keys.contains(partitionCol),
       s"mergeInto: partitionCol '$partitionCol' cannot be a merge key " +
@@ -82,18 +96,29 @@ object Upsert {
     val exists = fs.exists(dest) &&
       fs.listStatus(dest).exists(st =>
         st.isDirectory && st.getPath.getName.contains("="))
+    // the touched-partition plan: tiny (one row per distinct batch
+    // partition), collected to drive partition pruning on the read
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(!touched.contains(null),
+      s"mergeInto: updates carry a NULL $partitionCol — a null " +
+        "partition cannot be pruned or published atomically")
     val merged =
       if (!exists) updates
       else {
-        // the touched-partition plan: tiny (one row per distinct batch
-        // partition), collected to drive partition pruning on the read
-        val touched = updates.select(col(partitionCol)).distinct()
-          .collect().map(_.get(0))
-        require(!touched.contains(null),
-          s"mergeInto: updates carry a NULL $partitionCol — a null " +
-            "partition cannot be pruned or published atomically")
-        val slice = spark.read.parquet(path)
-          .where(col(partitionCol).isin(touched.toSeq: _*))
+        val slice = statsIndexPath match {
+          case Some(idx) =>
+            // file list from the index relation — no table-tree listing;
+            // basePath keeps the partition column parsed from the paths
+            val files = graft.sources.StatsIndex.partitionFiles(
+              graft.sources.StatsIndex.load(spark, idx), partitionCol, touched)
+            if (files.isEmpty)
+              spark.read.parquet(path).where(lit(false)) // all-new partitions
+            else spark.read.option("basePath", path).parquet(files: _*)
+          case None =>
+            spark.read.parquet(path)
+              .where(col(partitionCol).isin(touched: _*))
+        }
         merge(slice, updates, keys)
       }
     val staging = new org.apache.hadoop.fs.Path(dest,
@@ -101,7 +126,11 @@ object Upsert {
     try {
       merged.write.mode("overwrite").partitionBy(partitionCol)
         .parquet(staging.toString)
-      graft.sources.RawLayer.publishPartitions(fs, staging, dest)
+      val published = graft.sources.RawLayer.publishPartitions(fs, staging, dest)
+      statsIndexPath.foreach { idx =>
+        graft.sources.StatsIndex.replacePartitions(spark, idx,
+          published.map(_.toString))
+      }
     } catch {
       case e: Throwable =>
         fs.delete(staging, true)

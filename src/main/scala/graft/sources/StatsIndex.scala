@@ -271,6 +271,71 @@ object StatsIndex {
     fresh.size.toLong
   }
 
+  /** The indexed files under the given `col=value` partition directories —
+    * the file list a partition-pruned read needs, answered from the index
+    * relation instead of a table-tree listing (at millions of files the
+    * listing is exactly the planning cost the index removes). Values
+    * match by path segment, so they must not need partition-path escaping
+    * (dates, numbers, plain strings are fine). */
+  def partitionFiles(stats: DataFrame, partitionCol: String,
+                     values: Seq[Any]): Seq[String] = {
+    require(values.nonEmpty, "partitionFiles: empty value list")
+    val hit = values.map(v => col("file").contains(s"/$partitionCol=$v/"))
+      .reduce(_ || _)
+    stats.where(hit).select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Replace the index rows for files under `partitionDirs` with fresh
+    * footer stats for the files NOW there — the maintenance a
+    * partition-grain rewrite ([[graft.operators.Upsert.mergeInto]],
+    * compaction) owes an index it reads from: after the rewrite the old
+    * file names are gone and the new ones unindexed, and an index used
+    * AS the file listing must never name a deleted file. Survivor rows
+    * are pinned eagerly (localCheckpoint) before the overwrite so the
+    * rewrite never reads the files it replaces. The index is derivable
+    * metadata — a crash mid-overwrite loses nothing [[build]] cannot
+    * recreate. */
+  def replacePartitions(spark: SparkSession, indexPath: String,
+                        partitionDirs: Seq[String],
+                        columns: Seq[String] = Nil): Unit = {
+    if (partitionDirs.isEmpty) return
+    val hconf = spark.sessionState.newHadoopConf()
+    // fs-qualify the prefixes: index file strings are qualified
+    // (`file:/…`, `hdfs://…`) while callers often pass bare paths
+    val prefixes = partitionDirs.map { d =>
+      val p = new Path(d)
+      val q = p.getFileSystem(hconf).makeQualified(p).toString
+      if (q.endsWith("/")) q else q + "/"
+    }
+    val fs = new Path(indexPath).getFileSystem(hconf)
+    val under = prefixes.map(p => col("file").startsWith(p)).reduce(_ || _)
+    val survivors =
+      if (!fs.exists(new Path(indexPath))) None
+      else Some(load(spark, indexPath).where(!under).localCheckpoint())
+    val fresh = prefixes.flatMap { p =>
+      val dir = new Path(p)
+      val dfs = dir.getFileSystem(hconf)
+      if (!dfs.exists(dir)) Nil
+      else dfs.listStatus(dir).toSeq
+        .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    import spark.implicits._
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val columnSet = columns.toSet
+    val freshStats =
+      if (fresh.isEmpty) spark.emptyDataset[FileColStats].toDF()
+      else {
+        val par = math.min(fresh.size, spark.sparkContext.defaultParallelism)
+        spark.createDataset(fresh).repartition(par)
+          .mapPartitions(_.flatMap(f => footerStats(f, conf, columnSet)))
+          .toDF()
+      }
+    survivors.map(_.unionByName(freshStats)).getOrElse(freshStats)
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
   /** Files that MAY contain rows matching every range predicate —
     * conjunctive semantics, conservative per column: a file is dropped
     * only when stats prove a column disjoint from its range

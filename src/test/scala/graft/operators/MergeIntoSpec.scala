@@ -155,6 +155,53 @@ class MergeIntoSpec extends SparkSpec {
       s"pruning failed: scanned ${scan.metrics("numFiles").value} files")
   }
 
+  test("index-fed merge: slice files come from the stats index, which stays fresh across merges") {
+    import graft.sources.StatsIndex
+    val root = Files.createTempDirectory("graft-mergeinto-idx").toString
+    val (path, idx, twin) = (s"$root/fact", s"$root/idx", s"$root/twin")
+    writeBase(path)
+    writeBase(twin)
+    StatsIndex.save(StatsIndex.build(spark, path), idx)
+
+    // the index answers the touched-partition file list without a tree walk,
+    // and it is EXACTLY those partitions' files — the consumer can read
+    // nothing else (the scan is constructed from this list)
+    val planned = StatsIndex.partitionFiles(
+      StatsIndex.load(spark, idx), "day", Seq("2024-01-01", "2024-01-02"))
+    val expected = StatsIndex.listDataFiles(spark, path)
+      .filter(f => f.contains("/day=2024-01-01/") || f.contains("/day=2024-01-02/"))
+    assert(planned == expected.sorted && planned.nonEmpty)
+
+    val updates = Seq(
+      (1L, 1L, "2024-01-01", 99.0),  // update
+      (9L, 1L, "2024-01-02", 90.0),  // insert
+      (5L, 1L, "2024-01-05", 50.0))  // brand-new partition
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx))
+    Upsert.mergeInto(twin, updates, Seq("order_id", "item_id"), "day")
+    assert(readFact(path) == readFact(twin),
+      "index-fed merge diverged from the listing-based merge")
+
+    // the merge replaced the touched partitions' index rows: the index
+    // matches a fresh footer pass over the table, file for file, and
+    // names no deleted file
+    val after = StatsIndex.load(spark, idx)
+      .as[StatsIndex.FileColStats].collect().toSet
+    val rebuilt = StatsIndex.build(spark, path)
+      .as[StatsIndex.FileColStats].collect().toSet
+    assert(after == rebuilt, "index drifted from the table after the merge")
+
+    // and a SECOND index-fed merge over the rewritten partitions works —
+    // the freshness the in-call replace exists to guarantee
+    val updates2 = Seq((1L, 2L, "2024-01-01", 77.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, updates2, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx))
+    Upsert.mergeInto(twin, updates2, Seq("order_id", "item_id"), "day")
+    assert(readFact(path) == readFact(twin))
+  }
+
   test("guards: partitionCol as key, null partition values") {
     val path = tmp()
     writeBase(path)

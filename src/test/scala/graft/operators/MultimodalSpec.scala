@@ -402,6 +402,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.VideoStub.decode(1L, junk))
   }
 
+  test("strided Y4M decode: closed-form luma over exactly the sampled frames; skipped frames never read") {
+    // 7 frames, deliberately non-arithmetic lumas so each stride's mean is distinct
+    val lumas = Seq(10, 200, 30, 40, 250, 60, 70)
+    val v = y4m(16, 8, "24:1", "C420", lumas)
+    def expect(stride: Int): Double = {
+      val s = lumas.zipWithIndex.collect { case (l, i) if i % stride == 0 => l }
+      s.sum.toDouble / s.size
+    }
+    for (stride <- Seq(1, 2, 3, 7)) {
+      val got = Multimodal.Y4mDecoder.strided(stride).decode(1L, v)
+      // nFrames/fps still cover the WHOLE container; luma is the sample's
+      assert(got.decoded && got.nFrames == 7 && got.fps == 24.0, s"stride=$stride: $got")
+      assert(math.abs(got.meanLuma - expect(stride)) < 1e-9,
+        s"stride=$stride: luma ${got.meanLuma} != ${expect(stride)}")
+    }
+    assert(Multimodal.Y4mDecoder.strided(1).decode(1L, v) ==
+      Multimodal.Y4mDecoder.decode(1L, v))
+    // a stride is a SEEK on uncompressed frames: corrupting a skipped
+    // frame's plane bytes cannot change the strided result
+    val header = s"YUV4MPEG2 W16 H8 F24:1 Ip A1:1 C420\n".length
+    val frameBytes = "FRAME\n".length + 16 * 8 + 2 * 8 * 4
+    val corrupt = v.clone()
+    val f1Plane = header + frameBytes + "FRAME\n".length // frame 1's Y plane
+    (0 until 16 * 8).foreach(i => corrupt(f1Plane + i) = 0xFF.toByte)
+    assert(Multimodal.Y4mDecoder.strided(2).decode(1L, corrupt) ==
+      Multimodal.Y4mDecoder.strided(2).decode(1L, v))
+  }
+
+  test("strided GIF decode: sampled-frame luma, whole-animation fps") {
+    val grays = Seq(10, 60, 110, 160)
+    val bytes = gif(48, 24, grays, delayCs = 5)
+    val got = Multimodal.GifDecoder.strided(2).decode(3L, bytes)
+    assert(got.decoded && got.nFrames == 4 && got.width == 48 && got.height == 24)
+    // 4 frames / (4 × 5 cs): the delay sum covers SKIPPED frames too, so
+    // strided fps == unstrided fps
+    assert(math.abs(got.fps - 20.0) < 1e-9, s"fps ${got.fps}")
+    assert(math.abs(got.meanLuma - (10.0 + 110.0) / 2) < 1e-6, s"luma ${got.meanLuma}")
+    assert(Multimodal.GifDecoder.strided(1).decode(3L, bytes) ==
+      Multimodal.GifDecoder.decode(3L, bytes))
+  }
+
+  test("sampleVideoFrames + resizePlanVideo: strided fan-out and geometry over decoded video") {
+    val rows = Seq(
+      (1L, y4m(16, 8, "24:1", "C420", Seq(10, 20, 30, 40, 50, 60, 70))),
+      (2L, y4m(64, 8, "24:1", "C420", Seq(5, 15))))
+      .toDF("id", "payload")
+    val feats = Multimodal.decodeVideo(rows, "id", "payload",
+      Multimodal.Y4mDecoder.strided(3))
+    val sampled = Multimodal.sampleVideoFrames(feats, 3)
+      .select("id", "frame_idx").as[(Long, Int)].collect().toSet
+    // exactly the frames the strided decoder measured: 0, 3, 6 / 0
+    assert(sampled == Set((1L, 0), (1L, 3), (1L, 6), (2L, 0)))
+    val plan = Multimodal.resizePlanVideo(feats, 32, 32)
+      .select("id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map { case (id, ow, oh) => id -> ((ow, oh)) }.toMap
+    assert(plan(1L) == ((16, 8)))   // fits: scale 1.0
+    assert(plan(2L) == ((32, 4)))   // 64x8 into 32x32: scale 0.5
+  }
+
   test("SniffingVideoDecoder routes a mixed corpus by magic bytes") {
     val avi = mjpegAvi(Seq(jpegFrame(10, 10, 0x404040)), 10, 10, scale = 1, rate = 24)
     val yuv = y4m(16, 8, "25:1", "C420", Seq(77))
