@@ -160,6 +160,57 @@ object Expectations {
     }
   }
 
+  /** Distribution drift via the POPULATION STABILITY INDEX over a fixed
+    * equi-width binning: `PSI = Σ (p_i − q_i)·ln(p_i / q_i)` with
+    * ε-smoothed proportions (the industry-standard monitoring metric;
+    * rule of thumb: <0.1 stable, >0.25 shifted). `baseline` is a
+    * persisted [[Profile.histogram]] relation — pin (lo, hi, bins) once
+    * and reuse them on both sides, the same fixed-range discipline that
+    * makes the histogram itself reproducible. Today's bin counts fold
+    * into the shared single aggregation (bins+2 conditional sums — the
+    * out-of-range bins count too, a mass shift OUT of range is drift);
+    * the baseline reduces to one broadcast row of bin counts. Violated
+    * when PSI > maxPsi or either side is empty/missing. */
+  final case class HistogramDrift(column: String, lo: Double, hi: Double,
+                                  bins: Int, baseline: DataFrame,
+                                  maxPsi: Double, eps: Double = 1e-4)
+      extends DriftCheck {
+    require(bins >= 1 && lo < hi, s"histogram_drift: bins=$bins lo=$lo hi=$hi")
+    require(maxPsi > 0 && eps > 0, s"histogram_drift: maxPsi=$maxPsi eps=$eps")
+    val name = s"histogram_drift($column,$bins,$maxPsi)"
+    // the [[Profile.histogram]] bin expression, verbatim — both sides of
+    // the comparison must bin identically or PSI measures the binning
+    private def binOf: Column = {
+      val v = col(column).cast("double")
+      val raw = floor((v - lo) / (hi - lo) * bins).cast("int")
+      when(v.isNull, lit(null))
+        .when(v < lo, lit(-1)).when(v > hi, lit(bins))
+        .when(raw === bins, lit(bins - 1))
+        .otherwise(raw)
+    }
+    private def allBins: Seq[Int] = -1 to bins
+    private[operators] def todayAggs(p: String): Seq[Column] =
+      allBins.map(i => coalesce(
+        sum(when(binOf === i, 1L)), lit(0L)).as(s"${p}_t${i + 1}"))
+    private[operators] def baselineAggs(p: String): Seq[Column] =
+      allBins.map(i =>
+        max(when(col("bin") === i, col("cnt"))).as(s"${p}_b${i + 1}"))
+    private[operators] def violationCount(p: String): Column = {
+      val t = allBins.map(i => col(s"${p}_t${i + 1}"))
+      val b = allBins.map(i => coalesce(col(s"${p}_b${i + 1}"), lit(0L)))
+      val tTot = t.reduce(_ + _).cast("double")
+      val bTot = b.reduce(_ + _).cast("double")
+      val psi = t.zip(b).map { case (ti, bi) =>
+        val pi = greatest(ti / tTot, lit(eps))
+        val qi = greatest(bi / bTot, lit(eps))
+        (pi - qi) * log(pi / qi)
+      }.reduce(_ + _)
+      when(tTot === 0.0 || bTot.isNull || bTot === 0.0, lit(1L))
+        .when(psi > maxPsi, lit(1L))
+        .otherwise(lit(0L))
+    }
+  }
+
   /** Quantile-shift gate — the [[SketchStats]] "did this batch move the
     * p99?" question as a publish blocker: violated when today's
     * `prob`-quantile of `column` differs from the baseline's by more

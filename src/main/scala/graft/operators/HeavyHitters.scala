@@ -1,0 +1,86 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** EXACT heavy hitters at bounded memory — "which keys exceed s·n
+  * occurrences?" answered exactly, without ever materializing the full
+  * (key → count) relation (at 100 TB of tokens/URLs/hosts the distinct
+  * key space is the thing that does not fit; a plain groupBy shuffles
+  * all of it).
+  *
+  * Two passes, the classic screen-then-verify composition
+  * (Misra–Gries 1982):
+  *
+  *  1. CANDIDATES — each partition runs a Misra–Gries summary with
+  *     `cap = ⌈1/s⌉` counters (constant memory). MG guarantees any item
+  *     with local frequency > n_p/(cap+1) survives its partition, and by
+  *     pigeonhole a globally s-frequent item is locally s-frequent in at
+  *     least one partition, with s ≥ 1/cap > 1/(cap+1) — so the union of
+  *     partition survivors is a SUPERSET of the true answer (no false
+  *     negatives, ever; size ≤ cap × partitions, driver-bounded by
+  *     construction).
+  *  2. VERIFY — one aggregation over the data with the candidate set as
+  *     a broadcast `isin` (map-side `InSet`): candidates count exactly,
+  *     every other key folds into a single null bucket — so the SAME
+  *     scan yields the exact total n, and survivors are filtered at the
+  *     exact threshold. False positives from pass 1 just verify to
+  *     below-threshold counts and drop.
+  *
+  * Output counts are EXACT (hash-oracle-able), unlike sketch-only
+  * heavy-hitter estimates; the approximation lives only in pass 1's
+  * memory bound, where it is one-sided. Null keys are never reported
+  * (a null "heaviest key" is a data-quality finding — see
+  * [[Expectations.NotNull]] — not a frequency result).
+  */
+object HeavyHitters {
+
+  /** Keys of `keyCol` with exact count ≥ `support × n` (n = row count of
+    * `df`), as `(keyCol, cnt)`. `support ∈ (0, 1)`. */
+  def frequent(df: DataFrame, keyCol: String, support: Double): DataFrame = {
+    require(support > 0.0 && support < 1.0, s"frequent: support=$support")
+    val cap = math.max(1, math.ceil(1.0 / support).toInt)
+    val keys = df.select(col(keyCol))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(keys.schema)
+    val candidates: Seq[Any] = keys.mapPartitions { it =>
+      val counters = mutable.HashMap.empty[Any, Long]
+      it.foreach { r =>
+        val k = r.get(0)
+        if (k != null) {
+          counters.get(k) match {
+            case Some(c) => counters.update(k, c + 1)
+            case None if counters.size < cap => counters.update(k, 1L)
+            case None =>
+              // decrement-all: the MG step that buys the frequency bound
+              val kept = counters.iterator
+                .filter(_._2 > 1L)
+                .map { case (kk, cc) => (kk, cc - 1L) }
+                .toArray
+              counters.clear()
+              counters ++= kept
+          }
+        }
+      }
+      counters.keysIterator.map(Row(_))
+    }.distinct().collect().map(_.get(0)).toSeq
+    if (candidates.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(null).cast(keys.schema.head.dataType).as(keyCol),
+          lit(0L).as("cnt"))
+        .where(lit(false))
+    // verify pass: candidates keep their key, the rest fold into one null
+    // bucket — exact per-candidate counts AND the exact total in ONE scan
+    val grouped = df
+      .groupBy(when(col(keyCol).isin(candidates: _*), col(keyCol))
+        .as(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    val total = grouped.agg(sum(col("cnt")).as("_n"))
+    grouped.crossJoin(total) // 1-row broadcast side (audited pattern)
+      .where(col(keyCol).isNotNull &&
+        col("cnt").cast("double") >= lit(support) * col("_n"))
+      .select(col(keyCol), col("cnt"))
+  }
+}

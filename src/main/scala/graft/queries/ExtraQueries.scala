@@ -208,6 +208,78 @@ object ExtraQueries {
       |  FROM cur, base
       |) ORDER BY "check"""".stripMargin
 
+  /** PSI distribution-drift gate: population stability index of
+    * o_totalprice over a pinned 8-bin histogram vs the pre-1997-slice
+    * baseline. The unshifted table sits at PSI ≈ 0.001-0.012 (pass at
+    * 0.1, ≥8× margin); the 1.5×-scaled twin lands at ≈ 2.3 (violates
+    * 0.5, ≥4× margin) — both decisions re-derived end to end in SQL,
+    * ε-smoothing included. */
+  def dqDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    val orders = t(s, dir, "orders")
+    val baseline = Profile.histogram(
+      orders.where(col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+      "o_totalprice", lo = 0.0, hi = 600000.0, bins = 8)
+    run(orders, Seq(
+        HistogramDrift("o_totalprice", 0.0, 600000.0, 8, baseline, maxPsi = 0.1)))
+      .unionByName(run(
+        orders.withColumn("o_totalprice", col("o_totalprice") * 1.5),
+        Seq(HistogramDrift("o_totalprice", 0.0, 600000.0, 8, baseline,
+          maxPsi = 0.5))))
+      .orderBy("check")
+  }
+
+  private val dqDriftPsiOracle: String =
+    """WITH bs AS (SELECT CAST(range AS INT) AS bin FROM range(-1, 9)),
+      |cur AS (
+      |  SELECT bin, count(*) AS c FROM (
+      |    SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+      |      WHEN o_totalprice < 0.0 THEN -1
+      |      WHEN o_totalprice > 600000.0 THEN 8
+      |      WHEN CAST(floor((o_totalprice - 0.0) / 600000.0 * 8) AS INT) = 8 THEN 7
+      |      ELSE CAST(floor((o_totalprice - 0.0) / 600000.0 * 8) AS INT) END AS bin
+      |    FROM orders) WHERE bin IS NOT NULL GROUP BY 1),
+      |shf AS (
+      |  SELECT bin, count(*) AS c FROM (
+      |    SELECT CASE WHEN v IS NULL THEN NULL
+      |      WHEN v < 0.0 THEN -1
+      |      WHEN v > 600000.0 THEN 8
+      |      WHEN CAST(floor((v - 0.0) / 600000.0 * 8) AS INT) = 8 THEN 7
+      |      ELSE CAST(floor((v - 0.0) / 600000.0 * 8) AS INT) END AS bin
+      |    FROM (SELECT o_totalprice * 1.5 AS v FROM orders))
+      |  WHERE bin IS NOT NULL GROUP BY 1),
+      |bas AS (
+      |  SELECT bin, count(*) AS c FROM (
+      |    SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+      |      WHEN o_totalprice < 0.0 THEN -1
+      |      WHEN o_totalprice > 600000.0 THEN 8
+      |      WHEN CAST(floor((o_totalprice - 0.0) / 600000.0 * 8) AS INT) = 8 THEN 7
+      |      ELSE CAST(floor((o_totalprice - 0.0) / 600000.0 * 8) AS INT) END AS bin
+      |    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01')
+      |  WHERE bin IS NOT NULL GROUP BY 1),
+      |j AS (
+      |  SELECT bs.bin, COALESCE(cur.c, 0) AS t, COALESCE(shf.c, 0) AS s2,
+      |         COALESCE(bas.c, 0) AS b
+      |  FROM bs LEFT JOIN cur USING (bin) LEFT JOIN shf USING (bin)
+      |    LEFT JOIN bas USING (bin)),
+      |tot AS (SELECT sum(t) AS tt, sum(s2) AS ts, sum(b) AS tb FROM j),
+      |psi AS (
+      |  SELECT
+      |    sum((greatest(t / tt, 1e-4) - greatest(b / tb, 1e-4)) *
+      |        ln(greatest(t / tt, 1e-4) / greatest(b / tb, 1e-4))) AS psi_cur,
+      |    sum((greatest(s2 / ts, 1e-4) - greatest(b / tb, 1e-4)) *
+      |        ln(greatest(s2 / ts, 1e-4) / greatest(b / tb, 1e-4))) AS psi_shf
+      |  FROM j, tot)
+      |SELECT "check", violations, violations = 0 AS pass FROM (
+      |  SELECT 'histogram_drift(o_totalprice,8,0.1)' AS "check",
+      |    CAST(CASE WHEN psi_cur > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS violations
+      |  FROM psi
+      |  UNION ALL
+      |  SELECT 'histogram_drift(o_totalprice,8,0.5)',
+      |    CAST(CASE WHEN psi_shf > 0.5 THEN 1 ELSE 0 END AS BIGINT)
+      |  FROM psi
+      |) ORDER BY "check"""".stripMargin
+
   /** The KLL quantile band as a publish gate (rows-only: KLL estimates
     * are engine-specific; outcome margins are ≫ rank error so the
     * pass/violate split is still deterministic — spec-pinned in
@@ -225,6 +297,62 @@ object ExtraQueries {
           Seq(QuantileBandDrift("n_chars", 0.9, 99.0, baseSketch))))
       .orderBy("check")
   }
+
+  /** GPT-style sequence packing over the documents table: per-language
+    * streams in doc_id order, cut into 4096-char context windows —
+    * boundary docs split across consecutive sequences, every non-final
+    * sequence exactly full. Fully oracled: the running-offset/overlap
+    * arithmetic re-derives in SQL window functions + generate_series. */
+  def packSeqs(s: SparkSession, dir: String): DataFrame =
+    SequencePack.packSequences(
+        t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        "doc_id", "n_chars", ctxLen = 4096, strataCols = Seq("lang"))
+      .orderBy("lang", "seq_id", "seq_from")
+
+  private val packSeqsOracle: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS len,
+      |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS en
+      |  FROM documents),
+      |s AS (SELECT lang, doc_id, len, en - len AS st, en FROM t),
+      |x AS (
+      |  SELECT lang, doc_id, len, st,
+      |    unnest(generate_series(CAST(st // 4096 AS BIGINT),
+      |                           CAST((en - 1) // 4096 AS BIGINT))) AS seq_id
+      |  FROM s)
+      |SELECT lang, doc_id, seq_id,
+      |  greatest(CAST(0 AS BIGINT), seq_id * 4096 - st) AS doc_from,
+      |  least(len, (seq_id + 1) * 4096 - st) AS doc_to,
+      |  greatest(CAST(0 AS BIGINT), st - seq_id * 4096) AS seq_from
+      |FROM x
+      |ORDER BY lang, seq_id, seq_from""".stripMargin
+
+  /** Exact heavy-hitter tokens over the documents corpus: every
+    * normalized token with frequency ≥ 0.5% of the token stream, exact
+    * counts — the Misra–Gries screen + exact-verify pass, hash-oracled
+    * against the plain GROUP BY/HAVING it answers at bounded memory
+    * (support sits far from any boundary: survivors count ~900+, the
+    * rest ≪ threshold ≈ 136 at sf0.01). */
+  def heavyTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.normWords
+    val toks = t(s, dir, "documents")
+      .select(explode(normWords(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    HeavyHitters.frequent(toks, "token", support = 0.005)
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
+  private val heavyTokensOracle: String =
+    """WITH nw AS (
+      |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+      |  FROM documents),
+      |tok AS (SELECT unnest(ws) AS token FROM nw),
+      |f AS (SELECT token FROM tok WHERE token <> '')
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM f GROUP BY token
+      |HAVING CAST(count(*) AS DOUBLE) >= 0.005 * (SELECT count(*) FROM f)
+      |ORDER BY cnt DESC, token""".stripMargin
 
   /** String profile of the documents table — null/empty/distinct census
     * and length bounds per text column, oracled (Spark's `length` and
@@ -439,6 +567,9 @@ object ExtraQueries {
     "dq_check" -> (dqCheck _),
     "dq_drift" -> (dqDrift _),
     "dq_drift_kll" -> (dqDriftKll _),
+    "pack_sequences" -> (packSeqs _),
+    "heavy_tokens" -> (heavyTokens _),
+    "dq_drift_psi" -> (dqDriftPsi _),
     "decon_overlap_est" -> (deconOverlapEst _)
   )
 
@@ -449,6 +580,9 @@ object ExtraQueries {
     "profile_docs" -> profileDocsOracle,
     "dq_check" -> dqOracle,
     "dq_drift" -> dqDriftOracle,
+    "pack_sequences" -> packSeqsOracle,
+    "heavy_tokens" -> heavyTokensOracle,
+    "dq_drift_psi" -> dqDriftPsiOracle,
     "q_salted_agg" ->
       """SELECT p.p_brand,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,

@@ -169,6 +169,31 @@ class ExpectationsSpec extends SparkSpec {
       (("quantile_drift(x,p90,200.0)", 1L, false)))
   }
 
+  test("histogram drift (PSI): identical distribution passes tight, shifted mass violates") {
+    // baseline: uniform 0..99 → 10 equi-width bins of 10 each
+    val base = spark.range(0, 100).select($"id".cast("double").as("x"))
+    val baseHist = Profile.histogram(base, "x", 0.0, 100.0, 10)
+    def psiOf(today: org.apache.spark.sql.DataFrame, maxPsi: Double) =
+      Expectations.run(today,
+          Seq(HistogramDrift("x", 0.0, 100.0, 10, baseHist, maxPsi)))
+        .as[(String, Long, Boolean)].head()
+    // same distribution: PSI == 0 exactly (identical proportions)
+    assert(psiOf(base, 0.01) ==
+      (("histogram_drift(x,10,0.01)", 0L, true)))
+    // +200 shift pushes ALL mass into the out-of-range bin — max drift
+    assert(psiOf(base.withColumn("x", $"x" + 200.0), 0.25) ==
+      (("histogram_drift(x,10,0.25)", 1L, false)))
+    // half the mass moved into one bin: a real mid-size shift trips 0.25
+    val skewed = spark.range(0, 100).select(
+      org.apache.spark.sql.functions.when($"id" % 2 === 0, 5.0)
+        .otherwise($"id".cast("double")).as("x"))
+    assert(psiOf(skewed, 0.25)._2 == 1L)
+    // unevaluable: empty baseline relation violates
+    assert(Expectations.run(base, Seq(HistogramDrift("x", 0.0, 100.0, 10,
+        baseHist.where($"bin" === 999), 10.0)))
+      .as[(String, Long, Boolean)].head()._2 == 1L)
+  }
+
   test("drift + row-local checks share one report and gate together") {
     val report = Expectations.run(driftToday, Seq(
       NotNull("id"),

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[SequencePack]]: concatenate-then-chunk packing must tile every doc
+  * exactly, fill every non-final sequence exactly, and place spans at
+  * offsets consistent with the running stream position. */
+class SequencePackSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lengths chosen to exercise: doc inside a window (3), doc exactly
+  // finishing a window, doc spanning 2 windows, doc spanning >2 windows
+  // (25 over ctx=10), and a final partial window
+  private lazy val docs = Seq(
+    (1L, 3L), (2L, 7L),            // exactly fills window 0
+    (3L, 25L),                     // spans windows 1..3
+    (4L, 4L), (5L, 8L)             // 4 finishes w3; 5 spans w4; 7 tokens pad
+  ).toDF("doc_id", "n_tok")
+
+  private val ctx = 10
+
+  test("spans tile each doc; non-final sequences exactly full; offsets consistent") {
+    val packed = SequencePack.packSequences(docs, "doc_id", "n_tok", ctx)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // spans tile each doc exactly: contiguous, start 0, end n_tok
+    val byDoc = packed.groupBy(_._1)
+    val lens = Map(1L -> 3L, 2L -> 7L, 3L -> 25L, 4L -> 4L, 5L -> 8L)
+    byDoc.foreach { case (id, rows) =>
+      val spans = rows.sortBy(_._2).map(r => (r._3, r._4))
+      assert(spans.head._1 == 0L && spans.last._2 == lens(id),
+        s"doc $id spans $spans do not cover [0, ${lens(id)})")
+      spans.sliding(2).foreach {
+        case Seq((_, aTo), (bFrom, _)) => assert(aTo == bFrom,
+          s"doc $id spans not contiguous: $spans")
+        case _ =>
+      }
+    }
+
+    // every sequence except the last is exactly full
+    val fill = SequencePack.sequenceFill(
+        SequencePack.packSequences(docs, "doc_id", "n_tok", ctx), ctx)
+      .orderBy("seq_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val lastSeq = fill.map(_._1).max
+    fill.foreach { case (seq, nTok, _, full) =>
+      if (seq < lastSeq) assert(full && nTok == ctx, s"seq $seq not full: $nTok")
+      else assert(nTok == (3 + 7 + 25 + 4 + 8) % ctx, s"final seq: $nTok")
+    }
+
+    // offset consistency: seq positions reconstruct the exact stream —
+    // token t of the stream (ordered by doc_id then in-doc position)
+    // lands at (seq_id, seq_from + (t − global start of its span))
+    val streamPos = packed.flatMap { case (doc, seq, from, to, seqFrom) =>
+      (from until to).map(t => (doc, t) -> (seq * ctx + seqFrom + (t - from)))
+    }.toMap
+    var expectPos = 0L
+    Seq(1L -> 3L, 2L -> 7L, 3L -> 25L, 4L -> 4L, 5L -> 8L).foreach {
+      case (doc, n) => (0L until n).foreach { t =>
+        assert(streamPos((doc, t)) == expectPos,
+          s"doc $doc token $t at ${streamPos((doc, t))}, want $expectPos")
+        expectPos += 1
+      }
+    }
+    // a doc inside one window yields one row; doc 3 (25 over ctx 10) three
+    assert(byDoc(1L).size == 1 && byDoc(3L).size == 3)
+  }
+
+  test("strata pack independently; non-positive length fails loudly") {
+    val strat = Seq(("en", 1L, 7L), ("en", 2L, 7L), ("de", 3L, 4L))
+      .toDF("lang", "doc_id", "n_tok")
+    val packed = SequencePack.packSequences(strat, "doc_id", "n_tok", 10,
+        strataCols = Seq("lang"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // each stratum starts its own stream at offset 0
+    assert(packed.filter(_._1 == "de") ==
+      Seq(("de", 3L, 0L, 0L, 4L, 0L)))
+    assert(packed.filter(r => r._1 == "en" && r._2 == 2L).map(_._3).toSet ==
+      Set(0L, 1L)) // doc 2 spans the en windows 0→1 (7+7 over ctx 10)
+
+    val bad = Seq((1L, 0L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      SequencePack.packSequences(bad, "doc_id", "n_tok", 10).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-positive"))
+  }
+}
