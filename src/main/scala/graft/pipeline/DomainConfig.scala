@@ -18,7 +18,7 @@ object DomainConfig {
     * (`<inbox>/<table>/<date>/<table>_<date>.<ext>` — the reference's GCS
     * layout, README "GCS File Structure"). `sourceFormat` mirrors the
     * loader's `source_format` (CSV / NEWLINE_DELIMITED_JSON / PARQUET /
-    * AVRO) and picks the inbox extension. */
+    * AVRO / ORC) and picks the inbox extension. */
   final case class RawTable(name: String, schema: Seq[ColumnSpec],
                             maxBadRecords: Int = 0,
                             sourceFormat: String = "CSV") {
@@ -26,6 +26,7 @@ object DomainConfig {
       case "NEWLINE_DELIMITED_JSON" => "json"
       case "PARQUET" => "parquet"
       case "AVRO" => "avro"
+      case "ORC" => "orc"
       case _ => "csv"
     }
   }

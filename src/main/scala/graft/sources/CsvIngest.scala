@@ -426,9 +426,22 @@ object Ingest {
       new Loaded(out, obs, "PARQUET", path, maxBadRecords)
     case "AVRO" =>
       AvroIngest.load(spark, path, cols, maxBadRecords, ingestionDate)
+    case "ORC" =>
+      // ORC is self-describing like parquet (BigQuery likewise accepts
+      // `source_format=ORC` with whole-job schema enforcement): the scan
+      // projects the declared schema and fails on an incompatible file;
+      // n_bad is structurally 0.
+      val obs = Observation()
+      val out = spark.read.schema(schemaOf(cols)).orc(path)
+        .observe(obs, count(when(lit(false), 1)).as("n_bad"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("ingestion_date", lit(ingestionDate).cast("date"))
+        .withColumn("ingestion_timestamp",
+          lit(s"$ingestionDate 00:00:00").cast("timestamp"))
+      new Loaded(out, obs, "ORC", path, maxBadRecords)
     case other => throw new IllegalArgumentException(
       s"unknown source_format '$other' (supported: CSV, " +
-        "NEWLINE_DELIMITED_JSON, PARQUET, AVRO)")
+        "NEWLINE_DELIMITED_JSON, PARQUET, AVRO, ORC)")
   }
 }
 

@@ -436,6 +436,37 @@ object Stress {
       println(f"   stats rows=$nStats build=$tBuild%.1fs prune=$tPrune%.2fs " +
         f"files=${surviving.size}/32 rows=$full (identical either path)")
     }
+    time("packSequences: 2M docs into 4096-token windows across 64 strata") {
+      // per-stratum exact stream order: 64 windows of ~31k docs each —
+      // the sharded shape the operator documents (strata parallelize,
+      // the global order inside one is the deliberate serialization)
+      val docs = spark.range(2000000).select(
+        col("id").as("doc_id"),
+        pmod(col("id"), lit(64)).as("stratum"),
+        (pmod(hash(col("id")), lit(400)) + 21).cast("long").as("len"))
+      val packed = graft.operators.SequencePack.packSequences(
+        docs, "doc_id", "len", 4096, strataCols = Seq("stratum"))
+      val fill = graft.operators.SequencePack.sequenceFill(
+        packed, 4096, strataCols = Seq("stratum"))
+      val (nSpans, nSeqs, nShort) = (packed.count(), fill.count(),
+        fill.where(!col("full")).count())
+      assert(nShort <= 64, s"only stratum-final sequences may be short: $nShort")
+      println(s"   spans: $nSpans sequences: $nSeqs " +
+        s"(short: $nShort of <= 64 allowed — zero padding elsewhere)")
+    }
+    time("HeavyHitters.frequent: 2M rows, 5 hot keys over ~500k cold keys") {
+      val keys = spark.range(2000000).select(
+        when(pmod(col("id"), lit(10)) === 0,
+            concat(lit("hot_"), pmod(col("id") / 10, lit(5)).cast("int")))
+          .otherwise(concat(lit("cold_"), pmod(hash(col("id")), lit(500000))))
+          .as("k"))
+      val got = graft.operators.HeavyHitters.frequent(keys, "k", 0.01)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size == 5 && got.values.forall(_ == 40000L),
+        s"expected 5 hot keys at exactly 40000: $got")
+      println(s"   exact heavy hitters: ${got.size} keys of ~500k distinct " +
+        "(MG screen bounded at ceil(1/s) counters/partition, exact verify)")
+    }
     time("StatsIndex.listDataFiles: 10k files / 100 dirs, 2ms simulated LIST RTT") {
       // the planning-cost half of the millions-of-files problem: on an
       // object store each directory listing is a round-trip, so the walk

@@ -206,8 +206,18 @@ class CsvIngestSpec extends SparkSpec {
     val viaPq = Ingest.load(spark, pdir, cols, sourceFormat = "PARQUET",
       ingestionDate = "2024-03-02")
     assert(viaPq.df.count() == 1 && viaPq.badRecords == 0)
+    // ORC: self-describing like parquet (BigQuery source_format=ORC)
+    val odir = Files.createTempDirectory("graft-orc-fmt").toString + "/t"
+    viaJson.df.drop("ingestion_date", "ingestion_timestamp")
+      .write.format("orc").save(odir)
+    val viaOrc = Ingest.load(spark, odir, cols, sourceFormat = "ORC",
+      ingestionDate = "2024-03-03")
+    assert(viaOrc.df.count() == 1 && viaOrc.badRecords == 0)
+    assert(viaOrc.df.select("order_id", "amount", "n")
+      .collect().toSeq == viaPq.df.select("order_id", "amount", "n")
+      .collect().toSeq)
     intercept[IllegalArgumentException](
-      Ingest.load(spark, csvPath, cols, sourceFormat = "ORC",
+      Ingest.load(spark, csvPath, cols, sourceFormat = "CSVX",
         ingestionDate = "2024-03-01"))
   }
 
