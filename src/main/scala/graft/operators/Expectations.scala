@@ -176,6 +176,10 @@ object Expectations {
                                   maxPsi: Double, eps: Double = 1e-4)
       extends DriftCheck {
     require(bins >= 1 && lo < hi, s"histogram_drift: bins=$bins lo=$lo hi=$hi")
+    // each bin is one conditional-sum column in the shared aggregation —
+    // PSI over more than ~1k bins is a misuse (smoothing dominates), so
+    // refuse rather than build a pathological plan
+    require(bins <= 1024, s"histogram_drift: bins=$bins > 1024 — coarsen")
     require(maxPsi > 0 && eps > 0, s"histogram_drift: maxPsi=$maxPsi eps=$eps")
     val name = s"histogram_drift($column,$bins,$maxPsi)"
     // the [[Profile.histogram]] bin expression, verbatim — both sides of

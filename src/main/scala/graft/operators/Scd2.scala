@@ -59,6 +59,22 @@ object Scd2 {
       .withColumn("sk", xxhash64(col(key), col("effective_ts")))
   }
 
+  /** TIME TRAVEL over an SCD2 dimension: the dimension AS OF `ts` — one
+    * row per key whose validity interval covers the instant
+    * (`effective_ts ≤ ts < expiration_ts`, current rows open-ended).
+    * This is the question SCD2 exists to answer ("what did the customer
+    * look like last March?") and it is a pure map-side filter: no
+    * shuffle, no window — the interval columns [[fromHistory]] built
+    * carry the whole answer, and partition/file pruning on
+    * `effective_ts` applies when the dim is stored sorted/clustered by
+    * it. Keys born after `ts` are absent, exactly like the historical
+    * table would have been. */
+  def snapshotAt(dim: DataFrame, ts: Column,
+                 effectiveCol: String = "effective_ts",
+                 expirationCol: String = "expiration_ts"): DataFrame =
+    dim.where(col(effectiveCol) <= ts &&
+      (col(expirationCol).isNull || col(expirationCol) > ts))
+
   /** One full snapshot as an SCD2-shaped dimension: every row current,
     * effective from `effectiveDate` (reference treats initial load this way).
     *

@@ -37,6 +37,8 @@ object SequencePack {
     * `seq_from + (t − doc_from)` of sequence `seq_id`. `lenCol` is the
     * doc's token count (pre-computed — tokenization is upstream's
     * contract); docs with len ≤ 0 are rejected loudly, not dropped.
+    * `orderCols` (default: the id) must be a TOTAL order — ties would
+    * make the running offsets, and with them every span, run-dependent.
     *
     * Invariants (spec-pinned): spans tile each doc exactly; every
     * sequence but the stratum-last sums to exactly `ctxLen`; `seq_from`
@@ -76,6 +78,64 @@ object SequencePack {
         greatest(lit(0L), col("_start") - col("seq_id") * ctx))
     out.select((strataCols.map(col) :+ col(idCol) :+ col("seq_id") :+
       col("doc_from") :+ col("doc_to") :+ col("seq_from")): _*)
+  }
+
+  /** NO-SPLIT greedy packing — the SFT/instruction-tuning regime, where
+    * a document must never split across sequences (a truncated
+    * instruction pair is a corrupted example), so packing is bin packing
+    * proper. Per stratum, docs sort by length descending and first-fit
+    * into bins of capacity `ctxLen` — first-fit-decreasing, whose bin
+    * count is ≤ 11/9·OPT + 6/9 (Dósa 2007): near-optimal padding from a
+    * deterministic greedy. Docs longer than `ctxLen` are REJECTED loudly
+    * (truncation is an upstream decision, never an implicit one here).
+    *
+    * Output: `strata…, doc_id, seq_id, seq_from, len` — whole docs at
+    * offsets, no spans. Scale: strata parallelize (`flatMapGroups`, one
+    * task per stratum); within a stratum the greedy is sequential and
+    * the stratum's (id, len) pairs are held in executor memory
+    * (16 B/doc) — pre-shard giant strata, the same documented
+    * serialization as [[packSequences]]'s window. Deterministic: ties
+    * break on id, bins scan in creation order. `idCol` must cast to
+    * long (the repo-wide doc-id convention). */
+  def packGreedy(docs: DataFrame, idCol: String, lenCol: String,
+                 ctxLen: Int, strataCols: Seq[String] = Nil): DataFrame = {
+    require(ctxLen >= 1, s"packGreedy: ctxLen=$ctxLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyExpr =
+      if (strataCols.isEmpty) lit("")
+      else concat_ws("\u0000", strataCols.map(col(_).cast("string")): _*)
+    val keyed = docs.select(keyExpr.as("_k"),
+        col(idCol).cast("long").as("_id"), col(lenCol).cast("long").as("_len"))
+      .as[(String, Long, Long)]
+    val packed = keyed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val ds = it.map(t => (t._2, t._3)).toArray
+      ds.foreach { case (id, len) =>
+        if (len < 1 || len > ctxLen) throw new IllegalArgumentException(
+          s"packGreedy: $lenCol=$len for $idCol=$id outside [1, $ctxLen] — " +
+            "truncate or split upstream; no-split packing never truncates")
+      }
+      val sorted = ds.sortBy { case (id, len) => (-len, id) }
+      val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+      sorted.foreach { case (id, len) =>
+        var b = 0
+        while (b < binFree.length && binFree(b) < len) b += 1
+        if (b == binFree.length) binFree += ctxLen.toLong
+        val off = ctxLen.toLong - binFree(b)
+        binFree(b) -= len
+        out += ((k, id, b.toLong, off, len))
+      }
+      out.iterator
+    }.toDF("_k", idCol, "seq_id", "seq_from", "len")
+    if (strataCols.isEmpty) packed.drop("_k")
+    else {
+      val strata = docs.select((strataCols.map(col) :+ keyExpr.as("_k")): _*)
+        .distinct()
+      packed.join(broadcast(strata), Seq("_k")).drop("_k")
+        .select((strataCols.map(col) :+ col(idCol) :+ col("seq_id") :+
+          col("seq_from") :+ col("len")): _*)
+    }
   }
 
   /** Per-sequence fill report over [[packSequences]] output: tokens

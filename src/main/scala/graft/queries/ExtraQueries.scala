@@ -328,6 +328,17 @@ object ExtraQueries {
       |FROM x
       |ORDER BY lang, seq_id, seq_from""".stripMargin
 
+  /** No-split (SFT-regime) greedy packing of documents into 4096-char
+    * bins per language — first-fit-decreasing, rows-only by design (a
+    * sequential greedy is not SQL-expressible; the FFD bound, bin
+    * non-overflow, no-split, and determinism invariants are spec-pinned
+    * in SequencePackSpec). */
+  def packGreedyQ(s: SparkSession, dir: String): DataFrame =
+    SequencePack.packGreedy(
+        t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        "doc_id", "n_chars", ctxLen = 4096, strataCols = Seq("lang"))
+      .orderBy("lang", "seq_id", "seq_from")
+
   /** Exact heavy-hitter tokens over the documents corpus: every
     * normalized token with frequency ≥ 0.5% of the token stream, exact
     * counts — the Misra–Gries screen + exact-verify pass, hash-oracled
@@ -568,6 +579,7 @@ object ExtraQueries {
     "dq_drift" -> (dqDrift _),
     "dq_drift_kll" -> (dqDriftKll _),
     "pack_sequences" -> (packSeqs _),
+    "pack_greedy" -> (packGreedyQ _),
     "heavy_tokens" -> (heavyTokens _),
     "dq_drift_psi" -> (dqDriftPsi _),
     "decon_overlap_est" -> (deconOverlapEst _)

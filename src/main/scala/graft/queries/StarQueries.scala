@@ -67,6 +67,20 @@ object StarQueries {
         col("is_current"), col("version"))
       .orderBy("user_id", "effective_ts")
 
+  /** SCD2 time travel: the user-state dimension AS OF a pinned
+    * mid-history instant — [[Scd2.snapshotAt]]'s pure interval filter
+    * over [[Scd2.fromHistory]] output, one row per user alive at the
+    * instant. Fully oracled: the oracle rebuilds the intervals and
+    * applies the same covering predicate. */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame =
+    Scd2.snapshotAt(
+        Scd2.fromHistory(events(s, dir), "user_id", "ts", "event_type",
+          Seq("event_id")),
+        to_timestamp(lit("2024-01-15 12:00:00")))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("effective_ts"), col("expiration_ts"), col("version"))
+      .orderBy("user_id")
+
   def pitJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val dim = Scd2.fromHistory(ev, "user_id", "ts", "event_type", Seq("event_id"))
@@ -143,6 +157,7 @@ object StarQueries {
     "dim_customers" -> (dimCustomers _),
     "dim_parts" -> (dimParts _),
     "scd2_history" -> (scd2History _),
+    "scd2_asof" -> (scd2Asof _),
     "pit_join" -> (pitJoin _),
     "fact_orders" -> (factOrders _),
     "sales_summary" -> (salesSummary _),
@@ -227,6 +242,20 @@ object StarQueries {
          |FROM chg
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, effective_ts""".stripMargin,
+
+    "scd2_asof" ->
+      s"""WITH $chgSql,
+         |dim AS (
+         |  SELECT user_id, event_type AS state, ts AS effective_ts,
+         |    lead(ts) OVER w AS expiration_ts,
+         |    CAST(row_number() OVER w AS INT) AS version
+         |  FROM chg
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, state, effective_ts, expiration_ts, version
+         |FROM dim
+         |WHERE effective_ts <= TIMESTAMP '2024-01-15 12:00:00'
+         |  AND (expiration_ts IS NULL OR expiration_ts > TIMESTAMP '2024-01-15 12:00:00')
+         |ORDER BY user_id""".stripMargin,
 
     "pit_join" ->
       s"""WITH $chgSql,

@@ -36,7 +36,14 @@ import graft.operators.{Dedup, DedupStore}
 object DedupStream {
 
   /** One micro-batch: verdicts vs (store ∪ this batch), then append the
-    * survivors' fingerprints. Exposed for direct replay testing. */
+    * survivors' fingerprints. Exposed for direct replay testing.
+    *
+    * Cost note: the batch is fingerprinted twice (once inside
+    * `incrementalVerdicts`, once for the survivors' append) — both are
+    * map-side md5-over-shingles passes over the BATCH only, never the
+    * store; at streaming batch sizes that second map pass is noise next
+    * to the store probe, and it keeps `DedupStore`'s API surface
+    * unchanged. */
   def applyBatch(batch: DataFrame, batchId: Long, idCol: String,
                  textCol: String, storePath: String, verdictsPath: String,
                  threshold: Double = 0.75): Unit = {

@@ -453,6 +453,22 @@ object Stress {
       assert(nShort <= 64, s"only stratum-final sequences may be short: $nShort")
       println(s"   spans: $nSpans sequences: $nSeqs " +
         s"(short: $nShort of <= 64 allowed — zero padding elsewhere)")
+      // the no-split twin on the same corpus: FFD bins per stratum, fill
+      // ratio audited against the per-stratum lower bound
+      val t0 = System.nanoTime()
+      val greedy = graft.operators.SequencePack.packGreedy(
+        docs, "doc_id", "len", 4096, strataCols = Seq("stratum"))
+      val gFill = greedy.groupBy("stratum", "seq_id")
+        .agg(sum(col("len")).as("filled"))
+        .agg(count(lit(1)).as("bins"), sum(col("filled")).as("total"))
+        .collect()(0)
+      val tG = (System.nanoTime() - t0) / 1e9
+      val (bins, total) = (gFill.getLong(0), gFill.getLong(1))
+      val lb = (total + 4095) / 4096
+      assert(bins <= (11 * lb) / 9 + 64,
+        s"FFD bound broken at scale: $bins bins vs LB $lb")
+      println(f"   packGreedy (no-split): $tG%.1fs $bins bins, fill " +
+        f"${total.toDouble / (bins * 4096)}%.3f (LB $lb)")
     }
     time("HeavyHitters.frequent: 2M rows, 5 hot keys over ~500k cold keys") {
       val keys = spark.range(2000000).select(

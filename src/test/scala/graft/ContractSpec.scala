@@ -28,7 +28,8 @@ class ContractSpec extends SparkSpec {
       "ann_ivf", "ann_ivf_probe", "ann_pq", "ann_pq_probe",
       "ann_ivfpq", "ann_ivfpq_probe", "ann_opq", "ann_opq_probe",
       "semantic_dedup", "q_approx", "bpe_tokens",
-      "corpus_sketch", "corpus_kll", "decon_overlap_est", "dq_drift_kll")
+      "corpus_sketch", "corpus_kll", "decon_overlap_est", "dq_drift_kll",
+      "pack_greedy")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val undeclared = rowsOnly -- declared
     assert(undeclared.isEmpty,

@@ -32,6 +32,37 @@ class Scd2Spec extends SparkSpec {
     assert(u1(2).isNullAt(1))
   }
 
+  test("snapshotAt: the dimension as of an instant is the historical truth") {
+    val history = Seq(
+      (1L, "2024-01-01 00:00:00", "A", 1L),
+      (1L, "2024-01-05 00:00:00", "B", 2L),
+      (2L, "2024-01-03 00:00:00", "X", 3L)
+    ).toDF("user_id", "ts_s", "state", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val dim = Scd2.fromHistory(history, "user_id", "ts", "state", Seq("event_id"))
+    def at(ts: String): Set[(Long, String)] =
+      Scd2.snapshotAt(dim, lit(ts).cast("timestamp"))
+        .select("user_id", "state").as[(Long, String)].collect().toSet
+    // before user 2 exists: only user 1's first version
+    assert(at("2024-01-02 00:00:00") == Set((1L, "A")))
+    // mid-history: both alive, user 1 still on A
+    assert(at("2024-01-04 00:00:00") == Set((1L, "A"), (2L, "X")))
+    // ON the version boundary: the new version is effective (eff <= ts)
+    assert(at("2024-01-05 00:00:00") == Set((1L, "B"), (2L, "X")))
+    // after everything: equals the current rows
+    assert(at("2024-02-01 00:00:00") ==
+      dim.where($"is_current").select("user_id", "state")
+        .as[(Long, String)].collect().toSet)
+    // before everything: empty, not an error
+    assert(at("2023-12-31 00:00:00").isEmpty)
+    // and the plan is a pure filter: no exchange, no window
+    val plan = Scd2.snapshotAt(dim, lit("2024-01-04 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") ||
+      dim.queryExecution.executedPlan.toString.contains("Exchange"),
+      "snapshotAt added an exchange beyond the dim's own build")
+  }
+
   test("mergeSnapshot: expire changed, insert new, keep unchanged") {
     val dim = Seq(
       (1L, "alice", "2024-01-01", null.asInstanceOf[String], true),

@@ -68,6 +68,60 @@ class SequencePackSpec extends SparkSpec {
     assert(byDoc(1L).size == 1 && byDoc(3L).size == 3)
   }
 
+  test("packGreedy: no doc splits, no bin overflows, FFD packs the crafted optimum") {
+    // lengths with a known optimum: 4×6 + 4×4 over ctx 10 → 4 bins (6+4
+    // each); FFD finds exactly that
+    val crafted = Seq(6L, 6L, 6L, 6L, 4L, 4L, 4L, 4L).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "n_tok")
+    val packed = SequencePack.packGreedy(crafted, "doc_id", "n_tok", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed.map(_._2).distinct.size == 4, s"FFD missed the optimum: $packed")
+    // every doc exactly once, whole
+    assert(packed.map(_._1).sorted == (0L until 8L))
+    assert(packed.forall(r => r._4 == Map(0L->6L,1L->6L,2L->6L,3L->6L,
+      4L->4L,5L->4L,6L->4L,7L->4L)(r._1)))
+    // bins never overflow and offsets tile without overlap
+    packed.groupBy(_._2).foreach { case (bin, rows) =>
+      assert(rows.map(_._4).sum <= 10, s"bin $bin overflows")
+      val spans = rows.sortBy(_._3).map(r => (r._3, r._3 + r._4))
+      spans.sliding(2).foreach {
+        case Seq((_, aTo), (bFrom, _)) =>
+          assert(aTo <= bFrom, s"bin $bin overlaps: $spans")
+        case _ =>
+      }
+    }
+    // deterministic
+    assert(SequencePack.packGreedy(crafted, "doc_id", "n_tok", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted == packed.sorted)
+  }
+
+  test("packGreedy: strata independent; randomized fill stays near-optimal; oversize rejected") {
+    val rng = new scala.util.Random(11L)
+    val rand = (0 until 500).map(i =>
+      (if (i % 2 == 0) "en" else "de", i.toLong, (rng.nextInt(900) + 100).toLong))
+      .toDF("lang", "doc_id", "n_tok")
+    val packed = SequencePack.packGreedy(rand, "doc_id", "n_tok", 1000,
+      strataCols = Seq("lang"))
+    val fill = packed.groupBy("lang", "seq_id")
+      .agg(org.apache.spark.sql.functions.sum("len").as("filled"))
+      .as[(String, Long, Long)].collect()
+    assert(fill.forall(_._3 <= 1000))
+    // FFD ≤ 11/9·OPT + 1 and OPT ≥ ⌈total/ctx⌉ per stratum
+    fill.groupBy(_._1).foreach { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      val lb = (total + 999) / 1000
+      assert(rows.size <= (11 * lb) / 9 + 1,
+        s"$lang: ${rows.size} bins vs lower bound $lb — FFD bound broken")
+    }
+    // all docs packed whole, exactly once, within their own stratum
+    assert(packed.count() == 500)
+    val e = intercept[Exception] {
+      SequencePack.packGreedy(Seq((1L, 2000L)).toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", 1000).collect()
+    }
+    assert(e.getMessage.contains("no-split packing never truncates"))
+  }
+
   test("strata pack independently; non-positive length fails loudly") {
     val strat = Seq(("en", 1L, 7L), ("en", 2L, 7L), ("de", 3L, 4L))
       .toDF("lang", "doc_id", "n_tok")
