@@ -214,6 +214,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous expectations: per-batch reports land; a red batch kills the gated stream") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Expectations._
+    val root = java.nio.file.Files.createTempDirectory("graft-dq-stream").toString
+    val (reports, ckpt) = (s"$root/reports", s"$root/ckpt")
+    val checks = Seq(NotNull("v"), InRange("v", 0.0, 100.0))
+    val mem = MemoryStream[(Long, Option[Double])]
+    val q = ExpectationsStream.run(mem.toDF().toDF("k", "v"),
+      checks, reports, ckpt, gate = true)
+    try {
+      mem.addData((1L, Some(5.0)), (2L, Some(50.0))) // clean batch
+      q.processAllAvailable()
+      assert(q.isActive)
+      val r0 = spark.read.parquet(reports)
+        .select("check", "violations", "pass")
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(r0 == Set(("not_null(v)", 0L, true), ("range(v,0.0,100.0)", 0L, true)))
+
+      mem.addData((3L, None), (4L, Some(500.0))) // violates both checks
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(String.valueOf(e.getMessage).contains("data-quality gate") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("data-quality gate")))
+    } finally q.stop()
+    // the audit trail SURVIVED the kill: the red batch's report is there
+    val all = spark.read.parquet(reports)
+      .select(col("_batch_id").cast("long"), col("check"),
+        col("violations"), col("pass"))
+      .as[(Long, String, Long, Boolean)].collect()
+    val red = all.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSet
+    assert(red == Set(("not_null(v)", 1L, false), ("range(v,0.0,100.0)", 1L, false)))
+    // replay of the red batch converges (report replaced, gate still red)
+    intercept[Exception] {
+      ExpectationsStream.applyBatch(
+        Seq((3L, Option.empty[Double]), (4L, Option(500.0))).toDF("k", "v"),
+        1L, checks, reports, gate = true)
+    }
+    assert(spark.read.parquet(reports)
+      .select(col("_batch_id").cast("long"), col("check"), col("violations"),
+        col("pass"))
+      .as[(Long, String, Long, Boolean)].collect().toSet == all.toSet)
+  }
+
   test("dedup loop: two copies in ONE micro-batch — exactly one survives; replay converges") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions._
