@@ -126,7 +126,10 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8)
       val tag = "\"queries\":{"
       val qi = txt.indexOf(tag)
-      if (qi < 0) Map.empty
+      // a previous artifact from a DIFFERENT scale factor would make every
+      // query read as a >=2x mover and mass-trigger spurious retimes —
+      // only compare like-for-like sf
+      if (qi < 0 || !txt.contains(s""""sf":"$sfDir"""")) Map.empty
       else {
         val sub = txt.substring(qi + tag.length, txt.indexOf('}', qi))
         """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(sub)

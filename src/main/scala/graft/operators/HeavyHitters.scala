@@ -45,7 +45,11 @@ object HeavyHitters {
     val keys = df.select(col(keyCol))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(keys.schema)
-    val candidates: Seq[Any] = keys.mapPartitions { it =>
+    // the candidate set STAYS a relation — never collected, never inlined
+    // as literals: at cap × partitions entries a literal In would blow up
+    // plan size long before anything else; a broadcast hash join gives
+    // the same map-side membership probe
+    val candidates = keys.mapPartitions { it =>
       val counters = mutable.HashMap.empty[Any, Long]
       it.foreach { r =>
         val k = r.get(0)
@@ -65,17 +69,13 @@ object HeavyHitters {
         }
       }
       counters.keysIterator.map(Row(_))
-    }.distinct().collect().map(_.get(0)).toSeq
-    if (candidates.isEmpty)
-      return df.sparkSession.emptyDataFrame
-        .select(lit(null).cast(keys.schema.head.dataType).as(keyCol),
-          lit(0L).as("cnt"))
-        .where(lit(false))
-    // verify pass: candidates keep their key, the rest fold into one null
-    // bucket — exact per-candidate counts AND the exact total in ONE scan
-    val grouped = df
-      .groupBy(when(col(keyCol).isin(candidates: _*), col(keyCol))
-        .as(keyCol))
+    }.distinct().withColumn("_cand", lit(true))
+    // verify pass: candidates keep their key, every other key (and null
+    // keys, which never broadcast-match) folds into one null bucket — so
+    // the SAME scan yields exact per-candidate counts AND the exact total
+    val grouped = keys
+      .join(broadcast(candidates), Seq(keyCol), "left")
+      .groupBy(when(col("_cand"), col(keyCol)).as(keyCol))
       .agg(count(lit(1)).as("cnt"))
     val total = grouped.agg(sum(col("cnt")).as("_n"))
     grouped.crossJoin(total) // 1-row broadcast side (audited pattern)

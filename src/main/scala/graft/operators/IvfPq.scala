@@ -386,13 +386,19 @@ object IvfPq {
       s"appendOrRebuild: no fit-time baseline at $path/fit_stats — " +
         "call saveFitStats when the index is built"))
     val newMse = quantizationMse(index, newRows, vecCol, maxSample)
-    append(spark, path, idCol, vecCol, newRows)
-    if (newMse <= driftFactor * base) false
-    else {
+    val drifted = newMse > driftFactor * base
+    // decide AND validate before mutating anything: a precondition
+    // failure after the append would leave half-landed state that a
+    // retry re-appends (duplicate ids in the index)
+    if (drifted) {
       val vp = new org.apache.hadoop.fs.Path(s"$path/vectors")
       require(vp.getFileSystem(spark.sessionState.newHadoopConf()).exists(vp),
         s"appendOrRebuild: drift past threshold but no vector relation at " +
           s"$path/vectors to retrain from — use saveVectors at build time")
+    }
+    append(spark, path, idCol, vecCol, newRows)
+    if (!drifted) false
+    else {
       val all = loadVectors(spark, path) // includes the batch just landed
       val rebuilt = build(all, idCol, vecCol,
         nCells = index.centers.length, m = index.cb.m,

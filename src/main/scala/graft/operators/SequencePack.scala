@@ -104,7 +104,11 @@ object SequencePack {
     import spark.implicits._
     val keyExpr =
       if (strataCols.isEmpty) lit("")
-      else concat_ws("\u0000", strataCols.map(col(_).cast("string")): _*)
+      // concat_ws SKIPS nulls, which would alias (a, null) with
+      // (null, a) — coalesce each part to a sentinel that itself
+      // contains NUL, unreachable by any real (NUL-free) value
+      else concat_ws("\u0000", strataCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
     val keyed = docs.select(keyExpr.as("_k"),
         col(idCol).cast("long").as("_id"), col(lenCol).cast("long").as("_len"))
       .as[(String, Long, Long)]

@@ -84,7 +84,8 @@ object Upsert {
     */
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
                 partitionCol: String,
-                statsIndexPath: Option[String] = None): Unit = {
+                statsIndexPath: Option[String] = None,
+                statsColumns: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "mergeInto: empty key list")
     require(!keys.contains(partitionCol),
       s"mergeInto: partitionCol '$partitionCol' cannot be a merge key " +
@@ -112,6 +113,21 @@ object Upsert {
             // basePath keeps the partition column parsed from the paths
             val files = graft.sources.StatsIndex.partitionFiles(
               graft.sources.StatsIndex.load(spark, idx), partitionCol, touched)
+            // safety invariant: a touched partition that EXISTS on disk
+            // must be represented in the index — an unmatched existing
+            // partition (stale index, or a partition value Spark
+            // path-escapes so the segment match misses) would silently
+            // DROP its rows from the merge and then overwrite the
+            // directory. One bounded exists() per touched partition.
+            val unmatched = touched.filter { v =>
+              fs.exists(new org.apache.hadoop.fs.Path(dest, s"$partitionCol=$v")) &&
+                !files.exists(_.contains(s"/$partitionCol=$v/"))
+            }
+            require(unmatched.isEmpty,
+              s"mergeInto: stats index at $idx names no files for existing " +
+                s"partition(s) ${unmatched.mkString(", ")} — stale index, or " +
+                "partition values that need path escaping; rebuild the index " +
+                "or run the listing-based merge")
             if (files.isEmpty)
               spark.read.parquet(path).where(lit(false)) // all-new partitions
             else spark.read.option("basePath", path).parquet(files: _*)
@@ -128,8 +144,10 @@ object Upsert {
         .parquet(staging.toString)
       val published = graft.sources.RawLayer.publishPartitions(fs, staging, dest)
       statsIndexPath.foreach { idx =>
+        // thread the caller's column subset so a partial-coverage index
+        // stays partial (writeRaw's statsColumns discipline)
         graft.sources.StatsIndex.replacePartitions(spark, idx,
-          published.map(_.toString))
+          published.map(_.toString), statsColumns)
       }
     } catch {
       case e: Throwable =>

@@ -202,6 +202,30 @@ class MergeIntoSpec extends SparkSpec {
     assert(readFact(path) == readFact(twin))
   }
 
+  test("index-fed merge refuses a stale index instead of dropping partition rows") {
+    import graft.sources.StatsIndex
+    val root = Files.createTempDirectory("graft-mergeinto-stale").toString
+    val (path, idx) = (s"$root/fact", s"$root/idx")
+    writeBase(path)
+    // index built over a DIFFERENT (empty) table: it names no files for
+    // the touched, existing partitions — merging through it would read an
+    // empty slice and overwrite jan-01 with only the updates
+    val emptyTable = s"$root/empty"
+    (1 to 3).map(i => (i.toLong, i.toLong, "2024-09-09", 1.0))
+      .toDF("order_id", "item_id", "day", "amount")
+      .write.partitionBy("day").parquet(emptyTable)
+    StatsIndex.save(StatsIndex.build(spark, emptyTable), idx)
+    val updates = Seq((1L, 1L, "2024-01-01", 99.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    val before = readFact(path)
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+        statsIndexPath = Some(idx))
+    }
+    assert(e.getMessage.contains("names no files for existing partition"))
+    assert(readFact(path) == before, "failed merge must leave the table as it was")
+  }
+
   test("guards: partitionCol as key, null partition values") {
     val path = tmp()
     writeBase(path)

@@ -122,6 +122,25 @@ class SequencePackSpec extends SparkSpec {
     assert(e.getMessage.contains("no-split packing never truncates"))
   }
 
+  test("packGreedy: null stratum values never alias across columns") {
+    // (en, null) and (null, en) must be DIFFERENT strata — a key built
+    // with plain concat_ws (which skips nulls) would merge them and then
+    // duplicate every row in the strata join-back
+    val docs = Seq(
+      (Option("en"), Option.empty[String], 1L, 4L),
+      (Option.empty[String], Option("en"), 2L, 4L))
+      .toDF("lang", "source", "doc_id", "n_tok")
+    val packed = SequencePack.packGreedy(docs, "doc_id", "n_tok", 10,
+        strataCols = Seq("lang", "source"))
+      .as[(Option[String], Option[String], Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(packed.size == 2, s"rows duplicated or lost: $packed")
+    // each doc stays in its own stratum, each stratum packs its own bin 0
+    assert(packed.toSet == Set(
+      (Some("en"), None, 1L, 0L, 0L, 4L),
+      (None, Some("en"), 2L, 0L, 0L, 4L)))
+  }
+
   test("strata pack independently; non-positive length fails loudly") {
     val strat = Seq(("en", 1L, 7L), ("en", 2L, 7L), ("de", 3L, 4L))
       .toDF("lang", "doc_id", "n_tok")
