@@ -328,6 +328,26 @@ object ExtraQueries {
       |FROM x
       |ORDER BY lang, seq_id, seq_from""".stripMargin
 
+  /** PCA spectrum of the embeddings table: per-component variance share
+    * + cumulative share at k=16 of 64, plus the measured rank-16
+    * reconstruction MSE — the decision report for "can this corpus's
+    * vectors be halved before indexing?". Rows-only by design (Jacobi
+    * eigenvectors are not DuckDB-reproducible); orthonormality, planted-
+    * rank recovery, the variance/reconstruction identity, and geometry
+    * preservation are spec-pinned in PcaSpec. */
+  def embPca(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val m = Pca.fit(emb, "embedding", k = 16)
+    val mse = Pca.reconstructionMse(emb, "embedding", m)
+    import s.implicits._
+    val cum = m.varianceShare.scanLeft(0.0)(_ + _).drop(1)
+    m.varianceShare.zipWithIndex.map { case (v, i) =>
+      (i, math.rint(v * 1e6) / 1e6, math.rint(cum(i) * 1e6) / 1e6,
+        math.rint(mse * 1e6) / 1e6)
+    }.toSeq.toDF("component", "variance_share", "cum_share", "mse_k16")
+      .orderBy("component")
+  }
+
   /** No-split (SFT-regime) greedy packing of documents into 4096-char
     * bins per language — first-fit-decreasing, rows-only by design (a
     * sequential greedy is not SQL-expressible; the FFD bound, bin
@@ -580,6 +600,7 @@ object ExtraQueries {
     "dq_drift_kll" -> (dqDriftKll _),
     "pack_sequences" -> (packSeqs _),
     "pack_greedy" -> (packGreedyQ _),
+    "emb_pca" -> (embPca _),
     "heavy_tokens" -> (heavyTokens _),
     "dq_drift_psi" -> (dqDriftPsi _),
     "decon_overlap_est" -> (deconOverlapEst _)
