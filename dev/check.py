@@ -54,10 +54,19 @@ def main(sfdir, outdir):
                 for i in idx:
                     print(f"    row {i} col {c}: spark={sdf[c][i]!r} oracle={odf[c][i]!r}")
             failures += 1; continue
-        # dtype check (schema-match approximation)
+        # dtype check — the driver hashes rendered values, so a dtype KIND
+        # diff (e.g. DuckDB HUGEIT->float64 vs Spark int64: 0.0 vs 0) is a
+        # hash mismatch there even when pandas == says equal. Hard FAIL on
+        # kind diffs; width-only diffs (int32 vs int64) hash identically
+        # driver-side and are reported as a note.
         dt = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in odf.columns
               if str(sdf[c].dtype) != str(odf[c].dtype)]
-        note = f" [dtype diff: {dt}]" if dt else ""
+        kind = [(c, a, b) for c, a, b in dt
+                if getattr(sdf[c].dtype, "kind", "?") != getattr(odf[c].dtype, "kind", "?")]
+        if kind:
+            print(f"FAIL {name}: dtype kind diff {kind} (driver typed-hash would mismatch)")
+            failures += 1; continue
+        note = f" [width-only dtype diff: {dt}]" if dt else ""
         print(f"ok   {name}: {len(sdf)} rows{note}")
     print(f"\n{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
     return failures

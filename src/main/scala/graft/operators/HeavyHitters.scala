@@ -78,9 +78,23 @@ object HeavyHitters {
       .groupBy(when(col("_cand"), col(keyCol)).as(keyCol))
       .agg(count(lit(1)).as("cnt"))
     val total = grouped.agg(sum(col("cnt")).as("_n"))
+    // threshold in EXACT arithmetic: a double compare (`cnt >= support*n`)
+    // misclassifies boundary keys for supports with no binary
+    // representation (0.005 * 2e6 evaluates to 10000.0000000000002,
+    // excluding an exactly-10000 key and breaking the "exact count >=
+    // s*n" contract). Rationalize s from its shortest decimal repr
+    // (s = num/den, den a power of 10) and compare cnt*den >= num*n in
+    // decimal(38,0) — exact, and overflow-free up to ~1e38.
+    val sBd = BigDecimal(support.toString)
+    val den = BigDecimal(10).pow(math.max(sBd.scale, 0))
+    val num = (sBd * den).toBigIntExact.getOrElse(
+      throw new IllegalArgumentException(s"frequent: support=$support not rationalizable"))
+    require(num.bitLength < 63 && den.toBigInt.bitLength < 63,
+      s"frequent: support=$support has too fine a decimal scale")
     grouped.crossJoin(total) // 1-row broadcast side (audited pattern)
       .where(col(keyCol).isNotNull &&
-        col("cnt").cast("double") >= lit(support) * col("_n"))
+        col("cnt").cast("decimal(38,0)") * lit(den.toLong) >=
+          lit(num.toLong) * col("_n").cast("decimal(38,0)"))
       .select(col(keyCol), col("cnt"))
   }
 }

@@ -61,6 +61,12 @@ object Pca {
     }.collect() // one row per non-empty partition — bounded by design
     require(partials.nonEmpty, "pca: empty input")
     val d = partials.head._2.size
+    // raggedness is checked within each partition against its own first
+    // vector; partitions can still disagree with each other — a wider
+    // partial would silently truncate into wrong moments, a narrower one
+    // would throw a bare IndexOutOfBounds below. Fail loudly instead.
+    require(partials.forall(_._2.size == d),
+      s"pca: ragged vectors across partitions (dims ${partials.map(_._2.size).distinct.sorted.mkString(",")})")
     require(k <= d, s"pca: k=$k > dim=$d")
     val n = partials.map(_._1).sum
     require(n >= 2, s"pca: need >= 2 rows, got $n")

@@ -67,8 +67,8 @@ object Profile {
         sum(when(v === "", 1L).otherwise(0L)).as(s"_emp_$c"),
         (if (exact) countDistinct(v) else approx_count_distinct(v))
           .as(s"_dst_$c"),
-        min(length(v)).as(s"_mnl_$c"),
-        max(length(v)).as(s"_mxl_$c"),
+        min(length(v)).cast("long").as(s"_mnl_$c"),
+        max(length(v)).cast("long").as(s"_mxl_$c"),
         sum(length(v).cast("long")).as(s"_tot_$c"))
     }
     val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)

@@ -312,8 +312,8 @@ object ExtraQueries {
   private val packSeqsOracle: String =
     """WITH t AS (
       |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS len,
-      |    sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS en
+      |    CAST(sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS en
       |  FROM documents),
       |s AS (SELECT lang, doc_id, len, en - len AS st, en FROM t),
       |x AS (
@@ -382,7 +382,7 @@ object ExtraQueries {
       |f AS (SELECT token FROM tok WHERE token <> '')
       |SELECT token, CAST(count(*) AS BIGINT) AS cnt
       |FROM f GROUP BY token
-      |HAVING CAST(count(*) AS DOUBLE) >= 0.005 * (SELECT count(*) FROM f)
+      |HAVING count(*) * 1000 >= 5 * (SELECT count(*) FROM f)
       |ORDER BY cnt DESC, token""".stripMargin
 
   /** String profile of the documents table — null/empty/distinct census

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hyperplanes
-import graft.operators.{Ivf, IvfPq, Opq, Pq, Similarity, Sq}
+import graft.operators.{Ivf, IvfPq, Opq, PcaAnn, Pq, Similarity, Sq}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
   * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
@@ -254,8 +254,39 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** PCA dims for the reduce-then-index path: 16 of 64 — the k at which
+    * PcaSpec's planted-rank corpus keeps recall ≥0.9 while the index
+    * stores 4× fewer bytes per vector. */
+  val PcaDim = 16
+
+  private val pcaAnnIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), PcaAnn.Index]
+
+  /** The session's built PCA+IVF index for `dir` — PCA fit + projection +
+    * k-means + assignment run on FIRST access only (the [[ivfIndex]]
+    * build-once/probe-many convention). */
+  def pcaAnnIndex(s: SparkSession, dir: String): PcaAnn.Index =
+    pcaAnnIndexes.getOrElseUpdate((s, dir),
+      PcaAnn.build(emb(s, dir), "vec_id", "embedding",
+        PcaDim, IvfCells, IvfSeed))
+
+  /** PCA-reduced IVF ANN, probe-only — the reduce-then-index deployment
+    * [[graft.operators.Pca]]'s spectrum report exists for: shortlist in
+    * the 16-dim principal subspace (4× smaller index, 4× cheaper dots),
+    * exact re-rank in the original 64-dim space. Rows-only (k-means +
+    * Jacobi eigenvectors are not DuckDB-reproducible); PcaAnnSpec pins
+    * recall vs the unreduced IVF twin at matched nProbe plus exactness
+    * of the reported cosines. */
+  def annPcaProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    PcaAnn.probe(pcaAnnIndex(s, dir), e, "embedding", queriesDf(e),
+        "q_id", "q_vec", K, nProbe = 4)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> (annTopK _),
+    "ann_pca_probe" -> (annPcaProbe _),
     "ann_sq" -> (annSq _),
     "ann_opq" -> (annOpq _),
     "ann_opq_probe" -> (annOpqProbe _),

@@ -506,10 +506,12 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
     * @param createDisposition reference `create_disposition`
     *   (`utils/operators.py:22`): CREATE_IF_NEEDED creates the target
     *   directory; CREATE_NEVER fails fast when it does not already exist.
-    * @param statsIndexPath when set, the publish feeds its OWN file delta
-    *   to [[StatsIndex.updateFiles]] — the publish path knows exactly
-    *   which files it just moved in, so index maintenance costs one
-    *   `listStatus` per published partition instead of a table walk.
+    * @param statsIndexPath when set, the publish refreshes the index for
+    *   exactly the partitions it just published via
+    *   [[StatsIndex.replacePartitions]] — one `listStatus` per published
+    *   partition instead of a table walk, and stale rows from a replaced
+    *   partition are dropped (re-ingesting a date must never leave the
+    *   index naming trashed files).
     * @return the bad-record count.
     */
   def writeRaw(outPath: String,
@@ -538,8 +540,14 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
       catch { case e: Throwable => fs.delete(staging, true); throw e }
     val published = RawLayer.publishPartitions(fs, staging, dest)
     statsIndexPath.foreach { idx =>
-      StatsIndex.updateFiles(spark,
-        RawLayer.partitionFiles(fs, published), idx, statsColumns)
+      // replacePartitions, not append-only updateFiles: publishPartitions
+      // REPLACES an existing partition dir wholesale (new random part-file
+      // names, old files trashed), so a same-date re-ingest would leave
+      // stale index rows naming deleted files — and this index is used AS
+      // the file listing (partitionFiles / prunedRead / index-fed
+      // mergeInto), where a stale row is a PATH_NOT_FOUND at read time.
+      StatsIndex.replacePartitions(spark, idx,
+        published.map(_.toString), statsColumns)
     }
     bad
   }

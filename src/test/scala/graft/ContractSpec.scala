@@ -29,7 +29,7 @@ class ContractSpec extends SparkSpec {
       "ann_ivfpq", "ann_ivfpq_probe", "ann_opq", "ann_opq_probe",
       "semantic_dedup", "q_approx", "bpe_tokens",
       "corpus_sketch", "corpus_kll", "decon_overlap_est", "dq_drift_kll",
-      "pack_greedy", "emb_pca")
+      "pack_greedy", "emb_pca", "ann_pca_probe")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val undeclared = rowsOnly -- declared
     assert(undeclared.isEmpty,

@@ -42,8 +42,8 @@ class ProfileSpec extends SparkSpec {
     val df = Seq(Option("ab"), Option(""), None, Option("abcd"), Option("ab"))
       .toDF("s")
     val row = Profile.strings(df, Seq("s"))
-      .as[(String, Long, Long, Long, Long, Int, Int, Long)].head()
-    assert(row == (("s", 5L, 1L, 1L, 3L, 0, 4, 8L)))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(row == (("s", 5L, 1L, 1L, 3L, 0L, 4L, 8L)))
   }
 
   test("histogram: edges, out-of-range bins, right-closed last bin, nulls") {

@@ -210,6 +210,27 @@ class StatsIndexSpec extends SparkSpec {
       .writeRaw(out, statsIndexPath = Some(idx))
     assert(StatsIndex.load(spark, idx).select("file").distinct().count() ==
       StatsIndex.listDataFiles(spark, out).size)
+    // SAME-date re-ingest: publish REPLACES the partition dir (new random
+    // part-file names, old files trashed) — the index must drop the stale
+    // rows, not keep them alongside the fresh ones. With stale rows, the
+    // index-fed read path (partitionFiles/prunedRead/mergeInto) would ask
+    // for deleted files and die with PATH_NOT_FOUND.
+    val csv3 = s"$root/in3.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv3),
+      "id,v\n5,50.0\n6,60.0\n".getBytes("UTF-8"))
+    CsvIngest.load(spark, csv3, cols, ingestionDate = "2024-03-01")
+      .writeRaw(out, statsIndexPath = Some(idx))
+    val after = StatsIndex.load(spark, idx).select("file").distinct()
+      .as[String].collect().toSet
+    val onDisk = StatsIndex.listDataFiles(spark, out).toSet
+    assert(after == onDisk,
+      s"index/table drift after same-date re-publish: stale=${after -- onDisk}")
+    // and the index-fed partition listing serves readable files only
+    val listed = StatsIndex.partitionFiles(
+      StatsIndex.load(spark, idx), "ingestion_date", Seq("2024-03-01"))
+    assert(listed.nonEmpty)
+    val reread = spark.read.parquet(listed: _*)
+    assert(reread.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 11L)
   }
 
   test("INT64 bounds are ulp-widened: a >2^53 long never fabricates disjointness") {
