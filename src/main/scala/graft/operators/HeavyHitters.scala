@@ -37,19 +37,28 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Keys of `keyCol` with exact count ≥ `support × n` (n = row count of
-    * `df`), as `(keyCol, cnt)`. `support ∈ (0, 1)`. */
-  def frequent(df: DataFrame, keyCol: String, support: Double): DataFrame = {
-    require(support > 0.0 && support < 1.0, s"frequent: support=$support")
-    val cap = math.max(1, math.ceil(1.0 / support).toInt)
-    val keys = df.select(col(keyCol))
+  /** The MG counter budget for `support`: ⌈1/s⌉. */
+  def capFor(support: Double): Int = {
+    require(support > 0.0 && support < 1.0, s"heavy hitters: support=$support")
+    math.max(1, math.ceil(1.0 / support).toInt)
+  }
+
+  /** Per-partition Misra–Gries summaries of `keys` (a single-column
+    * frame) as `(keyCol, cnt)` rows — ≤ cap rows per partition, constant
+    * memory per task. The counts are the MG UNDERESTIMATES (true count
+    * minus decrements), which is what makes the summaries mergeable:
+    * summing them per key across partitions/batches and applying one
+    * more decrement preserves the global `error ≤ n/(cap+1)` bound
+    * (Agarwal et al. 2012, Mergeable Summaries). Null keys are skipped. */
+  private[graft] def mgSummaries(keys: DataFrame, keyCol: String,
+                                 cap: Int): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keys.schema.fields :+
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(keys.schema)
-    // the candidate set STAYS a relation — never collected, never inlined
-    // as literals: at cap × partitions entries a literal In would blow up
-    // plan size long before anything else; a broadcast hash join gives
-    // the same map-side membership probe
-    val candidates = keys.mapPartitions { it =>
+      org.apache.spark.sql.Encoders.row(outSchema)
+    keys.mapPartitions { it =>
       val counters = mutable.HashMap.empty[Any, Long]
       it.foreach { r =>
         val k = r.get(0)
@@ -68,13 +77,43 @@ object HeavyHitters {
           }
         }
       }
-      counters.keysIterator.map(Row(_))
-    }.distinct().withColumn("_cand", lit(true))
-    // verify pass: candidates keep their key, every other key (and null
-    // keys, which never broadcast-match) folds into one null bucket — so
-    // the SAME scan yields exact per-candidate counts AND the exact total
+      counters.iterator.map { case (k, c) => Row(k, c) }
+    }
+  }
+
+  /** Merge MG summary rows down to ONE summary of ≤ cap counters — the
+    * published mergeable-summaries step: sum counts per key, then
+    * subtract the (cap+1)-th largest summed count from every key and
+    * keep the positive remainders. Each such subtraction of δ removes
+    * ≥ (cap+1)·δ total mass, so cumulative per-key underestimation stays
+    * ≤ n/(cap+1) across ANY merge tree — an s-frequent key (s > 1/(cap+1))
+    * can never reach zero. Driver cost: a top-(cap+1) collect, nothing
+    * proportional to the key space. */
+  private[graft] def mergeToCap(summaries: DataFrame, keyCol: String,
+                                cap: Int): DataFrame = {
+    val summed = summaries.groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("cnt"))
+    val top = summed.orderBy(col("cnt").desc).limit(cap + 1).collect()
+    val delta =
+      if (top.length > cap) top.last.getLong(top.last.fieldIndex("cnt"))
+      else 0L
+    summed.where(col("cnt") > delta)
+      .select(col(keyCol), (col("cnt") - delta).as("cnt"))
+  }
+
+  /** The exact verify pass over a candidate relation: one aggregation of
+    * `keys` where candidates keep their key and every other key (and
+    * null keys, which never broadcast-match) folds into a single null
+    * bucket — the SAME scan yields exact per-candidate counts AND the
+    * exact total n, and survivors filter at the exact threshold.
+    * `candidates` must be a distinct single-column (`keyCol`) relation;
+    * it stays a broadcast join side, never a literal `In`. */
+  private[graft] def verifyFrequent(keys: DataFrame, keyCol: String,
+                                    candidates: DataFrame,
+                                    support: Double): DataFrame = {
+    val cand = candidates.withColumn("_cand", lit(true))
     val grouped = keys
-      .join(broadcast(candidates), Seq(keyCol), "left")
+      .join(broadcast(cand), Seq(keyCol), "left")
       .groupBy(when(col("_cand"), col(keyCol)).as(keyCol))
       .agg(count(lit(1)).as("cnt"))
     val total = grouped.agg(sum(col("cnt")).as("_n"))
@@ -96,5 +135,19 @@ object HeavyHitters {
         col("cnt").cast("decimal(38,0)") * lit(den.toLong) >=
           lit(num.toLong) * col("_n").cast("decimal(38,0)"))
       .select(col(keyCol), col("cnt"))
+  }
+
+  /** Keys of `keyCol` with exact count ≥ `support × n` (n = row count of
+    * `df`), as `(keyCol, cnt)`. `support ∈ (0, 1)`. */
+  def frequent(df: DataFrame, keyCol: String, support: Double): DataFrame = {
+    val cap = capFor(support)
+    val keys = df.select(col(keyCol))
+    // the candidate set STAYS a relation — never collected, never inlined
+    // as literals: at cap × partitions entries a literal In would blow up
+    // plan size long before anything else; a broadcast hash join gives
+    // the same map-side membership probe
+    val candidates = mgSummaries(keys, keyCol, cap)
+      .select(col(keyCol)).distinct()
+    verifyFrequent(keys, keyCol, candidates, support)
   }
 }

@@ -89,7 +89,7 @@ object StatsIndex {
             fs.listStatus(p).foreach { st =>
               if (visible(st.getPath)) {
                 if (st.isDirectory) submit(st.getPath)
-                else if (st.getPath.getName.endsWith(".parquet"))
+                else if (isDataFile(st.getPath.getName))
                   files.add(st.getPath.toString)
               }
             }
@@ -131,8 +131,18 @@ object StatsIndex {
     * (older or foreign writers) makes the whole column's bounds unknown:
     * partial bounds could otherwise prove a false "disjoint" and prune a
     * file that contains matching rows. */
+  /** Both footer-bearing columnar formats the ingest dispatcher serves
+    * are indexable; anything else never enters the walk. */
+  private def isDataFile(name: String): Boolean =
+    name.endsWith(".parquet") || name.endsWith(".orc")
+
   private def footerStats(file: String, conf: SerializableConfiguration,
-                          wanted: Set[String]): Seq[FileColStats] = {
+                          wanted: Set[String]): Seq[FileColStats] =
+    if (file.endsWith(".orc")) orcFooterStats(file, conf, wanted)
+    else parquetFooterStats(file, conf, wanted)
+
+  private def parquetFooterStats(file: String, conf: SerializableConfiguration,
+                                 wanted: Set[String]): Seq[FileColStats] = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), conf.value))
     try {
@@ -184,6 +194,67 @@ object StatsIndex {
               None, None, None, None, nulls))
         }
       }
+    } finally reader.close()
+  }
+
+  /** Stats rows for one ORC file's footer — the ORC twin of
+    * [[parquetFooterStats]], so the dispatcher's `source_format=ORC`
+    * tables are served by the same index instead of silently
+    * un-prunable. ORC footers carry FILE-level column statistics
+    * (no per-row-group aggregation needed); top-level primitive struct
+    * fields only, matching the flat tables the ingest path writes.
+    *
+    * Conservative mappings:
+    *  - integer categories ulp-widen like parquet INT64 (ORC integer
+    *    stats are longs regardless of width);
+    *  - string bounds are kept ONLY when both endpoints consist solely
+    *    of chars < U+D800: the ORC writer computes min/max in Java
+    *    UTF-16 order, which agrees with [[pruneFiles]]'s UTF-8 order
+    *    exactly when the first differing unit is below the surrogate
+    *    range — and an all-sub-surrogate endpoint proves every
+    *    comparison that selected it resolved there (a supplementary
+    *    value would have compared ABOVE such a max in both orders);
+    *  - date/timestamp/decimal/binary carry no bounds (never pruned);
+    *  - `null_count` = rows − numberOfValues (exact for top-level
+    *    columns; ORC always records the value count). */
+  private def orcFooterStats(file: String, conf: SerializableConfiguration,
+                             wanted: Set[String]): Seq[FileColStats] = {
+    import org.apache.orc.{ColumnStatistics => OrcStats, OrcFile, TypeDescription}
+    val reader = OrcFile.createReader(new Path(file),
+      OrcFile.readerOptions(conf.value))
+    try {
+      val schema = reader.getSchema
+      if (schema.getCategory != TypeDescription.Category.STRUCT) return Nil
+      val rows = reader.getNumberOfRows
+      val stats: Array[OrcStats] = reader.getStatistics
+      val fields = schema.getFieldNames.asScala.toSeq
+        .zip(schema.getChildren.asScala.toSeq)
+      fields.filter { case (n, _) => wanted.isEmpty || wanted(n) }
+        .sortBy(_._1)
+        .map { case (name, t) =>
+          val cs = stats(t.getId)
+          val nonNull = cs.getNumberOfValues
+          val nulls = rows - nonNull
+          val typ = t.getCategory.getName.toUpperCase
+          val base = FileColStats(file, rows, name, typ,
+            None, None, None, None, nulls)
+          if (nonNull == 0L) base // all-null (or empty): excludable via nulls
+          else cs match {
+            case s: org.apache.orc.IntegerColumnStatistics =>
+              base.copy(min_num = Some(Math.nextDown(s.getMinimum.toDouble)),
+                max_num = Some(Math.nextUp(s.getMaximum.toDouble)))
+            case s: org.apache.orc.DoubleColumnStatistics =>
+              base.copy(min_num = Some(s.getMinimum),
+                max_num = Some(s.getMaximum))
+            case s: org.apache.orc.StringColumnStatistics =>
+              val (lo, hi) = (Option(s.getMinimum), Option(s.getMaximum))
+              def subSurrogate(v: String) = v.forall(_ < '\uD800')
+              if (lo.exists(subSurrogate) && hi.exists(subSurrogate))
+                base.copy(typ = "STRING", min_str = lo, max_str = hi)
+              else base.copy(typ = "STRING")
+            case _ => base // boolean/date/ts/decimal/binary: no bounds
+          }
+        }
     } finally reader.close()
   }
 
@@ -318,7 +389,7 @@ object StatsIndex {
       val dfs = dir.getFileSystem(hconf)
       if (!dfs.exists(dir)) Nil
       else dfs.listStatus(dir).toSeq
-        .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+        .filter(st => !st.isDirectory && isDataFile(st.getPath.getName))
         .map(_.getPath.toString)
     }
     import spark.implicits._
@@ -377,6 +448,10 @@ object StatsIndex {
     require(files.nonEmpty,
       "prunedRead: every file pruned — the predicate matches nothing; " +
         "short-circuit upstream instead of scanning")
-    spark.read.parquet(files: _*)
+    val (orc, parquet) = files.partition(_.endsWith(".orc"))
+    require(orc.isEmpty || parquet.isEmpty,
+      "prunedRead: index mixes parquet and ORC files — one table, one format")
+    if (orc.nonEmpty) spark.read.orc(orc: _*)
+    else spark.read.parquet(parquet: _*)
   }
 }

@@ -51,13 +51,42 @@ object Scd2Stream {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong))
 
+  /** Auto-compaction policy for the maintenance loop — the
+    * monitor-decide step that removes [[compactBuckets]]'s last manual
+    * knob (the [[graft.operators.IvfPq.appendOrRebuild]] precedent):
+    * after each batch's rebuild, a touched bucket whose raw-observation
+    * count exceeds `ratio` × its version count (and carries at least
+    * `minRawRows` observations — tiny buckets aren't worth a rewrite)
+    * is compacted under a watermark of `max(event ts seen in the
+    * touched slice) − lateness`. Both inputs are already on disk and
+    * pruned to the touched buckets, so the decision costs two bucket-
+    * grain aggregations of ≤ nBuckets rows each.
+    *
+    * `lateness` is the stream's bounded-lateness bargain (a Spark
+    * interval string, e.g. "1 hour"): an arrival with event time ≤
+    * max-seen − lateness would violate the bound, so compaction below
+    * that watermark is EXACT (`ts` must be a timestamp for the interval
+    * subtraction). The raw/version ratio of every bucket then stays
+    * bounded by `ratio` plus one batch's worth of landings — the
+    * property Scd2StreamSpec pins on a long feed. */
+  final case class CompactionPolicy(ratio: Double = 3.0,
+                                    minRawRows: Long = 256,
+                                    lateness: String = "1 hour") {
+    require(ratio > 1.0, s"compaction ratio=$ratio must exceed 1 " +
+      "(a rebuild keeps at least one row per version)")
+    require(minRawRows >= 0, s"minRawRows=$minRawRows")
+  }
+
   /** One micro-batch apply — exposed for direct replay testing.
     * Raw landing first (idempotent per batch id), then touched-bucket
-    * rebuild, then bucket-grain dim rewrite. */
+    * rebuild, then bucket-grain dim rewrite, then (when a
+    * [[CompactionPolicy]] is supplied) ratio-triggered raw-log
+    * compaction of the touched buckets. */
   def applyBatch(batch: DataFrame, batchId: Long,
                  rawPath: String, dimPath: String,
                  key: String, ts: String, tracked: String,
-                 tieBreak: Seq[String] = Nil, nBuckets: Int = 64): Unit = {
+                 tieBreak: Seq[String] = Nil, nBuckets: Int = 64,
+                 compaction: Option[CompactionPolicy] = None): Unit = {
     require(nBuckets >= 1, s"scd2Stream: nBuckets=$nBuckets")
     require(batch.columns.contains(key) && batch.columns.contains(ts) &&
         batch.columns.contains(tracked),
@@ -86,7 +115,50 @@ object Scd2Stream {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_kb")
         .parquet(dimPath)
+      compaction.foreach { pol =>
+        maybeCompact(spark, rawPath, dimPath, touched.toSeq,
+          key, ts, tracked, tieBreak, pol)
+      }
     }
+  }
+
+  /** The monitor-decide step of a [[CompactionPolicy]]: measure each
+    * touched bucket's raw/version ratio from the two on-disk relations
+    * (both reads partition-pruned to `buckets`), compact the ones past
+    * the threshold under the policy's lateness watermark. Returns the
+    * compacted bucket ids (empty when nothing tripped). Runs from the
+    * same serial foreachBatch loop as the landing — the
+    * [[compactBuckets]] concurrency contract. */
+  def maybeCompact(spark: SparkSession, rawPath: String, dimPath: String,
+                   buckets: Seq[Long], key: String, ts: String,
+                   tracked: String, tieBreak: Seq[String],
+                   pol: CompactionPolicy): Seq[Long] = {
+    if (buckets.isEmpty) return Nil
+    // ≤ nBuckets rows each, by construction
+    val rawStats = spark.read.parquet(rawPath)
+      .where(col("_kb").isin(buckets: _*))
+      .groupBy(col("_kb"))
+      .agg(count(lit(1)).as("_raw"), max(col(ts)).as("_maxTs"))
+    val verStats = spark.read.parquet(dimPath)
+      .where(col("_kb").isin(buckets: _*))
+      .groupBy(col("_kb")).agg(count(lit(1)).as("_ver"))
+    val stats = rawStats.join(verStats, Seq("_kb"))
+      .where(col("_raw") >= pol.minRawRows &&
+        col("_raw") > lit(pol.ratio) * col("_ver"))
+      // _kb read back from a partition path is an INT — cast before getLong
+      .select(col("_kb").cast("long"), col("_maxTs")).collect()
+    if (stats.isEmpty) return Nil
+    val tripped = stats.map(_.getLong(0)).toSeq
+    // ONE watermark for all tripped buckets: the global max event time
+    // seen minus the lateness bound — the standard (monotone) streaming
+    // watermark; per-bucket maxima would let a quiet bucket's watermark
+    // lag behind the stream's actual progress for no exactness gain
+    val maxTs = stats.map(r => r.getTimestamp(1)).max((a: java.sql.Timestamp,
+      b: java.sql.Timestamp) => a.compareTo(b))
+    val wm = lit(maxTs) - expr(s"INTERVAL ${pol.lateness}")
+    compactBuckets(spark, rawPath, tripped, key, ts, tracked, tieBreak,
+      watermark = Some(wm))
+    tripped
   }
 
   /** Start the maintenance stream: each micro-batch applies via
@@ -94,13 +166,14 @@ object Scd2Stream {
     * which batch ids replay after restart. */
   def run(stream: DataFrame, rawPath: String, dimPath: String,
           checkpointDir: String, key: String, ts: String, tracked: String,
-          tieBreak: Seq[String] = Nil, nBuckets: Int = 64): StreamingQuery =
+          tieBreak: Seq[String] = Nil, nBuckets: Int = 64,
+          compaction: Option[CompactionPolicy] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, rawPath, dimPath, key, ts, tracked,
-          tieBreak, nBuckets)
+          tieBreak, nBuckets, compaction)
       }
       .start()
 

@@ -233,6 +233,62 @@ class StatsIndexSpec extends SparkSpec {
     assert(reread.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 11L)
   }
 
+  test("ORC table: footer stats index, prune, and pruned read (source_format=ORC surface)") {
+    val root = Files.createTempDirectory("graft-statsidx-orc").toString
+    val t = s"$root/t"
+    // two ORC files with disjoint id ranges and distinct string prefixes
+    (0L until 100L).map(i => (i, f"aa_$i%04d", i.toDouble, None: Option[Long]))
+      .toDF("id", "k", "v", "dead")
+      .coalesce(1).write.orc(t)
+    (1000L until 1100L).map(i => (i, f"zz_$i%04d", i.toDouble, None: Option[Long]))
+      .toDF("id", "k", "v", "dead")
+      .coalesce(1).write.mode("append").orc(t)
+
+    val stats = StatsIndex.build(spark, t)
+    val files = stats.select("file").distinct().as[String].collect()
+    assert(files.length == 2 && files.forall(_.endsWith(".orc")))
+    // numeric + string bounds populated; the all-null column is provably
+    // all-null (exact null counts from the ORC value count)
+    assert(stats.where(col("column") === "id" && col("min_num").isNull)
+      .count() == 0)
+    assert(stats.where(col("column") === "k" && col("min_str").isNull)
+      .count() == 0)
+    assert(stats.where(col("column") === "dead")
+      .as[StatsIndex.FileColStats].collect()
+      .forall(s => s.null_count == s.rows))
+
+    // numeric prune: the id range [1000, 1100] rules out the aa file
+    val idHit = StatsIndex.pruneFiles(stats, Map("id" -> (1000.0, 1100.0)))
+    assert(idHit.size == 1, s"expected 1 surviving file, got $idHit")
+    // string prune: k < "b" rules out the zz file
+    val strHit = StatsIndex.pruneFiles(stats, Map.empty,
+      Map("k" -> ("a", "b")))
+    assert(strHit.size == 1 && strHit != idHit)
+    // all-null column: any range on `dead` excludes everything
+    assert(StatsIndex.pruneFiles(stats, Map("dead" -> (0.0, 9.9))).isEmpty)
+
+    // pruned read goes through the ORC reader and returns the real rows
+    val got = StatsIndex.prunedRead(spark, stats, Map("id" -> (1000.0, 1100.0)))
+      .where(col("id") >= 1000L).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (1000L until 1100L))
+  }
+
+  test("ORC string stats: supplementary-plane endpoints withhold bounds (UTF-16/UTF-8 order)") {
+    val root = Files.createTempDirectory("graft-statsidx-orc-emoji").toString
+    // Java (UTF-16) max of {"", emoji} is "" — an UNDER-bound
+    // in Spark's UTF-8 order, where the 4-byte emoji sorts above; using it
+    // could prune a file that matches. The index must withhold the bounds.
+    Seq((1L, "x"), (2L, "😀x"))
+      .toDF("id", "k").coalesce(1).write.orc(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t", columns = Seq("k"))
+    val row = stats.as[StatsIndex.FileColStats].collect().head
+    assert(row.min_str.isEmpty && row.max_str.isEmpty,
+      s"unsafe UTF-16 string bounds emitted: $row")
+    // and with no bounds, no string range can prune the file
+    assert(StatsIndex.pruneFiles(stats, Map.empty,
+      Map("k" -> ("", "￿"))).size == 1)
+  }
+
   test("INT64 bounds are ulp-widened: a >2^53 long never fabricates disjointness") {
     val root = Files.createTempDirectory("graft-statsidx-big").toString
     val big = (1L << 60) + 3L // rounds when cast to double

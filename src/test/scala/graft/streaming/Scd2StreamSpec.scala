@@ -216,6 +216,52 @@ class Scd2StreamSpec extends SparkSpec {
     assert(k7lost == Seq("A", "Z", "B")) // A@Jan3 version gone
   }
 
+  test("auto-compaction policy: long feed keeps the raw/version ratio bounded, no manual call") {
+    val raw = Files.createTempDirectory("graft-scd2s-auto").toString
+    val dim = Files.createTempDirectory("graft-scd2s-autod").toString + "/dim"
+    val pol = Scd2Stream.CompactionPolicy(
+      ratio = 2.0, minRawRows = 4, lateness = "30 minutes")
+    // 25 hourly batches over 4 keys; a key's segment changes only every
+    // 5th batch -> 80% of the log is non-change traffic, so without
+    // compaction raw/versions grows toward 5x and keeps growing
+    val base = ts("2024-02-01 00:00:00").getTime
+    val feed: Seq[Seq[(Long, Timestamp, String, Double)]] =
+      (0 until 25).map { i =>
+        (1L to 4L).map { k =>
+          (k, new Timestamp(base + i * 3600L * 1000L),
+            s"seg-$k-${i / 5}", i.toDouble)
+        }
+      }
+    feed.zipWithIndex.foreach { case (b, i) =>
+      Scd2Stream.applyBatch(feedDf(b), i.toLong, raw, dim,
+        "cust_id", "ts", "segment", nBuckets = 4, compaction = Some(pol))
+      // the policy's bound, checked CONTINUOUSLY: raw never exceeds
+      // ratio x versions by more than the not-yet-droppable tail (rows
+      // inside the lateness window) plus the batch that tripped the check
+      val rawCnt = spark.read.parquet(raw).count()
+      val verCnt = spark.read.parquet(dim).count()
+      assert(rawCnt <= pol.ratio * verCnt + 2 * b.size,
+        s"batch $i: raw=$rawCnt versions=$verCnt — ratio unbounded")
+    }
+    // compaction actually fired: the final log is far below the 100 fed
+    // rows (an uncompacted log keeps all of them)
+    val finalRaw = spark.read.parquet(raw).count()
+    assert(finalRaw < 50, s"auto-compaction never fired: raw=$finalRaw of 100")
+    // and the policy cost zero exactness: dim == batch full-feed rebuild
+    assert(keyRows(Scd2Stream.readDim(spark, dim)) ==
+      keyRows(Scd2.fromHistory(feedDf(feed.flatten),
+        "cust_id", "ts", "segment")))
+    // a late-but-in-bound arrival (20 min behind max) after many
+    // compactions still lands exactly
+    val lateTs = new Timestamp(base + 24 * 3600L * 1000L - 20L * 60L * 1000L)
+    val late = Seq((2L, lateTs, "late-seg", 99.0))
+    Scd2Stream.applyBatch(feedDf(late), 25L, raw, dim,
+      "cust_id", "ts", "segment", nBuckets = 4, compaction = Some(pol))
+    assert(keyRows(Scd2Stream.readDim(spark, dim)) ==
+      keyRows(Scd2.fromHistory(feedDf(feed.flatten ++ late),
+        "cust_id", "ts", "segment")))
+  }
+
   test("missing column fails loudly up front") {
     val e = intercept[IllegalArgumentException] {
       Scd2Stream.applyBatch(feedDf(batches.head).drop("segment"), 0L,
