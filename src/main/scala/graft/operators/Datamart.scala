@@ -66,6 +66,18 @@ object Datamart {
         max(col("order_date")).as("last_order_date"),
         countDistinct(col("order_id")).as("total_orders"),
         round(sum(col("net_amount")), 6).as("total_lifetime_value"))
+    finishAnalytics(perCustomer, anchor)
+  }
+
+  /** The derivation tail of [[customerAnalytics]] — anchor recency, AOV,
+    * and RFM segment over a per-customer aggregate relation with columns
+    * `(customer_id, name, mkt_segment, first_order_date, last_order_date,
+    * total_orders, total_lifetime_value)`. Shared with
+    * [[DatamartIncr.customerAnalyticsFromState]], whose per-customer rows
+    * come from merged incremental state instead of a fact scan — ONE
+    * definition of the output contract, two ways to arrive at it. */
+  private[operators] def finishAnalytics(perCustomer: DataFrame,
+                                         anchor: DataFrame): DataFrame =
     perCustomer
       .crossJoin(broadcast(anchor))
       .withColumn("days_since_last_order",
@@ -75,7 +87,6 @@ object Datamart {
         col("total_lifetime_value") / col("total_orders"))
       .withColumn("customer_segment", rfmSegment(
         col("days_since_last_order"), col("total_orders"), col("total_lifetime_value")))
-  }
 
   /** RFM CASE from customer_analytics.sql:66-72 (thresholds preserved). */
   private def rfmSegment(recencyDays: org.apache.spark.sql.Column,

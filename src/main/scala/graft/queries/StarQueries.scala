@@ -139,6 +139,53 @@ object StarQueries {
       .orderBy("customer_id")
   }
 
+  /** `sales_summary` maintained INCREMENTALLY (DatamartIncr #9c): the
+    * pre-1999 summary is "yesterday's table"; every 1999+ date arrives as
+    * the delta and only those dates are recomputed and spliced — the
+    * reference's own delete-one-date-and-reinsert semantics
+    * (`sql/datamart/sales/sales_summary.sql:5-10`) at delta cost. Oracled
+    * by the VERBATIM `sales_summary` SQL: incremental must equal the full
+    * rebuild bit-for-hash. */
+  def salesSummaryIncr(s: SparkSession, dir: String): DataFrame = {
+    val fact = FactBuild.factOrders(
+      t(s, dir, "orders"), t(s, dir, "lineitem"),
+      dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+    val dimP = dimPartsUnordered(s, dir)
+    val dates = DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")
+    val split = lit("1999-01-01").cast("date")
+    val prev = Datamart.salesSummary(
+      fact.where(col("order_date") < split), dimP, dates)
+    val touched = DatamartIncr.touchedDates(
+      fact.where(col("order_date") >= split))
+    DatamartIncr.salesSummaryRefresh(prev, fact, dimP, dates, touched)
+      .orderBy("date", "product_category")
+  }
+
+  /** `customer_analytics` maintained from MERGEABLE order-grain state
+    * (DatamartIncr #9c): the fact arrives in three date-range deltas,
+    * each folded into the running state with one delta-sized aggregation —
+    * replacing the reference's daily full-history rescan
+    * (`sql/datamart/sales/customer_analytics.sql:5-7`). Oracled by the
+    * VERBATIM `customer_analytics` SQL: state-derived must equal the
+    * full-scan rebuild bit-for-hash. */
+  def customerAnalyticsIncr(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val fact = FactBuild.factOrders(
+      orders, t(s, dir, "lineitem"),
+      dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+    val cut1 = lit("1997-01-01").cast("date")
+    val cut2 = lit("1999-06-01").cast("date")
+    val deltas = Seq(
+      fact.where(col("order_date") < cut1),
+      fact.where(col("order_date") >= cut1 && col("order_date") < cut2),
+      fact.where(col("order_date") >= cut2))
+    val state = deltas.map(DatamartIncr.orderState)
+      .reduce(DatamartIncr.mergeState)
+    DatamartIncr.customerAnalyticsFromState(state,
+        dimCustomersUnordered(s, dir), Datamart.anchorOf(orders, "o_orderdate"))
+      .orderBy("customer_id")
+  }
+
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     // Deterministic synthetic update batch: bump totalprice on every 3rd key.
@@ -162,6 +209,8 @@ object StarQueries {
     "fact_orders" -> (factOrders _),
     "sales_summary" -> (salesSummary _),
     "customer_analytics" -> (customerAnalytics _),
+    "sales_summary_incr" -> (salesSummaryIncr _),
+    "customer_analytics_incr" -> (customerAnalyticsIncr _),
     "merge_upsert" -> (mergeUpsert _)
   )
 
@@ -275,7 +324,16 @@ object StarQueries {
          |$factSql
          |SELECT * FROM fact ORDER BY order_id, line_number""".stripMargin,
 
-    "sales_summary" ->
+    "sales_summary" -> salesSummarySql,
+    "customer_analytics" -> customerAnalyticsSql,
+    // the incremental twins' CONTRACT is equality with the full rebuild —
+    // the oracle is the batch SQL verbatim
+    "sales_summary_incr" -> salesSummarySql,
+    "customer_analytics_incr" -> customerAnalyticsSql,
+
+    "merge_upsert" -> mergeUpsertSql)
+
+  private lazy val salesSummarySql =
       s"""WITH $dimCustSql,
          |$dimPartSql,
          |$factSql,
@@ -294,9 +352,9 @@ object StarQueries {
          |JOIN dp p ON f.part_sk = p.part_sk
          |JOIN dd ON f.order_date = dd.full_date
          |GROUP BY 1, 2, 3, 4, 5
-         |ORDER BY date, product_category""".stripMargin,
+         |ORDER BY date, product_category""".stripMargin
 
-    "customer_analytics" ->
+  private lazy val customerAnalyticsSql =
       s"""WITH $dimCustSql,
          |$dimPartSql,
          |$factSql,
@@ -319,9 +377,9 @@ object StarQueries {
          |    WHEN days_since_last_order <= 365 THEN 'At Risk'
          |    ELSE 'Inactive'
          |  END AS customer_segment
-         |FROM per_cust ORDER BY customer_id""".stripMargin,
+         |FROM per_cust ORDER BY customer_id""".stripMargin
 
-    "merge_upsert" ->
+  private lazy val mergeUpsertSql =
       """WITH updates AS (
         |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
         |         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
@@ -334,5 +392,4 @@ object StarQueries {
         |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _src DESC) AS _rn FROM tagged)
         |WHERE _rn = 1 ORDER BY o_orderkey""".stripMargin
-  )
 }
