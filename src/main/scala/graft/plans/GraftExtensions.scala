@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, Sq8Dot, Sq8Encode, TopKRows}
+import graft.functions.{BloomBuildAgg, BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, Sq8Dot, Sq8Encode, TopKRows}
 
 /** SparkSessionExtensions registration for graft's native expressions
   * (SURVEY.md §2 #35). Activate with either:
@@ -93,6 +93,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("k must be an int literal")
         }
         TopKRows(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_build"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_build(col, expectedItems, fpp) takes 3 arguments")
+        val items = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case _ => throw new IllegalArgumentException(
+            "expectedItems must be an integral literal")
+        }
+        val fpp = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+            d.toDouble
+          case _ => throw new IllegalArgumentException("fpp must be a double literal")
+        }
+        BloomBuildAgg(children.head, items, fpp).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

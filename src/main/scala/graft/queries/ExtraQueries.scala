@@ -454,6 +454,30 @@ object ExtraQueries {
         col("null_count"))
       .orderBy("file", "column")
 
+  /** Point-lookup through BOTH file indexes (#42d bloom layer): per-file
+    * Bloom membership filters built in one scan (`graft_bloom_build`
+    * aggregate), then [[graft.sources.StatsIndex.prunedReadPoint]] scans
+    * only files neither min/max ranges nor Bloom bits can rule out, and
+    * the real predicate re-applies row-wise. The gate contract is
+    * end-to-end data correctness: pruned point read == plain
+    * `WHERE doc_id = 417` — a pruned file containing the row would break
+    * the hash. */
+  def statsBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/documents.parquet"
+    val stats = graft.sources.StatsIndex.build(s, table, Seq("doc_id"))
+    val blooms = graft.sources.StatsIndex.buildBlooms(s, table,
+      Seq("doc_id"), expectedItemsPerFile = 1L << 16, fpp = 0.01)
+    graft.sources.StatsIndex.prunedReadPoint(s, stats, blooms,
+        Map.empty, Map("doc_id" -> 417L))
+      .where(col("doc_id") === 417L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val statsBloomOracle: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id = 417 ORDER BY doc_id""".stripMargin
+
   private val statsIndexOracle: String = {
     val p = "/root/testdata/sf0.01/lineitem.parquet"
     s"""SELECT regexp_extract(m.file_name, '([^/]+)$$', 1) AS file,
@@ -592,6 +616,7 @@ object ExtraQueries {
     "corpus_sketch" -> (corpusSketch _),
     "corpus_kll" -> (corpusKll _),
     "stats_index" -> (statsIndexQ _),
+    "stats_bloom" -> (statsBloomQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
@@ -608,6 +633,7 @@ object ExtraQueries {
 
   val oracle: Map[String, String] = Map(
     "stats_index" -> statsIndexOracle,
+    "stats_bloom" -> statsBloomOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,

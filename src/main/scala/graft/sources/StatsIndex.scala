@@ -448,10 +448,165 @@ object StatsIndex {
     require(files.nonEmpty,
       "prunedRead: every file pruned — the predicate matches nothing; " +
         "short-circuit upstream instead of scanning")
+    readFiles(spark, files, "prunedRead")
+  }
+
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        caller: String): DataFrame = {
     val (orc, parquet) = files.partition(_.endsWith(".orc"))
     require(orc.isEmpty || parquet.isEmpty,
-      "prunedRead: index mixes parquet and ORC files — one table, one format")
+      s"$caller: index mixes parquet and ORC files — one table, one format")
     if (orc.nonEmpty) spark.read.orc(orc: _*)
     else spark.read.parquet(parquet: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Per-file Bloom membership index (equality predicates)
+  // -------------------------------------------------------------------
+
+  /** One file × column Bloom filter — the point-lookup complement to
+    * [[FileColStats]]: min/max ranges prune when data CLUSTERS (sorted
+    * or z-ordered layouts give tight per-file rectangles), Bloom bits
+    * prune when values SCATTER — the high-cardinality key whose every
+    * file spans nearly the full range, where `min ≤ v ≤ max` holds for
+    * every file and range pruning is useless. */
+  final case class FileBloom(file: String, column: String,
+                             bloom: Array[Byte])
+
+  /** Build per-file Bloom filters for `columns` in ONE distributed table
+    * scan: rows group by their source file and fold into a
+    * [[graft.functions.BloomBuildAgg]] per column (map-side partial
+    * filters, bitwise OR merge) — never one scan per file, never a
+    * driver loop. Columns must be string/long/int (equality on doubles
+    * is rejected loudly). Sizing: `expectedItemsPerFile` rows at `fpp`
+    * per (file, column) — ~1.2 MB of bits per million rows at 1%; the
+    * relation stays metadata-scale (files × columns rows).
+    *
+    * Probe guarantee mirrors the stats index's conservatism: NO false
+    * negatives (a file containing the value ALWAYS survives
+    * [[pruneFilesBloom]] — Bloom filters one-sidedly err toward
+    * "maybe"), false positives at fpp merely keep a file the scan then
+    * filters row-wise. */
+  def buildBlooms(spark: SparkSession, tablePath: String,
+                  columns: Seq[String],
+                  expectedItemsPerFile: Long = 1L << 20,
+                  fpp: Double = 0.01): DataFrame = {
+    require(columns.nonEmpty, "buildBlooms: no columns")
+    val files = listDataFiles(spark, tablePath)
+    bloomsForFiles(spark, files, columns, expectedItemsPerFile, fpp)
+  }
+
+  /** Incrementally extend a persisted bloom index with files it has not
+    * seen — one scan over ONLY the new files, ever (the [[update]]
+    * discipline). */
+  def updateBlooms(spark: SparkSession, tablePath: String,
+                   bloomsPath: String, columns: Seq[String],
+                   expectedItemsPerFile: Long = 1L << 20,
+                   fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val existing = loadBlooms(spark, bloomsPath)
+    val known = existing.select(col("file")).distinct()
+      .as[String].collect().toSet
+    val fresh = listDataFiles(spark, tablePath).filterNot(known)
+    if (fresh.nonEmpty) {
+      bloomsForFiles(spark, fresh, columns, expectedItemsPerFile, fpp)
+        .write.mode("append").parquet(bloomsPath)
+    }
+    loadBlooms(spark, bloomsPath)
+  }
+
+  private def bloomsForFiles(spark: SparkSession, files: Seq[String],
+                             columns: Seq[String], items: Long,
+                             fpp: Double): DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty) return spark.emptyDataset[FileBloom].toDF()
+    val data = readFiles(spark, files, "buildBlooms")
+    columns.foreach { c =>
+      val dt = data.schema(c).dataType // throws loudly on a missing column
+      require(dt == org.apache.spark.sql.types.StringType ||
+          dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+        s"buildBlooms: column '$c' is $dt — equality membership needs " +
+          "string/long/int")
+    }
+    def agg(c: String) = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomBuildAgg(
+          org.apache.spark.sql.graft.Bridge.expression(col(c)), items, fpp)
+        .toAggregateExpression()).as(c)
+    val wide = data.withColumn("_file", input_file_name())
+      .groupBy(col("_file"))
+      .agg(agg(columns.head), columns.tail.map(agg): _*)
+    val pairs = columns.flatMap(c => Seq(lit(c), col(c)))
+    wide.select(col("_file"),
+        explode(map(pairs: _*)).as(Seq("column", "bloom")))
+      .as[(String, String, Array[Byte])]
+      // normalize the scan's file URIs (file:///x) to the listing's
+      // qualified form (file:/x) so bloom rows and [[FileColStats]]
+      // rows name files IDENTICALLY and survivor lists intersect
+      .map { case (f, c, b) => FileBloom(new Path(f).toString, c, b) }
+      .toDF()
+  }
+
+  /** Persist / load the bloom relation (tiny; one parquet footprint). */
+  def saveBlooms(blooms: DataFrame, path: String): Unit =
+    blooms.write.mode("overwrite").parquet(path)
+
+  def loadBlooms(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Files that MAY contain rows matching every equality predicate —
+    * conjunctive, conservative: a file is dropped only when some
+    * predicate column's Bloom filter proves the value absent; a file
+    * with no bloom row for a predicate column is kept (unknown never
+    * prunes). Evaluation is distributed over the bloom relation (one
+    * filter deserialization per (file, column) row — metadata-scale),
+    * never a driver loop over filters. */
+  def pruneFilesBloom(blooms: DataFrame,
+                      eqStr: Map[String, String],
+                      eqLong: Map[String, Long] = Map.empty): Seq[String] = {
+    val spark = blooms.sparkSession
+    import spark.implicits._
+    val allFiles = blooms.select(col("file")).distinct()
+    if (eqStr.isEmpty && eqLong.isEmpty)
+      return allFiles.as[String].collect().toSeq.sorted
+    val cols = (eqStr.keySet ++ eqLong.keySet).toSeq
+    val excluded = blooms
+      .where(col("column").isin(cols: _*))
+      .select(col("file"), col("column"), col("bloom"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (file, column, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          val absent = eqStr.get(column).map(v => !bf.mightContainString(v))
+            .orElse(eqLong.get(column).map(v => !bf.mightContainLong(v)))
+            .getOrElse(false)
+          if (absent) Some(file) else None
+        }
+      }.toDF("file").distinct()
+    allFiles.except(excluded).as[String].collect().toSeq.sorted
+  }
+
+  /** Point-lookup read: equality predicates pruned by BOTH indexes —
+    * min/max treats `col = v` as the degenerate range `[v, v]` (wins on
+    * clustered layouts) and the Bloom filters rule out scattered files
+    * range bounds cannot (wins on high-cardinality keys) — then only
+    * the intersection of survivors is scanned. Long probe values round
+    * through double for the range side exactly as [[build]]'s
+    * ulp-widened bounds expect: rounding can only widen, never
+    * fabricate a disjoint. Re-apply the real predicate after the read. */
+  def prunedReadPoint(spark: SparkSession, stats: DataFrame,
+                      blooms: DataFrame,
+                      eqStr: Map[String, String],
+                      eqLong: Map[String, Long] = Map.empty): DataFrame = {
+    val ranges = eqLong.map { case (c, v) => c -> (v.toDouble, v.toDouble) }
+    val strRanges = eqStr.map { case (c, v) => c -> (v, v) }
+    val byStats = pruneFiles(stats, ranges, strRanges).toSet
+    val byBloom = pruneFilesBloom(blooms, eqStr, eqLong).toSet
+    val files = (byStats & byBloom).toSeq.sorted
+    require(files.nonEmpty,
+      "prunedReadPoint: every file pruned — the predicate matches nothing; " +
+        "short-circuit upstream instead of scanning")
+    readFiles(spark, files, "prunedReadPoint")
   }
 }

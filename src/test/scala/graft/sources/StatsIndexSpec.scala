@@ -299,4 +299,124 @@ class StatsIndexSpec extends SparkSpec {
       Map("id" -> (big.toDouble, big.toDouble)))
     assert(surviving.size == 1, "ulp widening failed: true value pruned away")
   }
+
+  // ------------------------------------------------------------------
+  // Per-file Bloom membership index
+  // ------------------------------------------------------------------
+
+  /** 8 files of SCATTERED high-cardinality keys: every file spans nearly
+    * the full id range, so min/max can never prune a point lookup — the
+    * regime the bloom index exists for. */
+  private def scatteredTable(root: String): Unit = {
+    val rnd = new scala.util.Random(7)
+    // ids 0..7999 dealt round-robin-ish to 8 files → every file's range
+    // is [~0, ~7999] but each holds only 1000 distinct ids
+    val deal = rnd.shuffle((0L until 8000L).toVector)
+    (0 until 8).foreach { f =>
+      deal.slice(f * 1000, (f + 1) * 1000)
+        .map(i => (i, s"key-$i"))
+        .toDF("id", "k")
+        .coalesce(1).write.mode("append").parquet(s"$root/t")
+    }
+  }
+
+  test("bloom prune: sound on every present value, effective on scattered keys min/max cannot prune") {
+    val root = Files.createTempDirectory("graft-bloomidx").toString
+    scatteredTable(root)
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val blooms = StatsIndex.buildBlooms(spark, s"$root/t", Seq("id", "k"),
+      expectedItemsPerFile = 1000, fpp = 0.01)
+    assert(blooms.count() == 16) // 8 files × 2 columns
+
+    // min/max is USELESS here: every file survives a point range probe
+    assert(StatsIndex.pruneFiles(stats, Map("id" -> (4242.0, 4242.0)))
+      .size == 8)
+
+    // soundness: for a sample of PRESENT values, the owning file always
+    // survives and the pruned read returns exactly the matching rows
+    val full = spark.read.parquet(s"$root/t")
+    val rnd = new scala.util.Random(11)
+    (0 until 20).map(_ => rnd.nextLong(8000L)).foreach { id =>
+      val survivors = StatsIndex.pruneFilesBloom(blooms,
+        Map.empty, Map("id" -> id))
+      val owning = full.withColumn("_f", input_file_name())
+        .where(col("id") === id).select("_f").distinct()
+        .as[String].collect()
+        .map(f => new org.apache.hadoop.fs.Path(f).toString).toSet
+      assert(owning.subsetOf(survivors.toSet),
+        s"bloom pruned a file containing id=$id")
+      val got = StatsIndex.prunedReadPoint(spark, stats, blooms,
+          Map.empty, Map("id" -> id))
+        .where(col("id") === id).count()
+      assert(got == 1L, s"point read lost id=$id")
+    }
+    // effectiveness: a present id's survivor set is far below 8 files
+    // (absent-from-file probes fail at fpp≈1%)
+    val sizes = (0 until 20).map(_ => rnd.nextLong(8000L)).map { id =>
+      StatsIndex.pruneFilesBloom(blooms, Map.empty, Map("id" -> id)).size
+    }
+    assert(sizes.sum <= 20 * 2,
+      s"bloom prune ineffective: avg survivors ${sizes.sum / 20.0} of 8")
+    // string column probes agree with the long column's verdicts
+    val sSurv = StatsIndex.pruneFilesBloom(blooms, Map("k" -> "key-4242"))
+    val lSurv = StatsIndex.pruneFilesBloom(blooms, Map.empty,
+      Map("id" -> 4242L))
+    assert(sSurv.toSet.intersect(lSurv.toSet).nonEmpty)
+    // conjunction: consistent pair prunes at least as hard as either
+    val both = StatsIndex.pruneFilesBloom(blooms,
+      Map("k" -> "key-4242"), Map("id" -> 4242L))
+    assert(both.toSet.subsetOf(sSurv.toSet) && both.toSet.subsetOf(lSurv.toSet))
+  }
+
+  test("bloom prune: unknown predicate column keeps every file; no predicate = all files") {
+    val root = Files.createTempDirectory("graft-bloomidx-unk").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$root/t")
+    val blooms = StatsIndex.buildBlooms(spark, s"$root/t", Seq("id"))
+    assert(StatsIndex.pruneFilesBloom(blooms,
+      Map("nope" -> "x"), Map("also_nope" -> 5L)).size == 1)
+    assert(StatsIndex.pruneFilesBloom(blooms, Map.empty).size == 1)
+  }
+
+  test("updateBlooms indexes only new files; existing rows byte-identical") {
+    val root = Files.createTempDirectory("graft-bloomidx-upd").toString
+    Seq((1L, "a")).toDF("id", "k").coalesce(1).write.parquet(s"$root/t")
+    val bPath = s"$root/blooms"
+    StatsIndex.saveBlooms(
+      StatsIndex.buildBlooms(spark, s"$root/t", Seq("id")), bPath)
+    val before = StatsIndex.loadBlooms(spark, bPath)
+      .as[StatsIndex.FileBloom].collect()
+      .map(b => b.file -> b.bloom.toSeq).toMap
+    Seq((2L, "b")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(s"$root/t")
+    val after = StatsIndex.updateBlooms(spark, s"$root/t", bPath, Seq("id"))
+      .as[StatsIndex.FileBloom].collect()
+    assert(after.length == 2)
+    before.foreach { case (f, bytes) =>
+      assert(after.find(_.file == f).get.bloom.toSeq == bytes,
+        "existing bloom row changed on update")
+    }
+    // the new file's value is findable, the old file prunes for it
+    val surv = StatsIndex.pruneFilesBloom(
+      StatsIndex.loadBlooms(spark, bPath), Map.empty, Map("id" -> 2L))
+    assert(surv.size == 1 && !before.contains(surv.head))
+  }
+
+  test("bloom build rejects non-equality-typed columns loudly; SQL registration round-trips") {
+    val root = Files.createTempDirectory("graft-bloomidx-typ").toString
+    Seq((1L, 0.5, "x")).toDF("id", "v", "k")
+      .coalesce(1).write.parquet(s"$root/t")
+    val e = intercept[IllegalArgumentException] {
+      StatsIndex.buildBlooms(spark, s"$root/t", Seq("v"))
+    }
+    assert(e.getMessage.contains("equality membership"))
+    // SQL surface: graft_bloom_build bytes are a readable filter
+    spark.read.parquet(s"$root/t").createOrReplaceTempView("bloom_t")
+    val bytes = spark.sql(
+      "SELECT graft_bloom_build(k, 100, 0.01) FROM bloom_t")
+      .collect().head.getAs[Array[Byte]](0)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(bf.mightContainString("x") && !bf.mightContainString("absent"))
+  }
 }
