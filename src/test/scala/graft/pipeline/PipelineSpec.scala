@@ -2,6 +2,8 @@ package graft.pipeline
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, to_date}
+
 import graft.SparkSpec
 
 class PipelineSpec extends SparkSpec {
@@ -405,5 +407,67 @@ class PipelineSpec extends SparkSpec {
     val r2 = StarPipeline.run(spark, sf001, wh)
     assert(r2.succeeded)
     assert(spark.read.parquet(s"$wh/datamart/sales_summary").count() == n1)
+  }
+
+  test("StarPipeline incremental daily backfill == batch outputs; retried day idempotent") {
+    import spark.implicits._
+    import graft.operators.{Datamart, DatamartIncr, FactBuild}
+    val wh = Files.createTempDirectory("graft-wh-incr").toString
+    val orders = graft.Tables.load(spark, sf001, "orders")
+    val days = orders.select(to_date(col("o_orderdate")).cast("string").as("d"))
+      .distinct().orderBy("d").limit(3).as[String].collect().toSeq
+    assert(days.length == 3)
+
+    val backfill = Dag.backfill(days)(d =>
+      StarPipeline.incrementalTasks(spark, sf001, wh, d))
+    assert(backfill.values.forall(_.succeeded), s"$backfill")
+
+    // expected: the batch operators over the fact restricted to those days
+    val dimC = spark.read.parquet(s"$wh/core/dim_customers")
+    val dimP = spark.read.parquet(s"$wh/core/dim_parts")
+    val dates = spark.read.parquet(s"$wh/core/dim_dates")
+    val factSlice = FactBuild.factOrders(
+      orders.where(to_date(col("o_orderdate")).cast("string").isin(days: _*)),
+      graft.Tables.load(spark, sf001, "lineitem"), dimC, dimP)
+
+    def ssRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("date").cast("string"), col("product_category"),
+        col("total_sales"), col("total_orders"), col("total_quantity"))
+      .as[(String, String, Double, Long, Double)].collect().toSet
+    val wantSS = ssRows(Datamart.salesSummary(factSlice, dimP, dates))
+    assert(ssRows(DatamartIncr.readSalesSummary(spark, s"$wh/datamart/sales_summary"))
+      == wantSS)
+
+    def caRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("customer_id"), col("total_orders"),
+        col("total_lifetime_value"), col("days_since_last_order"),
+        col("customer_segment"))
+      .as[(Long, Long, Double, Int, String)].collect().toSet
+    // the reference anchors analysis at the EXECUTION date, not data max
+    val wantCA = caRows(Datamart.customerAnalytics(factSlice, dimC, days.last))
+    assert(caRows(spark.read.parquet(s"$wh/datamart/customer_analytics"))
+      == wantCA)
+
+    // fact is date-partitioned with exactly the three backfilled days
+    val parts = spark.read.parquet(s"$wh/core/fact_orders")
+      .select(col("order_date").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(parts == days.toSet)
+
+    // Airflow-retry the MIDDLE day: every output identical afterwards —
+    // the state landing replaced its own _run_date partition instead of
+    // double-counting (the idempotency applyDelta alone does not give)
+    val stateN = spark.read.parquet(s"$wh/datamart/customer_state").count()
+    val rerun = StarPipeline.runDay(spark, sf001, wh, days(1))
+    assert(rerun.succeeded)
+    assert(spark.read.parquet(s"$wh/datamart/customer_state").count() == stateN)
+    assert(ssRows(DatamartIncr.readSalesSummary(spark, s"$wh/datamart/sales_summary"))
+      == wantSS)
+    // analytics re-derives with the RETRIED day's anchor; re-anchor to
+    // the last day for comparison by rerunning its analytics task alone
+    val relast = StarPipeline.runDay(spark, sf001, wh, days.last)
+    assert(relast.succeeded)
+    assert(caRows(spark.read.parquet(s"$wh/datamart/customer_analytics"))
+      == wantCA)
   }
 }
