@@ -43,6 +43,25 @@ object SketchStats {
   /** Quantiles [[merged]] reports per KLL column. */
   val DefaultQuantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)
 
+  /** Default CMS accuracy: `true ≤ est ≤ true + 0.001·n` at 99.9%
+    * confidence ≈ a 2000-counter × 7-row table, ~60 KB per group. */
+  val DefaultCmsEps = 0.001
+  val DefaultCmsConfidence = 0.999
+  val DefaultCmsSeed = 42
+
+  private def cmsBuild(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.CmsBuildAgg(
+          org.apache.spark.sql.graft.Bridge.expression(c),
+          DefaultCmsEps, DefaultCmsConfidence, DefaultCmsSeed)
+        .toAggregateExpression())
+
+  private def cmsMerge(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.CmsMergeAgg(
+          org.apache.spark.sql.graft.Bridge.expression(c))
+        .toAggregateExpression())
+
   /** One batch's sketch relation: per `keys` group — `n_rows`,
     * `sum_<c>` for each of `sumCols`, a binary HLL sketch `hll_<c>` for
     * each of `distinctCols`, and a binary KLL quantile sketch `kll_<c>`
@@ -54,14 +73,16 @@ object SketchStats {
   def sketchBatch(df: DataFrame, keys: Seq[String],
                   distinctCols: Seq[String], sumCols: Seq[String] = Nil,
                   quantileCols: Seq[String] = Nil,
+                  freqCols: Seq[String] = Nil,
                   lgK: Int = DefaultLgK, kllK: Int = DefaultKllK): DataFrame = {
-    require(distinctCols.nonEmpty || quantileCols.nonEmpty,
+    require(distinctCols.nonEmpty || quantileCols.nonEmpty || freqCols.nonEmpty,
       "sketchBatch: nothing to sketch")
     val aggs =
       sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
         distinctCols.map(c => hll_sketch_agg(col(c), lgK).as(s"hll_$c")) ++
         quantileCols.map(c =>
-          kll_sketch_agg_double(col(c).cast("double"), kllK).as(s"kll_$c"))
+          kll_sketch_agg_double(col(c).cast("double"), kllK).as(s"kll_$c")) ++
+        freqCols.map(c => cmsBuild(col(c)).as(s"cms_$c"))
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
@@ -71,8 +92,10 @@ object SketchStats {
   def appendBatch(df: DataFrame, path: String, keys: Seq[String],
                   distinctCols: Seq[String], sumCols: Seq[String] = Nil,
                   quantileCols: Seq[String] = Nil,
+                  freqCols: Seq[String] = Nil,
                   lgK: Int = DefaultLgK, kllK: Int = DefaultKllK): Unit =
-    sketchBatch(df, keys, distinctCols, sumCols, quantileCols, lgK, kllK)
+    sketchBatch(df, keys, distinctCols, sumCols, quantileCols, freqCols,
+        lgK, kllK)
       .write.mode("append").parquet(path)
 
   /** Merge persisted (or in-memory) sketch rows down to per-key
@@ -85,10 +108,12 @@ object SketchStats {
     val sumCols = batches.columns.filter(_.startsWith("sum_")).toSeq
     val hllCols = batches.columns.filter(_.startsWith("hll_")).toSeq
     val kllCols = batches.columns.filter(_.startsWith("kll_")).toSeq
+    val cmsCols = batches.columns.filter(_.startsWith("cms_")).toSeq
     val aggs =
       sumCols.map(c => sum(col(c)).as(c)) ++
         hllCols.map(c => hll_union_agg(col(c)).as(c)) ++
-        kllCols.map(c => kll_merge_agg_double(col(c)).as(c))
+        kllCols.map(c => kll_merge_agg_double(col(c)).as(c)) ++
+        cmsCols.map(c => cmsMerge(col(c)).as(c))
     val unioned = batches.groupBy(keys.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
     val ests = hllCols.map(c =>
@@ -96,9 +121,55 @@ object SketchStats {
       kllCols.flatMap { c =>
         quantiles.map(q => kll_sketch_get_quantile_double(col(c), lit(q))
           .as(s"p${(q * 100).round}_${c.stripPrefix("kll_")}"))
-      }
+      } ++
+      // frequency tables need a probe key, so they pass through as the
+      // merged whole-history sketch — [[frequencies]] prices point queries
+      cmsCols.map(col)
     unioned.select(keys.map(col) ++ Seq(col("n_rows")) ++
       sumCols.map(col) ++ ests: _*)
+  }
+
+  /** Estimated frequencies of `values` per key group, from landed sketch
+    * rows (the [[sketchBatch]]/[[appendBatch]] contract): merge each
+    * group's `cms_<column>` tables, then price every probe value against
+    * the merged table — one row per (group, value) with `est_count`,
+    * guaranteed `true ≤ est ≤ true + ε·n` at the configured confidence
+    * (CMS errs high only: collisions add counts, never remove them).
+    * Distributed: the merge is one keyed aggregation of KB-scale rows and
+    * each probe is array arithmetic on the merged row — history is never
+    * rescanned, the per-key cost is independent of how often it's asked. */
+  def frequencies(batches: DataFrame, keys: Seq[String], column: String,
+                  strValues: Seq[String] = Nil,
+                  longValues: Seq[Long] = Nil): DataFrame = {
+    require(strValues.nonEmpty || longValues.nonEmpty,
+      "frequencies: no probe values")
+    require(strValues.isEmpty || longValues.isEmpty,
+      "frequencies: one probe type per call (the sketch hashed ONE type)")
+    val spark = batches.sparkSession
+    import spark.implicits._
+    val sketchCol = s"cms_$column"
+    val mergedRows = batches.groupBy(keys.map(col): _*)
+      .agg(cmsMerge(col(sketchCol)).as(sketchCol))
+      .select(to_json(struct(keys.map(col): _*)).as("_k"), col(sketchCol))
+      .as[(String, Array[Byte])]
+    val probed = mergedRows.flatMap { case (k, bytes) =>
+      if (bytes == null) Nil
+      else {
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+        val probes: Seq[(String, Long)] =
+          strValues.map(v => v -> cms.estimateCount(v)) ++
+            longValues.map(v => v.toString ->
+              cms.estimateCount(java.lang.Long.valueOf(v)))
+        probes.map { case (v, est) => (k, v, est) }
+      }
+    }.toDF("_k", "value", "est_count")
+    val keyStruct = schema_of_json(
+      probed.select(col("_k")).limit(1).as[String].collect().headOption
+        .getOrElse("{}"))
+    probed
+      .withColumn("_ks", from_json(col("_k"), keyStruct))
+      .select(keys.map(k => col(s"_ks.$k").as(k)) ++
+        Seq(col("value"), col("est_count")): _*)
   }
 
   def mergedFrom(spark: SparkSession, path: String, keys: Seq[String],

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomBuildAgg, BpeTokens, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, Sq8Dot, Sq8Encode, TopKRows}
+import graft.functions.{BloomBuildAgg, BpeTokens, CmsBuildAgg, CmsMergeAgg, CosineSimilarity, DotProduct, MinHashSignature, ShingleSet, SimHash64, Sq8Dot, Sq8Encode, TopKRows}
 
 /** SparkSessionExtensions registration for graft's native expressions
   * (SURVEY.md §2 #35). Activate with either:
@@ -113,6 +113,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException("fpp must be a double literal")
         }
         BloomBuildAgg(children.head, items, fpp).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_build"),
+      new ExpressionInfo(classOf[CmsBuildAgg].getName, "graft_cms_build"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_cms_build(col, eps, confidence, seed) takes 4 arguments")
+        def dbl(e: Expression, what: String): Double = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+            d.toDouble
+          case _ => throw new IllegalArgumentException(s"$what must be a double literal")
+        }
+        val seed = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException("seed must be an int literal")
+        }
+        CmsBuildAgg(children.head, dbl(children(1), "eps"),
+          dbl(children(2), "confidence"), seed).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "graft_cms_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_cms_merge(sketchBytes) takes 1 argument")
+        CmsMergeAgg(children.head).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),

@@ -496,9 +496,16 @@ object StatsIndex {
     bloomsForFiles(spark, files, columns, expectedItemsPerFile, fpp)
   }
 
-  /** Incrementally extend a persisted bloom index with files it has not
-    * seen — one scan over ONLY the new files, ever (the [[update]]
-    * discipline). */
+  /** Reconcile a persisted bloom index with the table's CURRENT file
+    * set: scan ONLY files the index has not seen (the [[update]]
+    * discipline), and DROP rows for files that no longer exist — a
+    * partition republish (aside-rename trash, fresh part-file names)
+    * must not leave the index naming deleted files, or a later
+    * [[pruneFilesBloom]] survivor list reads into PATH_NOT_FOUND (the
+    * `replacePartitions` lesson, applied here as full reconciliation:
+    * the bloom relation is metadata-scale, so the listing diff is the
+    * whole cost). Kept rows are pinned via localCheckpoint before the
+    * overwrite, the [[replacePartitions]] read-then-replace discipline. */
   def updateBlooms(spark: SparkSession, tablePath: String,
                    bloomsPath: String, columns: Seq[String],
                    expectedItemsPerFile: Long = 1L << 20,
@@ -507,11 +514,20 @@ object StatsIndex {
     val existing = loadBlooms(spark, bloomsPath)
     val known = existing.select(col("file")).distinct()
       .as[String].collect().toSet
-    val fresh = listDataFiles(spark, tablePath).filterNot(known)
-    if (fresh.nonEmpty) {
-      bloomsForFiles(spark, fresh, columns, expectedItemsPerFile, fpp)
-        .write.mode("append").parquet(bloomsPath)
-    }
+    val current = listDataFiles(spark, tablePath)
+    val fresh = current.filterNot(known)
+    val stale = known -- current
+    val freshRows =
+      if (fresh.isEmpty) None
+      else Some(bloomsForFiles(spark, fresh, columns,
+        expectedItemsPerFile, fpp))
+    if (stale.nonEmpty) {
+      val kept = existing.where(col("file").isin(current: _*))
+        .localCheckpoint()
+      freshRows.fold(kept)(kept.unionByName(_))
+        .write.mode("overwrite").parquet(bloomsPath)
+    } else freshRows.foreach(
+      _.write.mode("append").parquet(bloomsPath))
     loadBlooms(spark, bloomsPath)
   }
 

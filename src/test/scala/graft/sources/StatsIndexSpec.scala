@@ -402,6 +402,27 @@ class StatsIndexSpec extends SparkSpec {
     assert(surv.size == 1 && !before.contains(surv.head))
   }
 
+  test("updateBlooms reconciles a republished table: stale file rows dropped, survivors readable") {
+    val root = Files.createTempDirectory("graft-bloomidx-repub").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$root/t")
+    val bPath = s"$root/blooms"
+    StatsIndex.saveBlooms(
+      StatsIndex.buildBlooms(spark, s"$root/t", Seq("id")), bPath)
+    // republish the whole table: new random part-file names, old gone
+    Seq((2L, "b"), (3L, "c")).toDF("id", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/t")
+    val after = StatsIndex.updateBlooms(spark, s"$root/t", bPath, Seq("id"))
+    val current = StatsIndex.listDataFiles(spark, s"$root/t").toSet
+    assert(after.select("file").distinct().as[String].collect().toSet
+      == current, "index names files that are not the table's")
+    // a survivor list after the republish reads without PATH_NOT_FOUND
+    val surv = StatsIndex.pruneFilesBloom(
+      StatsIndex.loadBlooms(spark, bPath), Map.empty, Map("id" -> 3L))
+    assert(surv.nonEmpty)
+    assert(spark.read.parquet(surv: _*).where(col("id") === 3L).count() == 1)
+  }
+
   test("bloom build rejects non-equality-typed columns loudly; SQL registration round-trips") {
     val root = Files.createTempDirectory("graft-bloomidx-typ").toString
     Seq((1L, 0.5, "x")).toDF("id", "v", "k")
