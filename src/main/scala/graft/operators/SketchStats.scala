@@ -163,9 +163,12 @@ object SketchStats {
         probes.map { case (v, est) => (k, v, est) }
       }
     }.toDF("_k", "value", "est_count")
-    val keyStruct = schema_of_json(
-      probed.select(col("_k")).limit(1).as[String].collect().headOption
-        .getOrElse("{}"))
+    // key struct comes from the INPUT schema, never from sampling a
+    // serialized row: to_json drops null fields (a sampled row with a
+    // null key would lose that field and `_ks.<key>` would not resolve)
+    // and inferred types drift (date/decimal keys come back strings)
+    val keyStruct = org.apache.spark.sql.types.StructType(
+      keys.map(k => batches.schema(k)))
     probed
       .withColumn("_ks", from_json(col("_k"), keyStruct))
       .select(keys.map(k => col(s"_ks.$k").as(k)) ++

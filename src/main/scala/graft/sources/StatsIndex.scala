@@ -610,16 +610,28 @@ object StatsIndex {
     * the intersection of survivors is scanned. Long probe values round
     * through double for the range side exactly as [[build]]'s
     * ulp-widened bounds expect: rounding can only widen, never
-    * fabricate a disjoint. Re-apply the real predicate after the read. */
+    * fabricate a disjoint. Re-apply the real predicate after the read.
+    *
+    * Absence from the bloom relation is UNKNOWN, never absence of the
+    * value: a stats survivor with no bloom row at all (landed by
+    * [[graft.sources.CsvIngest]]'s `writeRaw` — which auto-maintains
+    * only the stats index — before [[updateBlooms]] ran) is KEPT; only
+    * an actual Bloom filter may prove a value absent. Dropping such a
+    * file would return wrong (missing) rows and break the
+    * no-false-negative contract both indexes share. */
   def prunedReadPoint(spark: SparkSession, stats: DataFrame,
                       blooms: DataFrame,
                       eqStr: Map[String, String],
                       eqLong: Map[String, Long] = Map.empty): DataFrame = {
+    import spark.implicits._
     val ranges = eqLong.map { case (c, v) => c -> (v.toDouble, v.toDouble) }
     val strRanges = eqStr.map { case (c, v) => c -> (v, v) }
     val byStats = pruneFiles(stats, ranges, strRanges).toSet
     val byBloom = pruneFilesBloom(blooms, eqStr, eqLong).toSet
-    val files = (byStats & byBloom).toSeq.sorted
+    val bloomCovered = blooms.select(col("file")).distinct()
+      .as[String].collect().toSet
+    val files = byStats.filter(f => byBloom(f) || !bloomCovered(f))
+      .toSeq.sorted
     require(files.nonEmpty,
       "prunedReadPoint: every file pruned — the predicate matches nothing; " +
         "short-circuit upstream instead of scanning")

@@ -27,14 +27,19 @@ import graft.operators.DatamartIncr
   * order, the same footprint as [[DatamartIncr]]'s merged state. */
 object DatamartStream {
 
-  /** One micro-batch landing — exposed for direct replay testing. */
-  def writeBatch(factBatch: DataFrame, batchId: Long, path: String): Unit =
+  /** One micro-batch landing — exposed for direct replay testing.
+    * Empty batches short-circuit (the [[SalesSummaryStream.applyBatch]]
+    * guard): an empty FIRST batch must not create the landing path as a
+    * bare directory [[mergedState]]'s schema inference then chokes on. */
+  def writeBatch(factBatch: DataFrame, batchId: Long, path: String): Unit = {
+    if (factBatch.isEmpty) return
     DatamartIncr.orderState(factBatch)
       .withColumn("_batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(path)
+  }
 
   /** Start the maintenance stream over arriving fact rows. */
   def run(factStream: DataFrame, path: String,
@@ -55,6 +60,21 @@ object DatamartStream {
       .agg(min(col("order_date")).as("order_date"),
            sum(col("net_amount")).as("net_amount"))
   }
+
+  /** Fold old `_batch_id` partitions into one merged-state snapshot,
+    * keeping the `keepRecent` newest ids raw and replayable — bounds the
+    * log's partition-directory count (and [[mergedState]]'s listing cost)
+    * over a long-running stream. The fold IS [[mergedState]]'s own
+    * aggregation, so compaction never changes an answer (min/sum
+    * recombine; spec-pinned). Run from the same serial foreachBatch loop
+    * as [[writeBatch]] — see [[BatchLog.compact]] for the replay and
+    * crash-safety contract. Returns the folded batch ids. */
+  def compact(spark: SparkSession, path: String,
+              keepRecent: Int = 8): Seq[Long] =
+    BatchLog.compact(spark, path, keepRecent, folded =>
+      folded.groupBy(col("customer_sk"), col("order_id"))
+        .agg(min(col("order_date")).as("order_date"),
+             sum(col("net_amount")).as("net_amount")))
 
   /** Current exact `customer_analytics` from the landed log — equals the
     * batch [[graft.operators.Datamart.customerAnalytics]] over everything

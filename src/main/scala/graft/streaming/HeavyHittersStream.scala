@@ -40,6 +40,10 @@ object HeavyHittersStream {
     require(keyCol != "_batch_id",
       "heavyHittersStream: '_batch_id' is the reserved replay-idempotency " +
         "partition column and cannot be the key")
+    // empty-batch guard (the SalesSummaryStream.applyBatch discipline): an
+    // empty first batch must not create the path as a bare directory that
+    // mergedCandidates' schema inference then chokes on
+    if (batch.isEmpty) return
     val cap = HeavyHitters.capFor(support)
     val keys = batch.select(col(keyCol))
     val summary = HeavyHitters.mergeToCap(
@@ -72,6 +76,19 @@ object HeavyHittersStream {
         spark.read.parquet(path).drop("_batch_id"),
         keyCol, HeavyHitters.capFor(support))
       .select(col(keyCol))
+
+  /** Fold old `_batch_id` summary partitions into one ≤ cap-row merged
+    * MG snapshot, keeping the `keepRecent` newest ids raw and replayable.
+    * Valid because MG merges COMPOSE (Agarwal et al. 2012): snapshot ∪
+    * later summaries cap-merged is still a whole-stream MG summary with
+    * cumulative underestimation ≤ n/(cap+1), so [[mergedCandidates]]'
+    * superset guarantee — and therefore [[frequent]]'s exactness — is
+    * unchanged (spec-pinned). See [[BatchLog.compact]] for the replay
+    * and crash-safety contract. Returns the folded batch ids. */
+  def compact(spark: SparkSession, path: String, keyCol: String,
+              support: Double, keepRecent: Int = 8): Seq[Long] =
+    BatchLog.compact(spark, path, keepRecent, folded =>
+      HeavyHitters.mergeToCap(folded, keyCol, HeavyHitters.capFor(support)))
 
   /** Current EXACT heavy hitters of `data` (the landed stream contents —
     * every row must have passed through [[writeBatch]] as part of some

@@ -115,6 +115,47 @@ class SketchStatsSpec extends SparkSpec {
     assert(row._1 <= row._2 && row._2 <= row._3)
   }
 
+  test("frequencies: typed keys survive the round-trip — null key, date key, CMS err-high-only") {
+    // key columns: a nullable string and a DATE — the two shapes a
+    // sampled-JSON schema loses (to_json drops null fields; inferred
+    // dates come back strings). The schema must come from the input.
+    val rows: Seq[(Option[String], String, String)] = Seq(
+      (None, "2024-01-01", "a"), (None, "2024-01-01", "a"),
+      (None, "2024-01-01", "b"),
+      (Some("en"), "2024-01-01", "a"),
+      (Some("en"), "2024-01-02", "b"), (Some("en"), "2024-01-02", "b"))
+    val df = rows.toDF("lang", "d", "token")
+      .withColumn("day", col("d").cast("date")).drop("d")
+    val batches = SketchStats.sketchBatch(df, Seq("lang", "day"),
+      distinctCols = Nil, freqCols = Seq("token"))
+    val freq = SketchStats.frequencies(batches, Seq("lang", "day"),
+      "token", strValues = Seq("a", "b", "zz"))
+    assert(freq.schema("lang").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(freq.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType, "date key lost its type")
+    val got = freq
+      .select(col("lang"), col("day").cast("string"), col("value"),
+        col("est_count"))
+      .as[(Option[String], String, String, Long)].collect()
+      .map { case (l, dy, v, c) => (l, dy, v) -> c }.toMap
+    // 3 groups × 3 probes; the null-key group keeps its row AND its null
+    assert(got.size == 9, s"expected 9 probe rows, got ${got.size}")
+    val exact: Map[(Option[String], String, String), Long] = Map(
+      (None, "2024-01-01", "a") -> 2L, (None, "2024-01-01", "b") -> 1L,
+      (None, "2024-01-01", "zz") -> 0L,
+      (Some("en"), "2024-01-01", "a") -> 1L,
+      (Some("en"), "2024-01-01", "b") -> 0L,
+      (Some("en"), "2024-01-01", "zz") -> 0L,
+      (Some("en"), "2024-01-02", "a") -> 0L,
+      (Some("en"), "2024-01-02", "b") -> 2L,
+      (Some("en"), "2024-01-02", "zz") -> 0L)
+    // CMS errs HIGH only, and at n≤3 per group eps·n < 1 ⇒ exact
+    exact.foreach { case (k, want) =>
+      assert(got(k) == want, s"$k: est ${got(k)} != exact $want")
+    }
+  }
+
   test("gate queries run: corpus_sketch groups by lang, decon_overlap_est sane") {
     val cs = graft.queries.ExtraQueries.corpusSketch(spark, sf001)
     val langs = cs.select("lang").as[String].collect().toSeq

@@ -423,6 +423,31 @@ class StatsIndexSpec extends SparkSpec {
     assert(spark.read.parquet(surv: _*).where(col("id") === 3L).count() == 1)
   }
 
+  test("prunedReadPoint: a file the bloom index has not seen is kept (unknown never prunes)") {
+    val root = Files.createTempDirectory("graft-bloomidx-gap").toString
+    // file 1 spans [1,3] so min/max CANNOT prune a probe for 2
+    Seq((1L, "a"), (3L, "c")).toDF("id", "k")
+      .coalesce(1).write.parquet(s"$root/t")
+    val bPath = s"$root/blooms"
+    StatsIndex.saveBlooms(
+      StatsIndex.buildBlooms(spark, s"$root/t", Seq("id")), bPath)
+    // a later landing reaches the stats index (the writeRaw auto-path)
+    // BEFORE updateBlooms runs — the bloom relation has no row for it
+    Seq((2L, "b")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val blooms = StatsIndex.loadBlooms(spark, bPath)
+    // id=2 lives ONLY in the bloom-uncovered file; the covered file's
+    // bloom proves 2 absent — intersecting blindly would prune EVERYTHING
+    val got = StatsIndex.prunedReadPoint(spark, stats, blooms,
+      Map.empty, Map("id" -> 2L))
+    assert(got.where(col("id") === 2L).count() == 1L,
+      "bloom-uncovered file was pruned — false negative")
+    // the covered file still prunes: only the uncovered file is scanned
+    assert(got.count() == 1L,
+      "bloom stopped pruning the covered file it can prove absent")
+  }
+
   test("bloom build rejects non-equality-typed columns loudly; SQL registration round-trips") {
     val root = Files.createTempDirectory("graft-bloomidx-typ").toString
     Seq((1L, 0.5, "x")).toDF("id", "v", "k")

@@ -55,6 +55,34 @@ class DatamartStreamSpec extends SparkSpec {
       "replay appended instead of replacing")
   }
 
+  test("empty first batch is a no-op; compaction folds old partitions, answers unchanged") {
+    val path = Files.createTempDirectory("graft-dmstream-cpt").toString + "/s"
+    // an empty FIRST batch must not create a bare directory that breaks
+    // mergedState's schema inference later
+    DatamartStream.writeBatch(df(Seq.empty), 0L, path)
+    assert(!new java.io.File(path).exists(), "empty batch created the path")
+    batches.zipWithIndex.foreach { case (b, id) =>
+      DatamartStream.writeBatch(df(b), id.toLong + 1, path)
+    }
+    val anchor = spark.range(1)
+      .select(lit("2024-07-01").cast("date").as("anchor_date"))
+    val want = rows(
+      Datamart.customerAnalytics(df(batches.flatten), dim, "2024-07-01"))
+    // fold ids 1,2 into the snapshot; keep 3 raw and replayable
+    assert(DatamartStream.compact(spark, path, keepRecent = 1) == Seq(1L, 2L))
+    assert(BatchLog.batchIds(spark, path) == Seq(-1L, 3L),
+      "partition-count not bounded")
+    assert(rows(DatamartStream.currentAnalytics(spark, path, dim, anchor))
+      == want, "compaction changed the answer")
+    // a replay of the KEPT id still replaces its own partition, exactly
+    DatamartStream.writeBatch(df(batches(2)), 3L, path)
+    assert(rows(DatamartStream.currentAnalytics(spark, path, dim, anchor))
+      == want, "post-compaction replay changed the answer")
+    // nothing old enough left: compact is a no-op, snapshot absorbed
+    assert(DatamartStream.compact(spark, path, keepRecent = 1).isEmpty)
+    assert(BatchLog.batchIds(spark, path) == Seq(-1L, 3L))
+  }
+
   test("end-to-end MemoryStream run") {
     implicit val sq = spark.sqlContext
     val path = Files.createTempDirectory("graft-dmstream-e2e").toString + "/s"

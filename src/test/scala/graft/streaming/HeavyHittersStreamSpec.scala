@@ -75,6 +75,37 @@ class HeavyHittersStreamSpec extends SparkSpec {
       "replay appended instead of replacing")
   }
 
+  test("empty first batch is a no-op; compaction keeps the screen a superset and frequent exact") {
+    val path = Files.createTempDirectory("graft-hhstream-cpt").toString + "/s"
+    HeavyHittersStream.writeBatch(Seq.empty[String].toDF("token"), 0L,
+      path, "token", Support)
+    assert(!new java.io.File(path).exists(), "empty batch created the path")
+    val batches = (0 until 6).map(batchRows)
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      HeavyHittersStream.writeBatch(rows.toDF("token"), id.toLong,
+        path, "token", Support)
+    }
+    val union = batches.flatten.toDF("token")
+    val want = HeavyHitters.frequent(union, "token", Support)
+      .as[(String, Long)].collect().toSet
+    // fold ids 0..3; MG merges COMPOSE, so the folded snapshot merged
+    // with the kept raw summaries is still a valid whole-stream screen
+    assert(HeavyHittersStream.compact(spark, path, "token", Support,
+      keepRecent = 2) == (0L to 3L))
+    assert(BatchLog.batchIds(spark, path) == Seq(-1L, 4L, 5L))
+    val cap = HeavyHitters.capFor(Support)
+    assert(spark.read.parquet(path)
+        .where(col("_batch_id").cast("long") === -1L).count() <= cap,
+      "snapshot not cap-bounded")
+    val cands = HeavyHittersStream.mergedCandidates(spark, path,
+      "token", Support).as[String].collect().toSet
+    assert(want.map(_._1).subsetOf(cands),
+      s"compaction lost true heavies from the screen: ${want.map(_._1) -- cands}")
+    val got = HeavyHittersStream.frequent(union, "token", Support, path)
+      .as[(String, Long)].collect().toSet
+    assert(got == want, s"post-compaction $got != batch $want")
+  }
+
   test("end-to-end MemoryStream run; a cumulative-only heavy key needs the merge to surface") {
     implicit val sq = spark.sqlContext
     val path = Files.createTempDirectory("graft-hhstream-e2e").toString + "/s"
