@@ -81,16 +81,47 @@ object Upsert {
     * table (e.g. maintained by the ingest publish path); it IS the
     * listing here, so a stale index would read stale files — that is
     * why this merge refreshes it in the same call.
+    *
+    * `bloomsPath` (requires `statsIndexPath`): with a per-file Bloom
+    * membership index over `bloomColumns` (⊆ `keys` — the
+    * high-cardinality ones), the touched partitions' files split by
+    * whether their blooms admit ANY of the updates' key values
+    * ([[graft.sources.StatsIndex.pruneFilesBloomAny]], per-column
+    * verdicts intersected — sound: a file holding a full matching key
+    * survives every column's test). Files proven key-free PASS THROUGH
+    * to the rewrite without entering [[merge]]'s key shuffle — exact,
+    * because latest-wins leaves unmatched rows untouched; files absent
+    * from the bloom relation are unknown and take the merge path. For a
+    * point-update batch on a big partition that turns the merge's
+    * shuffle from |partition| into |files actually holding the keys| —
+    * the regime where partition pruning alone stops helping (every file
+    * of the day spans the full key range, min/max useless). The rewrite
+    * IO is unchanged (partition-overwrite semantics); the probe set is
+    * the updates' distinct key values, driver-collected and capped at
+    * `maxBloomProbeKeys` (a bigger batch skips the split — it would
+    * touch most files anyway). After publish the bloom index reconciles
+    * via [[graft.sources.StatsIndex.updateBlooms]], exactly as the
+    * stats index does.
     */
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
                 partitionCol: String,
                 statsIndexPath: Option[String] = None,
-                statsColumns: Seq[String] = Nil): Unit = {
+                statsColumns: Seq[String] = Nil,
+                bloomsPath: Option[String] = None,
+                bloomColumns: Seq[String] = Nil,
+                maxBloomProbeKeys: Int = 100000): Unit = {
     require(keys.nonEmpty, "mergeInto: empty key list")
     require(!keys.contains(partitionCol),
       s"mergeInto: partitionCol '$partitionCol' cannot be a merge key " +
         "(within one partition it is constant; as a key it would make " +
         "every row its own match group)")
+    require(bloomsPath.isEmpty || statsIndexPath.nonEmpty,
+      "mergeInto: bloomsPath needs statsIndexPath (the index IS the file " +
+        "listing the bloom split refines)")
+    require(bloomsPath.isEmpty || (bloomColumns.nonEmpty &&
+        bloomColumns.forall(keys.contains)),
+      s"mergeInto: bloomColumns must be a non-empty subset of the merge " +
+        s"keys; got ${bloomColumns.mkString(", ")}")
     val spark = updates.sparkSession
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -107,35 +138,47 @@ object Upsert {
     val merged =
       if (!exists) updates
       else {
-        val slice = statsIndexPath match {
-          case Some(idx) =>
-            // file list from the index relation — no table-tree listing;
-            // basePath keeps the partition column parsed from the paths
-            val files = graft.sources.StatsIndex.partitionFiles(
-              graft.sources.StatsIndex.load(spark, idx), partitionCol, touched)
-            // safety invariant: a touched partition that EXISTS on disk
-            // must be represented in the index — an unmatched existing
-            // partition (stale index, or a partition value Spark
-            // path-escapes so the segment match misses) would silently
-            // DROP its rows from the merge and then overwrite the
-            // directory. One bounded exists() per touched partition.
-            val unmatched = touched.filter { v =>
-              fs.exists(new org.apache.hadoop.fs.Path(dest, s"$partitionCol=$v")) &&
-                !files.exists(_.contains(s"/$partitionCol=$v/"))
-            }
-            require(unmatched.isEmpty,
-              s"mergeInto: stats index at $idx names no files for existing " +
-                s"partition(s) ${unmatched.mkString(", ")} — stale index, or " +
-                "partition values that need path escaping; rebuild the index " +
-                "or run the listing-based merge")
-            if (files.isEmpty)
-              spark.read.parquet(path).where(lit(false)) // all-new partitions
-            else spark.read.option("basePath", path).parquet(files: _*)
-          case None =>
-            spark.read.parquet(path)
-              .where(col(partitionCol).isin(touched: _*))
-        }
-        merge(slice, updates, keys)
+        def emptySlice = spark.read.parquet(path).where(lit(false))
+        val (mergeSlice, passThrough): (DataFrame, Option[DataFrame]) =
+          statsIndexPath match {
+            case Some(idx) =>
+              // file list from the index relation — no table-tree listing;
+              // basePath keeps the partition column parsed from the paths
+              val files = graft.sources.StatsIndex.partitionFiles(
+                graft.sources.StatsIndex.load(spark, idx), partitionCol, touched)
+              // safety invariant: a touched partition that EXISTS on disk
+              // must be represented in the index — an unmatched existing
+              // partition (stale index, or a partition value Spark
+              // path-escapes so the segment match misses) would silently
+              // DROP its rows from the merge and then overwrite the
+              // directory. One bounded exists() per touched partition.
+              val unmatched = touched.filter { v =>
+                fs.exists(new org.apache.hadoop.fs.Path(dest, s"$partitionCol=$v")) &&
+                  !files.exists(_.contains(s"/$partitionCol=$v/"))
+              }
+              require(unmatched.isEmpty,
+                s"mergeInto: stats index at $idx names no files for existing " +
+                  s"partition(s) ${unmatched.mkString(", ")} — stale index, or " +
+                  "partition values that need path escaping; rebuild the index " +
+                  "or run the listing-based merge")
+              if (files.isEmpty) (emptySlice, None) // all-new partitions
+              else {
+                val (mergeFiles, passFiles) = splitByBlooms(spark, files,
+                  updates, bloomsPath, bloomColumns, maxBloomProbeKeys)
+                def rd(fl: Seq[String]) =
+                  spark.read.option("basePath", path).parquet(fl: _*)
+                (if (mergeFiles.isEmpty) emptySlice else rd(mergeFiles),
+                  if (passFiles.isEmpty) None else Some(rd(passFiles)))
+              }
+            case None =>
+              (spark.read.parquet(path)
+                .where(col(partitionCol).isin(touched: _*)), None)
+          }
+        // pass-through files are bloom-PROVEN to hold none of the updates'
+        // keys: latest-wins would return their rows unchanged, so they
+        // bypass the merge's key shuffle and union straight into the write
+        val core = merge(mergeSlice, updates, keys)
+        passThrough.fold(core)(p => core.unionByName(p))
       }
     val staging = new org.apache.hadoop.fs.Path(dest,
       s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -149,10 +192,67 @@ object Upsert {
         graft.sources.StatsIndex.replacePartitions(spark, idx,
           published.map(_.toString), statsColumns)
       }
+      bloomsPath.foreach { bp =>
+        // reconcile, not append: publish REPLACED the touched partitions'
+        // files wholesale, so their old bloom rows must drop with them
+        graft.sources.StatsIndex.reconcileBlooms(spark, path, bp, bloomColumns)
+      }
     } catch {
       case e: Throwable =>
         fs.delete(staging, true)
         throw e
     }
+  }
+
+  /** (files that must enter the merge, files bloom-PROVEN to hold none of
+    * the updates' key values). No bloom index / oversized probe set /
+    * unprobeable column type → no split, everything merges. A file the
+    * bloom relation has not seen is UNKNOWN and merges (the
+    * no-false-negative discipline of
+    * [[graft.sources.StatsIndex.prunedReadPoint]]). Multi-column
+    * soundness: a file holding a full matching key survives EVERY key
+    * column's any-value test, so failing one test proves the file
+    * key-free. */
+  private[graft] def splitByBlooms(spark: org.apache.spark.sql.SparkSession,
+                            files: Seq[String], updates: DataFrame,
+                            bloomsPath: Option[String],
+                            bloomColumns: Seq[String],
+                            maxProbe: Int): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val bp = bloomsPath match {
+      case Some(p) => p
+      case None => return (files, Nil)
+    }
+    val bpPath = new org.apache.hadoop.fs.Path(bp)
+    if (!bpPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(bpPath))
+      return (files, Nil) // first merge before any bloom build: no split
+    val blooms = graft.sources.StatsIndex.loadBlooms(spark, bp)
+    import spark.implicits._
+    val covered = blooms.select(col("file")).distinct()
+      .as[String].collect().toSet
+    var mergeSide = files.toSet
+    bloomColumns.foreach { c =>
+      val probed: Option[Set[String]] = updates.schema(c).dataType match {
+        case StringType =>
+          val v = updates.select(col(c)).distinct().limit(maxProbe + 1)
+            .as[String].collect()
+          if (v.length > maxProbe) None
+          else Some(graft.sources.StatsIndex.pruneFilesBloomAny(
+            blooms, c, strValues = v.toSeq).toSet)
+        case LongType | IntegerType =>
+          val v = updates.select(col(c).cast("long")).distinct()
+            .limit(maxProbe + 1).as[Long].collect()
+          if (v.length > maxProbe) None
+          else Some(graft.sources.StatsIndex.pruneFilesBloomAny(
+            blooms, c, longValues = v.toSeq).toSet)
+        case other => throw new IllegalArgumentException(
+          s"mergeInto: bloom column '$c' is $other — equality membership " +
+            "needs string/long/int (buildBlooms would have rejected it)")
+      }
+      probed.foreach { surv =>
+        mergeSide = mergeSide.filter(f => !covered(f) || surv(f))
+      }
+    }
+    (files.filter(mergeSide), files.filterNot(mergeSide))
   }
 }

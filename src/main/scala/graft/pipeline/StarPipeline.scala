@@ -80,12 +80,14 @@ object StarPipeline {
     * scales with the day, not the warehouse:
     *
     *  - `core.fact_orders`: build the fact for `executionDate`'s orders
-    *    only (the date filter sits on orders BEFORE the joins, so the
-    *    lineitem join probes a day-sized build side) and dynamic-
-    *    overwrite that one `order_date` partition of the date-partitioned
-    *    fact — the reference's per-day MERGE (`fact_orders.sql:59-77`)
-    *    as a partition swap. Re-running the date rewrites only its own
-    *    partition: idempotent, the Airflow retry contract.
+    *    only ([[dayFact]] — the date filter sits on orders BEFORE the
+    *    joins AND the day's order keys broadcast as a semi-join prune on
+    *    lineitem, so neither side of the fact join carries other days'
+    *    rows) and dynamic-overwrite that one `order_date` partition of
+    *    the date-partitioned fact — the reference's per-day MERGE
+    *    (`fact_orders.sql:59-77`) as a partition swap. Re-running the
+    *    date rewrites only its own partition: idempotent, the Airflow
+    *    retry contract.
     *  - `datamart.sales_summary`: [[DatamartIncr.refreshSalesSummaryAt]]
     *    for exactly this date — the reference's delete-one-date-and-
     *    reinsert (`sales_summary.sql:5-10`) at partition grain.
@@ -114,9 +116,7 @@ object StarPipeline {
 
     val factDay = Dag.Task("core.fact_orders",
         deps = Seq("core.dim_customers", "core.dim_parts", "core.dim_dates"))(() =>
-      FactBuild.factOrders(
-          t("orders").where(to_date(col("o_orderdate")) === day),
-          t("lineitem"), read("core/dim_customers"), read("core/dim_parts"))
+      dayFact(spark, srcDir, warehouse, executionDate)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("order_date")
@@ -158,6 +158,31 @@ object StarPipeline {
     })
 
     base ++ Seq(factDay, salesDay, custState, custDay)
+  }
+
+  /** One execution date's fact slice, BOTH join sides pruned — exposed
+    * for the plan assertion in PipelineSpec.
+    *
+    * The reference joins the COMPLETE `order_items` table against the
+    * day's orders (`sql/core/fact/fact_orders.sql:22-29`): faithful, but
+    * at 100 TB the per-day build must not scan the full lineitem. The
+    * day's order KEYS are day-sized, so they broadcast as a LEFT SEMI
+    * filter onto lineitem — other days' lines are dropped map-side and
+    * never reach the fact join's shuffle (and AQE then sizes the
+    * day-slice joins at runtime). With a date-partitioned lineitem
+    * layout the scan itself prunes instead — see SCALING.md; this
+    * semi-join is the layout-independent floor. */
+  def dayFact(spark: SparkSession, srcDir: String, warehouse: String,
+              executionDate: String): DataFrame = {
+    def t(name: String) = Tables.load(spark, srcDir, name)
+    val day = lit(executionDate).cast("date")
+    val dayOrders = t("orders").where(to_date(col("o_orderdate")) === day)
+    val dayLines = t("lineitem").join(
+      broadcast(dayOrders.select(col("o_orderkey").as("_day_ok"))),
+      col("l_orderkey") === col("_day_ok"), "left_semi")
+    FactBuild.factOrders(dayOrders, dayLines,
+      spark.read.parquet(s"$warehouse/core/dim_customers"),
+      spark.read.parquet(s"$warehouse/core/dim_parts"))
   }
 
   /** Run one execution date end to end (the Airflow daily trigger);

@@ -512,12 +512,21 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
     *   partition instead of a table walk, and stale rows from a replaced
     *   partition are dropped (re-ingesting a date must never leave the
     *   index naming trashed files).
+    * @param bloomsPath when set (with `bloomColumns`), the publish also
+    *   reconciles a per-file Bloom membership index via
+    *   [[StatsIndex.reconcileBlooms]] — built on first publish, then
+    *   incrementally updated (only unseen files scanned, rows for
+    *   replaced files dropped), so point-lookup consumers
+    *   ([[StatsIndex.prunedReadPoint]], `Upsert.mergeInto`'s key-split)
+    *   never see an index that lags the table.
     * @return the bad-record count.
     */
   def writeRaw(outPath: String,
                createDisposition: String = "CREATE_IF_NEEDED",
                statsIndexPath: Option[String] = None,
-               statsColumns: Seq[String] = Nil): Long = {
+               statsColumns: Seq[String] = Nil,
+               bloomsPath: Option[String] = None,
+               bloomColumns: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val dest = new org.apache.hadoop.fs.Path(outPath)
@@ -548,6 +557,12 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
       // mergeInto), where a stale row is a PATH_NOT_FOUND at read time.
       StatsIndex.replacePartitions(spark, idx,
         published.map(_.toString), statsColumns)
+    }
+    bloomsPath.foreach { bp =>
+      // full reconcile (not an append): a same-date re-ingest REPLACES its
+      // partition's files, so the old files' bloom rows must drop — the
+      // same staleness rule replacePartitions enforces for the stats index
+      StatsIndex.reconcileBlooms(spark, outPath, bp, bloomColumns)
     }
     bad
   }

@@ -531,6 +531,26 @@ object StatsIndex {
     loadBlooms(spark, bloomsPath)
   }
 
+  /** [[updateBlooms]] with bootstrap: builds and persists the index when
+    * none exists yet — the publish-path entry point ([[graft.sources
+    * .CsvIngest]]'s `writeRaw(bloomsPath=…)`, `Upsert.mergeInto`), so
+    * maintaining the bloom index is one option flag, never a manual
+    * build-then-update choreography. */
+  def reconcileBlooms(spark: SparkSession, tablePath: String,
+                      bloomsPath: String, columns: Seq[String],
+                      expectedItemsPerFile: Long = 1L << 20,
+                      fpp: Double = 0.01): DataFrame = {
+    require(columns.nonEmpty, "reconcileBlooms: no columns")
+    val bp = new Path(bloomsPath)
+    val fs = bp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(bp)) {
+      saveBlooms(buildBlooms(spark, tablePath, columns,
+        expectedItemsPerFile, fpp), bloomsPath)
+      loadBlooms(spark, bloomsPath)
+    } else updateBlooms(spark, tablePath, bloomsPath, columns,
+      expectedItemsPerFile, fpp)
+  }
+
   private def bloomsForFiles(spark: SparkSession, files: Seq[String],
                              columns: Seq[String], items: Long,
                              fpp: Double): DataFrame = {
@@ -598,6 +618,42 @@ object StatsIndex {
             .orElse(eqLong.get(column).map(v => !bf.mightContainLong(v)))
             .getOrElse(false)
           if (absent) Some(file) else None
+        }
+      }.toDF("file").distinct()
+    allFiles.except(excluded).as[String].collect().toSeq.sorted
+  }
+
+  /** Files that MAY contain AT LEAST ONE of the probe `values` in
+    * `column` — the batch-probe variant of [[pruneFilesBloom]] (a
+    * point-update merge probes its whole update batch's keys at once).
+    * Returned survivors are drawn from the bloom relation's file
+    * UNIVERSE; the caller must treat files absent from the relation as
+    * unknown and keep them (the [[prunedReadPoint]] discipline).
+    * Conservative: a file is dropped only when its Bloom filter proves
+    * EVERY probe value absent — no false negatives, a file containing
+    * any probed key always survives. Probe values ship with the task
+    * closure (caller bounds their count); evaluation is one pass over
+    * the metadata-scale bloom relation. */
+  def pruneFilesBloomAny(blooms: DataFrame, column: String,
+                         strValues: Seq[String] = Nil,
+                         longValues: Seq[Long] = Nil): Seq[String] = {
+    require(strValues.isEmpty != longValues.isEmpty,
+      "pruneFilesBloomAny: exactly one probe type (got " +
+        s"${strValues.size} strings, ${longValues.size} longs)")
+    val spark = blooms.sparkSession
+    import spark.implicits._
+    val allFiles = blooms.select(col("file")).distinct()
+    val excluded = blooms.where(col("column") === column)
+      .select(col("file"), col("bloom"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (file, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          val anyHit =
+            if (strValues.nonEmpty) strValues.exists(bf.mightContainString)
+            else longValues.exists(bf.mightContainLong)
+          if (anyHit) None else Some(file)
         }
       }.toDF("file").distinct()
     allFiles.except(excluded).as[String].collect().toSeq.sorted

@@ -202,6 +202,66 @@ class MergeIntoSpec extends SparkSpec {
     assert(readFact(path) == readFact(twin))
   }
 
+  test("bloom-fed merge: key-free files bypass the merge shuffle, result identical, blooms reconciled") {
+    import graft.sources.StatsIndex
+    val root = Files.createTempDirectory("graft-mergeinto-bloom").toString
+    val (path, idx, bl, twin) = (s"$root/fact", s"$root/idx",
+      s"$root/blooms", s"$root/twin")
+    // ONE partition, 8 files of SCATTERED order ids: every file spans
+    // nearly the full id range, so partition pruning keeps the whole day
+    // and min/max keeps every file — the regime the bloom split exists for
+    val base = (0L until 800L).map(i => (i, 1L, "2024-01-01", i * 1.0))
+      .toDF("order_id", "item_id", "day", "amount").repartition(8)
+    base.write.partitionBy("day").parquet(path)
+    base.write.partitionBy("day").parquet(twin)
+    StatsIndex.save(StatsIndex.build(spark, path), idx)
+    StatsIndex.saveBlooms(StatsIndex.buildBlooms(spark, path,
+      Seq("order_id"), expectedItemsPerFile = 1000), bl)
+
+    val updates = Seq(
+      (412L, 1L, "2024-01-01", 9999.0), // update: lives in exactly one file
+      (801L, 1L, "2024-01-01", 8.0))    // insert: in no file's bloom
+      .toDF("order_id", "item_id", "day", "amount")
+
+    // min/max is useless: every file survives the point range probe
+    val files = StatsIndex.partitionFiles(
+      StatsIndex.load(spark, idx), "day", Seq("2024-01-01"))
+    assert(files.size == 8, s"fixture: want 8 files, got ${files.size}")
+    assert(StatsIndex.pruneFiles(StatsIndex.load(spark, idx),
+      Map("order_id" -> (412.0, 412.0))).size == 8)
+    // the bloom split is MEASURABLE: ≤ 3 of 8 files enter the merge
+    // (1 owning file + ≤ fpp-level false positives), the rest pass through
+    val (mrg, pass) = Upsert.splitByBlooms(spark, files, updates,
+      Some(bl), Seq("order_id"), 100000)
+    assert(mrg.size + pass.size == 8)
+    assert(mrg.size <= 3, s"bloom split ineffective: ${mrg.size} of 8 merge")
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select("order_id", "item_id", "day", "amount")
+      .as[(Long, Long, String, Double)].collect().toSet
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx), bloomsPath = Some(bl),
+      bloomColumns = Seq("order_id"))
+    Upsert.mergeInto(twin, updates, Seq("order_id", "item_id"), "day")
+    assert(rows(path) == rows(twin),
+      "bloom-fed merge diverged from the listing-based merge")
+
+    // the publish reconciled the bloom index with the rewritten partition
+    assert(StatsIndex.loadBlooms(spark, bl).select("file").distinct()
+        .as[String].collect().toSet
+      == StatsIndex.listDataFiles(spark, path).toSet,
+      "bloom index lags the table after the merge publish")
+
+    // a SECOND bloom-fed merge over the rewritten files stays exact
+    val u2 = Seq((3L, 1L, "2024-01-01", 7.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, u2, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx), bloomsPath = Some(bl),
+      bloomColumns = Seq("order_id"))
+    Upsert.mergeInto(twin, u2, Seq("order_id", "item_id"), "day")
+    assert(rows(path) == rows(twin))
+  }
+
   test("index-fed merge refuses a stale index instead of dropping partition rows") {
     import graft.sources.StatsIndex
     val root = Files.createTempDirectory("graft-mergeinto-stale").toString

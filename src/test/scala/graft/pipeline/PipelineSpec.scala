@@ -454,6 +454,16 @@ class PipelineSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(parts == days.toSet)
 
+    // the day build prunes BOTH fact-join sides: the day's order keys
+    // broadcast as a LEFT SEMI filter on lineitem, so other days' lines
+    // never reach the join shuffle (the 100 TB posture; full-scan joins
+    // of lineitem would dominate the per-day cost)
+    val dayPlan = StarPipeline.dayFact(spark, sf001, wh, days.head)
+      .queryExecution.executedPlan.toString
+    assert(dayPlan.contains("LeftSemi") &&
+        dayPlan.replaceAll("\\s+", " ").matches("(?s).*Broadcast[A-Za-z]*Join [^\\n]*LeftSemi.*"),
+      s"day fact build's lineitem side is not broadcast-semi-pruned:\n$dayPlan")
+
     // Airflow-retry the MIDDLE day: every output identical afterwards —
     // the state landing replaced its own _run_date partition instead of
     // double-counting (the idempotency applyDelta alone does not give)

@@ -233,6 +233,39 @@ class StatsIndexSpec extends SparkSpec {
     assert(reread.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 11L)
   }
 
+  test("writeRaw publish reconciles the bloom index: bootstrap, delta, same-date replace") {
+    val root = Files.createTempDirectory("graft-statsidx-rawbl").toString
+    val (out, idx, bl) = (s"$root/raw", s"$root/idx", s"$root/blooms")
+    val cols = Seq(CsvIngest.ColumnSpec("id", "INTEGER"),
+      CsvIngest.ColumnSpec("v", "FLOAT"))
+    def ingest(csvName: String, body: String, date: String): Unit = {
+      val csv = s"$root/$csvName"
+      java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+        body.getBytes("UTF-8"))
+      CsvIngest.load(spark, csv, cols, ingestionDate = date)
+        .writeRaw(out, statsIndexPath = Some(idx),
+          bloomsPath = Some(bl), bloomColumns = Seq("id"))
+    }
+    def bloomFiles() = StatsIndex.loadBlooms(spark, bl)
+      .select("file").distinct().as[String].collect().toSet
+    // first publish BOOTSTRAPS the index (no manual buildBlooms step)
+    ingest("in.csv", "1,10.0\n2,20.0\n", "2024-03-01")
+    assert(bloomFiles() == StatsIndex.listDataFiles(spark, out).toSet)
+    // second day: incremental update covers exactly the current file set
+    ingest("in2.csv", "4,40.0\n", "2024-03-02")
+    assert(bloomFiles() == StatsIndex.listDataFiles(spark, out).toSet)
+    // same-date re-ingest REPLACES its partition's files: stale bloom rows
+    // must drop with them (a stale row would feed prunedReadPoint a
+    // deleted file → PATH_NOT_FOUND)
+    ingest("in3.csv", "5,50.0\n6,60.0\n", "2024-03-01")
+    assert(bloomFiles() == StatsIndex.listDataFiles(spark, out).toSet,
+      "bloom index lags the table after a same-date re-publish")
+    // and the combined point-lookup path serves the fresh data
+    val got = StatsIndex.prunedReadPoint(spark, StatsIndex.load(spark, idx),
+      StatsIndex.loadBlooms(spark, bl), Map.empty, Map("id" -> 5L))
+    assert(got.where(col("id") === 5).count() == 1L)
+  }
+
   test("ORC table: footer stats index, prune, and pruned read (source_format=ORC surface)") {
     val root = Files.createTempDirectory("graft-statsidx-orc").toString
     val t = s"$root/t"
