@@ -42,7 +42,7 @@ import org.apache.spark.util.SerializableConfiguration
   * it is bounded by the file count AFTER pruning, which is exactly the
   * quantity the index minimizes.
   */
-object StatsIndex {
+object StatsIndex extends org.apache.spark.internal.Logging {
 
   /** One (file, column) stats row. Numeric stats are conservative
     * doubles (ulp-widened for 64-bit integers); string stats carry the
@@ -445,10 +445,21 @@ object StatsIndex {
                  numRanges: Map[String, (Double, Double)],
                  strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
     val files = pruneFiles(stats, numRanges, strRanges)
-    require(files.nonEmpty,
-      "prunedRead: every file pruned — the predicate matches nothing; " +
-        "short-circuit upstream instead of scanning")
-    readFiles(spark, files, "prunedRead")
+    if (files.isEmpty) emptyLike(spark, stats, "prunedRead")
+    else readFiles(spark, files, "prunedRead")
+  }
+
+  /** A total prune is the index working perfectly: the answer to the
+    * query is zero rows, not an error. Schema comes from one indexed
+    * file's footer (`limit(0)` plans no scan tasks), so callers get a
+    * correctly-typed empty frame without pre-screening for absence. */
+  private def emptyLike(spark: SparkSession, stats: DataFrame,
+                        caller: String): DataFrame = {
+    val any = stats.select(col("file")).limit(1).collect()
+    require(any.nonEmpty,
+      s"$caller: stats index is empty — no files to derive a schema from")
+    logInfo(s"$caller: every file pruned — returning empty result")
+    readFiles(spark, Seq(any.head.getString(0)), caller).limit(0)
   }
 
   private def readFiles(spark: SparkSession, files: Seq[String],
@@ -688,9 +699,7 @@ object StatsIndex {
       .as[String].collect().toSet
     val files = byStats.filter(f => byBloom(f) || !bloomCovered(f))
       .toSeq.sorted
-    require(files.nonEmpty,
-      "prunedReadPoint: every file pruned — the predicate matches nothing; " +
-        "short-circuit upstream instead of scanning")
-    readFiles(spark, files, "prunedReadPoint")
+    if (files.isEmpty) emptyLike(spark, stats, "prunedReadPoint")
+    else readFiles(spark, files, "prunedReadPoint")
   }
 }

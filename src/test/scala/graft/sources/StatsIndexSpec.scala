@@ -249,21 +249,50 @@ class StatsIndexSpec extends SparkSpec {
     def bloomFiles() = StatsIndex.loadBlooms(spark, bl)
       .select("file").distinct().as[String].collect().toSet
     // first publish BOOTSTRAPS the index (no manual buildBlooms step)
-    ingest("in.csv", "1,10.0\n2,20.0\n", "2024-03-01")
+    ingest("in.csv", "id,v\n1,10.0\n2,20.0\n", "2024-03-01")
     assert(bloomFiles() == StatsIndex.listDataFiles(spark, out).toSet)
     // second day: incremental update covers exactly the current file set
-    ingest("in2.csv", "4,40.0\n", "2024-03-02")
+    ingest("in2.csv", "id,v\n4,40.0\n", "2024-03-02")
     assert(bloomFiles() == StatsIndex.listDataFiles(spark, out).toSet)
     // same-date re-ingest REPLACES its partition's files: stale bloom rows
     // must drop with them (a stale row would feed prunedReadPoint a
     // deleted file → PATH_NOT_FOUND)
-    ingest("in3.csv", "5,50.0\n6,60.0\n", "2024-03-01")
+    ingest("in3.csv", "id,v\n5,50.0\n6,60.0\n", "2024-03-01")
     assert(bloomFiles() == StatsIndex.listDataFiles(spark, out).toSet,
       "bloom index lags the table after a same-date re-publish")
     // and the combined point-lookup path serves the fresh data
     val got = StatsIndex.prunedReadPoint(spark, StatsIndex.load(spark, idx),
       StatsIndex.loadBlooms(spark, bl), Map.empty, Map("id" -> 5L))
     assert(got.where(col("id") === 5).count() == 1L)
+    // a genuinely absent key is a CORRECT query whose answer is zero
+    // rows: total prune returns an empty, correctly-schemed frame
+    val absent = StatsIndex.prunedReadPoint(spark, StatsIndex.load(spark, idx),
+      StatsIndex.loadBlooms(spark, bl), Map.empty, Map("id" -> 999999L))
+    assert(absent.schema == got.schema, "empty result must keep the table schema")
+    assert(absent.count() == 0L)
+  }
+
+  test("total prune is a zero-row answer, not an error (range and point paths)") {
+    val root = Files.createTempDirectory("graft-statsidx-empty").toString
+    val df = (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    df.coalesce(2).write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val full = spark.read.parquet(s"$root/t")
+
+    // range path: predicate outside every file's bounds
+    val none = StatsIndex.prunedRead(spark, stats, Map("id" -> (5000.0, 6000.0)))
+    assert(none.schema == full.schema && none.count() == 0L)
+
+    // point path with blooms: value no filter has seen
+    val bl = s"$root/blooms"
+    StatsIndex.saveBlooms(StatsIndex.buildBlooms(spark, s"$root/t", Seq("id")), bl)
+    val blooms = StatsIndex.loadBlooms(spark, bl)
+    val nothing = StatsIndex.prunedReadPoint(spark, stats, blooms,
+      Map.empty, Map("id" -> -1L))
+    assert(nothing.schema == full.schema && nothing.count() == 0L)
+
+    // empty frame composes downstream like any other DataFrame
+    assert(nothing.where(col("v") > 0).join(full, Seq("id")).count() == 0L)
   }
 
   test("ORC table: footer stats index, prune, and pruned read (source_format=ORC surface)") {
