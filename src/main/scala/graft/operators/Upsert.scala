@@ -109,7 +109,9 @@ object Upsert {
                 statsColumns: Seq[String] = Nil,
                 bloomsPath: Option[String] = None,
                 bloomColumns: Seq[String] = Nil,
-                maxBloomProbeKeys: Int = 100000): Unit = {
+                maxBloomProbeKeys: Int = 100000,
+                bloomItemsPerFile: Long = 1L << 20,
+                bloomFpp: Double = 0.01): Unit = {
     require(keys.nonEmpty, "mergeInto: empty key list")
     require(!keys.contains(partitionCol),
       s"mergeInto: partitionCol '$partitionCol' cannot be a merge key " +
@@ -195,7 +197,8 @@ object Upsert {
       bloomsPath.foreach { bp =>
         // reconcile, not append: publish REPLACED the touched partitions'
         // files wholesale, so their old bloom rows must drop with them
-        graft.sources.StatsIndex.reconcileBlooms(spark, path, bp, bloomColumns)
+        graft.sources.StatsIndex.reconcileBlooms(spark, path, bp, bloomColumns,
+          bloomItemsPerFile, bloomFpp)
       }
     } catch {
       case e: Throwable =>
@@ -232,19 +235,24 @@ object Upsert {
       .as[String].collect().toSet
     var mergeSide = files.toSet
     bloomColumns.foreach { c =>
+      // a NULL probe value disables this column's split entirely (the
+      // oversized-probe fallback): blooms cannot represent null — the
+      // build skips nulls — so a null-keyed update's match file is
+      // unprovable and everything must merge. Collect as Rows, not
+      // Dataset[Long]: a null in a non-nullable encoder NPEs.
       val probed: Option[Set[String]] = updates.schema(c).dataType match {
         case StringType =>
-          val v = updates.select(col(c)).distinct().limit(maxProbe + 1)
-            .as[String].collect()
-          if (v.length > maxProbe) None
+          val rows = updates.select(col(c)).distinct().limit(maxProbe + 1)
+            .collect()
+          if (rows.length > maxProbe || rows.exists(_.isNullAt(0))) None
           else Some(graft.sources.StatsIndex.pruneFilesBloomAny(
-            blooms, c, strValues = v.toSeq).toSet)
+            blooms, c, strValues = rows.map(_.getString(0)).toSeq).toSet)
         case LongType | IntegerType =>
-          val v = updates.select(col(c).cast("long")).distinct()
-            .limit(maxProbe + 1).as[Long].collect()
-          if (v.length > maxProbe) None
+          val rows = updates.select(col(c).cast("long")).distinct()
+            .limit(maxProbe + 1).collect()
+          if (rows.length > maxProbe || rows.exists(_.isNullAt(0))) None
           else Some(graft.sources.StatsIndex.pruneFilesBloomAny(
-            blooms, c, longValues = v.toSeq).toSet)
+            blooms, c, longValues = rows.map(_.getLong(0)).toSeq).toSet)
         case other => throw new IllegalArgumentException(
           s"mergeInto: bloom column '$c' is $other — equality membership " +
             "needs string/long/int (buildBlooms would have rejected it)")

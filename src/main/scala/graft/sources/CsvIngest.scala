@@ -526,7 +526,15 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
                statsIndexPath: Option[String] = None,
                statsColumns: Seq[String] = Nil,
                bloomsPath: Option[String] = None,
-               bloomColumns: Seq[String] = Nil): Long = {
+               bloomColumns: Seq[String] = Nil,
+               bloomItemsPerFile: Long = 1L << 20,
+               bloomFpp: Double = 0.01): Long = {
+    // validate the bloom surface BEFORE any data moves: discovering the
+    // missing column list inside reconcileBlooms would surface a plain
+    // usage error only after a partial publish (bloom index left lagging)
+    require(bloomsPath.isEmpty || bloomColumns.nonEmpty,
+      "writeRaw: bloomsPath set but bloomColumns empty — name the " +
+        "equality-probe columns to index")
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val dest = new org.apache.hadoop.fs.Path(outPath)
@@ -562,7 +570,8 @@ final class Loaded private[sources](val df: DataFrame, obs: Observation,
       // full reconcile (not an append): a same-date re-ingest REPLACES its
       // partition's files, so the old files' bloom rows must drop — the
       // same staleness rule replacePartitions enforces for the stats index
-      StatsIndex.reconcileBlooms(spark, outPath, bp, bloomColumns)
+      StatsIndex.reconcileBlooms(spark, outPath, bp, bloomColumns,
+        bloomItemsPerFile, bloomFpp)
     }
     bad
   }

@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   * exactly the contract the bucket compactor documents. Run it from the
   * same serial `foreachBatch` loop as the landings — never concurrently
   * with a batch write.
+  *
+  * READER RACE: between the aside-renames and the snapshot rename-in,
+  * the folded rows are invisible to a CONCURRENT merged read — a reader
+  * in that window transiently under-counts. Readers must serialize with
+  * `compact` (in practice: read from the same foreachBatch loop that
+  * compacts, as every stream here does); an any-instant external read
+  * guarantee holds only OUTSIDE the compaction window.
   */
 object BatchLog {
 
@@ -86,6 +93,17 @@ object BatchLog {
     val staging = new Path(root, s"_staging_$tag")
     merged.write.mode("overwrite").partitionBy("_batch_id")
       .parquet(staging.toString)
+    val snap = s"_batch_id=$CompactedBatchId"
+    val stagedSnap = new Path(staging, snap)
+    // an EMPTY fold writes no partition dir at all (possible: MG
+    // cap-decrement can eliminate every candidate, folding real rows to
+    // nothing). The correct snapshot is then ABSENCE — merging zero rows
+    // is neutral for every downstream reader — so the folded partitions
+    // still retire, just with no snapshot renamed in. Check BEFORE the
+    // aside-renames: discovering the missing dir after them would crash
+    // the stream with the folded rows stranded in _trash_* (reaped by
+    // the 24h orphan sweep).
+    val haveSnap = fs.exists(stagedSnap)
     val trash = new Path(root, s"_trash_$tag")
     fs.mkdirs(trash)
     foldSet.foreach { id =>
@@ -94,8 +112,7 @@ object BatchLog {
         throw new java.io.IOException(
           s"batchLog.compact: aside-rename $dir failed")
     }
-    val snap = s"_batch_id=$CompactedBatchId"
-    if (!fs.rename(new Path(staging, snap), new Path(root, snap)))
+    if (haveSnap && !fs.rename(stagedSnap, new Path(root, snap)))
       throw new java.io.IOException(
         s"batchLog.compact: snapshot rename into $root failed — folded " +
           s"partitions preserved under $trash")

@@ -262,6 +262,45 @@ class MergeIntoSpec extends SparkSpec {
     assert(rows(path) == rows(twin))
   }
 
+  test("null merge-key updates: bloom split stands down, bloom-fed == listing merge") {
+    import graft.sources.StatsIndex
+    val root = Files.createTempDirectory("graft-mergeinto-nullkey").toString
+    val (path, idx, bl, twin) = (s"$root/fact", s"$root/idx",
+      s"$root/blooms", s"$root/twin")
+    val base = (0L until 100L).map(i => (i, 1L, "2024-01-01", i * 1.0))
+      .toDF("order_id", "item_id", "day", "amount").repartition(4)
+    base.write.partitionBy("day").parquet(path)
+    base.write.partitionBy("day").parquet(twin)
+    StatsIndex.save(StatsIndex.build(spark, path), idx)
+    StatsIndex.saveBlooms(StatsIndex.buildBlooms(spark, path,
+      Seq("order_id"), expectedItemsPerFile = 1000), bl)
+
+    // one real update + one NULL-key row: blooms cannot represent null
+    // (the build skips nulls), so the only sound split is NO split
+    val updates = Seq[(Option[Long], Long, String, Double)](
+      (Some(7L), 1L, "2024-01-01", 999.0),
+      (None, 1L, "2024-01-01", 5.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    val files = StatsIndex.partitionFiles(
+      StatsIndex.load(spark, idx), "day", Seq("2024-01-01"))
+    val (mrg, pass) = Upsert.splitByBlooms(spark, files, updates,
+      Some(bl), Seq("order_id"), 100000)
+    assert(pass.isEmpty && mrg.toSet == files.toSet,
+      "a null probe value must disable the split: nothing may pass through")
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select("order_id", "item_id", "day", "amount")
+      .as[(Option[Long], Long, String, Double)].collect().toSet
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx), bloomsPath = Some(bl),
+      bloomColumns = Seq("order_id"))
+    Upsert.mergeInto(twin, updates, Seq("order_id", "item_id"), "day")
+    assert(rows(path) == rows(twin),
+      "null-key bloom-fed merge diverged from the listing-based merge")
+    assert(rows(path).exists(_._1.isEmpty), "null-key row must land")
+    assert(rows(path).contains((Some(7L), 1L, "2024-01-01", 999.0)))
+  }
+
   test("index-fed merge refuses a stale index instead of dropping partition rows") {
     import graft.sources.StatsIndex
     val root = Files.createTempDirectory("graft-mergeinto-stale").toString
