@@ -328,6 +328,45 @@ object ExtraQueries {
       |FROM x
       |ORDER BY lang, seq_id, seq_from""".stripMargin
 
+  /** The FFD greedy re-derived as a linear recursion: docs sort by
+    * (len DESC, doc_id) per stratum and a recursive CTE threads the
+    * bins' free-capacity LIST through one step per doc — `list_position`
+    * finds the first bin that fits (first-fit), list slicing rebuilds
+    * the state. Deterministic because the Spark side pins the identical
+    * total order and bin-scan order (the `dedup_clusters` recursive-CTE
+    * discipline: a sequential algorithm is still SQL-expressible when
+    * its ties are pinned). */
+  private val packGreedyOracle: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS len,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents),
+      |ffd(lang, rn, bins, doc_id, seq_id, seq_from, len) AS (
+      |  SELECT lang, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM (SELECT DISTINCT lang FROM d)
+      |  UNION ALL
+      |  SELECT lang, rn,
+      |    CASE WHEN pos IS NOT NULL AND pos > 0
+      |         THEN bins[1:pos-1] || [bins[pos] - len] || bins[pos+1:]
+      |         ELSE bins || [4096 - len] END,
+      |    doc_id,
+      |    CAST(CASE WHEN pos IS NOT NULL AND pos > 0 THEN pos - 1
+      |              ELSE len(bins) END AS BIGINT),
+      |    CAST(CASE WHEN pos IS NOT NULL AND pos > 0 THEN 4096 - bins[pos]
+      |              ELSE 0 END AS BIGINT),
+      |    len
+      |  FROM (
+      |    SELECT f.lang, d.rn, f.bins, d.doc_id, d.len,
+      |           list_position(list_transform(f.bins, x -> x >= d.len),
+      |                         true) AS pos
+      |    FROM ffd f JOIN d ON d.lang = f.lang AND d.rn = f.rn + 1))
+      |SELECT lang, doc_id, seq_id, seq_from, len
+      |FROM ffd WHERE doc_id IS NOT NULL
+      |ORDER BY lang, seq_id, seq_from""".stripMargin
+
   /** PCA spectrum of the embeddings table: per-component variance share
     * + cumulative share at k=16 of 64, plus the measured rank-16
     * reconstruction MSE — the decision report for "can this corpus's
@@ -349,10 +388,11 @@ object ExtraQueries {
   }
 
   /** No-split (SFT-regime) greedy packing of documents into 4096-char
-    * bins per language — first-fit-decreasing, rows-only by design (a
-    * sequential greedy is not SQL-expressible; the FFD bound, bin
-    * non-overflow, no-split, and determinism invariants are spec-pinned
-    * in SequencePackSpec). */
+    * bins per language — first-fit-decreasing, hash-oracled against
+    * [[packGreedyOracle]]'s recursive-CTE re-derivation (ties pinned on
+    * (len DESC, doc_id), bins scanned in creation order on both sides);
+    * the FFD bound, bin non-overflow, and no-split invariants are
+    * additionally spec-pinned in SequencePackSpec. */
   def packGreedyQ(s: SparkSession, dir: String): DataFrame =
     SequencePack.packGreedy(
         t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
@@ -640,6 +680,7 @@ object ExtraQueries {
     "dq_check" -> dqOracle,
     "dq_drift" -> dqDriftOracle,
     "pack_sequences" -> packSeqsOracle,
+    "pack_greedy" -> packGreedyOracle,
     "heavy_tokens" -> heavyTokensOracle,
     "dq_drift_psi" -> dqDriftPsiOracle,
     "q_salted_agg" ->

@@ -147,9 +147,14 @@ object StarQueries {
     * by the VERBATIM `sales_summary` SQL: incremental must equal the full
     * rebuild bit-for-hash. */
   def salesSummaryIncr(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the fact ONCE: the query references it twice (yesterday's
+    // summary + the delta split) and re-deriving the full join lattice per
+    // reference is pure proof overhead — in deployment the delta arrives
+    // already materialized on disk, which this models honestly
     val fact = FactBuild.factOrders(
       t(s, dir, "orders"), t(s, dir, "lineitem"),
       dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+      .localCheckpoint()
     val dimP = dimPartsUnordered(s, dir)
     val dates = DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")
     val split = lit("1999-01-01").cast("date")
@@ -170,9 +175,13 @@ object StarQueries {
     * full-scan rebuild bit-for-hash. */
   def customerAnalyticsIncr(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
+    // one materialization, three delta filters over it (the deployment
+    // shape: deltas arrive materialized) — without the checkpoint each
+    // delta re-evaluates the entire fact join lattice
     val fact = FactBuild.factOrders(
       orders, t(s, dir, "lineitem"),
       dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+      .localCheckpoint()
     val cut1 = lit("1997-01-01").cast("date")
     val cut2 = lit("1999-06-01").cast("date")
     val deltas = Seq(

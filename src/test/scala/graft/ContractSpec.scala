@@ -29,7 +29,7 @@ class ContractSpec extends SparkSpec {
       "ann_ivfpq", "ann_ivfpq_probe", "ann_opq", "ann_opq_probe",
       "semantic_dedup", "q_approx", "bpe_tokens",
       "corpus_sketch", "corpus_kll", "decon_overlap_est", "dq_drift_kll",
-      "pack_greedy", "emb_pca", "ann_pca_probe")
+      "emb_pca", "ann_pca_probe")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val undeclared = rowsOnly -- declared
     assert(undeclared.isEmpty,
@@ -50,6 +50,43 @@ class ContractSpec extends SparkSpec {
     }
     assert(missing.isEmpty,
       s"gate queries with no SURVEY.md row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every SURVEY.md source/spec reference names a file that exists") {
+    // the reverse tripwire: the gate-query test above catches a query
+    // with no SURVEY row, but nothing caught a SURVEY row claiming code
+    // that does not exist (the R16 lesson: row 33l named
+    // streaming/StarStream.scala + StarStreamSpec before either was
+    // written). Mechanically: every `dir/File.scala` or bare
+    // `File.scala` token anywhere in SURVEY.md must resolve under
+    // src/main, and every FooSpec token under src/test.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    def filesUnder(root: String): Set[java.nio.file.Path] = {
+      val r = java.nio.file.Paths.get(root)
+      val s = java.nio.file.Files.walk(r)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSet
+      } finally s.close()
+    }
+    val mainFiles = filesUnder("src/main/scala")
+    val mainNames = mainFiles.map(_.getFileName.toString)
+    val pathRe = "([A-Za-z][A-Za-z0-9_]*(?:/[A-Za-z][A-Za-z0-9_]*)*\\.scala)".r
+    val badPaths = pathRe.findAllMatchIn(survey).map(_.group(1)).toSeq.distinct
+      .filterNot { p =>
+        if (p.contains("/"))
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"src/main/scala/graft/$p"))
+        else mainNames.contains(p)
+      }
+    assert(badPaths.isEmpty,
+      s"SURVEY.md names source files that do not exist: ${badPaths.mkString(", ")}")
+    val testNames = filesUnder("src/test/scala").map(_.getFileName.toString)
+    val specRe = "\\b([A-Z][A-Za-z0-9]*Spec)\\b".r
+    val badSpecs = specRe.findAllMatchIn(survey).map(_.group(1)).toSeq.distinct
+      .filterNot(s => testNames.contains(s"$s.scala"))
+    assert(badSpecs.isEmpty,
+      s"SURVEY.md names test suites that do not exist: ${badSpecs.mkString(", ")}")
   }
 
   test("the flagship entry returns rows") {
