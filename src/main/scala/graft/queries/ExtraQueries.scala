@@ -518,6 +518,39 @@ object ExtraQueries {
     """SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id = 417 ORDER BY doc_id""".stripMargin
 
+  /** The #42d/#42e indexes wired INTO the scan ([[graft.sources.IndexedScan]]):
+    * the same filters, but pushed by Catalyst through a projection and an
+    * aggregate into the custom [[org.apache.spark.sql.execution.datasources.FileIndex]],
+    * whose `listFiles` consults stats ranges + Bloom bits at planning
+    * time — no manual `prunedRead*` call anywhere in the query. The gate
+    * contract is end-to-end equivalence: whatever the index prunes, the
+    * result must hash-match the plain-SQL answer (file-count assertions
+    * live in IndexedScanSpec, where the layout is controlled). */
+  def statsScanQ(s: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/events.parquet"
+    val stats = graft.sources.StatsIndex.build(s, table,
+      Seq("event_id", "user_id", "value"))
+    val blooms = graft.sources.StatsIndex.buildBlooms(s, table,
+      Seq("user_id"), expectedItemsPerFile = 1L << 16, fpp = 0.01)
+    graft.sources.IndexedScan.readIndexedFrom(s, table, stats, Some(blooms))
+      .where(col("value") >= 10.0 && col("value") < 100.0 &&
+        col("event_type").isin("view", "click") && col("user_id") > 50L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  private val statsScanOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 6) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE value >= 10.0 AND value < 100.0
+      |  AND event_type IN ('view', 'click') AND user_id > 50
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   private val statsIndexOracle: String = {
     val p = "/root/testdata/sf0.01/lineitem.parquet"
     s"""SELECT regexp_extract(m.file_name, '([^/]+)$$', 1) AS file,
@@ -657,6 +690,7 @@ object ExtraQueries {
     "corpus_kll" -> (corpusKll _),
     "stats_index" -> (statsIndexQ _),
     "stats_bloom" -> (statsBloomQ _),
+    "stats_scan" -> (statsScanQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
@@ -674,6 +708,7 @@ object ExtraQueries {
   val oracle: Map[String, String] = Map(
     "stats_index" -> statsIndexOracle,
     "stats_bloom" -> statsBloomOracle,
+    "stats_scan" -> statsScanOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,

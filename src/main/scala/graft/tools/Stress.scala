@@ -411,7 +411,8 @@ object Stress {
           (col("id") / 3).cast("long").as("order_id"),
           date_add(lit("1995-01-01").cast("date"),
             ((col("id") / 3) % 400).cast("int")).as("order_date"),
-          concat(lit("c"), (col("id") % 30000).cast("string")).as("customer_sk"),
+          concat(lit("c"),
+            ((col("id") / 3) % 30000).cast("long").cast("string")).as("customer_sk"),
           concat(lit("p"), (col("id") % 50).cast("string")).as("part_sk"),
           ((col("id") % 7) + 1).cast("double").as("quantity"),
           ((col("id") % 1000) + 0.5).as("net_amount"))
@@ -454,7 +455,7 @@ object Stress {
         f"one-day applyDelta $tDelta%.1fs, ${touched.size} buckets touched, " +
         f"$n1 state rows")
     }
-    time("bloom-fed mergeInto: 2M-row table, 60-key point-update batch") {
+    time("bloom-fed mergeInto: 2M-row table, 6-key point-update batch") {
       // the point-update MERGE regime: min/max can prune nothing (keys
       // scatter uniformly across every file), so without blooms ALL of
       // the touched partition's files enter the merge's key shuffle —
@@ -474,10 +475,12 @@ object Stress {
       graft.sources.StatsIndex.saveBlooms(graft.sources.StatsIndex
         .buildBlooms(spark, tBl, Seq("order_id"),
           expectedItemsPerFile = 200000), bl)
-      // 60 point updates, all against day d0 (keys ≡ 0 mod 4 land there
-      // by construction) — the single-partition point-update batch
-      val updates = spark.range(60L).select(
-        (col("id") * 33332).as("order_id"), lit("d0").as("day"),
+      // 6 point updates, all against day d0 (keys ≡ 0 mod 4 land there by
+      // construction) — the point-update regime the split exists for:
+      // FEWER keys than files, so most files provably hold none of them
+      // (60 keys over 16 round-robin files would touch ~every file)
+      val updates = spark.range(6L).select(
+        (col("id") * 333332).as("order_id"), lit("d0").as("day"),
         lit(-1.0).as("amount"))
       val files = graft.sources.StatsIndex.partitionFiles(
         graft.sources.StatsIndex.load(spark, idx), "day", Seq("d0"))
@@ -498,6 +501,115 @@ object Stress {
         f"${files.size} files (~${(rowsPerFile * mrg.size).toLong} vs " +
         f"${(rowsPerFile * files.size).toLong} rows into the key shuffle); " +
         f"listing merge $tPlain%.1fs vs bloom-fed $tBloom%.1fs")
+    }
+    time("StarStream: 2M-row fact feed + 200k-obs CDC feed (continuous star)") {
+      // the full always-on star (#33l) at scale: four out-of-order bulk
+      // batches per feed (the backfill regime), then the steady-state
+      // batches the pipeline actually lives in — ONE day's fact arrivals
+      // and ONE customer's CDC observation. The claim under test: a
+      // steady-state batch costs its own slice (one date partition / one
+      // key bucket), not the warehouse — and the maintained tables equal
+      // their batch-engine rebuilds exactly.
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-star").toString
+      val layout = graft.streaming.StarStream.Layout(root)
+      val cfg = graft.streaming.StarStream.Config(
+        stateKeepRecent = 2, stateCompactEvery = 2)
+      // fact: 2M lines / ~667k orders / 400 days / 30k customers, sk =
+      // md5(natural key) — the contract dimCustomersCurrent publishes
+      val fact = spark.range(2000000L).select(
+          (col("id") / 3).cast("long").as("order_id"),
+          date_add(lit("1995-01-01").cast("date"),
+            ((col("id") / 3) % 400).cast("int")).as("order_date"),
+          md5(((col("id") / 3) % 30000).cast("long").cast("string")).as("customer_sk"),
+          concat(lit("p"), (col("id") % 50).cast("string")).as("part_sk"),
+          ((col("id") % 7) + 1).cast("double").as("quantity"),
+          ((col("id") % 1000) + 0.5).as("net_amount"))
+        .repartition(32).localCheckpoint()
+      val dimP = spark.range(50).select(
+        concat(lit("p"), col("id").cast("string")).as("part_sk"),
+        concat(lit("cat"), (col("id") % 5).cast("string")).as("category"),
+        lit(true).as("is_current")).localCheckpoint()
+      val dates = graft.operators.DateDim
+        .fromTableSpan(fact, "order_date").localCheckpoint()
+      // CDC: ~6.7 observations per customer, every one a tracked-segment
+      // change (so versions == observations), unique ts per (key, obs)
+      val baseEpoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        .getTime / 1000
+      val cdc = spark.range(200000L).select(
+          (col("id") % 30000).as("customer_id"),
+          (lit(baseEpoch) + (col("id") / 30000) * (17L * 86400) +
+            (col("id") % 24) * 3600).cast("timestamp").as("ts"),
+          concat(lit("seg"), ((col("id") / 30000) % 5).cast("string"))
+            .as("mkt_segment"))
+        .repartition(32).localCheckpoint()
+
+      def tsec(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // bulk backfill, both feeds in 4 out-of-order batches: CDC split by
+      // observation hash; fact split into 100-day chunks applied 2,0,3,1
+      val tCdcBulk = (0 until 4).map { b =>
+        tsec(graft.streaming.StarStream.applyCdcBatch(
+          cdc.where(pmod(hash(col("ts")), lit(4)) === b), b.toLong, layout, cfg))
+      }
+      val tFactBulk = Seq(2, 0, 3, 1).zipWithIndex.map { case (chunk, i) =>
+        val lo = chunk * 100
+        val b = fact.where(
+          datediff(col("order_date"), lit("1995-01-01").cast("date"))
+            .between(lo, lo + 99))
+        var touched: Seq[String] = Nil
+        val t = tsec { touched = graft.streaming.StarStream.applyFactBatch(
+          b, i.toLong, layout, dimP, dates, cfg) }
+        assert(touched.size == 100, s"chunk $chunk touched ${touched.size} dates")
+        t
+      }
+      // steady state: one NEW day's ~5k arrivals; one customer's new obs
+      val newDay = spark.range(5000L).select(
+          (lit(700000L) + (col("id") / 3).cast("long")).as("order_id"),
+          lit("1996-02-05").cast("date").as("order_date"),
+          md5((col("id") % 30000).cast("long").cast("string")).as("customer_sk"),
+          concat(lit("p"), (col("id") % 50).cast("string")).as("part_sk"),
+          lit(2.0).as("quantity"), lit(10.5).as("net_amount"))
+        .localCheckpoint()
+      var dayTouched: Seq[String] = Nil
+      val tDay = tsec { dayTouched = graft.streaming.StarStream.applyFactBatch(
+        newDay, 4L, layout,
+        dimP, graft.operators.DateDim.fromTableSpan(
+          fact.select(col("order_date"))
+            .unionByName(newDay.select(col("order_date"))), "order_date"),
+        cfg) }
+      assert(dayTouched == Seq("1996-02-05"),
+        s"steady-state batch touched $dayTouched")
+      val onePoint = cdc.orderBy("customer_id", "ts").limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 500 DAYS"))
+        .withColumn("mkt_segment", lit("segX")).localCheckpoint()
+      val tPoint = tsec(graft.streaming.StarStream.applyCdcBatch(
+        onePoint, 4L, layout, cfg))
+
+      // convergence: every maintained table == its batch-engine rebuild
+      val nDim = graft.streaming.StarStream
+        .dimCustomersHistory(spark, layout).count()
+      val nWant = graft.operators.Scd2.fromHistory(
+        cdc.unionByName(onePoint), "customer_id", "ts", "mkt_segment").count()
+      assert(nDim == nWant, s"streamed dim $nDim != batch rebuild $nWant")
+      val summary = graft.streaming.StarStream.salesSummary(spark, layout)
+      val factAll = graft.streaming.StarStream.factOrders(spark, layout)
+      val wantSummary = graft.operators.Datamart.salesSummary(
+        factAll, dimP, graft.operators.DateDim.fromTableSpan(factAll, "order_date"))
+      val (nS, nSW) = (summary.count(), wantSummary.count())
+      assert(nS == nSW, s"streamed summary $nS != batch rebuild $nSW")
+      val qS = summary.agg(sum("total_quantity")).head().getDouble(0)
+      val qW = wantSummary.agg(sum("total_quantity")).head().getDouble(0)
+      assert(qS == qW, s"summary quantity $qS != $qW") // integral doubles: exact
+      val nA = graft.streaming.StarStream.customerAnalytics(spark, layout,
+        graft.operators.Datamart.anchorOf(factAll, "order_date"), cfg).count()
+      assert(nA == 30000L, s"analytics rows $nA != 30000 customers")
+      println(f"   cdc bulk ${tCdcBulk.map(t => f"$t%.1f").mkString("/")}s, " +
+        f"fact bulk ${tFactBulk.map(t => f"$t%.1f").mkString("/")}s; " +
+        f"steady state: one-day fact batch $tDay%.1fs (touched 1 of 401 dates), " +
+        f"one-customer CDC $tPoint%.1fs (1 of 64 buckets); " +
+        f"dim $nDim versions, summary $nS rows, analytics $nA rows " +
+        "— all == batch rebuilds")
     }
     time("StatsIndex: 2M rows / 32 z-ordered files — footer pass + box prune") {
       // the metadata layer over the Z-order layout: ONE distributed

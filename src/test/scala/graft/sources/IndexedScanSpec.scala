@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.ZOrder
+
+/** [[IndexedScan]]: the stats/bloom index consulted by the scan's own
+  * `listFiles` — any Catalyst-pushed predicate must prune files
+  * automatically, results must equal the plain-read equivalent on every
+  * shape (the pruning is invisible to semantics), and everything the
+  * index can't PROVE disjoint must stay scanned. */
+class IndexedScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Executed-plan file count of `df`'s (single) file scan — descends
+    * into AQE's materialized query stages, whose plans are fields, not
+    * children, and so invisible to a plain `collect`. */
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.size == 1, s"expected one file scan, got ${found.size}")
+    found.head.metrics("numFiles").value
+  }
+
+  test("range predicate over a z-ordered table prunes files through the scan; results == plain read") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "value")
+    val root = Files.createTempDirectory("graft-iscan-z").toString
+    ZOrder.writeClustered(ev, Seq("user_id", "value"), s"$root/z", nFiles = 16)
+    val stats = StatsIndex.build(spark, s"$root/z")
+
+    val qs = ev.selectExpr("CAST(user_id AS DOUBLE) AS u", "value")
+      .stat.approxQuantile(Array("u", "value"), Array(0.2, 0.35, 0.1, 0.3), 0.001)
+    val pred = col("user_id").between(qs(0)(0).toLong, qs(0)(1).toLong) &&
+      col("value").between(qs(1)(2), qs(1)(3))
+
+    val indexed = IndexedScan.readIndexedFrom(spark, s"$root/z", stats).where(pred)
+    val nScanned = scanFiles(indexed)
+    assert(nScanned * 2 <= 16, s"scan opened $nScanned of 16 files — index not consulted")
+    info(s"scanned $nScanned of 16 files")
+
+    val got = indexed.select("event_id").as[Long].collect().sorted.toSeq
+    val want = spark.read.parquet(s"$root/z").where(pred)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("filter pushed through a projection+aggregate still prunes; unsupported conjuncts are ignored not wrong") {
+    val root = Files.createTempDirectory("graft-iscan-agg").toString
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 7).cast("double").as("v"))
+    // deterministic 500-row files (repartitionByRange samples, so its
+    // boundaries jitter and the first 1/4 can straddle a third file)
+    (0 until 8).foreach { b =>
+      df.where(col("id") >= b * 500 && col("id") < (b + 1) * 500)
+        .coalesce(1).write.mode("append").parquet(s"$root/t")
+    }
+    val stats = StatsIndex.build(spark, s"$root/t")
+
+    // the filter sits above a select and an agg sits above it all —
+    // Catalyst must still push (id <= 999) into the scan's dataFilters;
+    // the pmod conjunct is untranslatable and must change nothing
+    val indexed = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .select((col("id") * 2).as("id2"), col("id"), col("v"))
+      .where(col("id") <= 999 && pmod(col("id"), lit(2)) === 0)
+      .agg(sum("id2").as("s"), count(lit(1)).as("n"))
+    val nScanned = scanFiles(indexed)
+    assert(nScanned == 2, s"scanned $nScanned of 8 files for the first 1/4 of the id range")
+    val row = indexed.collect().head
+    assert(row.getLong(1) == 500 && row.getLong(0) == (0L until 1000 by 2).map(_ * 2).sum)
+  }
+
+  test("scattered key: min/max prunes nothing, the bloom index prunes to ~1 file; absent key scans zero files") {
+    val root = Files.createTempDirectory("graft-iscan-bloom").toString
+    // round-robin ids: every file spans [0, 40000) — range-hopeless
+    spark.range(40000).select(col("id"), (col("id") % 1000).as("v"))
+      .repartition(8).write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val blooms = StatsIndex.buildBlooms(spark, s"$root/t", Seq("id"),
+      expectedItemsPerFile = 10000)
+
+    val noBloom = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("id") === 12345L)
+    assert(scanFiles(noBloom) == 8, "min/max should be useless on a scattered key")
+
+    val withBloom = IndexedScan.readIndexedFrom(spark, s"$root/t", stats, Some(blooms))
+      .where(col("id") === 12345L)
+    val n = scanFiles(withBloom)
+    assert(n <= 2, s"bloom should isolate the key's file, scanned $n of 8")
+    assert(withBloom.select("v").as[Long].collect().toSeq == Seq(12345L % 1000))
+
+    // an absent key: zero surviving files IS the answer — empty result,
+    // correct schema, no error
+    val absent = IndexedScan.readIndexedFrom(spark, s"$root/t", stats, Some(blooms))
+      .where(col("id") === 999999L)
+    assert(absent.collect().isEmpty)
+    assert(absent.columns.toSeq == Seq("id", "v"))
+
+    // IN probes batch through the same bloom path
+    val in = IndexedScan.readIndexedFrom(spark, s"$root/t", stats, Some(blooms))
+      .where(col("id").isin(7L, 12345L, 39999L))
+    val inFiles = scanFiles(in)
+    assert(inFiles <= 4, s"3-key IN should touch ≤3(+fp) files, scanned $inFiles")
+    assert(in.select("id").as[Long].collect().sorted.toSeq == Seq(7L, 12345L, 39999L))
+  }
+
+  test("hive-partitioned table: partition predicates prune directories from path values alone") {
+    val root = Files.createTempDirectory("graft-iscan-part").toString
+    spark.range(1200).select(col("id"),
+        concat(lit("d"), (col("id") % 3).cast("string")).as("day"),
+        (col("id") % 100).cast("double").as("v"))
+      .repartition(2).write.partitionBy("day").parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val total = stats.select("file").distinct().count()
+
+    val one = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("day") === "d1")
+    val n = scanFiles(one)
+    assert(n * 3 <= total + 2, s"partition prune failed: $n of $total files")
+    val got = one.select("id").as[Long].collect().sorted.toSeq
+    assert(got.nonEmpty && got == (0L until 1200L).filter(_ % 3 == 1))
+
+    // partition + data predicate compose; partition col reads back as string
+    val mixed = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("day").isin("d0", "d2") && col("id") > 1100)
+    val rows = mixed.select("id", "day").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq ==
+      (1101L until 1200L).filter(i => i % 3 == 0 || i % 3 == 2))
+    assert(rows.forall(r => r.getString(1) == s"d${r.getLong(0) % 3}"))
+  }
+
+  test("conservatism: unindexed columns, bloom-uncovered files, and nulls never lose rows") {
+    val root = Files.createTempDirectory("graft-iscan-cons").toString
+    spark.range(1000).select(col("id"),
+        when(col("id") % 10 === 0, col("id").cast("double")).as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$root/t")
+    // index ONLY id: a predicate on v must not prune (no stats rows for v)
+    val stats = StatsIndex.build(spark, s"$root/t", columns = Seq("id"))
+    val onV = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("v") > 100.0)
+    assert(scanFiles(onV) == 4, "a column with no stats rows must never prune")
+    assert(onV.count() ==
+      spark.read.parquet(s"$root/t").where(col("v") > 100.0).count())
+
+    // bloom relation covering only SOME files: uncovered files are
+    // unknown and must survive an equality probe that misses their bloom
+    val blooms = StatsIndex.buildBlooms(spark, s"$root/t", Seq("id"),
+      expectedItemsPerFile = 1000)
+    val covered = blooms.where(
+      abs(hash(col("file"))) % 2 === 0).localCheckpoint()
+    val half = IndexedScan.readIndexedFrom(spark, s"$root/t", stats, Some(covered))
+      .where(col("id") === 999L)
+    assert(half.select("id").as[Long].collect().toSeq == Seq(999L))
+
+    // IS NULL / IS NOT NULL translate to null-count pruning, never wrong
+    val isNullDf = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("v").isNull)
+    assert(isNullDf.count() == 900)
+    val notNullDf = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("v").isNotNull && col("id") < 50)
+    assert(notNullDf.count() == 5)
+  }
+
+  test("string bounds prune in binary order; joins broadcast the indexed side like any scan") {
+    val root = Files.createTempDirectory("graft-iscan-str").toString
+    val df = (0 until 400)
+      .map(i => (i.toLong, f"key_${i / 100}%02d_$i%04d"))
+      .toDF("id", "k")
+    df.repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+
+    val strPred = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("k") >= "key_02" && col("k") < "key_03")
+    val n = scanFiles(strPred)
+    assert(n <= 2, s"string range covers one prefix family, scanned $n of 4")
+    assert(strPred.count() == 100)
+
+    // the indexed relation behaves like any DataFrame under a join
+    val dim = Seq((150L, "x"), (250L, "y")).toDF("id", "tag")
+    val joined = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .join(broadcast(dim), "id")
+    assert(joined.count() == 2)
+  }
+}
