@@ -542,6 +542,108 @@ object ExtraQueries {
       .orderBy("event_type")
   }
 
+  /** Time-series regularization ([[graft.operators.Resample]]): daily
+    * per-user grid over the event stream — gap days materialized,
+    * forward fill + interior linear interpolation. Buckets are pure
+    * epoch arithmetic and the repair math one fixed IEEE expression
+    * tree, so DuckDB reproduces every value bit-for-bit. */
+  def resampleQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+    graft.operators.Resample.resample(ev, "user_id", "ts", "value", 86400L)
+      .orderBy("user_id", "bucket")
+  }
+
+  private val resampleOracle: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch_us(ts) / 86400000000) * 86400 AS BIGINT) AS bucket,
+      |    count(*) AS n_events, round(sum(value), 6) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(bucket), max(bucket), 86400)) AS bucket
+      |  FROM b GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.bucket,
+      |    coalesce(b.n_events, 0) AS n_events, b.total_value
+      |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket),
+      |r AS (
+      |  SELECT *,
+      |    last_value(total_value IGNORE NULLS) OVER w AS filled_value,
+      |    last_value(CASE WHEN total_value IS NOT NULL THEN bucket END
+      |               IGNORE NULLS) OVER w AS pb,
+      |    first_value(total_value IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN total_value IS NOT NULL THEN bucket END
+      |                IGNORE NULLS) OVER wf AS nb
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY bucket
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, bucket, n_events, total_value, filled_value,
+      |  CASE WHEN total_value IS NOT NULL THEN total_value
+      |       ELSE filled_value + (nv - filled_value) *
+      |            (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+      |  END AS interp_value
+      |FROM r ORDER BY user_id, bucket""".stripMargin
+
+  /** Edit-distance self-join ([[graft.operators.FuzzyJoin]]): every
+    * customer-name pair within Levenshtein distance 1, found through
+    * symmetric-deletion blocking (exact — a true pair always shares a
+    * 1-deletion variant) + banded rescore, never the all-pairs
+    * quadratic the oracle runs. Equivalence with the brute-force SQL
+    * IS the gate contract; candidate-count scale asserts live in
+    * FuzzyJoinSpec. */
+  def fuzzyJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    graft.operators.FuzzyJoin.selfJoin(c, "c_custkey", "c_name", maxDist = 1)
+      .select(col("a_id").as("a_key"), col("b_id").as("b_key"),
+        col("dist").cast("long").as("dist")) // DuckDB levenshtein is BIGINT
+      .orderBy("a_key", "b_key")
+  }
+
+  private val fuzzyJoinOracle: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** Dynamic file pruning ([[graft.sources.IndexedScan.dfpJoin]]): an
+    * indexed fact joining a small filtered dimension — the dim's ~12
+    * surviving keys are collected and re-stated as an IN on the fact,
+    * which the custom FileIndex prunes through stats + Bloom bits at
+    * planning time. The gate contract is end-to-end equivalence with the
+    * plain SQL join (the injected filter is semantically a no-op for an
+    * inner join); the file-prune effect is asserted in IndexedScanSpec
+    * where the layout is controlled. */
+  def statsDfpQ(s: SparkSession, dir: String): DataFrame = {
+    val table = s"$dir/events.parquet"
+    val stats = graft.sources.StatsIndex.build(s, table,
+      Seq("event_id", "user_id", "value"))
+    val blooms = graft.sources.StatsIndex.buildBlooms(s, table,
+      Seq("user_id"), expectedItemsPerFile = 1L << 16, fpp = 0.01)
+    val fact = graft.sources.IndexedScan.readIndexedFrom(s, table, stats, Some(blooms))
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.sources.IndexedScan.dfpJoin(fact, "user_id", dim, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val statsDfpOracle: String =
+    """SELECT c.c_mktsegment, count(*) AS n_events,
+      |  round(sum(e.value), 6) AS total_value,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE c.c_acctbal > 9000
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   private val statsScanOracle: String =
     """SELECT event_type, count(*) AS n_events,
       |  round(sum(value), 6) AS total_value,
@@ -691,6 +793,9 @@ object ExtraQueries {
     "stats_index" -> (statsIndexQ _),
     "stats_bloom" -> (statsBloomQ _),
     "stats_scan" -> (statsScanQ _),
+    "stats_dfp" -> (statsDfpQ _),
+    "q_fuzzy_join" -> (fuzzyJoinQ _),
+    "q_resample" -> (resampleQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
@@ -709,6 +814,9 @@ object ExtraQueries {
     "stats_index" -> statsIndexOracle,
     "stats_bloom" -> statsBloomOracle,
     "stats_scan" -> statsScanOracle,
+    "stats_dfp" -> statsDfpOracle,
+    "q_fuzzy_join" -> fuzzyJoinOracle,
+    "q_resample" -> resampleOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,

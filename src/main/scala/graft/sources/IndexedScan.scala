@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
@@ -61,6 +62,52 @@ object IndexedScan extends Logging {
                   bloomsPath: Option[String] = None): DataFrame =
     readIndexedFrom(spark, tablePath, StatsIndex.load(spark, statsPath),
       bloomsPath.map(StatsIndex.loadBlooms(spark, _)))
+
+  /** DYNAMIC FILE PRUNING for a dim-filtered fact join (the Delta/DFP
+    * shape): when an indexed fact joins a SMALL dimension, the dim's
+    * distinct join keys are collected (cap-guarded) and re-stated as a
+    * redundant `IN` filter on the fact side — semantically a no-op for
+    * inner/semi joins (the join already keeps only matching keys), but
+    * Catalyst pushes it into [[GraftFileIndex]]'s `listFiles`, where the
+    * existing In/InSet translation prunes fact FILES through the stats
+    * ranges and Bloom bits before a single fact byte is read.
+    *
+    * At 100 TB this is the difference between scanning the fact table
+    * and scanning the handful of files that hold the dim's keys: the
+    * dim-side collect is bounded by `maxKeys` (over the cap the join
+    * proceeds unpruned — correct, just not accelerated, mirroring
+    * [[graft.operators.Upsert]]'s oversized-probe fallback), the Bloom
+    * probe is one metadata-scale job, and the join itself is whatever
+    * Catalyst/AQE picks (a dim this small broadcasts).
+    *
+    * Restricted to `inner`/`left_semi`: any join type that keeps
+    * unmatched fact rows (outer) would be changed by the injected
+    * filter. Null dim keys are dropped from the probe set — an equality
+    * join can never match them. */
+  def dfpJoin(fact: DataFrame, key: String, dim: DataFrame, dimKey: String,
+              joinType: String = "inner", maxKeys: Int = 10000): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi" || jt == "semi",
+      s"dfpJoin: join type '$joinType' keeps unmatched fact rows — the " +
+        "injected key filter would drop them; use inner or left_semi")
+    val keys = dim.select(dimKey).where(col(dimKey).isNotNull)
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+    val pruned =
+      if (keys.length > maxKeys) {
+        logInfo(s"dfpJoin: >$maxKeys distinct dim keys — joining unpruned")
+        fact
+      } else if (keys.isEmpty) fact.where(lit(false))
+      else {
+        // runtime-typed literals: the collected keys are Any, and
+        // functions.lit reflects on the STATIC type (encoder lookup
+        // fails on Any) — Literal.apply dispatches on the value itself
+        import org.apache.spark.sql.graft.Bridge
+        fact.where(Bridge.column(In(Bridge.expression(col(key)),
+          keys.map(Literal.apply).toIndexedSeq)))
+      }
+    if (key == dimKey) pruned.join(dim, Seq(key), joinType)
+    else pruned.join(dim, pruned(key) === dim(dimKey), joinType)
+  }
 
   /** [[readIndexed]] fed already-loaded index relations — the in-memory
     * path (a freshly built, unsaved index works too). */

@@ -117,6 +117,49 @@ class IndexedScanSpec extends SparkSpec {
     assert(in.select("id").as[Long].collect().sorted.toSeq == Seq(7L, 12345L, 39999L))
   }
 
+  test("dfpJoin: a small dim's keys prune fact files through the blooms; result == plain join") {
+    val root = Files.createTempDirectory("graft-iscan-dfp").toString
+    // scattered keys again: every file spans the whole id range, so only
+    // the dim-key bloom probe can prune anything
+    spark.range(40000).select(col("id"), (col("id") % 1000).as("v"))
+      .repartition(8).write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val blooms = StatsIndex.buildBlooms(spark, s"$root/t", Seq("id"),
+      expectedItemsPerFile = 10000)
+    val fact = IndexedScan.readIndexedFrom(spark, s"$root/t", stats, Some(blooms))
+    val dim = Seq[(java.lang.Long, String)]((77L, "x"), (31007L, "y"), (null, "z"))
+      .toDF("id", "tag").where(col("tag").isNotNull) // keep the null-key row
+
+    val joined = IndexedScan.dfpJoin(fact, "id", dim, "id")
+    val n = scanFiles(joined)
+    assert(n <= 3, s"2 live dim keys should isolate their files, scanned $n of 8")
+    val want = spark.read.parquet(s"$root/t")
+      .join(dim, Seq("id")).select("id", "v", "tag")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val got = joined.select("id", "v", "tag")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(want.length == 2 && got.toSeq == want.toSeq)
+
+    // left_semi keeps only fact columns; keeps pruning
+    val semi = IndexedScan.dfpJoin(fact, "id", dim, "id", joinType = "left_semi")
+    assert(semi.columns.toSeq == Seq("id", "v"))
+    assert(semi.select("id").as[Long].collect().sorted.toSeq == Seq(77L, 31007L))
+
+    // over the key cap: plain (unpruned) join, same answer
+    val wide = IndexedScan.dfpJoin(fact, "id", dim, "id", maxKeys = 1)
+    assert(scanFiles(wide) == 8, "over-cap must fall back to the plain join")
+    assert(wide.count() == 2)
+
+    // an all-null / empty dim key set joins to nothing, scanning nothing
+    val emptyDim = dim.where(col("id").isNull)
+    assert(IndexedScan.dfpJoin(fact, "id", emptyDim, "id").count() == 0)
+
+    // outer joins are rejected: the injected filter would drop rows
+    assertThrows[IllegalArgumentException] {
+      IndexedScan.dfpJoin(fact, "id", dim, "id", joinType = "left_outer")
+    }
+  }
+
   test("hive-partitioned table: partition predicates prune directories from path values alone") {
     val root = Files.createTempDirectory("graft-iscan-part").toString
     spark.range(1200).select(col("id"),
