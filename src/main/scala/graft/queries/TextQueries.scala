@@ -285,32 +285,81 @@ object TextQueries {
         windowTokens = 12, minCount = 2)
       .orderBy("doc_id")
 
-  // BPE merge-table cache per (session, corpus): training is the bounded
-  // driver-side fit (deterministic: doc_id-ordered sample, lexicographic
-  // tie-break), application is the distributed fused expression.
-  private val bpeTables = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(String, String)]]
+  /** FROZEN 40-merge BPE table for the gate — trained ONCE by
+    * `Bpe.trainOn` on the sf0.01 corpus (doc_id-ordered 200-doc sample,
+    * the exact call the gate used to make at runtime) and committed as a
+    * literal so the DuckDB oracle can re-apply the identical table.
+    * Training itself stays covered by BpeSpec/TrainingMix.
+    *
+    * The table is DISTINCT-RESULT and CONSISTENT (every operand is a
+    * single codepoint or an earlier merge's result — what real BPE
+    * training always produces). That buys the oracle its core identity:
+    * applying merges IN TABLE ORDER, each replacing all its occurrences
+    * left-to-right, equals the encoder's greedy lowest-rank loop —
+    * a later merge's result can never equal an earlier merge's operand
+    * (it would duplicate an earlier result), so applying a later merge
+    * never re-enables an earlier one. BpeSpec asserts both table
+    * properties and the equivalence over the gate corpus. */
+  private[graft] val bpeGateMerges: Seq[(String, String)] = Seq(
+    "e" -> "r</w>", "o" -> "w</w>", "s" -> "t", "a" -> "t", "l" -> "u",
+    "e" -> "r", "a" -> "s", "o" -> "r", "i" -> "n", "a" -> "r",
+    "p" -> "ar", "f" -> "i", "fi" -> "l", "fil" -> "t", "filt" -> "er</w>",
+    "at" -> "c", "atc" -> "h</w>", "b" -> "atch</w>", "a" -> "n</w>",
+    "c" -> "an</w>", "s" -> "can</w>", "as" -> "h</w>", "h" -> "ash</w>",
+    "c" -> "u", "cu" -> "st", "cust" -> "o", "custo" -> "m",
+    "custom" -> "er</w>", "er" -> "g", "erg" -> "e</w>", "m" -> "erge</w>",
+    "a" -> "m</w>", "e" -> "am</w>", "r" -> "eam</w>", "st" -> "ream</w>",
+    "l" -> "ow</w>", "s" -> "low</w>", "u" -> "p</w>", "c" -> "o",
+    "co" -> "lu")
 
-  /** Real-subword token counts (rows-only: greedy BPE inference is
-    * iterative per word — not SQL-expressible; the expression is
-    * property-tested against a plain-Scala reference encoder in
-    * BpeSpec). */
+  /** Real-subword token counts under [[bpeGateMerges]] (40 merges
+    * against a ~31-word synthetic vocabulary: frequent words merge
+    * fully, rare ones stay subword-split — so the bpe counts actually
+    * DIFFER from whitespace counts at gate scale). Hash-oracled since
+    * R17: DuckDB re-applies the frozen table per word as in-order
+    * nested replace() over delimiter-wrapped symbols. */
   def bpeTokenCount(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    // 40 merges against a ~31-word synthetic vocabulary: frequent words
-    // merge fully, rare ones stay subword-split — so the bpe counts
-    // actually DIFFER from whitespace counts at gate scale (200 merges
-    // would merge everything and the two columns would degenerate equal)
-    val merges = bpeTables.getOrElseUpdate((s, dir),
-      graft.functions.Bpe.trainOn(d.orderBy("doc_id"), "text",
-        numMerges = 40, maxDocs = 200).toSeq)
+    val ws = graft.functions.TextFunctions.normWords(col("text"))
     d.select(col("doc_id"),
-        graft.functions.TextFunctions.bpeTokens(col("text"), merges).as("_bpe"),
-        graft.functions.TextFunctions.normWords(col("text")).as("_ws"))
+        graft.functions.TextFunctions.bpeTokens(col("text"),
+          bpeGateMerges).as("_bpe"),
+        filter(ws, w => length(w) > 0).as("_ws"))
       .select(col("doc_id"),
-        size(col("_bpe")).cast("long").as("n_bpe_tokens"),
-        size(col("_ws")).cast("long").as("n_ws_tokens"))
+        coalesce(size(col("_bpe")), lit(0)).cast("long").as("n_bpe_tokens"),
+        coalesce(size(col("_ws")), lit(0)).cast("long").as("n_ws_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** The [[bpeGateMerges]] encoder re-derived in DuckDB: each word's
+    * codepoints wrap in chr(1)/chr(2) delimiters (never in the corpus;
+    * token-boundary-safe — a pattern can't match inside a multi-char
+    * symbol), the last symbol takes the `</w>` marker, then the merges
+    * apply as NESTED in-order replace() calls (all occurrences, left to
+    * right — replace()'s own semantics). Token count = delimiter count. */
+  private def bpeOracle: String = {
+    def q(str: String) = str.replace("'", "''")
+    val init = "regexp_replace(regexp_replace(w, '(.)', " +
+      "chr(1) || '\\1' || chr(2), 'g'), chr(2) || '$', '</w>' || chr(2))"
+    val folded = bpeGateMerges.foldLeft(init) { case (e, (a, b)) =>
+      s"replace($e, chr(1) || '${q(a)}' || chr(2) || chr(1) || '${q(b)}' " +
+        s"|| chr(2), chr(1) || '${q(a + b)}' || chr(2))"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |    x -> x <> '')) AS w
+       |  FROM documents),
+       |e AS (SELECT doc_id, $folded AS enc FROM w),
+       |c AS (SELECT doc_id,
+       |        sum(length(enc) - length(replace(enc, chr(1), ''))) AS n_bpe,
+       |        count(*) AS n_ws
+       |      FROM e GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(coalesce(c.n_ws, 0) AS BIGINT) AS n_ws_tokens
+       |FROM documents d LEFT JOIN c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Synthesized per-doc URLs (the corpus has no URL column — the
@@ -801,6 +850,7 @@ object TextQueries {
        |ORDER BY i, j""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "bpe_tokens" -> bpeOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "corpus_curate" -> curateOracle,

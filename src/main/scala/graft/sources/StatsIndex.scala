@@ -342,6 +342,50 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     fresh.size.toLong
   }
 
+  /** VACUUM: delete data files on disk but ABSENT from the stats
+    * relation — the reaper that completes the manifest discipline
+    * ([[graft.sources.IndexedScan]]: the indexed file SET is the table;
+    * an unindexed file is invisible to every index-aware reader, so
+    * after `graceMs` it is garbage by definition — a crashed writer's
+    * leftover, a replaced partition's old generation, a bypassing
+    * write that must not silently join the table).
+    *
+    * Safety rails:
+    *  - refuses an EMPTY stats relation (that vacuum would be "delete
+    *    the table" — rebuild or pass the right index instead);
+    *  - `graceMs` spares young files: a plain (non-staged) writer still
+    *    mid-commit is never reaped — pick it ≳ your longest write;
+    *  - only data files the discovery walk can see are candidates:
+    *    `_`/`.`-prefixed staging/trash/log dirs belong to their own
+    *    lifecycles ([[graft.streaming.BatchLog]]'s orphan sweep, the
+    *    RawLayer publish machinery) and are never touched;
+    *  - `dryRun` reports without deleting.
+    *
+    * Metadata-scale driver work (one tree walk + one `getFileStatus`
+    * per unindexed candidate — normally a handful). Returns the deleted
+    * (or, dry, would-delete) fully-qualified paths, sorted. */
+  def vacuum(spark: SparkSession, tablePath: String, stats: DataFrame,
+             graceMs: Long, nowMs: Long = System.currentTimeMillis(),
+             dryRun: Boolean = false): Seq[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val indexed = stats.select("file").distinct()
+      .collect().map(r => fs.makeQualified(new Path(r.getString(0))).toString)
+      .toSet
+    require(indexed.nonEmpty,
+      s"vacuum: stats relation is empty — refusing to treat every file " +
+        s"under $tablePath as garbage")
+    val onDisk = listDataFiles(spark, tablePath)
+      .map(f => fs.makeQualified(new Path(f)).toString)
+    val doomed = onDisk.filterNot(indexed).filter { f =>
+      nowMs - fs.getFileStatus(new Path(f)).getModificationTime >= graceMs
+    }.sorted
+    if (!dryRun) doomed.foreach(f => fs.delete(new Path(f), false))
+    logInfo(s"vacuum($tablePath): ${onDisk.size} on disk, " +
+      s"${indexed.size} indexed, ${doomed.size} " +
+      (if (dryRun) "reapable (dry run)" else "deleted"))
+    doomed
+  }
+
   /** The indexed files under the given `col=value` partition directories —
     * the file list a partition-pruned read needs, answered from the index
     * relation instead of a table-tree listing (at millions of files the

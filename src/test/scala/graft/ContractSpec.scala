@@ -27,7 +27,7 @@ class ContractSpec extends SparkSpec {
     val declared = Set(
       "ann_ivf", "ann_ivf_probe", "ann_pq", "ann_pq_probe",
       "ann_ivfpq", "ann_ivfpq_probe", "ann_opq", "ann_opq_probe",
-      "semantic_dedup", "q_approx", "bpe_tokens",
+      "semantic_dedup", "q_approx",
       "corpus_sketch", "corpus_kll", "decon_overlap_est", "dq_drift_kll",
       "emb_pca", "ann_pca_probe")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

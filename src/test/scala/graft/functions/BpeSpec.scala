@@ -151,6 +151,52 @@ class BpeSpec extends SparkSpec {
       s"bpe=${stats._1} ws=${stats._2} chars=${stats._3}")
   }
 
+  test("gate table: distinct+consistent, and in-order sequential replace == greedy encoder") {
+    // the two properties the bpe_tokens SQL oracle stands on (the oracle
+    // applies merges in TABLE ORDER as nested replace(); the encoder runs
+    // the greedy lowest-rank loop — equal only for tables like this)
+    val merges = graft.queries.TextQueries.bpeGateMerges
+    val results = merges.map { case (a, b) => a + b }
+    assert(results.distinct.size == results.size, "duplicate merge results")
+    def isAtom(s: String) = {
+      val core = s.stripSuffix(graft.functions.Bpe.EndOfWord)
+      core.codePointCount(0, core.length) <= 1
+    }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val earlier = results.take(i).toSet
+      assert((isAtom(a) || earlier(a)) && (isAtom(b) || earlier(b)),
+        s"merge $i ($a, $b): operand is neither a codepoint nor an earlier result")
+    }
+
+    // sequential simulator: for each merge in order, replace all
+    // occurrences left-to-right (the oracle's replace() semantics)
+    def sequential(word: String): Vector[String] = {
+      var syms = graft.functions.Bpe.symbols(word)
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val ranks = merges.zipWithIndex.toMap
+    // every distinct word of the gate corpus + adversarial stress words
+    val corpusWords = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(explode(graft.functions.TextFunctions.normWords(col("text"))).as("w"))
+      .where(length(col("w")) > 0).distinct().as[String].collect()
+    val stress = Seq("ststst", "aaat", "batchbatch", "stream", "customer",
+      "colucolu", "erge", "merger", "parpar", "filtfilt")
+    (corpusWords ++ stress).foreach { w =>
+      assert(sequential(w) == graft.functions.Bpe.encode(w, ranks),
+        s"sequential != greedy on '$w'")
+    }
+  }
+
   test("BpeTokens stays inside whole-stage codegen (instance-referenced kernel)") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(20)
     val df = docs.select(

@@ -510,6 +510,39 @@ class StatsIndexSpec extends SparkSpec {
       "bloom stopped pruning the covered file it can prove absent")
   }
 
+  test("vacuum reaps only unindexed data files past the grace window; empty index refuses") {
+    val root = Files.createTempDirectory("graft-vacuum").toString
+    spark.range(100).select(col("id"), (col("id") % 10).as("v"))
+      .repartition(4).write.parquet(s"$root/t")
+    val stats = StatsIndex.build(spark, s"$root/t")
+
+    // a bypassing write lands two files the index never saw
+    spark.range(100, 120).select(col("id"), (col("id") % 10).as("v"))
+      .repartition(2).write.mode("append").parquet(s"$root/t")
+    val before = StatsIndex.listDataFiles(spark, s"$root/t")
+    assert(before.size == 6)
+
+    // young files survive any sane grace
+    assert(StatsIndex.vacuum(spark, s"$root/t", stats,
+      graceMs = 3600L * 1000).isEmpty)
+    // dry run names the two strays, deletes nothing
+    val dry = StatsIndex.vacuum(spark, s"$root/t", stats,
+      graceMs = 0L, dryRun = true)
+    assert(dry.size == 2 &&
+      StatsIndex.listDataFiles(spark, s"$root/t").size == 6)
+    // real vacuum: strays gone, indexed generation intact and readable
+    val gone = StatsIndex.vacuum(spark, s"$root/t", stats, graceMs = 0L)
+    assert(gone == dry)
+    val left = StatsIndex.listDataFiles(spark, s"$root/t")
+    assert(left.size == 4)
+    assert(spark.read.parquet(s"$root/t").count() == 100)
+    // idempotent; and an empty manifest must refuse to run at all
+    assert(StatsIndex.vacuum(spark, s"$root/t", stats, graceMs = 0L).isEmpty)
+    assertThrows[IllegalArgumentException] {
+      StatsIndex.vacuum(spark, s"$root/t", stats.limit(0), graceMs = 0L)
+    }
+  }
+
   test("bloom build rejects non-equality-typed columns loudly; SQL registration round-trips") {
     val root = Files.createTempDirectory("graft-bloomidx-typ").toString
     Seq((1L, 0.5, "x")).toDF("id", "v", "k")
