@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-horizon trailing-window features — the feature-store shape:
+  * for every event, the trailing 1d/7d/30d/… aggregates of the same
+  * key's history (`RANGE BETWEEN h PRECEDING AND CURRENT ROW` on epoch
+  * seconds), all horizons in ONE pass.
+  *
+  * Scale shape: every horizon shares the same `(key, sec)` partition +
+  * order, so the plan carries ONE exchange and ONE sort no matter how
+  * many horizons stack (each extra frame is another window pass over
+  * already-sorted, already-co-located rows — never another shuffle).
+  * Event-time RANGE frames include same-second peers deterministically
+  * (frame membership depends on the ORDER VALUE, not row order).
+  *
+  * Determinism contract (what lets an oracle reproduce the doubles):
+  * sums accumulate INTEGER CENTS (`round(value·100)` as long) — a
+  * sliding-window double sum is association-order-dependent and engines
+  * disagree in the last ulp (segment trees vs incremental buffers), but
+  * integer sums are exact; the decimal value and the mean re-derive
+  * from the exact sum by one fixed division tree. */
+object RollingFeatures {
+
+  /** A named trailing horizon: `seconds` back from (and including) each
+    * row's second. */
+  final case class Horizon(name: String, seconds: Long) {
+    require(seconds > 0, s"horizon $name: seconds must be positive")
+  }
+
+  val Day: Horizon = Horizon("1d", 86400L)
+  val Week: Horizon = Horizon("7d", 7L * 86400)
+  val Month: Horizon = Horizon("30d", 30L * 86400)
+
+  /** Append, per input row: `sec` (epoch second) and, per horizon `h`,
+    * `n_<h>` (trailing row count), `v_<h>` (trailing sum of
+    * `valCol`, cent-exact), `avg_<h>` (value per trailing EVENT:
+    * `v/n` as one raw double division — rows with a null value count
+    * in `n` but not in `v`, so this is sum-per-event, not SQL `AVG`).
+    * Rows with a null timestamp are dropped (no place on the time
+    * axis). */
+  def trailing(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, horizons: Seq[Horizon]): DataFrame = {
+    require(horizons.nonEmpty, "no horizons given")
+    require(horizons.map(_.name).distinct.size == horizons.size,
+      s"duplicate horizon names: ${horizons.map(_.name).mkString(", ")}")
+    val sec = floor(unix_micros(col(tsCol)) / 1000000L).cast("long")
+    val base = df.where(col(tsCol).isNotNull)
+      .withColumn("sec", sec)
+      .withColumn("_cents", round(col(valCol) * 100).cast("long"))
+    val out = horizons.foldLeft(base) { (acc, h) =>
+      val w = Window.partitionBy(keyCol).orderBy("sec")
+        .rangeBetween(-h.seconds, Window.currentRow)
+      val n = count(lit(1)).over(w)
+      val v = sum(col("_cents")).over(w) / 100.0
+      acc.withColumn(s"n_${h.name}", n)
+        .withColumn(s"v_${h.name}", v)
+        .withColumn(s"avg_${h.name}", v / n.cast("double"))
+    }
+    out.drop("_cents")
+  }
+}

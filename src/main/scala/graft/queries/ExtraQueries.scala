@@ -587,6 +587,47 @@ object ExtraQueries {
       |  END AS interp_value
       |FROM r ORDER BY user_id, bucket""".stripMargin
 
+  /** Multi-horizon trailing features ([[graft.operators.RollingFeatures]]):
+    * per event, the user's trailing 1-day and 7-day counts/sums/rates in
+    * one pass (one exchange + one sort for both horizons). Sums
+    * accumulate integer cents — sliding-window DOUBLE sums are
+    * association-order-dependent across engines (segment trees vs
+    * incremental buffers); integer sums are exact, and the decimal
+    * value + rate re-derive through one fixed division tree. */
+  def rollingQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("ts"), col("value"))
+    graft.operators.RollingFeatures.trailing(ev, "user_id", "ts", "value",
+        Seq(graft.operators.RollingFeatures.Day,
+          graft.operators.RollingFeatures.Week))
+      .select("user_id", "event_id", "sec",
+        "n_1d", "v_1d", "avg_1d", "n_7d", "v_7d", "avg_7d")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val rollingOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE ts IS NOT NULL)
+      |SELECT user_id, event_id, sec,
+      |  CAST(count(*) OVER w1 AS BIGINT) AS n_1d,
+      |  CAST(sum(cents) OVER w1 AS BIGINT) / 100.0 AS v_1d,
+      |  (CAST(sum(cents) OVER w1 AS BIGINT) / 100.0)
+      |    / CAST(count(*) OVER w1 AS DOUBLE) AS avg_1d,
+      |  CAST(count(*) OVER w7 AS BIGINT) AS n_7d,
+      |  CAST(sum(cents) OVER w7 AS BIGINT) / 100.0 AS v_7d,
+      |  (CAST(sum(cents) OVER w7 AS BIGINT) / 100.0)
+      |    / CAST(count(*) OVER w7 AS DOUBLE) AS avg_7d
+      |FROM e
+      |WINDOW
+      |  w1 AS (PARTITION BY user_id ORDER BY sec
+      |         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW),
+      |  w7 AS (PARTITION BY user_id ORDER BY sec
+      |         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Edit-distance self-join ([[graft.operators.FuzzyJoin]]): every
     * customer-name pair within Levenshtein distance 1, found through
     * symmetric-deletion blocking (exact — a true pair always shares a
@@ -796,6 +837,7 @@ object ExtraQueries {
     "stats_dfp" -> (statsDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
     "q_resample" -> (resampleQ _),
+    "q_rolling" -> (rollingQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
@@ -817,6 +859,7 @@ object ExtraQueries {
     "stats_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,
     "q_resample" -> resampleOracle,
+    "q_rolling" -> rollingOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,

@@ -186,6 +186,26 @@ object Stress {
         .head().getLong(0)
       println(s"   bpe tokens: $n")
     }
+    time("fuzzyJoin selfJoin k=1 over 2.02M entity names (20k planted twins)") {
+      // the scale claim: symmetric-deletion blocking turns the 2×10^12
+      // all-pairs levenshtein join into one variant equi-join — ~20
+      // map-side keys per name, candidates ≈ the true answer
+      val base = spark.range(2000000L).select(col("id"),
+        concat_ws("_",
+          substring(md5(col("id").cast("string")), 1, 6),
+          substring(md5((col("id") + 7).cast("string")), 1, 6),
+          (col("id") % 1000).cast("string")).as("name"))
+      // twins: first char substituted with 'z' (hex never 'z' → dist 1)
+      val twins = base.where(col("id") % 100 === 0).select(
+        (col("id") + 2000000L).as("id"),
+        concat(lit("z"), substring(col("name"), 2, 100)).as("name"))
+      val names = base.unionByName(twins).repartition(32).localCheckpoint()
+      val pairs = graft.operators.FuzzyJoin
+        .selfJoin(names, "id", "name", maxDist = 1).count()
+      assert(pairs >= 20000, s"planted twins missed: $pairs")
+      println(s"   pairs: $pairs (2.02M names — all-pairs would be 2.0e12 " +
+        "levenshtein evals; blocking emitted ~20 keys/name)")
+    }
     time("incremental dedup: 5k-doc shard vs 95k-doc fingerprint store") {
       val storePath = java.nio.file.Files
         .createTempDirectory("graft-stress-store").toString
@@ -537,6 +557,7 @@ object Stress {
         .getTime / 1000
       val cdc = spark.range(200000L).select(
           (col("id") % 30000).as("customer_id"),
+          concat(lit("n"), (col("id") % 30000).cast("string")).as("name"),
           (lit(baseEpoch) + (col("id") / 30000) * (17L * 86400) +
             (col("id") % 24) * 3600).cast("timestamp").as("ts"),
           concat(lit("seg"), ((col("id") / 30000) % 5).cast("string"))

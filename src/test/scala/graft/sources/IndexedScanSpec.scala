@@ -218,6 +218,47 @@ class IndexedScanSpec extends SparkSpec {
     assert(notNullDf.count() == 5)
   }
 
+  test("lifecycle: mergeInto maintains both indexes, the indexed scan reads the new generation, vacuum reaps strays") {
+    val root = Files.createTempDirectory("graft-iscan-life").toString
+    val (path, idx, bl) = (s"$root/t", s"$root/idx", s"$root/bloom")
+    val base = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-02", 40.0))
+      .toDF("order_id", "day", "amount")
+    graft.operators.Upsert.mergeInto(path, base, Seq("order_id"), "day",
+      statsIndexPath = Some(idx), bloomsPath = Some(bl),
+      bloomColumns = Seq("order_id"), bloomItemsPerFile = 1000L)
+
+    def indexed = IndexedScan.readIndexed(spark, path, idx, Some(bl))
+    assert(indexed.where(col("order_id") === 2L)
+      .select("amount").as[Double].collect().toSeq == Seq(20.0))
+
+    // merge: update key 2, insert key 5 — the index must follow the
+    // republished generation and the indexed scan must see ONLY it
+    val updates = Seq((2L, "2024-01-01", 99.0), (5L, "2024-01-03", 50.0))
+      .toDF("order_id", "day", "amount")
+    graft.operators.Upsert.mergeInto(path, updates, Seq("order_id"), "day",
+      statsIndexPath = Some(idx), bloomsPath = Some(bl),
+      bloomColumns = Seq("order_id"), bloomItemsPerFile = 1000L)
+    assert(indexed.where(col("order_id") === 2L)
+      .select("amount").as[Double].collect().toSeq == Seq(99.0))
+    assert(indexed.where(col("order_id") === 5L).count() == 1)
+    assert(indexed.count() == 5)
+    // partition pruning still live on the post-merge snapshot
+    val day3 = indexed.where(col("day") === "2024-01-03")
+    assert(scanFiles(day3) == 1 && day3.count() == 1)
+
+    // a bypassing write is INVISIBLE to the indexed scan (the manifest
+    // IS the table), then vacuum removes it physically
+    Seq((666L, 666.0)).toDF("order_id", "amount").write.mode("overwrite")
+      .parquet(s"$path/day=2024-01-03/stray")
+    // (a nested dir keeps the stray out of the merge's own partitions)
+    val strays = StatsIndex.vacuum(spark, path,
+      StatsIndex.load(spark, idx), graceMs = 0L)
+    assert(strays.size == 1 && strays.head.contains("stray"))
+    assert(indexed.count() == 5)
+  }
+
   test("string bounds prune in binary order; joins broadcast the indexed side like any scan") {
     val root = Files.createTempDirectory("graft-iscan-str").toString
     val df = (0 until 400)
