@@ -587,6 +587,52 @@ object ExtraQueries {
       |  END AS interp_value
       |FROM r ORDER BY user_id, bucket""".stripMargin
 
+  /** Snapshot reconciliation ([[graft.operators.SnapshotDiff]]): the
+    * keyed delta between two deterministic generations of `orders` —
+    * every 97th key deleted, every 13th surviving key's totalprice
+    * re-priced, a synthetic high-key block inserted. The oracle builds
+    * the identical generations as CTEs and re-derives the delta with a
+    * FULL OUTER JOIN. */
+  def tableDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // exact IEEE +1.0 (no rounding ties): both engines mutate identically
+    val after = o.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(13)) === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .unionByName(s.range(5).select(
+        (col("id") + 900000000L).cast("long").as("o_orderkey"),
+        lit("N").as("o_orderstatus"),
+        lit(1.5).as("o_totalprice")))
+    graft.operators.SnapshotDiff.diff(o, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tableDiffOracle: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |b AS (SELECT * FROM o),
+      |a AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM o WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT 900000000 + r.range, 'N', 1.5 FROM range(5) r),
+      |j AS (
+      |  SELECT
+      |    CASE WHEN b.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL THEN
+      |           CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+      |                  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+      |                THEN 'update' END
+      |         WHEN a.o_orderkey IS NOT NULL THEN 'insert'
+      |         ELSE 'delete' END AS op,
+      |    coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |    b.o_orderstatus AS b_o_orderstatus, a.o_orderstatus AS a_o_orderstatus,
+      |    b.o_totalprice AS b_o_totalprice, a.o_totalprice AS a_o_totalprice
+      |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+      |SELECT * FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin
+
   /** Multi-horizon trailing features ([[graft.operators.RollingFeatures]]):
     * per event, the user's trailing 1-day and 7-day counts/sums/rates in
     * one pass (one exchange + one sort for both horizons). Sums
@@ -838,6 +884,7 @@ object ExtraQueries {
     "q_fuzzy_join" -> (fuzzyJoinQ _),
     "q_resample" -> (resampleQ _),
     "q_rolling" -> (rollingQ _),
+    "q_table_diff" -> (tableDiffQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
@@ -860,6 +907,7 @@ object ExtraQueries {
     "q_fuzzy_join" -> fuzzyJoinOracle,
     "q_resample" -> resampleOracle,
     "q_rolling" -> rollingOracle,
+    "q_table_diff" -> tableDiffOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,
