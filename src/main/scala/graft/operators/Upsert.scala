@@ -111,8 +111,22 @@ object Upsert {
                 bloomColumns: Seq[String] = Nil,
                 maxBloomProbeKeys: Int = 100000,
                 bloomItemsPerFile: Long = 1L << 20,
-                bloomFpp: Double = 0.01): Unit = {
+                bloomFpp: Double = 0.01,
+                deletes: Option[DataFrame] = None): Unit = {
     require(keys.nonEmpty, "mergeInto: empty key list")
+    // `deletes`: keys to REMOVE (MERGE's WHEN MATCHED DELETE), carrying
+    // the key columns + partitionCol (the partitions to touch). Applied
+    // AFTER updates — a key both updated and deleted in one call ends
+    // deleted. A partition emptied entirely has its directory removed
+    // after publish (a crash between publish and that removal leaves the
+    // old generation readable; re-running the same merge converges —
+    // deletes re-apply idempotently). Null delete keys match nothing
+    // (equality semantics), like any anti-join.
+    deletes.foreach { d =>
+      val missing = (keys :+ partitionCol).filterNot(d.columns.contains)
+      require(missing.isEmpty,
+        s"mergeInto: deletes frame lacks column(s) ${missing.mkString(", ")}")
+    }
     require(!keys.contains(partitionCol),
       s"mergeInto: partitionCol '$partitionCol' cannot be a merge key " +
         "(within one partition it is constant; as a key it would make " +
@@ -131,14 +145,25 @@ object Upsert {
       fs.listStatus(dest).exists(st =>
         st.isDirectory && st.getPath.getName.contains("="))
     // the touched-partition plan: tiny (one row per distinct batch
-    // partition), collected to drive partition pruning on the read
-    val touched = updates.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // partition), collected to drive partition pruning on the read —
+    // deletes' partitions are touched too (their rows must be read to
+    // be dropped, even when no update lands there)
+    val touched = deletes.fold(updates.select(col(partitionCol)))(d =>
+        updates.select(col(partitionCol))
+          .unionByName(d.select(col(partitionCol))))
+      .distinct().collect().map(_.get(0)).toSeq
     require(!touched.contains(null),
-      s"mergeInto: updates carry a NULL $partitionCol — a null " +
+      s"mergeInto: updates/deletes carry a NULL $partitionCol — a null " +
         "partition cannot be pruned or published atomically")
+    // bloom probes must cover DELETED keys too: a file holding only a
+    // deleted key must enter the merge slice, never pass through
+    val probeKeys = deletes.fold(updates.select(keys.map(col): _*))(d =>
+      updates.select(keys.map(col): _*)
+        .unionByName(d.select(keys.map(col): _*)))
+    def applyDeletes(df: DataFrame): DataFrame = deletes.fold(df)(d =>
+      df.join(d.select(keys.map(col): _*), keys, "left_anti"))
     val merged =
-      if (!exists) updates
+      if (!exists) applyDeletes(updates)
       else {
         def emptySlice = spark.read.parquet(path).where(lit(false))
         val (mergeSlice, passThrough): (DataFrame, Option[DataFrame]) =
@@ -166,7 +191,7 @@ object Upsert {
               if (files.isEmpty) (emptySlice, None) // all-new partitions
               else {
                 val (mergeFiles, passFiles) = splitByBlooms(spark, files,
-                  updates, bloomsPath, bloomColumns, maxBloomProbeKeys)
+                  probeKeys, bloomsPath, bloomColumns, maxBloomProbeKeys)
                 def rd(fl: Seq[String]) =
                   spark.read.option("basePath", path).parquet(fl: _*)
                 (if (mergeFiles.isEmpty) emptySlice else rd(mergeFiles),
@@ -177,9 +202,10 @@ object Upsert {
                 .where(col(partitionCol).isin(touched: _*)), None)
           }
         // pass-through files are bloom-PROVEN to hold none of the updates'
-        // keys: latest-wins would return their rows unchanged, so they
-        // bypass the merge's key shuffle and union straight into the write
-        val core = merge(mergeSlice, updates, keys)
+        // OR deletes' keys: latest-wins would return their rows unchanged
+        // and no delete can hit them, so they bypass the merge's key
+        // shuffle and union straight into the write
+        val core = applyDeletes(merge(mergeSlice, updates, keys))
         passThrough.fold(core)(p => core.unionByName(p))
       }
     val staging = new org.apache.hadoop.fs.Path(dest,
@@ -188,11 +214,21 @@ object Upsert {
       merged.write.mode("overwrite").partitionBy(partitionCol)
         .parquet(staging.toString)
       val published = graft.sources.RawLayer.publishPartitions(fs, staging, dest)
+      // a touched partition the merged output left EMPTY (every row
+      // deleted) published no directory — its old generation must go,
+      // or the deleted rows resurrect on the next read
+      val emptied = touched
+        .map(v => new org.apache.hadoop.fs.Path(dest, s"$partitionCol=$v"))
+        .filterNot(p => published.contains(p))
+        .filter(fs.exists(_))
+      emptied.foreach(p => fs.delete(p, true))
       statsIndexPath.foreach { idx =>
         // thread the caller's column subset so a partial-coverage index
-        // stays partial (writeRaw's statsColumns discipline)
+        // stays partial (writeRaw's statsColumns discipline); emptied
+        // partitions pass too — replacePartitions drops rows for
+        // directories that no longer exist
         graft.sources.StatsIndex.replacePartitions(spark, idx,
-          published.map(_.toString), statsColumns)
+          (published ++ emptied).map(_.toString), statsColumns)
       }
       bloomsPath.foreach { bp =>
         // reconcile, not append: publish REPLACED the touched partitions'

@@ -97,6 +97,86 @@ class MergeIntoSpec extends SparkSpec {
     assert(untouched2 == untouched1, "second run rewrote untouched partitions")
   }
 
+  test("deletes: matched keys removed, update+delete in one call ends deleted, untouched partitions byte-identical") {
+    val path = tmp()
+    writeBase(path)
+    val before = fileHashes(path)
+    val updates = Seq((1L, 1L, "2024-01-01", 99.0), // updated AND deleted
+        (9L, 1L, "2024-01-02", 90.0))               // plain insert
+      .toDF("order_id", "item_id", "day", "amount")
+    val dels = Seq((1L, 1L, "2024-01-01"), (2L, 1L, "2024-01-02"))
+      .toDF("order_id", "item_id", "day")
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+      deletes = Some(dels))
+    assert(readFact(path) == Set(
+      (1L, 2L, "2024-01-01", 11.0),   // survivor in a touched partition
+      (9L, 1L, "2024-01-02", 90.0),   // the insert
+      (3L, 1L, "2024-01-03", 30.0)))  // untouched partition
+    val after = fileHashes(path)
+    assert(before.filter(_._1.startsWith("day=2024-01-03")) ==
+      after.filter(_._1.startsWith("day=2024-01-03")),
+      "untouched partition was rewritten")
+    // re-run converges (deletes re-apply idempotently)
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+      deletes = Some(dels))
+    assert(readFact(path).size == 3)
+  }
+
+  test("deletes that empty a partition remove its directory and its index rows") {
+    import graft.sources.StatsIndex
+    val root = Files.createTempDirectory("graft-mergeinto-delall").toString
+    val (path, idx) = (s"$root/fact", s"$root/idx")
+    writeBase(path)
+    StatsIndex.save(StatsIndex.build(spark, path), idx)
+    // no updates at all: a pure delete batch wiping 2024-01-03
+    val dels = Seq((3L, 1L, "2024-01-03")).toDF("order_id", "item_id", "day")
+    val empty = Seq.empty[(Long, Long, String, Double)]
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, empty, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx), deletes = Some(dels))
+    assert(readFact(path) == baseRows.toSet - ((3L, 1L, "2024-01-03", 30.0)))
+    assert(!Files.exists(JPath.of(path, "day=2024-01-03")),
+      "emptied partition directory must be removed")
+    assert(StatsIndex.load(spark, idx)
+      .where(col("file").contains("day=2024-01-03")).count() == 0,
+      "emptied partition's index rows must drop")
+    // the index still serves the survivors
+    assert(StatsIndex.partitionFiles(StatsIndex.load(spark, idx),
+      "day", Seq("2024-01-01")).nonEmpty)
+  }
+
+  test("deletes probe the blooms: a file holding only a deleted key cannot pass through") {
+    import graft.sources.StatsIndex
+    val root = Files.createTempDirectory("graft-mergeinto-delbloom").toString
+    val (path, idx, bl) = (s"$root/fact", s"$root/idx", s"$root/bloom")
+    // one partition, several files, scattered keys
+    spark.range(1000).select(col("id").as("order_id"), lit(1L).as("item_id"),
+        lit("d0").as("day"), col("id").cast("double").as("amount"))
+      .repartition(8).write.partitionBy("day").parquet(path)
+    StatsIndex.save(StatsIndex.build(spark, path), idx)
+    StatsIndex.saveBlooms(StatsIndex.buildBlooms(spark, path,
+      Seq("order_id"), expectedItemsPerFile = 1000), bl)
+    val empty = Seq.empty[(Long, Long, String, Double)]
+      .toDF("order_id", "item_id", "day", "amount")
+    val dels = Seq((123L, 1L, "d0"), (777L, 1L, "d0"))
+      .toDF("order_id", "item_id", "day")
+    Upsert.mergeInto(path, empty, Seq("order_id", "item_id"), "day",
+      statsIndexPath = Some(idx), bloomsPath = Some(bl),
+      bloomColumns = Seq("order_id"), deletes = Some(dels))
+    val left = spark.read.parquet(path).select("order_id").as[Long].collect()
+    assert(left.length == 998 && !left.contains(123L) && !left.contains(777L))
+  }
+
+  test("first run with deletes: updates minus deletes land") {
+    val path = tmp()
+    val updates = Seq((1L, 1L, "2024-01-01", 1.0), (2L, 1L, "2024-01-01", 2.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    val dels = Seq((1L, 1L, "2024-01-01")).toDF("order_id", "item_id", "day")
+    Upsert.mergeInto(path, updates, Seq("order_id", "item_id"), "day",
+      deletes = Some(dels))
+    assert(readFact(path) == Set((2L, 1L, "2024-01-01", 2.0)))
+  }
+
   test("first run (no table) is a plain partitioned write") {
     val path = tmp()
     val updates = Seq((1L, 1L, "2024-01-01", 10.0), (2L, 1L, "2024-01-02", 20.0))

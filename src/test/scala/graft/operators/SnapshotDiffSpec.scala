@@ -60,6 +60,28 @@ class SnapshotDiffSpec extends SparkSpec {
     }
   }
 
+  test("diff + mergeInto(deletes) converges a persisted table to the new snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-diff-merge")
+      .toString + "/t"
+    val day = when(col("k") <= 3, "d0").otherwise("d1")
+    val b = before.withColumn("day", day)
+    val a = after.withColumn("day", when(col("k") <= 3, "d0").otherwise("d1"))
+    b.write.partitionBy("day").parquet(dir)
+
+    val d = SnapshotDiff.diff(b, a, Seq("k"))
+    Upsert.mergeInto(dir,
+      d.where(col("op") =!= "delete")
+        .select(col("k"), col("a_s").as("s"), col("a_v").as("v"),
+          col("a_day").as("day")),
+      Seq("k"), "day",
+      deletes = Some(d.where(col("op") === "delete")
+        .select(col("k"), col("b_day").as("day"))))
+    val got = spark.read.parquet(dir).select("k", "s", "v")
+      .collect().map(_.toSeq).toSet
+    assert(got == a.select("k", "s", "v").collect().map(_.toSeq).toSet,
+      "persisted table must equal the target snapshot")
+  }
+
   test("plan: one keyed join, no cartesian; composite keys work") {
     val b2 = before.withColumn("k2", col("k") % 2)
     val a2 = after.withColumn("k2", col("k") % 2)
