@@ -42,7 +42,8 @@ object RollingFeatures {
     * Rows with a null timestamp are dropped (no place on the time
     * axis). */
   def trailing(df: DataFrame, keyCol: String, tsCol: String,
-               valCol: String, horizons: Seq[Horizon]): DataFrame = {
+               valCol: String, horizons: Seq[Horizon],
+               withStd: Boolean = false): DataFrame = {
     require(horizons.nonEmpty, "no horizons given")
     require(horizons.map(_.name).distinct.size == horizons.size,
       s"duplicate horizon names: ${horizons.map(_.name).mkString(", ")}")
@@ -54,11 +55,42 @@ object RollingFeatures {
       val w = Window.partitionBy(keyCol).orderBy("sec")
         .rangeBetween(-h.seconds, Window.currentRow)
       val n = count(lit(1)).over(w)
-      val v = sum(col("_cents")).over(w) / 100.0
-      acc.withColumn(s"n_${h.name}", n)
+      val s1 = sum(col("_cents")).over(w)
+      val v = s1 / 100.0
+      val withBase = acc.withColumn(s"n_${h.name}", n)
         .withColumn(s"v_${h.name}", v)
         .withColumn(s"avg_${h.name}", v / n.cast("double"))
+      if (!withStd) withBase
+      else {
+        // population moments from EXACT integer sums (Σc, Σc²) — the
+        // same determinism story as the sums; Σc² stays in long while
+        // |cents|·√window-rows < ~3·10⁹ (values ≤ ~$10M over 10k-row
+        // windows — past that, swap _cents to DecimalType). The mean/sd
+        // trees are fixed so an oracle reproduces the doubles.
+        val s2 = sum(col("_cents") * col("_cents")).over(w)
+        val m = s1.cast("double") / n
+        val sd = sqrt(greatest(
+          s2.cast("double") / n - m * m, lit(0.0))) / 100.0
+        withBase.withColumn(s"mean_${h.name}", m / 100.0)
+          .withColumn(s"sd_${h.name}", sd)
+      }
     }
     out.drop("_cents")
+  }
+
+  /** Trailing z-score anomalies: rows where `valCol` sits more than
+    * `z` trailing standard deviations from the trailing mean of the
+    * SAME window (the row itself included — the self-inclusive
+    * convention keeps the frame definition identical to [[trailing]],
+    * and a true outlier still flags: it moves the mean of a ≥`minN`
+    * window far less than it moves itself). Windows thinner than
+    * `minN` rows never flag (a 2-row "distribution" has no outliers). */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, horizon: Horizon = Week,
+                z: Double = 3.0, minN: Long = 5L): DataFrame = {
+    val h = horizon.name
+    trailing(df, keyCol, tsCol, valCol, Seq(horizon), withStd = true)
+      .where(col(s"n_$h") >= minN &&
+        abs(col(valCol) - col(s"mean_$h")) > lit(z) * col(s"sd_$h"))
   }
 }

@@ -587,6 +587,46 @@ object ExtraQueries {
       |  END AS interp_value
       |FROM r ORDER BY user_id, bucket""".stripMargin
 
+  /** Trailing z-score anomalies ([[graft.operators.RollingFeatures
+    * .anomalies]]): events more than 3 trailing standard deviations
+    * from their user's trailing 7-day mean (self-inclusive window,
+    * ≥5 rows). Moments come from exact integer cent sums (Σc, Σc²), so
+    * mean/sd/flag re-derive bit-for-bit in DuckDB. */
+  def anomalyQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("ts"), col("value"))
+    graft.operators.RollingFeatures.anomalies(ev, "user_id", "ts", "value",
+        graft.operators.RollingFeatures.Week, z = 3.0, minN = 5L)
+      .select("user_id", "event_id", "value", "n_7d", "mean_7d", "sd_7d")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val anomalyOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec,
+      |    value, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE ts IS NOT NULL),
+      |w AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(count(*) OVER w7 AS BIGINT) AS n,
+      |    CAST(sum(cents) OVER w7 AS BIGINT) AS s1,
+      |    CAST(sum(cents * cents) OVER w7 AS BIGINT) AS s2
+      |  FROM e
+      |  WINDOW w7 AS (PARTITION BY user_id ORDER BY sec
+      |                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT user_id, event_id, value, n,
+      |    (CAST(s1 AS DOUBLE) / n) / 100.0 AS mean_7d,
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / n
+      |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0))
+      |      / 100.0 AS sd_7d
+      |  FROM w)
+      |SELECT user_id, event_id, value, n AS n_7d, mean_7d, sd_7d
+      |FROM m
+      |WHERE n >= 5 AND abs(value - mean_7d) > 3.0 * sd_7d
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Snapshot reconciliation ([[graft.operators.SnapshotDiff]]): the
     * keyed delta between two deterministic generations of `orders` —
     * every 97th key deleted, every 13th surviving key's totalprice
@@ -885,6 +925,7 @@ object ExtraQueries {
     "q_resample" -> (resampleQ _),
     "q_rolling" -> (rollingQ _),
     "q_table_diff" -> (tableDiffQ _),
+    "q_anomaly" -> (anomalyQ _),
     "profile_lineitem" -> (profileLineitem _),
     "hist_lineitem" -> (histLineitem _),
     "profile_docs" -> (profileDocs _),
@@ -908,6 +949,7 @@ object ExtraQueries {
     "q_resample" -> resampleOracle,
     "q_rolling" -> rollingOracle,
     "q_table_diff" -> tableDiffOracle,
+    "q_anomaly" -> anomalyOracle,
     "profile_lineitem" -> profileOracle,
     "hist_lineitem" -> histOracle,
     "profile_docs" -> profileDocsOracle,

@@ -53,6 +53,43 @@ class RollingFeaturesSpec extends SparkSpec {
     assert(out(3).getLong(4) == 4L && out(3).getDouble(5) == 0.6)
   }
 
+  test("withStd: population moments from exact cent sums, hand-computed") {
+    // window rows {1, 2, 3, 6}: mean 3.0, var (4+1+0+9)/4 = 3.5
+    val ev = Seq(("u", ts("2024-01-01 00:00:00"), 1.0),
+      ("u", ts("2024-01-01 00:00:01"), 2.0),
+      ("u", ts("2024-01-01 00:00:02"), 3.0),
+      ("u", ts("2024-01-01 00:00:03"), 6.0)).toDF("k", "ts", "v")
+    val out = RollingFeatures.trailing(ev, "k", "ts", "v",
+        Seq(RollingFeatures.Day), withStd = true)
+      .orderBy("sec").collect()
+    val last = out.last
+    assert(last.getDouble(last.fieldIndex("mean_1d")) == 3.0)
+    assert(last.getDouble(last.fieldIndex("sd_1d")) == math.sqrt(3.5))
+    // constant series: sd exactly 0 (greatest() guards FP cancellation)
+    val const = Seq(("u", ts("2024-01-01 00:00:00"), 5.0),
+      ("u", ts("2024-01-01 00:00:01"), 5.0)).toDF("k", "ts", "v")
+    val c = RollingFeatures.trailing(const, "k", "ts", "v",
+      Seq(RollingFeatures.Day), withStd = true).orderBy("sec").collect()
+    assert(c.last.getDouble(c.last.fieldIndex("sd_1d")) == 0.0)
+  }
+
+  test("anomalies: a planted spike flags, steady traffic does not, thin windows never flag") {
+    val steady = (0 until 20).map(i =>
+      ("u", ts(f"2024-01-01 ${i / 3}%02d:${(i * 7) % 60}%02d:00"), 10.0 + (i % 3)))
+    val spike = Seq(("u", ts("2024-01-01 07:30:00"), 500.0))
+    val ev = (steady ++ spike).toDF("k", "ts", "v")
+    val flagged = RollingFeatures.anomalies(ev, "k", "ts", "v",
+      RollingFeatures.Day, z = 3.0, minN = 5L)
+    val rows = flagged.select("v").as[Double].collect()
+    assert(rows.toSeq == Seq(500.0), s"only the spike flags, got ${rows.toSeq}")
+    // a 3-row key never flags under minN=5 even with a wild value
+    val thin = Seq(("t", ts("2024-01-01 00:00:00"), 1.0),
+      ("t", ts("2024-01-01 00:01:00"), 1.0),
+      ("t", ts("2024-01-01 00:02:00"), 999.0)).toDF("k", "ts", "v")
+    assert(RollingFeatures.anomalies(thin, "k", "ts", "v",
+      RollingFeatures.Day, z = 3.0, minN = 5L).count() == 0)
+  }
+
   test("multi-horizon plan: one exchange, one sort, no matter how many frames") {
     val ev = graft.Tables.load(spark, sf001, "events")
       .select(col("user_id"), col("ts"), col("value"))
