@@ -522,6 +522,48 @@ object Stress {
         f"${(rowsPerFile * files.size).toLong} rows into the key shuffle); " +
         f"listing merge $tPlain%.1fs vs bloom-fed $tBloom%.1fs")
     }
+    time("dfpJoin: 2M-row scattered-key fact x 5-key dim (dynamic file pruning)") {
+      // keys scatter round-robin across every file, so min/max stats
+      // prune NOTHING — only the dim-key bloom probe can shrink the scan
+      val root = java.nio.file.Files.createTempDirectory("graft-stress-dfp").toString
+      spark.range(2000000L).select(col("id").as("k"),
+          (col("id") % 1000).cast("double").as("v"))
+        .repartition(16).write.parquet(s"$root/t")
+      val stats = graft.sources.StatsIndex.build(spark, s"$root/t")
+      val blooms = graft.sources.StatsIndex.buildBlooms(spark, s"$root/t",
+        Seq("k"), expectedItemsPerFile = 200000)
+      val dim = spark.range(5).select((col("id") * 399999L).as("k"),
+        concat(lit("tag"), col("id")).as("tag")).localCheckpoint()
+      def run(withBloom: Boolean): (Long, Double) = {
+        val fact = graft.sources.IndexedScan.readIndexedFrom(spark,
+          s"$root/t", stats, if (withBloom) Some(blooms) else None)
+        val j = graft.sources.IndexedScan.dfpJoin(fact, "k", dim, "k")
+        val t0 = System.nanoTime()
+        val n = j.collect().length
+        assert(n == 5, s"join rows $n")
+        // descend AQE query stages: their plans are fields, invisible
+        // to a plain TreeNode collect (the IndexedScanSpec helper shape)
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        val files = scans(j.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).min
+        (files, (System.nanoTime() - t0) / 1e9)
+      }
+      val (f0, t0) = run(withBloom = false)
+      val (f1, t1) = run(withBloom = true)
+      assert(f0 == 16L && f1 <= 6L,
+        s"stats-only $f0, bloom-fed $f1 of 16 files")
+      println(f"   stats-only: 16/16 files (range-hopeless keys) $t0%.1fs; " +
+        f"bloom-fed: $f1/16 files $t1%.1fs — the scan shrank to the files " +
+        "actually holding the dim's 5 keys")
+    }
     time("StarStream: 2M-row fact feed + 200k-obs CDC feed (continuous star)") {
       // the full always-on star (#33l) at scale: four out-of-order bulk
       // batches per feed (the backfill regime), then the steady-state
