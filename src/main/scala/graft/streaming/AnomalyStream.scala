@@ -89,8 +89,13 @@ object AnomalyStream {
           if (kept.isEmpty) state.remove()
           else {
             state.update(AnomState(kept, math.max(prev.emittedThrough, wmSec)))
-            pending.headOption.foreach(p =>
-              state.setTimeoutTimestamp(p.sec * 1000L + 1L))
+            // pending verdicts: wake when the watermark ripens the next
+            // one. Fully-emitted buffers still arm a timeout at their own
+            // expiry — a key that never speaks again must not hold its
+            // window forever (dead keys would otherwise accumulate state)
+            val wake = pending.headOption.map(_.sec + 1)
+              .getOrElse(kept.map(_.sec).max + h + 1)
+            state.setTimeoutTimestamp(wake * 1000L)
           }
           out.iterator
       }

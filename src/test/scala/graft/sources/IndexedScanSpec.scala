@@ -218,6 +218,24 @@ class IndexedScanSpec extends SparkSpec {
     assert(notNullDf.count() == 5)
   }
 
+  test("ORC table: the indexed scan prunes and reads through the OrcFileFormat path") {
+    val root = Files.createTempDirectory("graft-iscan-orc").toString
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 5).cast("double").as("v"))
+    (0 until 4).foreach { b =>
+      df.where(col("id") >= b * 500 && col("id") < (b + 1) * 500)
+        .coalesce(1).write.mode("append").orc(s"$root/t")
+    }
+    val stats = StatsIndex.build(spark, s"$root/t")
+    // <= 499, not < 500: strict bounds collapse to inclusive (by
+    // design), which would conservatively keep the min=500 neighbor
+    val indexed = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+      .where(col("id") <= 499)
+    assert(scanFiles(indexed) == 1, "one of four ORC files")
+    assert(indexed.count() == 500)
+    assert(indexed.agg(sum("id")).head().getLong(0) == (0L until 500L).sum)
+  }
+
   test("lifecycle: mergeInto maintains both indexes, the indexed scan reads the new generation, vacuum reaps strays") {
     val root = Files.createTempDirectory("graft-iscan-life").toString
     val (path, idx, bl) = (s"$root/t", s"$root/idx", s"$root/bloom")
