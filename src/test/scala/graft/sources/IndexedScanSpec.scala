@@ -277,6 +277,57 @@ class IndexedScanSpec extends SparkSpec {
     assert(indexed.count() == 5)
   }
 
+  test("property: randomized predicates over randomized layouts — indexed scan never loses a row") {
+    // the soundness contract of the whole translation layer: whatever
+    // listFiles prunes, results == the plain read under every supported
+    // (and some unsupported) conjunct shape. Seeded: failures replay.
+    val rnd = new scala.util.Random(20260815L)
+    val root = Files.createTempDirectory("graft-iscan-prop").toString
+    (0 until 3).foreach { t =>
+      val n = 2000 + rnd.nextInt(2000)
+      val df = spark.range(n).select(col("id"),
+        (col("id") * 37 % 1000).as("k"),
+        when(col("id") % 11 === 0, lit(null))
+          .otherwise(sin(col("id")) * 500).as("v"),
+        concat(lit("s"), ((col("id") * 13) % 97).cast("string")).as("s"))
+      val layout = rnd.nextInt(3) match {
+        case 0 => df.repartition(6)                       // scattered
+        case 1 => df.repartitionByRange(6, col("k"))      // clustered on k
+        case 2 => df.repartitionByRange(6, col("id"))     // clustered on id
+      }
+      layout.write.parquet(s"$root/t$t")
+      val stats = StatsIndex.build(spark, s"$root/t$t")
+      val blooms = StatsIndex.buildBlooms(spark, s"$root/t$t",
+        Seq("k"), expectedItemsPerFile = 2000)
+      val indexed = IndexedScan.readIndexedFrom(spark, s"$root/t$t",
+        stats, Some(blooms))
+      val plain = spark.read.parquet(s"$root/t$t")
+
+      def randPred(): org.apache.spark.sql.Column = rnd.nextInt(10) match {
+        case 0 => col("id") <= rnd.nextInt(n)
+        case 1 => col("id") > rnd.nextInt(n)
+        case 2 => col("k") === rnd.nextInt(1100).toLong
+        case 3 => col("k").isin((0 until 1 + rnd.nextInt(4))
+          .map(_ => rnd.nextInt(1100).toLong): _*)
+        case 4 => col("v") >= -600.0 + rnd.nextDouble() * 1200
+        case 5 => col("v").isNull
+        case 6 => col("v").isNotNull
+        case 7 => col("s") >= s"s${rnd.nextInt(97)}"
+        case 8 => col("s") === s"s${rnd.nextInt(120)}"
+        case 9 => pmod(col("id"), lit(2 + rnd.nextInt(5))) === 0 // untranslatable
+      }
+      (0 until 25).foreach { _ =>
+        val pred = (0 until 1 + rnd.nextInt(3)).map(_ => randPred())
+          .reduce(_ && _)
+        val got = indexed.where(pred).select("id").as[Long]
+          .collect().sorted.toSeq
+        val want = plain.where(pred).select("id").as[Long]
+          .collect().sorted.toSeq
+        assert(got == want, s"lost rows under $pred on layout t$t")
+      }
+    }
+  }
+
   test("string bounds prune in binary order; joins broadcast the indexed side like any scan") {
     val root = Files.createTempDirectory("graft-iscan-str").toString
     val df = (0 until 400)
