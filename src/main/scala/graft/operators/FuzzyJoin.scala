@@ -88,9 +88,17 @@ object FuzzyJoin {
         explode(deletionVariants(s, maxDist)).as("_v"))
   }
 
+  /** Score candidates MAP-SIDE, then dedup: the banded `levenshtein` is
+    * O(k·len) per occurrence, so re-scoring a pair once per shared
+    * variant is cheap — and the dedup shuffle then carries only
+    * `(a_id, b_id, dist)` instead of both key strings (the widest
+    * shuffle of the hot path, now id-narrow; `dist` is functional in
+    * the id pair whenever ids are keys, so the distinct set is the
+    * same pair set). */
   private def rescore(cands: DataFrame, maxDist: Int): DataFrame =
-    cands.select("_a_id", "_a_s", "_b_id", "_b_s").distinct()
+    cands
       .withColumn("dist", levenshtein(col("_a_s"), col("_b_s"), maxDist))
       .where(col("dist") >= 0) // banded levenshtein: -1 past the threshold
       .select(col("_a_id").as("a_id"), col("_b_id").as("b_id"), col("dist"))
+      .distinct()
 }

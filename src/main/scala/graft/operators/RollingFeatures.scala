@@ -64,10 +64,20 @@ object RollingFeatures {
       else {
         // population moments from EXACT integer sums (Σc, Σc²) — the
         // same determinism story as the sums; Σc² stays in long while
-        // |cents|·√window-rows < ~3·10⁹ (values ≤ ~$10M over 10k-row
-        // windows — past that, swap _cents to DecimalType). The mean/sd
-        // trees are fixed so an oracle reproduces the doubles.
-        val s2 = sum(col("_cents") * col("_cents")).over(w)
+        // n·max(c)² ≤ 9·10^18. Past that bound the sum would silently
+        // wrap and emit WRONG moments, so the same window pass carries
+        // max|c| and the bound is CHECKED per window — violation raises
+        // instead of answering (swap _cents to DecimalType to go past).
+        // The mean/sd trees are fixed so an oracle reproduces the doubles.
+        val mAbs = coalesce(max(abs(col("_cents"))).over(w), lit(0L))
+          .cast("double")
+        val s2Safe = mAbs * mAbs * n.cast("double") <= lit(9.0e18)
+        val s2 = when(s2Safe, sum(col("_cents") * col("_cents")).over(w))
+          .otherwise(raise_error(lit(
+            s"RollingFeatures: Σc² over horizon ${h.name} exceeds the " +
+              "long-exact bound (n·max(cents)² > 9e18) — moments would " +
+              "silently wrap; use a DecimalType accumulator for values " +
+              "this large")))
         val m = s1.cast("double") / n
         val sd = sqrt(greatest(
           s2.cast("double") / n - m * m, lit(0.0))) / 100.0

@@ -180,8 +180,8 @@ object Upsert {
               // DROP its rows from the merge and then overwrite the
               // directory. One bounded exists() per touched partition.
               val unmatched = touched.filter { v =>
-                fs.exists(new org.apache.hadoop.fs.Path(dest, s"$partitionCol=$v")) &&
-                  !files.exists(_.contains(s"/$partitionCol=$v/"))
+                fs.exists(new org.apache.hadoop.fs.Path(dest, partDirName(partitionCol, v))) &&
+                  !files.exists(_.contains(s"/${partDirName(partitionCol, v)}/"))
               }
               require(unmatched.isEmpty,
                 s"mergeInto: stats index at $idx names no files for existing " +
@@ -217,8 +217,12 @@ object Upsert {
       // a touched partition the merged output left EMPTY (every row
       // deleted) published no directory — its old generation must go,
       // or the deleted rows resurrect on the next read
+      // Hive-ESCAPED directory names — Spark writes `%xx` for special
+      // characters, so a raw s"$col=$v" would miss the published-set
+      // match AND the exists() for exactly those values, leaving the
+      // old generation (and its deleted rows) to resurrect (ADVICE r17)
       val emptied = touched
-        .map(v => new org.apache.hadoop.fs.Path(dest, s"$partitionCol=$v"))
+        .map(v => new org.apache.hadoop.fs.Path(dest, partDirName(partitionCol, v)))
         .filterNot(p => published.contains(p))
         .filter(fs.exists(_))
       emptied.foreach(p => fs.delete(p, true))
@@ -242,6 +246,13 @@ object Upsert {
         throw e
     }
   }
+
+  /** The directory name Spark actually writes for `col=value` — the
+    * value Hive-escaped (`%` → `%25`, `:`/`=`/control chars → `%xx`),
+    * via the same catalyst utility `partitionBy` uses. */
+  private def partDirName(partitionCol: String, v: Any): String =
+    s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(String.valueOf(v))
 
   /** (files that must enter the merge, files bloom-PROVEN to hold none of
     * the updates' key values). No bloom index / oversized probe set /

@@ -275,27 +275,73 @@ object StatsIndex extends org.apache.spark.internal.Logging {
   /** Conservative double bounds for a numeric chunk set; None for
     * non-numeric types or absent stats. INT64 widens one ulp each way —
     * a long above 2^53 rounds when cast, and a round UP of the min (or
-    * down of the max) could otherwise fabricate disjointness. */
+    * down of the max) could otherwise fabricate disjointness.
+    *
+    * LOGICAL-type aware: the physical integer a footer stores is not
+    * always the value Spark compares. A decimal column's stats carry the
+    * UNSCALED integer (`decimal(10,2)` 123.45 → 12345) while the pruner's
+    * literals are SCALED — comparing raw would prove false disjointness
+    * and prune files that contain matching rows. So decimal bounds
+    * rescale by 10^-scale (INT32/INT64/binary-backed alike), MILLIS
+    * timestamps rescale to the micros Spark literals carry, and the
+    * untranslatable annotations (unsigned ints, TIME, non-milli/micro
+    * timestamps) emit NO bounds rather than wrong ones. Every lossy
+    * conversion ulp-widens. Indexes built before this rescaling over
+    * decimal columns must be rebuilt ([[build]]). */
   private def numericBounds(pt: PrimitiveType,
                             stats: Seq[Statistics[_]]): Option[(Double, Double)] = {
     import PrimitiveType.PrimitiveTypeName._
     if (stats.isEmpty) return None
-    pt.getPrimitiveTypeName match {
-      case INT32 =>
-        Some((stats.map(_.genericGetMin.asInstanceOf[Integer].toDouble).min,
-          stats.map(_.genericGetMax.asInstanceOf[Integer].toDouble).max))
-      case INT64 =>
-        Some((Math.nextDown(
-            stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toDouble).min),
-          Math.nextUp(
-            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toDouble).max)))
-      case FLOAT =>
-        Some((stats.map(_.genericGetMin.asInstanceOf[java.lang.Float].toDouble).min,
-          stats.map(_.genericGetMax.asInstanceOf[java.lang.Float].toDouble).max))
-      case DOUBLE =>
-        Some((stats.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
-          stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max))
-      case _ => None
+    def widened(lo: Double, hi: Double) =
+      Some((Math.nextDown(lo), Math.nextUp(hi)))
+    pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        def unscaled(v: Any): Option[java.math.BigInteger] = v match {
+          case i: java.lang.Integer => Some(java.math.BigInteger.valueOf(i.longValue))
+          case l: java.lang.Long => Some(java.math.BigInteger.valueOf(l))
+          // FLBA / BINARY decimals: big-endian two's-complement unscaled
+          case b: org.apache.parquet.io.api.Binary =>
+            Some(new java.math.BigInteger(b.getBytes))
+          case _ => None
+        }
+        def scaled(u: java.math.BigInteger): Double =
+          new java.math.BigDecimal(u, d.getScale).doubleValue
+        val los = stats.map(s => unscaled(s.genericGetMin))
+        val his = stats.map(s => unscaled(s.genericGetMax))
+        if (los.exists(_.isEmpty) || his.exists(_.isEmpty)) None
+        else widened(los.flatten.map(scaled).min, his.flatten.map(scaled).max)
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if pt.getPrimitiveTypeName == INT64 =>
+        val factor = t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+          case _ => return None // NANOS etc.: Spark has no literal in that unit
+        }
+        def micros(v: Any): Double =
+          java.math.BigDecimal.valueOf(v.asInstanceOf[java.lang.Long].longValue)
+            .multiply(java.math.BigDecimal.valueOf(factor)).doubleValue
+        widened(stats.map(s => micros(s.genericGetMin)).min,
+          stats.map(s => micros(s.genericGetMax)).max)
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>
+        None // raw signed bits of an unsigned column mis-order its values
+      case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+      case _ => pt.getPrimitiveTypeName match {
+        case INT32 =>
+          Some((stats.map(_.genericGetMin.asInstanceOf[Integer].toDouble).min,
+            stats.map(_.genericGetMax.asInstanceOf[Integer].toDouble).max))
+        case INT64 =>
+          Some((Math.nextDown(
+              stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toDouble).min),
+            Math.nextUp(
+              stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toDouble).max)))
+        case FLOAT =>
+          Some((stats.map(_.genericGetMin.asInstanceOf[java.lang.Float].toDouble).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Float].toDouble).max))
+        case DOUBLE =>
+          Some((stats.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max))
+        case _ => None
+      }
     }
   }
 
@@ -389,14 +435,17 @@ object StatsIndex extends org.apache.spark.internal.Logging {
   /** The indexed files under the given `col=value` partition directories —
     * the file list a partition-pruned read needs, answered from the index
     * relation instead of a table-tree listing (at millions of files the
-    * listing is exactly the planning cost the index removes). Values
-    * match by path segment, so they must not need partition-path escaping
-    * (dates, numbers, plain strings are fine). */
+    * listing is exactly the planning cost the index removes). Values are
+    * Hive-escaped before the path-segment match, so they compare against
+    * the directory names Spark actually writes. */
   def partitionFiles(stats: DataFrame, partitionCol: String,
                      values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty, "partitionFiles: empty value list")
-    val hit = values.map(v => col("file").contains(s"/$partitionCol=$v/"))
-      .reduce(_ || _)
+    val hit = values.map { v =>
+      val seg = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v))
+      col("file").contains(s"/$partitionCol=$seg/")
+    }.reduce(_ || _)
     stats.where(hit).select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
   }

@@ -66,12 +66,20 @@ object AnomalyStream {
           // event-time order; ties broken deterministically so replay
           // emits identical rows (same-second peers share moments anyway)
           val buf = (prev.buf ++ fresh).sortBy(o => (o.sec, o.cents, o.value))
-          val (ripe, pending) = buf.partition(_.sec <= wmSec)
+          // ripe = the watermark has passed the END of the event's second
+          // (wm ≥ (sec+1)·1000 ⟺ sec < wmSec): a same-second peer with
+          // ts ≥ wm is NOT late (Spark drops only ts < wm) and may still
+          // arrive — emitting at sec == wmSec would both score without it
+          // and then suppress its own verdict forever
+          val (ripe, pending) = buf.partition(_.sec < wmSec)
           val out = ripe.filter(_.sec > prev.emittedThrough).flatMap { e =>
             val w = buf.filter(o => o.sec >= e.sec - h && o.sec <= e.sec)
             val n = w.size.toLong
             val s1 = w.map(_.cents).sum
-            val s2 = w.map(o => o.cents * o.cents).sum
+            // exact moments or a loud error — a silent Σc² long wrap
+            // would emit WRONG flags (the batch twin raises too)
+            val s2 = w.foldLeft(0L)((acc, o) =>
+              Math.addExact(acc, Math.multiplyExact(o.cents, o.cents)))
             val m = s1.toDouble / n
             val sd = math.sqrt(math.max(s2.toDouble / n - m * m, 0.0)) / 100.0
             val mean = m / 100.0
@@ -86,9 +94,15 @@ object AnomalyStream {
           val evictBelow =
             if (wmSec == Long.MinValue) Long.MinValue else wmSec - h
           val kept = buf.filter(_.sec >= evictBelow)
+          // emitted-through tracks the last COMPLETE second (wmSec − 1,
+          // matching the strict ripeness split; sentinel guarded — the
+          // MinValue − 1 wrap would mark everything emitted)
+          val emittedThrough =
+            if (wmSec == Long.MinValue) prev.emittedThrough
+            else math.max(prev.emittedThrough, wmSec - 1)
           if (kept.isEmpty) state.remove()
           else {
-            state.update(AnomState(kept, math.max(prev.emittedThrough, wmSec)))
+            state.update(AnomState(kept, emittedThrough))
             // pending verdicts: wake when the watermark ripens the next
             // one. Fully-emitted buffers still arm a timeout at their own
             // expiry — a key that never speaks again must not hold its

@@ -145,6 +145,29 @@ class MergeIntoSpec extends SparkSpec {
       "day", Seq("2024-01-01")).nonEmpty)
   }
 
+  test("partition values needing Hive path escaping: an emptied partition's ESCAPED dir is removed, no resurrect") {
+    // Spark writes `%` as `%25` in partition dir names; a raw
+    // s"$col=$v" comparison misses the published-set match AND the
+    // exists(), so the old generation would survive a full delete and
+    // its rows resurrect on the next read (ADVICE r17)
+    val path = tmp()
+    Seq((1L, 1L, "p%1", 10.0), (2L, 1L, "p%1", 20.0), (3L, 1L, "plain", 30.0))
+      .toDF("order_id", "item_id", "day", "amount")
+      .repartition(1).write.partitionBy("day").parquet(path)
+    assert(Files.exists(JPath.of(path, "day=p%251")),
+      "fixture sanity: Spark escaped the dir name")
+    val dels = Seq((1L, 1L, "p%1"), (2L, 1L, "p%1"))
+      .toDF("order_id", "item_id", "day")
+    val empty = Seq.empty[(Long, Long, String, Double)]
+      .toDF("order_id", "item_id", "day", "amount")
+    Upsert.mergeInto(path, empty, Seq("order_id", "item_id"), "day",
+      deletes = Some(dels))
+    assert(!Files.exists(JPath.of(path, "day=p%251")),
+      "emptied escaped-name partition directory must be removed")
+    assert(readFact(path) == Set((3L, 1L, "plain", 30.0)),
+      "deleted rows resurrected from the unescaped-name miss")
+  }
+
   test("deletes probe the blooms: a file holding only a deleted key cannot pass through") {
     import graft.sources.StatsIndex
     val root = Files.createTempDirectory("graft-mergeinto-delbloom").toString

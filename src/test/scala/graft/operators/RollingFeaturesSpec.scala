@@ -118,4 +118,38 @@ class RollingFeaturesSpec extends SparkSpec {
     assert(out.where(col("n_7d") < col("n_1d")).count() == 0)
     assert(out.where(col("n_30d") < col("n_7d")).count() == 0)
   }
+
+  test("Σc² past the long-exact bound raises loudly instead of silently wrapping") {
+    // |cents| = 10^10 ⇒ c² = 10^20 > 9·10^18 in a single-row window —
+    // the guard must turn the would-be wrap into an error (verdict r17)
+    val huge = Seq(("u", ts("2024-01-01 00:00:00"), 1.0e8),
+      ("u", ts("2024-01-01 00:01:00"), 1.0e8)).toDF("k", "ts", "v")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // ANSI on (the default): the multiply itself raises before the guard
+    val ansi = intercept[Exception] {
+      RollingFeatures.trailing(huge, "k", "ts", "v",
+        Seq(RollingFeatures.Day), withStd = true).collect()
+    }
+    assert(messages(ansi).exists(m => m.contains("ARITHMETIC_OVERFLOW") ||
+      m.contains("long-exact bound")), s"wrong error: ${messages(ansi)}")
+    // ANSI off: the silent-wrap regime — the guard must still raise
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val e = intercept[Exception] {
+        RollingFeatures.trailing(huge, "k", "ts", "v",
+          Seq(RollingFeatures.Day), withStd = true).collect()
+      }
+      assert(messages(e).exists(_.contains("long-exact bound")),
+        s"wrong error: ${messages(e)}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    // values inside the bound are untouched by the guard
+    val ok = Seq(("u", ts("2024-01-01 00:00:00"), 12.5),
+      ("u", ts("2024-01-01 00:01:00"), 12.5)).toDF("k", "ts", "v")
+    val rows = RollingFeatures.trailing(ok, "k", "ts", "v",
+      Seq(RollingFeatures.Day), withStd = true).collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Double]("sd_1d") == 0.0))
+  }
 }

@@ -277,6 +277,59 @@ class IndexedScanSpec extends SparkSpec {
     assert(indexed.count() == 5)
   }
 
+  test("decimal + milli-timestamp layouts: stats rescale to Spark's literal units — sound AND effective") {
+    val root = Files.createTempDirectory("graft-iscan-dec").toString
+    // decimal(10,2) → INT64-backed UNSCALED parquet stats (123.45 stored
+    // as 12345); decimal(24,3) → FLBA-backed. Un-rescaled stats would
+    // prove false disjointness vs Spark's SCALED literals and silently
+    // drop matching rows (ADVICE r17)
+    val df = spark.range(1000).select(col("id"),
+      expr("CAST(CAST(id AS DECIMAL(10,2)) / 4 AS DECIMAL(10,2))").as("d"),
+      expr("CAST(CAST(id AS DECIMAL(24,3)) * 1000 AS DECIMAL(24,3))").as("big"))
+    (0 until 4).foreach { b =>
+      df.where(col("id") >= b * 250 && col("id") < (b + 1) * 250)
+        .coalesce(1).write.mode("append").parquet(s"$root/t")
+    }
+    val stats = StatsIndex.build(spark, s"$root/t")
+    val indexed = IndexedScan.readIndexedFrom(spark, s"$root/t", stats)
+    val plain = spark.read.parquet(s"$root/t")
+
+    // d ∈ [0, 249.75] in 62.5-wide file bands; ≤150.00 needs files 0-2.
+    // The unscaled bug would read min_num=6250.0 for file 0 and prune it.
+    val p1 = col("d") <= lit(new java.math.BigDecimal("150.00"))
+    assert(indexed.where(p1).count() == plain.where(p1).count())
+    assert(plain.where(p1).count() == 601)
+    assert(scanFiles(indexed.where(p1)) == 3,
+      "scaled INT64-decimal stats should prune the top file")
+
+    val p2 = col("big") >= lit(new java.math.BigDecimal("700000.000"))
+    assert(indexed.where(p2).count() == plain.where(p2).count())
+    assert(scanFiles(indexed.where(p2)) == 2,
+      "scaled FLBA-decimal stats should prune the bottom half")
+
+    // TIMESTAMP_MILLIS (a foreign-writer unit): stats are millis on
+    // disk, Spark literals micros — the index must rescale, not mis-prune
+    val tsRoot = s"$root/ts"
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      val tdf = spark.range(400).select(col("id"),
+        expr("timestamp_seconds(1700000000 + id * 60)").as("ts"))
+      (0 until 4).foreach { b =>
+        tdf.where(col("id") >= b * 100 && col("id") < (b + 1) * 100)
+          .coalesce(1).write.mode("append").parquet(tsRoot)
+      }
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val tstats = StatsIndex.build(spark, tsRoot)
+    val tIndexed = IndexedScan.readIndexedFrom(spark, tsRoot, tstats)
+    val cut = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 99 * 60))
+    val tp = col("ts") <= lit(cut)
+    assert(tIndexed.where(tp).count() == 100)
+    assert(scanFiles(tIndexed.where(tp)) == 1,
+      "millis-stats rescaled to micros should isolate the first file")
+  }
+
   test("property: randomized predicates over randomized layouts — indexed scan never loses a row") {
     // the soundness contract of the whole translation layer: whatever
     // listFiles prunes, results == the plain read under every supported
@@ -289,7 +342,8 @@ class IndexedScanSpec extends SparkSpec {
         (col("id") * 37 % 1000).as("k"),
         when(col("id") % 11 === 0, lit(null))
           .otherwise(sin(col("id")) * 500).as("v"),
-        concat(lit("s"), ((col("id") * 13) % 97).cast("string")).as("s"))
+        concat(lit("s"), ((col("id") * 13) % 97).cast("string")).as("s"),
+        expr("CAST(CAST(id AS DECIMAL(12,2)) / 8 AS DECIMAL(12,2))").as("dec"))
       val layout = rnd.nextInt(3) match {
         case 0 => df.repartition(6)                       // scattered
         case 1 => df.repartitionByRange(6, col("k"))      // clustered on k
@@ -303,7 +357,7 @@ class IndexedScanSpec extends SparkSpec {
         stats, Some(blooms))
       val plain = spark.read.parquet(s"$root/t$t")
 
-      def randPred(): org.apache.spark.sql.Column = rnd.nextInt(10) match {
+      def randPred(): org.apache.spark.sql.Column = rnd.nextInt(12) match {
         case 0 => col("id") <= rnd.nextInt(n)
         case 1 => col("id") > rnd.nextInt(n)
         case 2 => col("k") === rnd.nextInt(1100).toLong
@@ -315,6 +369,10 @@ class IndexedScanSpec extends SparkSpec {
         case 7 => col("s") >= s"s${rnd.nextInt(97)}"
         case 8 => col("s") === s"s${rnd.nextInt(120)}"
         case 9 => pmod(col("id"), lit(2 + rnd.nextInt(5))) === 0 // untranslatable
+        case 10 => col("dec") <= lit(new java.math.BigDecimal(
+          s"${rnd.nextInt(n / 8)}.${10 + rnd.nextInt(90)}"))
+        case 11 => col("dec") === lit(new java.math.BigDecimal(
+          s"${rnd.nextInt(n / 8)}.25"))
       }
       (0 until 25).foreach { _ =>
         val pred = (0 until 1 + rnd.nextInt(3)).map(_ => randPred())

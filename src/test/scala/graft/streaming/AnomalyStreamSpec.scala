@@ -77,6 +77,53 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(runStream(batches, "anom_ooo") == batchFlags)
   }
 
+  test("same-second straggler: a second is emitted only once the watermark PASSES it, so a " +
+      "peer arriving with ts >= watermark still lands in the verdict (ADVICE r17)") {
+    implicit val sq = spark.sqlContext
+    // steady history, then TWO events in second 10:30:00 — the second of
+    // them arrives only after the watermark has reached (not passed)
+    // that second. It is not late (Spark drops ts < wm only), so the
+    // 10:30:00 verdicts must include it — emitting at sec == wmSec
+    // would both mis-score the first peer and swallow the straggler
+    val steady = (0 until 12).map { i =>
+      StreamOps.Event(1L, ts(f"2024-01-01 10:${i * 2}%02d:00"), 10.0 + (i % 3))
+    }
+    val peer = StreamOps.Event(1L, ts("2024-01-01 10:30:00.2"), 11.0)
+    val straggler = StreamOps.Event(1L, ts("2024-01-01 10:30:00.5"), 500.0)
+    val pusher = StreamOps.Event(99L, ts("2024-01-01 10:35:00"), 1.0)
+    val full = steady ++ Seq(peer, straggler, pusher)
+
+    val want = RollingFeatures.anomalies(full.toDF(), "user_id", "ts", "value",
+        RollingFeatures.Horizon("1h", 3600L), z = 3.0, minN = 5L)
+      .where(col("user_id") === 1L)
+      .select(col("user_id"), col("ts"), col("value"),
+        col("n_1h"), col("mean_1h"), col("sd_1h"))
+      .as[(Long, Timestamp, Double, Long, Double, Double)].collect().toSet
+    assert(want.exists(_._3 == 500.0), s"fixture sanity: $want")
+
+    val mem = MemoryStream[StreamOps.Event]
+    val q = AnomalyStream.anomalies(mem.toDS(), horizonSeconds = 3600L,
+        watermarkDelay = "5 minutes", z = 3.0, minN = 5L)
+      .writeStream.format("memory").queryName("anom_straggle")
+      .outputMode("append").start()
+    try {
+      mem.addData(steady :+ peer: _*); q.processAllAvailable()
+      // watermark now REACHES second 10:30:00 exactly (10:35 − 5min):
+      // nothing in that second may emit yet
+      mem.addData(pusher); q.processAllAvailable()
+      val early = spark.table("anom_straggle")
+        .where(col("ts") >= ts("2024-01-01 10:30:00")).count()
+      assert(early == 0, "second 10:30:00 emitted before the watermark passed it")
+      // straggler: same second, ts >= watermark — NOT late, must count
+      mem.addData(straggler); q.processAllAvailable()
+      mem.addData(StreamOps.Event(99L, ts("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anom_straggle").where(col("user_id") === 1L)
+        .as[(Long, Timestamp, Double, Long, Double, Double)].collect().toSet
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
+
   test("verdicts hold until the watermark passes their second") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
