@@ -114,19 +114,33 @@ object StarPipeline {
     val base = tasks(spark, srcDir, warehouse)
       .filter(_.id.startsWith("core.dim_"))
 
+    val factPath = s"$warehouse/core/fact_orders"
+    val factStats = s"$factPath/_stats_index"
     val factDay = Dag.Task("core.fact_orders",
-        deps = Seq("core.dim_customers", "core.dim_parts", "core.dim_dates"))(() =>
+        deps = Seq("core.dim_customers", "core.dim_parts", "core.dim_dates"))(() => {
       dayFact(spark, srcDir, warehouse, executionDate)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("order_date")
-        .parquet(s"$warehouse/core/fact_orders"))
+        .parquet(factPath)
+      // maintain the co-located stats index over exactly the republished
+      // partition (one footer read per new file; first run bootstraps the
+      // whole log) — the summary refresh below then reads the fact
+      // THROUGH the index and opens only its date's files
+      val fs = new org.apache.hadoop.fs.Path(factStats)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new org.apache.hadoop.fs.Path(factStats)))
+        graft.sources.StatsIndex.replacePartitions(spark, factStats,
+          Seq(s"$factPath/order_date=$executionDate"))
+      else graft.sources.StatsIndex.save(
+        graft.sources.StatsIndex.build(spark, factPath), factStats)
+    })
 
     val salesDay = Dag.Task("datamart.sales_summary",
         deps = Seq("core.fact_orders"))(() =>
       DatamartIncr.refreshSalesSummaryAt(
         s"$warehouse/datamart/sales_summary",
-        spark.read.parquet(s"$warehouse/core/fact_orders")
+        graft.sources.IndexedScan.readIndexed(spark, factPath, factStats)
           .withColumn("order_date", col("order_date").cast("date")),
         read("core/dim_parts"), read("core/dim_dates"),
         Seq(executionDate)))
@@ -134,7 +148,7 @@ object StarPipeline {
     val custState = Dag.Task("datamart.customer_analytics_state",
         deps = Seq("core.fact_orders"))(() =>
       DatamartIncr.orderState(
-          spark.read.parquet(s"$warehouse/core/fact_orders")
+          graft.sources.IndexedScan.readIndexed(spark, factPath, factStats)
             .withColumn("order_date", col("order_date").cast("date"))
             .where(col("order_date") === day))
         .withColumn("_run_date", day)

@@ -195,6 +195,41 @@ object StarQueries {
       .orderBy("customer_id")
   }
 
+  /** The maintained star read through its OWN index-aware scan: one
+    * month of the fact lands through [[graft.streaming.StarStream
+    * .applyFactBatch]] in two batches (the streaming star's
+    * `(order_date, _batch_id)` log layout, stats index maintained per
+    * landing), then the gate reads [[graft.streaming.StarStream
+    * .factOrders]] — a [[graft.sources.GraftFileIndex]]-served
+    * relation, date filter pruned at planning time — and aggregates.
+    * Oracled by the fact SQL verbatim over the same window: the
+    * landing + indexed-read machinery must be semantically invisible. */
+  def starIndexedSales(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-star-idx").toString
+    val layout = graft.streaming.StarStream.Layout(root)
+    val fact = FactBuild.factOrders(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+      .where(col("order_date").between(
+        lit("1998-01-01").cast("date"), lit("1998-01-31").cast("date")))
+      .localCheckpoint() // two batch filters over one materialization
+    val dimP = dimPartsUnordered(s, dir)
+    val dates = DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")
+    graft.streaming.StarStream.applyFactBatch(
+      fact.where(pmod(col("order_id"), lit(2)) === 0), 0L, layout, dimP, dates)
+    graft.streaming.StarStream.applyFactBatch(
+      fact.where(pmod(col("order_id"), lit(2)) === 1), 1L, layout, dimP, dates)
+    graft.streaming.StarStream.factOrders(s, layout)
+      .where(col("order_date").between(
+        lit("1998-01-10").cast("date"), lit("1998-01-20").cast("date")))
+      .groupBy(col("order_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("order_id")).as("n_orders"),
+        round(sum(col("net_amount")), 6).as("net"))
+      .orderBy("order_date")
+  }
+
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
     // Deterministic synthetic update batch: bump totalprice on every 3rd key.
@@ -220,7 +255,8 @@ object StarQueries {
     "customer_analytics" -> (customerAnalytics _),
     "sales_summary_incr" -> (salesSummaryIncr _),
     "customer_analytics_incr" -> (customerAnalyticsIncr _),
-    "merge_upsert" -> (mergeUpsert _)
+    "merge_upsert" -> (mergeUpsert _),
+    "star_indexed_sales" -> (starIndexedSales _)
   )
 
   /** DuckDB CTE fragments shared by several oracles. Surrogate keys are
@@ -340,7 +376,21 @@ object StarQueries {
     "sales_summary_incr" -> salesSummarySql,
     "customer_analytics_incr" -> customerAnalyticsSql,
 
-    "merge_upsert" -> mergeUpsertSql)
+    "merge_upsert" -> mergeUpsertSql,
+
+    // the landing + indexed-read machinery must be invisible: the oracle
+    // is the fact SQL over the same date window, no storage involved
+    "star_indexed_sales" ->
+      s"""WITH $dimCustSql,
+         |$dimPartSql,
+         |$factSql
+         |SELECT order_date,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT order_id) AS n_orders,
+         |  ROUND(SUM(net_amount), 6) AS net
+         |FROM fact
+         |WHERE order_date BETWEEN DATE '1998-01-10' AND DATE '1998-01-20'
+         |GROUP BY order_date ORDER BY order_date""".stripMargin)
 
   private lazy val salesSummarySql =
       s"""WITH $dimCustSql,

@@ -55,9 +55,14 @@ object StatsIndex extends org.apache.spark.internal.Logging {
                                 min_str: Option[String], max_str: Option[String],
                                 null_count: Long)
 
-  /** Data files under `tablePath`, recursive, skipping hidden
-    * (`_`/`.`-prefixed) segments — the same visibility rule partition
-    * discovery uses, so staging/trash/checkpoint dirs never index.
+  /** Data files under `tablePath`, recursive, skipping hidden segments
+    * by SPARK'S visibility rule: `.`-prefixed always hidden,
+    * `_`-prefixed hidden UNLESS it is a `col=value` partition directory
+    * (`_batch_id=3` is a visible partition Spark's own discovery reads;
+    * `_staging_x`/`_trash_x`/`_stats` are not) — so the index sees
+    * exactly the files a plain `spark.read` would, and
+    * underscore-named partition columns (the streaming landing logs'
+    * `_batch_id`) index like any other.
     *
     * The walk fans out over a bounded driver thread pool (the
     * `InMemoryFileIndex` shape): each directory's `listStatus` is one
@@ -73,7 +78,7 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def visible(p: Path): Boolean = {
       val n = p.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      !n.startsWith(".") && (!n.startsWith("_") || n.contains("="))
     }
     val files = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -33,10 +33,23 @@ object SalesSummaryStream {
 
   /** One micro-batch apply — exposed for direct replay testing. Returns
     * the touched dates (empty batch → no-op). `dimPart`/`dimDates` are
-    * the broadcast-sized static dimensions the summary joins. */
+    * the broadcast-sized static dimensions the summary joins.
+    *
+    * With `factStatsPath`/`summaryStatsPath` set, the pipeline EATS ITS
+    * OWN INDEX DOG FOOD: each landing maintains a [[graft.sources
+    * .StatsIndex]] over exactly the partition directories it touched
+    * (one footer read per new file — the publish-delta discipline;
+    * first call over an unindexed log bootstraps with one full build),
+    * and the refresh's date-pruned read goes through
+    * [[graft.sources.IndexedScan]] — so listing the log is pure driver
+    * work and only the touched dates' files are ever opened. A replayed
+    * batch REPLACES its slice's files; `replacePartitions` drops the
+    * replaced rows with them. */
   def applyBatch(factBatch: DataFrame, batchId: Long,
                  factLogPath: String, summaryPath: String,
-                 dimPart: DataFrame, dimDates: DataFrame): Seq[String] = {
+                 dimPart: DataFrame, dimDates: DataFrame,
+                 factStatsPath: Option[String] = None,
+                 summaryStatsPath: Option[String] = None): Seq[String] = {
     val spark = factBatch.sparkSession
     val touched = DatamartIncr.touchedDates(factBatch)
     if (touched.isEmpty) return Nil
@@ -45,26 +58,68 @@ object SalesSummaryStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("order_date", "_batch_id")
       .parquet(factLogPath)
+    factStatsPath.foreach { sp =>
+      maintainIndex(spark, factLogPath, sp,
+        touched.map(d => s"$factLogPath/order_date=$d/_batch_id=$batchId"))
+    }
     // the refresh reads the LOG, not the batch: a replayed/late batch's
-    // date recomputes from everything ever landed for it
-    val fullFact = spark.read.parquet(factLogPath)
-      .drop("_batch_id")
-      .withColumn("order_date", col("order_date").cast("date"))
+    // date recomputes from everything ever landed for it — through the
+    // index-aware scan when the index is maintained (the date filter
+    // inside refreshSalesSummaryAt prunes files at planning time)
+    val fullFact = readFactLog(spark, factLogPath, factStatsPath)
     DatamartIncr.refreshSalesSummaryAt(summaryPath, fullFact,
       dimPart, dimDates, touched)
+    summaryStatsPath.foreach { sp =>
+      maintainIndex(spark, summaryPath, sp,
+        touched.map(d => s"$summaryPath/date=$d"))
+    }
     touched
   }
+
+  /** The landed fact log as a fact relation — via [[graft.sources
+    * .IndexedScan]] when a maintained stats index exists at
+    * `statsPath`, the plain reader otherwise. (`order_date` comes back
+    * from partition paths as a string either way; cast restores it.) */
+  def readFactLog(spark: SparkSession, factLogPath: String,
+                  statsPath: Option[String] = None): DataFrame = {
+    val base = statsPath.filter(indexExists(spark, _)) match {
+      case Some(sp) => graft.sources.IndexedScan.readIndexed(spark, factLogPath, sp)
+      case None => spark.read.parquet(factLogPath)
+    }
+    base.drop("_batch_id")
+      .withColumn("order_date", col("order_date").cast("date"))
+  }
+
+  private def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Index maintenance for one landing: replace exactly the touched
+    * partition directories' rows (metadata-scale), bootstrapping with a
+    * full build the first time (an index covering only the latest
+    * touched dirs would make the REST of the table invisible to the
+    * index-aware scan — the manifest IS the table). */
+  private def maintainIndex(spark: SparkSession, tablePath: String,
+                            statsPath: String, touchedDirs: Seq[String]): Unit =
+    if (indexExists(spark, statsPath))
+      graft.sources.StatsIndex.replacePartitions(spark, statsPath, touchedDirs)
+    else
+      graft.sources.StatsIndex.save(
+        graft.sources.StatsIndex.build(spark, tablePath), statsPath)
 
   /** Start the maintenance stream over arriving fact rows. */
   def run(factStream: DataFrame, factLogPath: String, summaryPath: String,
           dimPart: DataFrame, dimDates: DataFrame,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String,
+          factStatsPath: Option[String] = None,
+          summaryStatsPath: Option[String] = None): StreamingQuery =
     factStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, factLogPath, summaryPath,
-          dimPart, dimDates): Unit
+          dimPart, dimDates, factStatsPath, summaryStatsPath): Unit
       }
       .start()
 

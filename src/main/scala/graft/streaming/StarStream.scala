@@ -59,7 +59,13 @@ object StarStream {
     /** Fact landing log, partitioned `(order_date, _batch_id)` — the log
       * IS the fact table: drop `_batch_id` and you have `fact_orders`. */
     val factOrders: String = s"$warehouse/core/fact_orders"
+    /** Stats index over the fact log, maintained per landing (the
+      * co-located manifest — `_`-prefixed, so plain readers never see
+      * it); [[factOrders()]] reads THROUGH it. */
+    val factStats: String = s"$warehouse/core/fact_orders/_stats_index"
     val salesSummary: String = s"$warehouse/datamart/sales_summary"
+    /** Stats index over the maintained summary, same discipline. */
+    val summaryStats: String = s"$warehouse/datamart/sales_summary/_stats_index"
     /** Order-grain mergeable analytics state ([[DatamartStream]]). */
     val customerState: String = s"$warehouse/datamart/customer_state"
   }
@@ -101,7 +107,8 @@ object StarStream {
                      dimPart: DataFrame, dimDates: DataFrame,
                      cfg: Config = Config()): Seq[String] = {
     val touched = SalesSummaryStream.applyBatch(batch, batchId,
-      layout.factOrders, layout.salesSummary, dimPart, dimDates)
+      layout.factOrders, layout.salesSummary, dimPart, dimDates,
+      Some(layout.factStats), Some(layout.summaryStats))
     DatamartStream.writeBatch(batch, batchId, layout.customerState)
     if (cfg.stateCompactEvery > 0 && batchId > 0 &&
         batchId % cfg.stateCompactEvery == 0)
@@ -158,16 +165,27 @@ object StarStream {
       .withColumn("customer_sk", md5(col(cfg.key).cast("string")))
       .drop("sk")
 
-  /** The maintained fact: the landing log minus its replay machinery.
-    * (`order_date` comes back from partition paths as a string.) */
+  /** The maintained fact: the landing log minus its replay machinery,
+    * read THROUGH the pipeline-maintained stats index when present
+    * ([[graft.sources.IndexedScan]]) — a date- or measure-filtered
+    * query over the maintained fact prunes files at planning time with
+    * no call-site index plumbing. Falls back to the plain reader for a
+    * log landed without index maintenance. */
   def factOrders(spark: SparkSession, layout: Layout): DataFrame =
-    spark.read.parquet(layout.factOrders)
-      .drop("_batch_id")
-      .withColumn("order_date", col("order_date").cast("date"))
+    SalesSummaryStream.readFactLog(spark, layout.factOrders,
+      Some(layout.factStats))
 
-  /** The maintained `sales_summary`, typed. */
-  def salesSummary(spark: SparkSession, layout: Layout): DataFrame =
-    SalesSummaryStream.readSummary(spark, layout.salesSummary)
+  /** The maintained `sales_summary`, typed — same indexed-read
+    * discipline as [[factOrders()]]. */
+  def salesSummary(spark: SparkSession, layout: Layout): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(layout.summaryStats)
+    val hasIdx = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    if (hasIdx)
+      graft.sources.IndexedScan
+        .readIndexed(spark, layout.salesSummary, layout.summaryStats)
+        .withColumn("date", col("date").cast("date"))
+    else SalesSummaryStream.readSummary(spark, layout.salesSummary)
+  }
 
   /** Current `customer_analytics` — merged order-grain state joined to
     * the CURRENT streamed dim at read time (the sensor chain as

@@ -454,6 +454,36 @@ class PipelineSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(parts == days.toSet)
 
+    // the day loop maintains the fact's co-located stats index (bootstrap
+    // on day 1, replacePartitions after), and its summary/state tasks
+    // read the fact THROUGH it — a date-filtered indexed read must open
+    // only that day's files
+    val idxPath = s"$wh/core/fact_orders/_stats_index"
+    assert(Files.exists(java.nio.file.Path.of(idxPath)),
+      "incremental day loop must maintain the fact stats index")
+    val totalFactFiles =
+      spark.read.parquet(s"$wh/core/fact_orders").inputFiles.length
+    val oneDay = graft.sources.IndexedScan
+      .readIndexed(spark, s"$wh/core/fact_orders", idxPath)
+      .where(col("order_date") === days.head)
+    oneDay.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val dayScan = scans(oneDay.queryExecution.executedPlan)
+    assert(dayScan.size == 1)
+    val nDayFiles = dayScan.head.metrics("numFiles").value
+    assert(nDayFiles < totalFactFiles,
+      s"date-filtered fact read scanned $nDayFiles of $totalFactFiles files")
+    assert(oneDay.count() ==
+      spark.read.parquet(s"$wh/core/fact_orders")
+        .where(col("order_date").cast("string") === days.head).count())
+
     // the day build prunes BOTH fact-join sides: the day's order keys
     // broadcast as a LEFT SEMI filter on lineitem, so other days' lines
     // never reach the join shuffle (the 100 TB posture; full-scan joins

@@ -187,6 +187,57 @@ class StarStreamSpec extends SparkSpec {
     assertMatchesBatch(layout, cfg)
   }
 
+  /** Executed-plan file count of the (single) file scan — AQE-aware
+    * (query stages hide their plans in fields, not children). */
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.size == 1, s"expected one file scan, got ${found.size}")
+    found.head.metrics("numFiles").value
+  }
+
+  test("the star eats its own index: date-filtered fact and summary reads prune files through the maintained stats index") {
+    val layout = StarStream.Layout(
+      Files.createTempDirectory("graft-starstream-idx").toString)
+    factChunks.zipWithIndex.foreach { case (ch, i) =>
+      StarStream.applyFactBatch(factDf(ch), i.toLong, layout,
+        dimPart, dimDates, cfg)
+    }
+    assert(Files.exists(java.nio.file.Path.of(layout.factStats)) &&
+      Files.exists(java.nio.file.Path.of(layout.summaryStats)),
+      "applyFactBatch must maintain both co-located stats indexes")
+
+    val d = factChunks.head.head._2 // one date present in the log
+    val total = spark.read.parquet(layout.factOrders).inputFiles.length
+    val q = StarStream.factOrders(spark, layout)
+      .where(col("order_date") === lit(d).cast("date"))
+    val n = scanFiles(q)
+    // one date's dirs only (a landing may write several files per dir)
+    assert(n * 10 <= total,
+      s"date-filtered fact read scanned $n of $total files — index not consulted")
+    val want = factRows(spark.read.parquet(layout.factOrders)
+      .drop("_batch_id")
+      .withColumn("order_date", col("order_date").cast("date"))
+      .where(col("order_date") === lit(d).cast("date")))
+    assert(want.nonEmpty && factRows(q) == want,
+      "indexed fact read changed the answer")
+
+    val sTotal = spark.read.parquet(layout.salesSummary).inputFiles.length
+    val s = StarStream.salesSummary(spark, layout)
+      .where(col("date") === lit(d).cast("date"))
+    val sn = scanFiles(s)
+    assert(sn < sTotal && s.count() > 0,
+      s"date-filtered summary read scanned $sn of $sTotal files")
+  }
+
   test("end-to-end MemoryStream run: one app, two feeds; any-instant reads; final state == batch") {
     implicit val sq = spark.sqlContext
     val layout = StarStream.Layout(
