@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in optimizer rewrite: window top-k idiom → bounded-heap
     // aggregate (spark.graft.rewrite.topk=true; no-op otherwise)
     ext.injectOptimizerRule(_ => TopKRewrite())
+    // opt-in automatic dynamic file pruning over GraftFileIndex scans
+    // (spark.graft.rewrite.dfp=true; no-op otherwise)
+    ext.injectOptimizerRule(_ => DfpRewrite())
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -763,6 +763,44 @@ object ExtraQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** [[statsDfpQ]]'s twin through the OPT-IN optimizer rule
+    * ([[graft.plans.DfpRewrite]]): a PLAIN `fact.join(dim)` — no
+    * `dfpJoin` call — optimized under `spark.graft.rewrite.dfp=true`,
+    * which injects the dim-key IN onto the indexed fact at planning
+    * time (the `q_topk_rewrite` flag-window pattern: the plan is forced
+    * and memoized inside the window, other gates never see the flag).
+    * Fails loudly if the injection did not fire; oracle is
+    * `stats_dfp`'s SQL verbatim — the rewrite must be invisible. */
+  def statsAutoDfpQ(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.graft.rewrite.dfp"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val table = s"$dir/events.parquet"
+      val stats = graft.sources.StatsIndex.build(s, table,
+        Seq("event_id", "user_id", "value"))
+      val blooms = graft.sources.StatsIndex.buildBlooms(s, table,
+        Seq("user_id"), expectedItemsPerFile = 1L << 16, fpp = 0.01)
+      val fact = graft.sources.IndexedScan.readIndexedFrom(s, table, stats, Some(blooms))
+        .select("event_id", "user_id", "event_type", "value")
+      val dim = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val df = fact.join(dim, Seq("user_id"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("total_value"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("c_mktsegment")
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.matches("(?s).*user_id#\\d+L? (IN|INSET).*"),
+        s"stats_auto_dfp: DfpRewrite did not inject the dim-key IN:\n$plan")
+      df
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private val statsDfpOracle: String =
     """SELECT c.c_mktsegment, count(*) AS n_events,
       |  round(sum(e.value), 6) AS total_value,
@@ -921,6 +959,7 @@ object ExtraQueries {
     "stats_bloom" -> (statsBloomQ _),
     "stats_scan" -> (statsScanQ _),
     "stats_dfp" -> (statsDfpQ _),
+    "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
     "q_resample" -> (resampleQ _),
     "q_rolling" -> (rollingQ _),
@@ -945,6 +984,7 @@ object ExtraQueries {
     "stats_bloom" -> statsBloomOracle,
     "stats_scan" -> statsScanOracle,
     "stats_dfp" -> statsDfpOracle,
+    "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,
     "q_resample" -> resampleOracle,
     "q_rolling" -> rollingOracle,
