@@ -247,6 +247,129 @@ object Upsert {
     }
   }
 
+  /** MERGE with SNAPSHOT-ISOLATED readers — [[mergeInto]]'s semantics on
+    * a VERSIONED manifest ([[graft.sources.StatsIndex]] generations),
+    * closing the publish-window race the in-place flow has: there,
+    * partition dirs republish before `replacePartitions` lands, and a
+    * reader constructing its file index in that window sees stats naming
+    * deleted files and crashes. Here nothing is ever deleted in the
+    * write path — the Delta copy-on-write shape on plain parquet:
+    *
+    *  1. read the touched partitions' files AS NAMED BY the current
+    *     index generation (the snapshot — never a directory listing);
+    *  2. latest-wins [[merge]] + deletes, staged write;
+    *  3. staged part-files MOVE INTO the live partition directories
+    *     under fresh names — pure additions; unindexed files are
+    *     invisible to every index-served reader, so a crash here leaves
+    *     garbage for [[graft.sources.StatsIndex.vacuum]], never a
+    *     corrupt table;
+    *  4. COMMIT = write index generation N+1 (untouched partitions'
+    *     rows survive as-is, touched partitions' rows are replaced by
+    *     the new files' stats; replaced files simply leave the
+    *     manifest). The generation write is the atomic flip: a reader
+    *     pinned to N keeps reading the OLD files — still on disk —
+    *     consistently; a reader arriving after sees exactly N+1.
+    *
+    * Replaced files are reaped later by `vacuum(table, loadLatest(...))`
+    * past a grace window ≥ the longest reader, and old generations by
+    * `vacuumGenerations` — the retention contract. The trade: the TABLE
+    * DIRECTORY now holds multiple generations of files, so plain
+    * `spark.read.parquet(path)` sees duplicates — a versioned table must
+    * be read through [[graft.sources.IndexedScan.readIndexedVersioned]]
+    * (exactly Delta's contract for its own directories). Writers stay
+    * SINGLE (generation numbering is not fenced); readers are free.
+    *
+    * Bootstrap: a missing/empty generation root with an empty table dir
+    * lands the batch as generation 1. A non-empty UNINDEXED table is
+    * refused — silently making its files invisible would "lose" them;
+    * run `saveGeneration(build(...))` once to adopt it. */
+  def mergeIntoVersioned(path: String, updates: DataFrame, keys: Seq[String],
+                         partitionCol: String, indexRoot: String,
+                         statsColumns: Seq[String] = Nil,
+                         deletes: Option[DataFrame] = None): Long = {
+    require(keys.nonEmpty, "mergeIntoVersioned: empty key list")
+    require(!keys.contains(partitionCol),
+      s"mergeIntoVersioned: partitionCol '$partitionCol' cannot be a merge key")
+    deletes.foreach { d =>
+      val missing = (keys :+ partitionCol).filterNot(d.columns.contains)
+      require(missing.isEmpty,
+        s"mergeIntoVersioned: deletes frame lacks column(s) ${missing.mkString(", ")}")
+    }
+    val spark = updates.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = graft.sources.StatsIndex.generations(spark, indexRoot)
+    if (gens.isEmpty)
+      require(!fs.exists(dest) ||
+          graft.sources.StatsIndex.listDataFiles(spark, path).isEmpty,
+        s"mergeIntoVersioned: $path holds data but $indexRoot has no " +
+          "generation — adopt it first with saveGeneration(build(...))")
+    val current =
+      if (gens.isEmpty) None
+      else Some(graft.sources.StatsIndex.load(spark, s"$indexRoot/_v=${gens.last}"))
+
+    val touched = deletes.fold(updates.select(col(partitionCol)))(d =>
+        updates.select(col(partitionCol))
+          .unionByName(d.select(col(partitionCol))))
+      .distinct().collect().map(_.get(0)).toSeq
+    require(!touched.contains(null),
+      s"mergeIntoVersioned: updates/deletes carry a NULL $partitionCol")
+    def applyDeletes(df: DataFrame): DataFrame = deletes.fold(df)(d =>
+      df.join(d.select(keys.map(col): _*), keys, "left_anti"))
+
+    // 1-2. snapshot read of the touched slice, merge, stage
+    val mergeFiles = current.map(c =>
+      graft.sources.StatsIndex.partitionFiles(c, partitionCol, touched))
+      .getOrElse(Nil)
+    val merged = applyDeletes(
+      if (mergeFiles.isEmpty) updates
+      else merge(
+        spark.read.option("basePath", path).parquet(mergeFiles: _*),
+        updates, keys))
+    val staging = new org.apache.hadoop.fs.Path(dest,
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      merged.write.mode("overwrite").partitionBy(partitionCol)
+        .parquet(staging.toString)
+
+      // 3. move staged files in under fresh names — pure additions
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val movedIn = fs.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { d =>
+          val target = new org.apache.hadoop.fs.Path(dest, d.getPath.getName)
+          fs.mkdirs(target)
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => !f.isDirectory &&
+              f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map { f =>
+              val in = new org.apache.hadoop.fs.Path(target,
+                s"gen-$runId-${f.getPath.getName}")
+              if (!fs.rename(f.getPath, in)) throw new java.io.IOException(
+                s"mergeIntoVersioned: rename ${f.getPath} -> $in failed")
+              fs.makeQualified(in).toString
+            }
+        }
+
+      // 4. commit: generation N+1 = untouched survivors + the new files
+      val hconf = spark.sessionState.newHadoopConf()
+      val prefixes = touched.map { v =>
+        val p = new org.apache.hadoop.fs.Path(dest, partDirName(partitionCol, v))
+        val q = p.getFileSystem(hconf).makeQualified(p).toString
+        if (q.endsWith("/")) q else q + "/"
+      }
+      val under = prefixes.map(p => col("file").startsWith(p))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val fresh = graft.sources.StatsIndex.statsForFiles(
+        spark, movedIn, statsColumns)
+      val nextGen = current.map(_.where(!under).unionByName(fresh))
+        .getOrElse(fresh)
+      graft.sources.StatsIndex.saveGeneration(nextGen, indexRoot)
+    } finally fs.delete(staging, true)
+  }
+
   /** The directory name Spark actually writes for `col=value` — the
     * value Hive-escaped (`%` → `%25`, `:`/`=`/control chars → `%xx`),
     * via the same catalyst utility `partitionBy` uses. */

@@ -109,6 +109,18 @@ object IndexedScan extends Logging {
     else pruned.join(dim, pruned(key) === dim(dimKey), joinType)
   }
 
+  /** [[readIndexed]] against a VERSIONED index root ([[StatsIndex]]
+    * generations): pins the newest COMPLETE generation at construction —
+    * the snapshot-isolation read for tables maintained by
+    * [[graft.operators.Upsert.mergeIntoVersioned]]. A concurrent merge
+    * never disturbs this reader: its generation's files are left on
+    * disk until vacuum's grace window expires. */
+  def readIndexedVersioned(spark: SparkSession, tablePath: String,
+                           indexRoot: String,
+                           blooms: Option[DataFrame] = None): DataFrame =
+    readIndexedFrom(spark, tablePath,
+      StatsIndex.loadLatest(spark, indexRoot), blooms)
+
   /** [[readIndexed]] fed already-loaded index relations — the in-memory
     * path (a freshly built, unsaved index works too). */
   def readIndexedFrom(spark: SparkSession, tablePath: String,

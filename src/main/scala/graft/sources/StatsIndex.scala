@@ -357,6 +357,111 @@ object StatsIndex extends org.apache.spark.internal.Logging {
   def load(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(indexPath)
 
+  // -------------------------------------------------------------------
+  // Versioned generations — the concurrent-reader manifest
+  // -------------------------------------------------------------------
+  //
+  // `save` overwrites the one index relation in place, which is fine for
+  // the single-writer/single-reader discipline but leaves a window where
+  // a reader constructing a [[GraftFileIndex]] mid-publish sees an index
+  // naming deleted files and crashes. Generations close it the Delta
+  // way: each snapshot writes a fresh immutable `_v=N` directory under
+  // the index root, readers pin the NEWEST COMPLETE generation (its
+  // `_SUCCESS` marker is the commit), and old generations — whose data
+  // files [[graft.operators.Upsert.mergeIntoVersioned]] leaves on disk —
+  // stay readable until [[vacuumGenerations]]/[[vacuum]] reap them past
+  // the retention window. Writers stay single (generation numbering is
+  // not fenced); READERS become freely concurrent.
+
+  /** Complete (= `_SUCCESS`-marked) generation numbers under the root,
+    * ascending. */
+  def generations(spark: SparkSession, indexRoot: String): Seq[Long] = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_v="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("_v=").toLong).toOption
+        .filter(_ => fs.exists(new Path(st.getPath, "_SUCCESS"))))
+      .sorted
+  }
+
+  /** Write `stats` as the NEXT generation and return its number — the
+    * write is the commit: readers see the generation only once its
+    * `_SUCCESS` lands, and no existing generation is touched. Numbering
+    * skips past EVERY existing `_v=` directory, complete or not, so a
+    * crashed writer's carcass never collides (and stays reapable by
+    * [[vacuumGenerations]]). Single writer assumed (numbering is not
+    * fenced against a racing writer — same contract as every publish
+    * path here). */
+  def saveGeneration(stats: DataFrame, indexRoot: String): Long = {
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(
+      stats.sparkSession.sessionState.newHadoopConf())
+    val existing: Seq[Long] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_v="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("_v=").toLong).toOption)
+    val next = (0L +: existing).max + 1L
+    stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
+    next
+  }
+
+  /** The newest complete generation's relation — what every versioned
+    * reader pins at construction. */
+  def loadLatest(spark: SparkSession, indexRoot: String): DataFrame = {
+    val gens = generations(spark, indexRoot)
+    require(gens.nonEmpty,
+      s"loadLatest: no complete index generation under $indexRoot")
+    load(spark, s"$indexRoot/_v=${gens.last}")
+  }
+
+  /** Reap old index generations: complete generations beyond the newest
+    * `keep`, and incomplete (crashed-write) generation dirs, both only
+    * once older than `graceMs` — a reader that pinned a generation
+    * within the grace window is never pulled out from under.
+    * Returns the deleted generation directories. */
+  def vacuumGenerations(spark: SparkSession, indexRoot: String,
+                        keep: Int = 2, graceMs: Long = 0L,
+                        nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(keep >= 1, s"vacuumGenerations: keep=$keep must be >= 1")
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val complete = generations(spark, indexRoot).toSet
+    val spared = complete.toSeq.sorted.takeRight(keep).toSet
+    val doomed = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_v="))
+      .filter { st =>
+        val n = scala.util.Try(
+          st.getPath.getName.stripPrefix("_v=").toLong).toOption
+        val isSpared = n.exists(spared)
+        val old = nowMs - st.getModificationTime >= graceMs
+        !isSpared && old
+      }
+      .map(_.getPath)
+    doomed.foreach(fs.delete(_, true))
+    doomed.map(_.toString).sorted
+  }
+
+  /** Footer stats for an explicit file list, as one distributed pass —
+    * the shared worker behind [[build]]/[[updateFiles]]/
+    * [[replacePartitions]] and the versioned merge. */
+  private[graft] def statsForFiles(spark: SparkSession, files: Seq[String],
+                                   columns: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    if (files.isEmpty) return spark.emptyDataset[FileColStats].toDF()
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val wanted = columns.toSet
+    val par = math.min(files.size, spark.sparkContext.defaultParallelism)
+    spark.createDataset(files.toSeq).repartition(par)
+      .mapPartitions(_.flatMap(f => footerStats(f, conf, wanted)))
+      .toDF()
+  }
+
   /** Incremental maintenance: index stats for files under `tablePath`
     * NOT yet in the index at `indexPath`, appending only those rows —
     * existing entries are never read back or rewritten, so an

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Upsert
+
+/** Versioned stats generations ([[StatsIndex.saveGeneration]] /
+  * [[Upsert.mergeIntoVersioned]] / [[IndexedScan.readIndexedVersioned]]):
+  * the publish-window reader race of the in-place flow must be gone — a
+  * reader pinned to generation N reads OLD data consistently through and
+  * after a concurrent merge, commit is the atomic generation flip, and
+  * vacuum closes the retention loop. */
+class VersionedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame) = df
+    .select(col("order_id").cast("long"), col("day").cast("string"),
+      col("amount").cast("double"))
+    .as[(Long, String, Double)].collect().toSet
+
+  private val base = Set(
+    (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+    (3L, "2024-01-02", 30.0), (4L, "2024-01-03", 40.0))
+
+  test("bootstrap, snapshot-isolated reader through a concurrent merge, atomic flip, vacuum retention") {
+    val root = Files.createTempDirectory("graft-videx").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+
+    // bootstrap: first merge lands generation 1
+    val g1 = Upsert.mergeIntoVersioned(path,
+      base.toSeq.toDF("order_id", "day", "amount"), Seq("order_id"), "day", idx)
+    assert(g1 == 1L)
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) == base)
+
+    // a reader constructed NOW pins generation 1 (stats collected at
+    // construction) — it must survive everything below unchanged
+    val pinned = IndexedScan.readIndexedVersioned(spark, path, idx)
+
+    // THE MID-MERGE WINDOW: new files landed in the live dirs, the
+    // generation not yet flipped. Emulate by dropping a foreign file
+    // into a partition dir — indistinguishable from step 3 of the merge.
+    Seq((99L, 999.0)).toDF("order_id", "amount").coalesce(1)
+      .write.mode("append").parquet(s"$path/day=2024-01-01")
+    val midMerge = IndexedScan.readIndexedVersioned(spark, path, idx)
+    assert(rows(midMerge) == base,
+      "mid-window reader must see exactly generation 1 — no crash, no phantom rows")
+    assert(rows(pinned) == base)
+
+    // the real merge: update key 2, insert key 5, DELETE key 4 (empties
+    // its partition) — commits generation 2
+    val g2 = Upsert.mergeIntoVersioned(path,
+      Seq((2L, "2024-01-01", 99.0), (5L, "2024-01-04", 50.0))
+        .toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx,
+      deletes = Some(Seq((4L, "2024-01-03")).toDF("order_id", "day")))
+    assert(g2 == 2L)
+    val want2 = Set(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 99.0),
+      (3L, "2024-01-02", 30.0), (5L, "2024-01-04", 50.0))
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) == want2,
+      "post-commit reader must see exactly generation 2")
+
+    // the generation-1 reader STILL reads the OLD snapshot consistently:
+    // its files were never deleted, only de-manifested (the verdict r17
+    // item 3 contract — no require-crash, no torn read)
+    assert(rows(pinned) == base,
+      "pinned reader lost snapshot isolation across the merge")
+
+    // plain directory readers see multiple generations — the documented
+    // trade; the manifest is the table
+    assert(spark.read.parquet(path).count() > want2.size,
+      "fixture sanity: old-generation files still on disk")
+
+    // vacuum against the LATEST generation reaps the de-manifested files
+    // (replaced/emptied/mid-window stray) once past grace
+    val reaped = StatsIndex.vacuum(spark, path,
+      StatsIndex.loadLatest(spark, idx), graceMs = 0L)
+    assert(reaped.nonEmpty)
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) == want2,
+      "vacuum touched a manifested file")
+    assert(rows(spark.read.parquet(path)
+      .select("order_id", "day", "amount")) == want2,
+      "after vacuum the directory holds exactly the live generation")
+
+    // generation retention: keep the newest only, gen 1 dir reaped
+    val gone = StatsIndex.vacuumGenerations(spark, idx, keep = 1)
+    assert(gone.size == 1 && gone.head.contains("_v=1"))
+    assert(StatsIndex.generations(spark, idx) == Seq(2L))
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) == want2)
+  }
+
+  test("a non-empty unindexed table is refused; adoption via saveGeneration(build) then merges version cleanly") {
+    val root = Files.createTempDirectory("graft-videx-adopt").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    base.toSeq.toDF("order_id", "day", "amount")
+      .write.partitionBy("day").parquet(path)
+    assertThrows[IllegalArgumentException] {
+      Upsert.mergeIntoVersioned(path,
+        Seq((9L, "2024-01-01", 1.0)).toDF("order_id", "day", "amount"),
+        Seq("order_id"), "day", idx)
+    }
+    // adopt, then merge
+    assert(StatsIndex.saveGeneration(
+      StatsIndex.build(spark, path), idx) == 1L)
+    Upsert.mergeIntoVersioned(path,
+      Seq((9L, "2024-01-01", 1.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) ==
+      base + ((9L, "2024-01-01", 1.0)))
+  }
+
+  test("crashed generation write: incomplete _v dir is invisible to readers and reapable past grace") {
+    val root = Files.createTempDirectory("graft-videx-crash").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    Upsert.mergeIntoVersioned(path,
+      base.toSeq.toDF("order_id", "day", "amount"), Seq("order_id"), "day", idx)
+    // a crashed writer's half generation: parquet bytes, no _SUCCESS
+    val g2dir = s"$idx/_v=2"
+    StatsIndex.loadLatest(spark, idx).write.parquet(g2dir)
+    new java.io.File(s"$g2dir/_SUCCESS").delete()
+    assert(StatsIndex.generations(spark, idx) == Seq(1L),
+      "incomplete generation must not be listed")
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) == base)
+    // and the NEXT writer does not collide with the carcass... it skips
+    // past it (numbering from the max complete + dir probe)
+    val reaped = StatsIndex.vacuumGenerations(spark, idx, keep = 1, graceMs = 0L)
+    assert(reaped.exists(_.contains("_v=2")), s"carcass not reaped: $reaped")
+    val g = Upsert.mergeIntoVersioned(path,
+      Seq((7L, "2024-01-02", 7.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    assert(g == 2L)
+    assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) ==
+      base + ((7L, "2024-01-02", 7.0)))
+  }
+}
