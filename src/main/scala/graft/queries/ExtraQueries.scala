@@ -8,8 +8,9 @@ import graft.operators._
 
 /** Round-1 extension queries: skew-salted aggregation, batch twin of the
   * streaming window agg, incremental SCD2 merge, approximate sketches
-  * (SURVEY.md §2 additions; `q_approx` is rows-only — HLL/KLL internals are
-  * engine-specific, accuracy is asserted vs exact values in ScalaTest).
+  * (SURVEY.md §2 additions; `q_approx` is a contract-verdict gate — HLL/KLL
+  * internals are engine-specific, so accuracy vs exact values is checked
+  * on every run and hash-oracled, see [[ContractGate]]).
   */
 object ExtraQueries {
 
@@ -79,15 +80,45 @@ object ExtraQueries {
       .orderBy("customer_id", "effective_date")
   }
 
-  /** Approximate sketches (rows-only): HLL distinct + KLL-ish quantiles.
-    * Error bounds vs exact asserted in AnalyticsSpec. */
-  def approxSketches(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  /** Approximate sketches, judged by contract verdicts ([[ContractGate]]):
+    * the HLL++ / approx_percentile estimates are engine-specific, so the
+    * gate runs them and checks each per-flag estimate against the EXACT
+    * value computed in the same Spark job — distinct estimate within 3×
+    * its configured rsd (0.02 → 0.06), approx median inside the exact
+    * p49–p51 band (accuracy 1000 → rank error ≤ 0.1%, so the ±1%-rank
+    * band strictly contains the returned data value). */
+  def approxSketches(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_median"))
-      .orderBy("l_returnflag")
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2)
+          .cast("double").as("approx_median"))
+      .collect() // bounded: one row per return flag
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.49)").as("p49"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.51)").as("p51"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val perFlag = exact.toSeq.sortBy(_._1).flatMap { case (f, (nd, p49, p51)) =>
+      approx.get(f).toSeq.flatMap { case (ao, am) =>
+        val rel = math.abs(ao - nd).toDouble / math.max(1L, nd)
+        Seq(
+          (s"hll_rel_err($f)<=0.06", rel <= 0.06, ContractGate.obs(rel)),
+          (s"median_band($f)", am >= p49 - 0.01 && am <= p51 + 0.01,
+            f"observed=$am%.2f band=[$p49%.2f,$p51%.2f]"))
+      }
+    }
+    ContractGate.verdicts(s, perFlag :+
+      (("flags_match", approx.keySet == exact.keySet,
+        s"approx=${approx.keySet.toSeq.sorted.mkString(",")} exact=${exact.keySet.toSeq.sorted.mkString(",")}")))
+  }
+
+  private val approxSketchesOracle: String = ContractGate.oracle(
+    Seq("A", "N", "R").flatMap(f =>
+      Seq(s"hll_rel_err($f)<=0.06", s"median_band($f)")) :+ "flags_match")
 
   /** One-pass numeric profile of lineitem — the data-quality census as a
     * gate query, fully oracled (counts/min/max exact, sum round(4)). */
@@ -280,7 +311,7 @@ object ExtraQueries {
       |  FROM psi
       |) ORDER BY "check"""".stripMargin
 
-  /** The KLL quantile band as a publish gate (rows-only: KLL estimates
+  /** The KLL quantile band as a publish gate (literal-oracled: KLL estimates
     * are engine-specific; outcome margins are ≫ rank error so the
     * pass/violate split is still deterministic — spec-pinned in
     * ExpectationsSpec). Baseline = per-(lang) doc-length sketches of the
@@ -370,7 +401,7 @@ object ExtraQueries {
   /** PCA spectrum of the embeddings table: per-component variance share
     * + cumulative share at k=16 of 64, plus the measured rank-16
     * reconstruction MSE — the decision report for "can this corpus's
-    * vectors be halved before indexing?". Rows-only by design (Jacobi
+    * vectors be halved before indexing?". Contract-verdict gate (Jacobi
     * eigenvectors are not DuckDB-reproducible); orthonormality, planted-
     * rank recovery, the variance/reconstruction identity, and geometry
     * preservation are spec-pinned in PcaSpec. */
@@ -378,14 +409,46 @@ object ExtraQueries {
     val emb = t(s, dir, "embeddings")
     val m = Pca.fit(emb, "embedding", k = 16)
     val mse = Pca.reconstructionMse(emb, "embedding", m)
-    import s.implicits._
-    val cum = m.varianceShare.scanLeft(0.0)(_ + _).drop(1)
-    m.varianceShare.zipWithIndex.map { case (v, i) =>
-      (i, math.rint(v * 1e6) / 1e6, math.rint(cum(i) * 1e6) / 1e6,
-        math.rint(mse * 1e6) / 1e6)
-    }.toSeq.toDF("component", "variance_share", "cum_share", "mse_k16")
-      .orderBy("component")
+    // exact total variance (population, the fit's own convention):
+    // avg ‖x−μ‖² with the model's mean — equals the covariance trace
+    val meanLit = array(m.mean.map(lit(_)): _*)
+    val centered = zip_with(col("embedding").cast("array<double>"), meanLit,
+      (x, mu) => x - mu)
+    val totalVar = emb
+      .agg(avg(aggregate(transform(centered, x => x * x), lit(0.0), _ + _)))
+      .head().getDouble(0)
+    // driver-side checks on the k×d basis (k=16, d=64 — trivially bounded)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val g = m.components
+    val orthoErr = (for (i <- g.indices; j <- i until g.length) yield
+      math.abs(dot(g(i), g(j)) - (if (i == j) 1.0 else 0.0))).max
+    val shares = m.varianceShare
+    val monotone = shares.sliding(2).forall {
+      case Array(a2, b2) => a2 >= b2 - 1e-12; case _ => true
+    } && shares.forall(_ >= 0.0)
+    val shareSum = shares.sum
+    // the spectral identity the report exists for: residual energy ==
+    // total·(1 − Σ share_k); Jacobi converges to 1e-20 off-diagonal so
+    // the band is numerical-noise-wide only
+    val predictedMse = totalVar * (1.0 - shareSum)
+    val mseErr = math.abs(mse - predictedMse)
+    ContractGate.verdicts(s, Seq(
+      ("dims_k16_d64", g.length == 16 && g.forall(_.length == 64),
+        s"k=${g.length} d=${g.headOption.map(_.length).getOrElse(0)}"),
+      ("orthonormal_basis", orthoErr <= 1e-8, ContractGate.obs(orthoErr)),
+      ("variance_shares_monotone", monotone, shares.mkString(",")),
+      ("share_sum_in_unit", shareSum > 0.0 && shareSum <= 1.0 + 1e-9,
+        ContractGate.obs(shareSum)),
+      ("mse_spectral_identity", mseErr <= 1e-6 * math.max(totalVar, 1e-12),
+        f"mse=$mse%.9f predicted=$predictedMse%.9f total=$totalVar%.9f")))
   }
+
+  private val embPcaOracle: String = ContractGate.oracle(Seq(
+    "dims_k16_d64", "orthonormal_basis", "variance_shares_monotone",
+    "share_sum_in_unit", "mse_spectral_identity"))
 
   /** No-split (SFT-regime) greedy packing of documents into 4096-char
     * bins per language — first-fit-decreasing, hash-oracled against
@@ -801,6 +864,162 @@ object ExtraQueries {
     }
   }
 
+  /** The deterministic 3-generation versioned-warehouse fixture both
+    * [[timeTravelQ]] and [[cdfQ]] build (per call, in a fresh temp dir,
+    * reaped before return): gen1 = the `%37` orders sample, gen2 =
+    * `%3`-keyed price bump (+1.0 — exactly +100 cents) plus the
+    * disjoint `%41` insert batch, gen3 = `%5`-keyed deletes. Every
+    * branch derives from the orders table alone, so DuckDB re-derives
+    * each generation's state (and each hop's change rows) exactly. */
+  private def versionedFixture(s: SparkSession, dir: String): (String, String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vtt").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey").cast("long").as("order_id"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").cast("double").as("price"))
+    val s0 = orders.where(col("order_id") % 37 === 0)
+    Upsert.mergeIntoVersioned(path, s0, Seq("order_id"), "priority", idx)
+    val upd = s0.where(col("order_id") % 3 === 0)
+      .withColumn("price", col("price") + lit(1.0))
+    val ins = orders.where(col("order_id") % 41 === 0 &&
+      col("order_id") % 37 =!= 0)
+    Upsert.mergeIntoVersioned(path, upd.unionByName(ins),
+      Seq("order_id"), "priority", idx)
+    Upsert.mergeIntoVersioned(path, s0.limit(0), Seq("order_id"), "priority",
+      idx, deletes = Some(
+        s0.unionByName(ins).where(col("order_id") % 5 === 0)
+          .select("order_id", "priority")))
+    (root, path, idx)
+  }
+
+  private def reap(root: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val walked = Files.walk(Path.of(root))
+    try walked.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walked.close()
+  }
+
+  /** Time travel (`ChangeFeed.asOf`) over the [[versionedFixture]]
+    * warehouse: every retained generation read back through its PINNED
+    * manifest (replaced files still on disk serve the old snapshots —
+    * the copy-on-write contract), aggregated to per-(gen, priority)
+    * counts + exact cent sums. Hash-oracled: DuckDB re-derives all
+    * three states from `orders`; a snapshot leaking rows across
+    * generations (or a vacuumed-too-early file) breaks the hash. */
+  def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
+    val (root, path, idx) = versionedFixture(s, dir)
+    try {
+      val out = (1L to 3L).map { g =>
+        ChangeFeed.asOf(s, path, idx, g)
+          .groupBy(col("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("price") * 100).cast("long")).as("cents"))
+          .withColumn("gen", lit(g))
+      }.reduce(_.unionByName(_))
+        .select(col("gen"), col("priority"), col("n"), col("cents"))
+        .collect() // bounded: generations × priorities ≤ 15 rows
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      import s.implicits._
+      out.toSeq.toDF("gen", "priority", "n", "cents")
+        .orderBy("gen", "priority")
+    } finally reap(root)
+  }
+
+  private val timeTravelOracle: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |ins AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 41 = 0 AND o_orderkey % 37 <> 0),
+      |g2 AS (
+      |  SELECT order_id, priority,
+      |         CASE WHEN order_id % 3 = 0 THEN cents + 100 ELSE cents END AS cents
+      |  FROM s
+      |  UNION ALL SELECT * FROM ins),
+      |g3 AS (SELECT * FROM g2 WHERE order_id % 5 <> 0)
+      |SELECT CAST(1 AS BIGINT) AS gen, priority,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM s GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), priority,
+      |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      |FROM g2 GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), priority,
+      |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      |FROM g3 GROUP BY 2
+      |ORDER BY gen, priority""".stripMargin
+
+  /** Change data feed (`ChangeFeed.between`) over the same fixture:
+    * the keyed insert/update/delete rows of BOTH generation hops,
+    * computed over only the partitions whose file manifests changed
+    * (the CDF-at-scale shape — cost ∝ changed slice; the pruning
+    * mechanics are spec-pinned in ChangeFeedSpec with a controlled
+    * layout). Hash-oracled: DuckDB re-derives each hop's change set
+    * from `orders`. */
+  def cdfQ(s: SparkSession, dir: String): DataFrame = {
+    val (root, path, idx) = versionedFixture(s, dir)
+    try {
+      def hop(from: Long, to: Long): DataFrame =
+        ChangeFeed.between(s, path, idx, from, to, Seq("order_id"), "priority")
+          .select(lit(from).as("from_gen"), lit(to).as("to_gen"), col("op"),
+            col("order_id"),
+            coalesce(col("b_priority"), col("a_priority")).as("priority"),
+            round(col("b_price") * 100).cast("long").as("b_cents"),
+            round(col("a_price") * 100).cast("long").as("a_cents"))
+      val out = hop(1L, 2L).unionByName(hop(2L, 3L))
+        .collect() // bounded: delta-sized (≤ sample size)
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getString(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      import s.implicits._
+      out.toSeq
+        .toDF("from_gen", "to_gen", "op", "order_id", "priority",
+          "b_cents", "a_cents")
+        .orderBy("from_gen", "op", "order_id")
+    } finally reap(root)
+  }
+
+  private val cdfOracle: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |ins AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 41 = 0 AND o_orderkey % 37 <> 0),
+      |g2 AS (
+      |  SELECT order_id, priority,
+      |         CASE WHEN order_id % 3 = 0 THEN cents + 100 ELSE cents END AS cents
+      |  FROM s
+      |  UNION ALL SELECT * FROM ins),
+      |h12 AS (
+      |  SELECT 'update' AS op, order_id, priority,
+      |         cents AS b_cents, cents + 100 AS a_cents
+      |  FROM s WHERE order_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'insert', order_id, priority, NULL, cents FROM ins),
+      |h23 AS (
+      |  SELECT 'delete' AS op, order_id, priority,
+      |         cents AS b_cents, CAST(NULL AS BIGINT) AS a_cents
+      |  FROM g2 WHERE order_id % 5 = 0)
+      |SELECT CAST(1 AS BIGINT) AS from_gen, CAST(2 AS BIGINT) AS to_gen,
+      |       op, order_id, priority, b_cents, a_cents
+      |FROM h12
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+      |       op, order_id, priority, b_cents, a_cents
+      |FROM h23
+      |ORDER BY from_gen, op, order_id""".stripMargin
+
   private val statsDfpOracle: String =
     """SELECT c.c_mktsegment, count(*) AS n_events,
       |  round(sum(e.value), 6) AS total_value,
@@ -837,7 +1056,7 @@ object ExtraQueries {
     * sketches — the incremental monitoring shape end-to-end in one query:
     * each (lang, source) group sketches its word-3-shingle vocabulary
     * independently (standing in for one ingest batch), then
-    * [[SketchStats.merged]] unions down to lang. Rows-only: HLL register
+    * [[SketchStats.merged]] unions down to lang. Contract-verdict gate: HLL register
     * contents are engine-specific; mergeability (union == single-pass,
     * exactly) and accuracy (3·RSE) are spec-pinned in SketchStatsSpec. */
   def corpusSketch(s: SparkSession, dir: String): DataFrame = {
@@ -853,24 +1072,121 @@ object ExtraQueries {
         explode(Bridge.column(graft.functions.ShingleSet(
           Bridge.expression(normWords(col("text"))), 3))).as("_s"))
       .select(col("lang"), col("source"), xxhash64(col("_s")).as("shingle"))
+      .localCheckpoint() // read 3×: batch sketches, single-pass twin, exact
     val batches = SketchStats.sketchBatch(sh, Seq("lang", "source"), Seq("shingle"))
-    SketchStats.merged(batches, Seq("lang")).orderBy("lang")
+    val m = SketchStats.merged(batches, Seq("lang"))
+      .select(col("lang"), col("n_rows"), col("est_distinct_shingle"))
+      .collect() // bounded: one row per lang
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // single-pass twin: the union path (HLL_4 → union gadget → HLL_8)
+    // is not register-identical to a direct single sketch, but both
+    // estimate the same set within RSE — merged-from-batches must agree
+    // with the direct per-lang sketch to ≤1.5× RSE (measured drift at
+    // sf0.01: 0.06–0.7%; band 2.4%)
+    val direct = SketchStats.merged(
+        SketchStats.sketchBatch(sh, Seq("lang"), Seq("shingle")), Seq("lang"))
+      .select(col("lang"), col("est_distinct_shingle"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = sh.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("shingle")).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // HLL_4 lgK=12: RSE = 1.04/√4096 ≈ 1.6%; 3σ band
+    val bound = 3 * 1.04 / math.sqrt((1L << SketchStats.DefaultLgK).toDouble)
+    val agreeBound = bound / 2 // 1.5× RSE
+    val perLang = exact.toSeq.sortBy(_._1).flatMap { case (l, (n, nd)) =>
+      m.get(l).toSeq.flatMap { case (mn, est) =>
+        val rel = math.abs(est - nd).toDouble / math.max(1L, nd)
+        val agree = direct.get(l).map(d =>
+          math.abs(est - d).toDouble / math.max(1L, d)).getOrElse(1.0)
+        Seq(
+          (s"n_rows_exact($l)", mn == n, s"merged=$mn exact=$n"),
+          (f"hll_rel_err($l)<=$bound%.3f", rel <= bound, ContractGate.obs(rel)),
+          (f"merge_agree($l)<=$agreeBound%.3f", agree <= agreeBound,
+            s"merged=$est direct=${direct.getOrElse(l, -1L)}"))
+      }
+    }
+    ContractGate.verdicts(s, perLang :+
+      (("langs_match", m.keySet == exact.keySet,
+        s"merged=${m.keySet.toSeq.sorted.mkString(",")} exact=${exact.keySet.toSeq.sorted.mkString(",")}")))
+  }
+
+  private val corpusSketchOracle: String = {
+    val bound = 3 * 1.04 / math.sqrt((1L << SketchStats.DefaultLgK).toDouble)
+    ContractGate.oracle(
+      Seq("de", "en", "es", "fr", "zh").flatMap(l =>
+        Seq(s"n_rows_exact($l)", f"hll_rel_err($l)<=$bound%.3f",
+          f"merge_agree($l)<=${bound / 2}%.3f")) :+ "langs_match")
   }
 
   /** Per-language doc-length distribution from MERGED per-(lang, source)
     * KLL quantile sketches — the drift monitor ("did this batch shift
     * the p99?") answered from KB-scale persisted state instead of a
-    * history rescan. Rows-only; rank-error bounds spec-pinned. */
+    * history rescan. Contract-verdict gate; rank-error bounds checked per run
+    * (two-sided tie-aware rank test) and spec-pinned. */
   def corpusKll(s: SparkSession, dir: String): DataFrame = {
-    val batches = SketchStats.sketchBatch(t(s, dir, "documents"),
+    val docs = t(s, dir, "documents")
+    val batches = SketchStats.sketchBatch(docs,
       Seq("lang", "source"), Nil, Nil, quantileCols = Seq("n_chars"))
-    SketchStats.merged(batches, Seq("lang")).orderBy("lang")
+    val m = SketchStats.merged(batches, Seq("lang"))
+      .select(col("lang"), col("n_rows"), col("p50_n_chars"),
+        col("p90_n_chars"), col("p99_n_chars"))
+      .collect() // bounded: one row per lang
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Seq(0.50 -> r.getDouble(2), 0.90 -> r.getDouble(3),
+          0.99 -> r.getDouble(4))))
+      .toMap
+    // exact rank of each estimate, computed DISTRIBUTED (broadcast the
+    // ≤ langs×3 probe rows against the corpus; never collect the corpus):
+    // KLL's guarantee is on RANKS, and ties make a value's rank an
+    // interval — the estimate passes iff p ∈ [rank(<est)−ε, rank(≤est)+ε]
+    import s.implicits._
+    val probes = m.toSeq.flatMap { case (l, (_, qs)) =>
+      qs.map { case (p, est) => (l, p, est) } }
+      .toDF("lang", "p", "est")
+    val ranks = docs.select(col("lang"), col("n_chars").cast("double").as("v"))
+      .join(broadcast(probes), Seq("lang"))
+      .groupBy(col("lang"), col("p"), col("est"))
+      .agg(
+        (sum(when(col("v") < col("est"), 1L).otherwise(0L)) / count(lit(1)))
+          .as("rank_lt"),
+        (sum(when(col("v") <= col("est"), 1L).otherwise(0L)) / count(lit(1)))
+          .as("rank_le"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val exactN = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // KLL k=200 normalized rank error ≈1.3% at high confidence; 0.05 is
+    // a hard outer band (compaction is randomized, so the check must be
+    // a bound, not an equality)
+    val eps = 0.05
+    val perLang = exactN.toSeq.sortBy(_._1).flatMap { case (l, n) =>
+      m.get(l).toSeq.flatMap { case (mn, qs) =>
+        val rankChecks = qs.map { case (p, est) =>
+          val (lt, le) = ranks.getOrElse((l, p), (1.0, 0.0))
+          (f"kll_rank($l,p${(p * 100).round}%d)", p >= lt - eps && p <= le + eps,
+            f"p=$p rank_lt=$lt%.4f rank_le=$le%.4f")
+        }
+        val mono = qs.sortBy(_._1).map(_._2)
+        rankChecks ++ Seq(
+          (s"n_rows_exact($l)", mn == n, s"merged=$mn exact=$n"),
+          (s"kll_monotone($l)", mono == mono.sorted, mono.mkString(",")))
+      }
+    }
+    ContractGate.verdicts(s, perLang :+
+      (("langs_match", m.keySet == exactN.keySet,
+        s"merged=${m.keySet.toSeq.sorted.mkString(",")} exact=${exactN.keySet.toSeq.sorted.mkString(",")}")))
   }
+
+  private val corpusKllOracle: String = ContractGate.oracle(
+    Seq("de", "en", "es", "fr", "zh").flatMap(l =>
+      Seq(s"kll_rank($l,p50)", s"kll_rank($l,p90)", s"kll_rank($l,p99)",
+        s"n_rows_exact($l)", s"kll_monotone($l)")) :+ "langs_match")
 
   /** Sketch-estimated train/eval contamination screen: theta-sketch
     * overlap between the two sides' 8-gram shingle sets — the no-join
-    * estimate of what `decontaminate` computes exactly. Rows-only;
-    * the estimate-vs-exact bound is spec-pinned. */
+    * estimate of what `decontaminate` computes exactly. Contract-verdict
+    * gate; the estimate-vs-exact bound is checked per run and spec-pinned. */
   def deconOverlapEst(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.normWords
     import org.apache.spark.sql.graft.Bridge
@@ -881,9 +1197,44 @@ object ExtraQueries {
       .select(explode(Bridge.column(graft.functions.ShingleSet(
         Bridge.expression(normWords(col("text"))), 8))).as("_s"))
       .select(xxhash64(col("_s")).as("sh"))
-    SketchStats.overlap(
-      sh(d.where(pmod(col("doc_id"), lit(11)) =!= 0)), "sh",
-      sh(d.where(pmod(col("doc_id"), lit(11)) === 0)), "sh")
+      .distinct() // set semantics: theta estimates are dedup-invariant,
+      .localCheckpoint() // and each side is read twice (sketch + exact)
+    val ta = sh(d.where(pmod(col("doc_id"), lit(11)) =!= 0))
+    val tb = sh(d.where(pmod(col("doc_id"), lit(11)) === 0))
+    val r = SketchStats.overlap(ta, "sh", tb, "sh").collect().head // 1 row
+    def num(i: Int): Double = r.getAs[Number](i).doubleValue() // long in exact mode
+    val (estA, estB, estO, estU, estJ) = (num(0), num(1), num(2), num(3), num(4))
+    val exactA = ta.count().toDouble
+    val exactB = tb.count().toDouble
+    val exactO = ta.join(tb, Seq("sh"), "left_semi").count().toDouble
+    val exactU = exactA + exactB - exactO
+    // theta nominal k = 2^DefaultLgK: RSE ≈ 1/√k; 3σ band. The
+    // intersection has no relative guarantee of its own — its error is
+    // bounded relative to the smaller operand/union, so the band is
+    // absolute in units of the exact union (+2 floor for tiny sets).
+    val bound = 3.0 / math.sqrt((1L << SketchStats.DefaultLgK).toDouble)
+    def rel(est: Double, exact: Double) =
+      math.abs(est - exact) / math.max(1.0, exact)
+    val jaccardRef = if (estU > 0) estO / estU else 0.0
+    ContractGate.verdicts(s, Seq(
+      (f"theta_a_rel_err<=$bound%.3f", rel(estA, exactA) <= bound,
+        f"est=$estA%.1f exact=$exactA%.0f"),
+      (f"theta_b_rel_err<=$bound%.3f", rel(estB, exactB) <= bound,
+        f"est=$estB%.1f exact=$exactB%.0f"),
+      (f"theta_union_rel_err<=$bound%.3f", rel(estU, exactU) <= bound,
+        f"est=$estU%.1f exact=$exactU%.0f"),
+      ("theta_overlap_abs_err", math.abs(estO - exactO) <= bound * exactU + 2.0,
+        f"est=$estO%.1f exact=$exactO%.0f band=${bound * exactU + 2.0}%.1f"),
+      ("jaccard_identity", math.abs(estJ - jaccardRef) <= 1e-9,
+        f"reported=$estJ%.9f derived=$jaccardRef%.9f")))
+  }
+
+  private val deconOverlapEstOracle: String = {
+    val bound = 3.0 / math.sqrt((1L << SketchStats.DefaultLgK).toDouble)
+    ContractGate.oracle(Seq(
+      f"theta_a_rel_err<=$bound%.3f", f"theta_b_rel_err<=$bound%.3f",
+      f"theta_union_rel_err<=$bound%.3f", "theta_overlap_abs_err",
+      "jaccard_identity"))
   }
 
   /** Ordered view → click → purchase funnel over the events table. */
@@ -958,6 +1309,8 @@ object ExtraQueries {
     "stats_index" -> (statsIndexQ _),
     "stats_bloom" -> (statsBloomQ _),
     "stats_scan" -> (statsScanQ _),
+    "q_time_travel" -> (timeTravelQ _),
+    "q_cdf" -> (cdfQ _),
     "stats_dfp" -> (statsDfpQ _),
     "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
@@ -983,6 +1336,8 @@ object ExtraQueries {
     "stats_index" -> statsIndexOracle,
     "stats_bloom" -> statsBloomOracle,
     "stats_scan" -> statsScanOracle,
+    "q_time_travel" -> timeTravelOracle,
+    "q_cdf" -> cdfOracle,
     "stats_dfp" -> statsDfpOracle,
     "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,
@@ -995,6 +1350,22 @@ object ExtraQueries {
     "profile_docs" -> profileDocsOracle,
     "dq_check" -> dqOracle,
     "dq_drift" -> dqDriftOracle,
+    // contract gates (operator internals not DuckDB-reproducible; the
+    // checked verdicts are — see ContractGate)
+    "q_approx" -> approxSketchesOracle,
+    "corpus_sketch" -> corpusSketchOracle,
+    "corpus_kll" -> corpusKllOracle,
+    "decon_overlap_est" -> deconOverlapEstOracle,
+    "emb_pca" -> embPcaOracle,
+    // deterministic-by-margin verdict rows: the KLL estimates inside are
+    // randomized, but the ±1000-char shift vs the 100-char band leaves
+    // the violate/pass split orders of magnitude clear of the rank error,
+    // so the OUTPUT rows are stable and literal-oracled directly
+    "dq_drift_kll" ->
+      """SELECT * FROM (VALUES
+        |  ('quantile_drift(n_chars,p90,100.0)', CAST(0 AS BIGINT), true),
+        |  ('quantile_drift(n_chars,p90,99.0)', CAST(1 AS BIGINT), false)
+        |) AS t("check", violations, pass) ORDER BY "check"""".stripMargin,
     "pack_sequences" -> packSeqsOracle,
     "pack_greedy" -> packGreedyOracle,
     "heavy_tokens" -> heavyTokensOracle,

@@ -8,7 +8,8 @@ import graft.functions.Hyperplanes
 import graft.operators.{Ivf, IvfPq, Opq, PcaAnn, Pq, Similarity, Sq}
 
 /** Embedding similarity queries + DuckDB oracles (SURVEY.md §2 #23-25).
-  * Only the IVF entries are rows-only (k-means is not DuckDB-reproducible);
+  * The k-means families emit contract verdicts (quantizers are not
+  * DuckDB-reproducible; see [[ContractGate]] and [[annContract]]);
   * `ann_lsh` is fully oracled — the SQL re-derives the seeded hyperplane
   * signatures, multi-probe expansion, bucket join, and rescore.
   */
@@ -41,12 +42,107 @@ object SimilarityQueries {
     * and every loop is sequential double arithmetic, so the DuckDB
     * oracle re-derives the ENTIRE pipeline (normalize → byte codes →
     * asymmetric approx shortlist → exact re-rank) value-for-value. The
-    * k-means families (IVF/PQ/IVF-PQ) are rows-only by necessity. */
+    * k-means families (IVF/PQ/IVF-PQ) are contract-verdict gates. */
   def annSq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Sq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec", K)
       .orderBy("q_id", "rank")
   }
+
+  // ---- contract verdicts for the k-means ANN family ----------------------
+  // The quantizer internals are not DuckDB-reproducible, so these gates
+  // (R17 verdict item 5) emit machine-checked contract verdicts instead
+  // of `no_oracle`: the operator runs in full, then its result is judged
+  // against the exact brute-force reference and an all-pass literal
+  // oracle hash-matches iff every contract held. See [[ContractGate]].
+
+  /** Exact neighbor sets (q_id → top-K vec_ids), built once per
+    * (session, corpus) — the recall reference for every ANN contract.
+    * Bounded collect: QueryCount·K rows. */
+  private val exactTopKCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[Long, Set[Long]]]
+
+  private def exactTopK(s: SparkSession, dir: String): Map[Long, Set[Long]] =
+    exactTopKCache.getOrElseUpdate((s, dir),
+      annTopK(s, dir).select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet })
+
+  /** Calibrated recall floors: (mean, min-per-query). Quantizer seeds are
+    * fixed, so recall per corpus is deterministic — tools/RecallScan
+    * measured sf0.001/0.01/0.1 and each floor sits a margin under the
+    * worst sf (e.g. IVF nProbe=4/16 measured mean 0.60–0.69, min
+    * 0.40–0.50 → floors 0.55/0.30). */
+  private val IvfFloors = (0.55, 0.30)
+  private val PqFloors = (0.80, 0.60)
+  private val OpqFloors = (0.85, 0.70)
+  private val PcaFloors = (0.30, 0.10)
+
+  /** The shared ANN result contract: shape (K rows per query, contiguous
+    * ranks, ids distinct / in-corpus / ≠ query), EXACTNESS of the
+    * re-ranked cosines (recomputed from the raw vectors, ≤2e-6 of the
+    * reported round-6 value — the "exact re-rank" claim, checked), the
+    * (cos DESC, vec_id ASC) order pin, and recall@K vs [[exactTopK]] at
+    * the method's calibrated floors. */
+  private def annContract(s: SparkSession, dir: String, result: DataFrame,
+                          floors: (Double, Double)): DataFrame = {
+    val (meanFloor, minFloor) = floors
+    val rows = result
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"),
+        col("cos_sim").cast("double"), col("rank").cast("int"))
+      .collect() // bounded: ≤ QueryCount·K rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    val ids = (rows.map(_._1) ++ rows.map(_._2)).distinct.toSeq
+    val vecs: Map[Long, Array[Double]] = emb(s, dir)
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect() // bounded: ≤ QueryCount·(K+1) rows
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = exactTopK(s, dir)
+    val recalls = byQ.map { case (q, rs) =>
+      rs.count(r => exact.getOrElse(q, Set.empty)(r._2)).toDouble / K }.toSeq
+    val kRows = rows.length == QueryCount * K && byQ.size == QueryCount &&
+      byQ.values.forall(_.length == K)
+    val idsOk = rows.forall { case (q, v, _, _) => v != q && vecs.contains(v) } &&
+      byQ.values.forall(rs => rs.map(_._2).distinct.length == rs.length)
+    val ranksOk = byQ.values.forall(_.map(_._4).sorted.toSeq == (1 to K))
+    val ordered = byQ.values.forall { rs =>
+      rs.sortBy(_._4).toSeq.sliding(2).forall {
+        case Seq((_, v1, c1, _), (_, v2, c2, _)) => c1 > c2 || (c1 == c2 && v1 < v2)
+        case _ => true
+      }
+    }
+    val cosErr =
+      if (!idsOk) Double.MaxValue
+      else if (rows.isEmpty) 0.0
+      else rows.iterator.map { case (q, v, c, _) =>
+        math.abs(cos(vecs(q), vecs(v)) - c) }.max
+    val meanR = recalls.sum / math.max(1, recalls.size)
+    val minR = if (recalls.isEmpty) 0.0 else recalls.min
+    ContractGate.verdicts(s, Seq(
+      ("k_rows", kRows, s"rows=${rows.length} queries=${byQ.size}"),
+      ("ids_distinct_in_corpus", idsOk, "dup/self/unknown vec_id in results"),
+      ("ranks_contiguous", ranksOk, "ranks not 1..K per query"),
+      ("order_cos_desc_id_asc", ordered, "rank order violates (cos DESC, vec_id)"),
+      ("cos_exact_rerank", cosErr <= 2e-6, ContractGate.obs(cosErr)),
+      (f"recall_mean_ge_$meanFloor%.2f", meanR >= meanFloor, ContractGate.obs(meanR)),
+      (f"recall_min_ge_$minFloor%.2f", minR >= minFloor, ContractGate.obs(minR))))
+  }
+
+  /** [[annContract]]'s all-pass literal oracle. */
+  private def annOracle(floors: (Double, Double)): String =
+    ContractGate.oracle(Seq(
+      "k_rows", "ids_distinct_in_corpus", "ranks_contiguous",
+      "order_cos_desc_id_asc", "cos_exact_rerank",
+      f"recall_mean_ge_${floors._1}%.2f", f"recall_min_ge_${floors._2}%.2f"))
 
   def embNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.neardupPairs(emb(s, dir), "vec_id", "embedding", NeardupThreshold)
@@ -70,15 +166,17 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF ANN, one-shot (rows-only: the k-means quantizer is not
-    * DuckDB-reproducible; recall vs brute force asserted in
-    * SimilaritySpec). Trains per execution — the honest "cold" cost;
-    * the deployment shape is [[annIvfProbe]]. */
+  /** IVF ANN, one-shot, judged by [[annContract]] (the k-means quantizer
+    * is not DuckDB-reproducible, so the gate emits hash-oracled contract
+    * verdicts; recall vs brute force also asserted in SimilaritySpec).
+    * Trains per execution — the honest "cold" cost; the deployment shape
+    * is [[annIvfProbe]]. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Ivf.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
-        K, nCells = 16, nProbe = 4)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      Ivf.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, nCells = 16, nProbe = 4),
+      IvfFloors)
   }
 
   val IvfCells = 16
@@ -102,17 +200,21 @@ object SimilarityQueries {
   /** IVF ANN, probe-only — the build-once/probe-many half of [[annIvf]]:
     * same results (same quantizer seed), but the plan is a broadcast
     * equi-join on `cell` against the persisted index; no training job.
-    * Rows-only like `ann_ivf`, same recall assertion in SimilaritySpec. */
+    * Judged by [[annContract]] like `ann_ivf` (same floors — probe and
+    * cold share the quantizer seed, so they earn the same recall). */
   def annIvfProbe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Ivf.probe(ivfIndex(s, dir), queriesDf(e), "q_id", "q_vec", K, nProbe = 4)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      Ivf.probe(ivfIndex(s, dir), queriesDf(e), "q_id", "q_vec", K, nProbe = 4),
+      IvfFloors)
   }
 
   /** SemDeDup over the embeddings table: IVF-cell-local exact rescoring +
-    * components, min-id canonical per semantic group. Rows-only like
-    * `ann_ivf` (the k-means quantizer is not DuckDB-reproducible);
-    * SimilaritySpec checks the verdicts equal the reference components of
+    * components, min-id canonical per semantic group. Judged by contract
+    * verdicts (the k-means quantizer is not DuckDB-reproducible):
+    * exact-partition/canonical/edge-consistency checks below, hash-
+    * oracled all-pass; SimilaritySpec checks the verdicts equal the
+    * reference components of
     * (exact pairs ∩ co-celled) and that planted exact copies always
     * recall. Threshold 0.45, above `emb_neardup`'s 0.35: semantic dedup
     * targets REDUNDANT documents, not merely related ones (SemDeDup's
@@ -124,9 +226,49 @@ object SimilarityQueries {
     * `ann_ivf_probe` precedent): one persisted quantizer serves ANN
     * probes AND semantic dedup, and its cell-partitioned relation makes
     * the self-join exchange-free. */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedupIndexed(ivfIndex(s, dir), threshold = 0.45)
-      .orderBy("vec_id")
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.dotCol
+    val idx = ivfIndex(s, dir)
+    val verdictRows = Similarity.semanticDedupIndexed(idx, threshold = 0.45)
+      .localCheckpoint() // read 6× by the contract aggregates below
+    val n = emb(s, dir).count()
+    val total = verdictRows.count()
+    val nIds = verdictRows.select("vec_id").distinct().count()
+    // the operator's OWN edge definition, recomputed with the same fused
+    // kernel + round-6 threshold — bit-identical edge set by construction
+    val a = idx.assigned.select(col("cell"), col(idx.idCol).as("i"), col("_vn").as("va"))
+    val b = idx.assigned.select(col("cell"), col(idx.idCol).as("j"), col("_vn").as("vb"))
+    val edges = a.join(b, Seq("cell")).where(col("i") < col("j"))
+      .where(round(dotCol(col("va"), col("vb")), 6) >= 0.45)
+      .select("i", "j").localCheckpoint()
+    val canon = verdictRows.select(col("vec_id"), col("canonical_id"))
+    val crossCluster = edges
+      .join(canon.toDF("i", "ci"), Seq("i"))
+      .join(canon.toDF("j", "cj"), Seq("j"))
+      .where(col("ci") =!= col("cj")).count()
+    val canonAboveMember = verdictRows
+      .where(col("canonical_id") > col("vec_id")).count()
+    val canonNotKept = verdictRows.select(col("canonical_id").as("vec_id")).distinct()
+      .join(verdictRows.where(!col("is_dup")).select("vec_id"), Seq("vec_id"), "left_anti")
+      .count()
+    val endpoints = edges.select(col("i").as("vec_id"))
+      .union(edges.select(col("j").as("vec_id"))).distinct()
+    val causeless = verdictRows.where(col("is_dup"))
+      .join(endpoints, Seq("vec_id"), "left_anti").count()
+    val dups = verdictRows.where(col("is_dup")).count()
+    val edgeCount = edges.count()
+    ContractGate.verdicts(s, Seq(
+      ("partition_exact", total == n && nIds == n, s"rows=$total ids=$nIds corpus=$n"),
+      ("canonical_le_members", canonAboveMember == 0, s"violations=$canonAboveMember"),
+      ("canonical_kept", canonNotKept == 0, s"violations=$canonNotKept"),
+      ("edges_never_cross_clusters", crossCluster == 0, s"violations=$crossCluster"),
+      ("every_dup_has_cause", causeless == 0, s"violations=$causeless"),
+      ("dups_iff_edges", (dups > 0) == (edgeCount > 0), s"dups=$dups edges=$edgeCount")))
+  }
+
+  private val semanticDedupOracle: String = ContractGate.oracle(Seq(
+    "partition_exact", "canonical_le_members", "canonical_kept",
+    "edges_never_cross_clusters", "every_dup_has_cause", "dups_iff_edges"))
 
   /** Semantic decontamination: eval = every 50th vector (the decontaminate
     * carve), self-pairs excluded; threshold 0.45 — the corpus's real
@@ -143,7 +285,7 @@ object SimilarityQueries {
   val PqM = 16
   val PqKsub = 64
 
-  /** Product-quantization ANN with exact re-rank (rows-only like `ann_ivf`:
+  /** Product-quantization ANN with exact re-rank (contract-verdict gate:
     * the per-subspace k-means codebooks are not DuckDB-reproducible; PqSpec
     * pins the ADC = exact-distance-to-reconstruction identity, encode
     * determinism, and recall vs the brute-force oracle — 0.975 at this
@@ -152,9 +294,10 @@ object SimilarityQueries {
     * queries×shortlist re-rank — the 100 TB claim. */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Pq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
-        K, m = PqM, ksub = PqKsub)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      Pq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, m = PqM, ksub = PqKsub),
+      PqFloors)
   }
 
   // Build-once PQ index cache (codebooks + persisted codes), the exact
@@ -174,16 +317,17 @@ object SimilarityQueries {
       (cb, codes)
     })
 
-  /** IVF-PQ (rows-only like its two parents): coarse cells bound the
+  /** IVF-PQ (contract-verdict gate like its two parents): coarse cells bound the
     * candidates, residual PQ codes bound the bytes per candidate, exact
     * re-rank bounds the error — the published billion-scale composition.
     * IvfPqSpec pins the two-level ADC identity, probed-cell locality,
     * recall (0.65 at nProbe=4/16), and the no-all-pairs plan. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    IvfPq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
-        K, nCells = IvfCells, nProbe = 4, m = PqM, ksub = PqKsub)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      IvfPq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, nCells = IvfCells, nProbe = 4, m = PqM, ksub = PqKsub),
+      IvfFloors)
   }
 
   // Build-once IVF-PQ index cache — the ivfIndexes/pqIndexes pattern.
@@ -197,27 +341,29 @@ object SimilarityQueries {
 
   /** IVF-PQ, probe-only — the build-once/probe-many half of [[annIvfPq]]:
     * identical results (same quantizer seeds), no training jobs in the
-    * plan. Rows-only like its parents; IvfPqSpec pins probe parity. */
+    * plan. Contract-verdict gate like its parents; IvfPqSpec pins probe parity. */
   def annIvfPqProbe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    IvfPq.probe(ivfPqIndex(s, dir), e, "embedding", queriesDf(e),
-        "q_id", "q_vec", K, nProbe = 4)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      IvfPq.probe(ivfPqIndex(s, dir), e, "embedding", queriesDf(e),
+        "q_id", "q_vec", K, nProbe = 4),
+      IvfFloors)
   }
 
   /** PQ ANN, probe-only — the build-once/probe-many half of [[annPq]]:
     * identical results (same codebook seed), but the plan is an ADC scan
     * of the persisted code relation + exact re-rank; no training jobs.
-    * Rows-only like `ann_pq`; PqSpec asserts probe == cold path. */
+    * Contract-verdict gate like `ann_pq`; PqSpec asserts probe == cold path. */
   def annPqProbe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val (cb, codes) = pqIndex(s, dir)
-    Pq.topKRerank(codes, cb, "vec_id", e, "embedding",
-        queriesDf(e), "q_id", "q_vec", K)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      Pq.topKRerank(codes, cb, "vec_id", e, "embedding",
+        queriesDf(e), "q_id", "q_vec", K),
+      PqFloors)
   }
 
-  /** OPQ ANN (Ge et al. 2013; rows-only like its PQ parent): a learned
+  /** OPQ ANN (Ge et al. 2013; contract-verdict gate like its PQ parent): a learned
     * orthonormal rotation decorrelates the subspaces before PQ — lower
     * quantization error at the SAME 32 B code size (the win is pinned
     * against an iters=0 ablation in OpqSpec). Cold path: driver-side
@@ -226,9 +372,10 @@ object SimilarityQueries {
     * ORIGINAL space (cosine is rotation-invariant). */
   def annOpq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    Opq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
-        K, m = PqM, ksub = PqKsub)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      Opq.topK(e, queriesDf(e), "vec_id", "embedding", "q_id", "q_vec",
+        K, m = PqM, ksub = PqKsub),
+      OpqFloors)
   }
 
   private val opqIndexes =
@@ -249,9 +396,10 @@ object SimilarityQueries {
   def annOpqProbe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val (model, codes) = opqIndex(s, dir)
-    Opq.topKRerank(codes, model, "vec_id", e, "embedding",
-        queriesDf(e), "q_id", "q_vec", K)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      Opq.topKRerank(codes, model, "vec_id", e, "embedding",
+        queriesDf(e), "q_id", "q_vec", K),
+      OpqFloors)
   }
 
   /** PCA dims for the reduce-then-index path: 16 of 64 — the k at which
@@ -273,15 +421,16 @@ object SimilarityQueries {
   /** PCA-reduced IVF ANN, probe-only — the reduce-then-index deployment
     * [[graft.operators.Pca]]'s spectrum report exists for: shortlist in
     * the 16-dim principal subspace (4× smaller index, 4× cheaper dots),
-    * exact re-rank in the original 64-dim space. Rows-only (k-means +
+    * exact re-rank in the original 64-dim space. Contract-verdict gate (k-means +
     * Jacobi eigenvectors are not DuckDB-reproducible); PcaAnnSpec pins
     * recall vs the unreduced IVF twin at matched nProbe plus exactness
     * of the reported cosines. */
   def annPcaProbe(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    PcaAnn.probe(pcaAnnIndex(s, dir), e, "embedding", queriesDf(e),
-        "q_id", "q_vec", K, nProbe = 4)
-      .orderBy("q_id", "rank")
+    annContract(s, dir,
+      PcaAnn.probe(pcaAnnIndex(s, dir), e, "embedding", queriesDf(e),
+        "q_id", "q_vec", K, nProbe = 4),
+      PcaFloors)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -398,6 +547,18 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "ann_sq" -> annSqOracle,
     "ann_lsh" -> annLshOracle,
+    // contract gates (operator output not DuckDB-reproducible; verdicts
+    // are — see ContractGate)
+    "ann_ivf" -> annOracle(IvfFloors),
+    "ann_ivf_probe" -> annOracle(IvfFloors),
+    "ann_ivfpq" -> annOracle(IvfFloors),
+    "ann_ivfpq_probe" -> annOracle(IvfFloors),
+    "ann_pq" -> annOracle(PqFloors),
+    "ann_pq_probe" -> annOracle(PqFloors),
+    "ann_opq" -> annOracle(OpqFloors),
+    "ann_opq_probe" -> annOracle(OpqFloors),
+    "ann_pca_probe" -> annOracle(PcaFloors),
+    "semantic_dedup" -> semanticDedupOracle,
     "decon_semantic" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 50 = 0)

@@ -20,22 +20,14 @@ class ContractSpec extends SparkSpec {
     assert(bad.isEmpty, s"non-snake_case query names: ${bad.mkString(", ")}")
   }
 
-  test("rows-only queries are a declared, bounded set") {
-    // every query WITHOUT an oracle must be one we deliberately declared
-    // rows-only (k-means / sketch / iterative internals not reproducible
-    // in DuckDB) — a new query accidentally missing its oracle trips this
-    val declared = Set(
-      "ann_ivf", "ann_ivf_probe", "ann_pq", "ann_pq_probe",
-      "ann_ivfpq", "ann_ivfpq_probe", "ann_opq", "ann_opq_probe",
-      "semantic_dedup", "q_approx",
-      "corpus_sketch", "corpus_kll", "decon_overlap_est", "dq_drift_kll",
-      "emb_pca", "ann_pca_probe")
+  test("every query has an oracle — the rows-only set is empty since R18") {
+    // the 16 formerly rows-only gates (k-means ANN family, sketches,
+    // PCA) now emit machine-checked contract verdicts with literal
+    // all-pass oracles (ContractGate), so EVERY gate query must carry an
+    // oracle — a new query shipped without one trips this by name
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val undeclared = rowsOnly -- declared
-    assert(undeclared.isEmpty,
-      s"queries missing an oracle and not declared rows-only: ${undeclared.mkString(", ")}")
-    val stale = declared -- SparkEntry.queries.keySet
-    assert(stale.isEmpty, s"declared rows-only but no such query: ${stale.mkString(", ")}")
+    assert(rowsOnly.isEmpty,
+      s"queries missing an oracle: ${rowsOnly.toSeq.sorted.mkString(", ")}")
   }
 
   test("every gate query has a SURVEY.md §2 row") {
