@@ -864,6 +864,46 @@ object ExtraQueries {
     }
   }
 
+  /** Deterministic stratified corpus sampling ([[graft.operators
+    * .Sampling]]): per-language md5-bucket rates (downsample dominant
+    * `en` to 10%, keep the tail at 50%) — a map-side filter whose member
+    * set any engine re-derives exactly; the DuckDB oracle repeats the
+    * md5 arithmetic verbatim. */
+  def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 0.1), defaultRate = 0.5)
+      .orderBy("lang", "doc_id")
+
+  private val sampleStratifiedOracle: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |      AS BIGINT) AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE WHEN lang = 'en'
+      |  THEN CAST(429496730 AS BIGINT) ELSE CAST(2147483648 AS BIGINT) END
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** Exact-n deterministic sample per language ([[graft.operators
+    * .Sampling.takePerStratum]]): the md5 order is a uniform shuffle, so
+    * the first 25 per stratum are a reproducible uniform sample with an
+    * exact size — the fixed-budget eval-set carve. */
+  def sampleTakeQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.takePerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", n = 25)
+      .orderBy("lang", "doc_id")
+
+  private val sampleTakeOracle: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |      AS BIGINT), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 25
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** The deterministic 3-generation versioned-warehouse fixture both
     * [[timeTravelQ]] and [[cdfQ]] build (per call, in a fresh temp dir,
     * reaped before return): gen1 = the `%37` orders sample, gen2 =
@@ -1311,6 +1351,8 @@ object ExtraQueries {
     "stats_scan" -> (statsScanQ _),
     "q_time_travel" -> (timeTravelQ _),
     "q_cdf" -> (cdfQ _),
+    "q_sample_stratified" -> (sampleStratifiedQ _),
+    "q_sample_take" -> (sampleTakeQ _),
     "stats_dfp" -> (statsDfpQ _),
     "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
@@ -1338,6 +1380,8 @@ object ExtraQueries {
     "stats_scan" -> statsScanOracle,
     "q_time_travel" -> timeTravelOracle,
     "q_cdf" -> cdfOracle,
+    "q_sample_stratified" -> sampleStratifiedOracle,
+    "q_sample_take" -> sampleTakeOracle,
     "stats_dfp" -> statsDfpOracle,
     "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,
