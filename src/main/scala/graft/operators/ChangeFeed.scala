@@ -39,8 +39,7 @@ object ChangeFeed {
     * (vacuumed past retention). */
   def asOf(spark: SparkSession, tablePath: String, indexRoot: String,
            gen: Long): DataFrame =
-    IndexedScan.readIndexedFrom(spark, tablePath,
-      StatsIndex.load(spark, s"$indexRoot/_v=$gen"))
+    IndexedScan.readIndexedGeneration(spark, tablePath, indexRoot, gen)
 
   /** Hive-unescaped values of `partitionCol` whose FILE SETS differ
     * between the two manifests (either direction). Driver-side over the
@@ -97,11 +96,29 @@ object ChangeFeed {
         val (rf, rt) = (restrict(fromStats), restrict(toStats))
         if (rf.isEmpty || rt.isEmpty) (fromStats, toStats) else (rf, rt)
       }
-    def read(stats: DataFrame): DataFrame = {
-      val df = IndexedScan.readIndexedFrom(spark, tablePath, stats)
+    def read(stats: DataFrame, gen: Long): DataFrame = {
+      val df = IndexedScan.readIndexedFrom(spark, tablePath, stats,
+        dataSchema = StatsIndex.generationSchema(spark, indexRoot, gen))
       if (columns.isEmpty) df
       else df.select((keys ++ Seq(partitionCol) ++ columns).distinct.map(col): _*)
     }
-    SnapshotDiff.diff(read(fromSlice), read(toSlice), keys)
+    val from = read(fromSlice, fromGen)
+    val to = read(toSlice, toGen)
+    // schema evolution across the hop: align both sides to the union of
+    // columns (from-side order first), missing columns as typed nulls —
+    // a value landing in a NEW column is then an update (null <=> value
+    // is false), while history's null-vs-null compares unchanged
+    val toOnly = to.schema.fields.filterNot(f => from.columns.contains(f.name))
+    val target = from.schema.fields ++ toOnly
+    def aligned(df: DataFrame): DataFrame =
+      df.select(target.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    // a shared column whose TYPE differs between generations is not
+    // aligned away — SnapshotDiff's schema require rejects it loudly
+    // (mergeIntoVersioned refuses type evolution, so this only fires on
+    // hand-built generations)
+    SnapshotDiff.diff(aligned(from), aligned(to), keys)
   }
 }

@@ -317,15 +317,50 @@ object Upsert {
     def applyDeletes(df: DataFrame): DataFrame = deletes.fold(df)(d =>
       df.join(d.select(keys.map(col): _*), keys, "left_anti"))
 
+    // SCHEMA EVOLUTION: updates may carry columns the table lacks (and
+    // vice versa — a delta feed rarely republishes every column). The
+    // table's data schema is the UNION: the previous generation's
+    // recorded schema (sidecar; else inferred from one manifest file)
+    // extended by updates' new columns, everything nullable. Old files
+    // are never rewritten — the evolved schema is RECORDED with the new
+    // generation, and index-served reads request it, so parquet fills
+    // the missing columns with nulls exactly where history had no
+    // value. Shared column names must agree on type (loudly).
+    val updDataFields = updates.schema.fields.filterNot(_.name == partitionCol)
+    val oldDataFields: Seq[org.apache.spark.sql.types.StructField] =
+      current.flatMap { c =>
+        graft.sources.StatsIndex.generationSchema(spark, indexRoot, gens.last)
+          .map(_.fields.toSeq)
+          .orElse(c.select(col("file")).limit(1).collect().headOption
+            .map(r => spark.read.parquet(r.getString(0)).schema.fields.toSeq))
+      }.getOrElse(Nil)
+    oldDataFields.foreach { f =>
+      updDataFields.find(_.name == f.name).foreach(u =>
+        require(u.dataType == f.dataType,
+          s"mergeIntoVersioned: column '${f.name}' type changed " +
+            s"(${f.dataType.simpleString} -> ${u.dataType.simpleString}) — " +
+            "type evolution is not supported, rename the column"))
+    }
+    val dataFields = (oldDataFields ++
+        updDataFields.filterNot(u => oldDataFields.exists(_.name == u.name)))
+      .map(_.copy(nullable = true))
+    val dataSchema = org.apache.spark.sql.types.StructType(dataFields)
+    val partField = updates.schema(partitionCol)
+    def align(df: DataFrame): DataFrame =
+      df.select((dataFields :+ partField).map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+
     // 1-2. snapshot read of the touched slice, merge, stage
     val mergeFiles = current.map(c =>
       graft.sources.StatsIndex.partitionFiles(c, partitionCol, touched))
       .getOrElse(Nil)
     val merged = applyDeletes(
-      if (mergeFiles.isEmpty) updates
+      if (mergeFiles.isEmpty) align(updates)
       else merge(
-        spark.read.option("basePath", path).parquet(mergeFiles: _*),
-        updates, keys))
+        align(spark.read.option("basePath", path).parquet(mergeFiles: _*)),
+        align(updates), keys))
     val staging = new org.apache.hadoop.fs.Path(dest,
       s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
@@ -366,7 +401,8 @@ object Upsert {
         spark, movedIn, statsColumns)
       val nextGen = current.map(_.where(!under).unionByName(fresh))
         .getOrElse(fresh)
-      graft.sources.StatsIndex.saveGeneration(nextGen, indexRoot)
+      graft.sources.StatsIndex.saveGeneration(nextGen, indexRoot,
+        Some(dataSchema))
     } finally fs.delete(staging, true)
   }
 

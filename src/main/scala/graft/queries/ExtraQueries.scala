@@ -942,6 +942,70 @@ object ExtraQueries {
     finally walked.close()
   }
 
+  /** Schema evolution through the versioned merge: gen2 ADDS a `flag`
+    * column (landed for the `%3` updates and `%41` inserts only); the
+    * latest-generation read serves the EVOLVED schema — never-rewritten
+    * files materialize `flag` as null through the recorded-schema scan,
+    * no file rewritten, no backfill. Hash-oracled: DuckDB re-derives
+    * which rows carry a flag and which read null purely from the merge
+    * arithmetic — a scan inferring its schema from an OLD file (and so
+    * dropping the column), or nulls landing on the wrong rows, breaks
+    * the hash. Old-generation schema pinning, omitted-column merges,
+    * and type-change refusal are spec-pinned in SchemaEvolveSpec. */
+  def mergeEvolveQ(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    try {
+      val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("order_id"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice").cast("double").as("price"))
+      val s0 = orders.where(col("order_id") % 37 === 0)
+      Upsert.mergeIntoVersioned(path, s0, Seq("order_id"), "priority", idx)
+      val flagged = s0.where(col("order_id") % 3 === 0)
+        .withColumn("price", col("price") + lit(1.0))
+        .unionByName(orders.where(col("order_id") % 41 === 0 &&
+          col("order_id") % 37 =!= 0))
+        .withColumn("flag", (col("order_id") % 2).cast("long"))
+      Upsert.mergeIntoVersioned(path, flagged, Seq("order_id"), "priority", idx)
+      val out = graft.sources.IndexedScan.readIndexedVersioned(s, path, idx)
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("price") * 100).cast("long")).as("cents"),
+          sum(when(col("flag").isNull, 1L).otherwise(0L)).as("n_flag_null"),
+          coalesce(sum(col("flag")), lit(0L)).as("flag_sum"))
+        .collect() // bounded: one row per priority
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      import s.implicits._
+      out.toSeq.toDF("priority", "n", "cents", "n_flag_null", "flag_sum")
+        .orderBy("priority")
+    } finally reap(root)
+  }
+
+  private val mergeEvolveOracle: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |ins AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 41 = 0 AND o_orderkey % 37 <> 0),
+      |state AS (
+      |  SELECT order_id, priority,
+      |         CASE WHEN order_id % 3 = 0 THEN cents + 100 ELSE cents END AS cents,
+      |         CASE WHEN order_id % 3 = 0 THEN order_id % 2 END AS flag
+      |  FROM s
+      |  UNION ALL
+      |  SELECT order_id, priority, cents, order_id % 2 FROM ins)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents,
+      |  CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flag_null,
+      |  CAST(coalesce(sum(flag), 0) AS BIGINT) AS flag_sum
+      |FROM state GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** Time travel (`ChangeFeed.asOf`) over the [[versionedFixture]]
     * warehouse: every retained generation read back through its PINNED
     * manifest (replaced files still on disk serve the old snapshots —
@@ -1353,6 +1417,7 @@ object ExtraQueries {
     "q_cdf" -> (cdfQ _),
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_sample_take" -> (sampleTakeQ _),
+    "q_merge_evolve" -> (mergeEvolveQ _),
     "stats_dfp" -> (statsDfpQ _),
     "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
@@ -1382,6 +1447,7 @@ object ExtraQueries {
     "q_cdf" -> cdfOracle,
     "q_sample_stratified" -> sampleStratifiedOracle,
     "q_sample_take" -> sampleTakeOracle,
+    "q_merge_evolve" -> mergeEvolveOracle,
     "stats_dfp" -> statsDfpOracle,
     "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,

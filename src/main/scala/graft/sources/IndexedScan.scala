@@ -117,15 +117,34 @@ object IndexedScan extends Logging {
     * disk until vacuum's grace window expires. */
   def readIndexedVersioned(spark: SparkSession, tablePath: String,
                            indexRoot: String,
-                           blooms: Option[DataFrame] = None): DataFrame =
+                           blooms: Option[DataFrame] = None): DataFrame = {
+    val gens = StatsIndex.generations(spark, indexRoot)
+    require(gens.nonEmpty,
+      s"readIndexedVersioned: no complete index generation under $indexRoot")
+    readIndexedGeneration(spark, tablePath, indexRoot, gens.last, blooms)
+  }
+
+  /** [[readIndexedVersioned]] pinned to an EXPLICIT generation (time
+    * travel): the generation's file manifest AND its recorded data
+    * schema (when present — a schema-evolving table's old files lack
+    * later columns physically; reading them under the generation's
+    * recorded schema fills nulls exactly as the write intended). */
+  def readIndexedGeneration(spark: SparkSession, tablePath: String,
+                            indexRoot: String, gen: Long,
+                            blooms: Option[DataFrame] = None): DataFrame =
     readIndexedFrom(spark, tablePath,
-      StatsIndex.loadLatest(spark, indexRoot), blooms)
+      StatsIndex.load(spark, s"$indexRoot/_v=$gen"), blooms,
+      StatsIndex.generationSchema(spark, indexRoot, gen))
 
   /** [[readIndexed]] fed already-loaded index relations — the in-memory
-    * path (a freshly built, unsaved index works too). */
+    * path (a freshly built, unsaved index works too). `dataSchema`
+    * overrides file-footer inference (the schema-evolution read path:
+    * the scan requests the evolved schema and parquet fills missing
+    * columns with nulls in pre-evolution files). */
   def readIndexedFrom(spark: SparkSession, tablePath: String,
-                      stats: DataFrame, blooms: Option[DataFrame] = None): DataFrame = {
-    val idx = new GraftFileIndex(spark, tablePath, stats, blooms)
+                      stats: DataFrame, blooms: Option[DataFrame] = None,
+                      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val idx = new GraftFileIndex(spark, tablePath, stats, blooms, dataSchema)
     val format =
       if (idx.isOrc) new OrcFileFormat()
       else new ParquetFileFormat()
@@ -143,7 +162,8 @@ object IndexedScan extends Logging {
 /** See [[IndexedScan]]. One instance = one snapshot of the index (the
   * stats relation is collected at construction; [[refresh]] re-collects). */
 final class GraftFileIndex(spark: SparkSession, tablePath: String,
-                           stats: DataFrame, blooms: Option[DataFrame])
+                           stats: DataFrame, blooms: Option[DataFrame],
+                           schemaOverride: Option[StructType] = None)
   extends FileIndex with Logging {
 
   import GraftFileIndex._
@@ -206,8 +226,11 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
 
   def isOrc: Boolean = byFile.keysIterator.next().endsWith(".orc")
 
-  /** Data (= file-resident) schema from one surviving footer. */
-  val dataSchema: StructType = {
+  /** Data schema: the caller's override when given (schema evolution —
+    * old files lack later columns physically and must be read under the
+    * EVOLVED schema so the scan fills nulls), else inferred from one
+    * surviving footer. */
+  val dataSchema: StructType = schemaOverride.getOrElse {
     val one = byFile.keysIterator.min
     val df = if (isOrc) spark.read.orc(one) else spark.read.parquet(one)
     df.schema

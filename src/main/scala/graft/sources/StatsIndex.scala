@@ -9,6 +9,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
 /** File-level min/max statistics index over a parquet table — the
@@ -395,7 +396,8 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * [[vacuumGenerations]]). Single writer assumed (numbering is not
     * fenced against a racing writer — same contract as every publish
     * path here). */
-  def saveGeneration(stats: DataFrame, indexRoot: String): Long = {
+  def saveGeneration(stats: DataFrame, indexRoot: String,
+                     dataSchema: Option[StructType] = None): Long = {
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(
       stats.sparkSession.sessionState.newHadoopConf())
@@ -406,8 +408,40 @@ object StatsIndex extends org.apache.spark.internal.Logging {
         .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("_v=").toLong).toOption)
     val next = (0L +: existing).max + 1L
+    // schema sidecar FIRST: once the parquet `_SUCCESS` commits the
+    // generation, a racing reader must already find the schema (an
+    // orphan sidecar from a crash here is inert — generationSchema is
+    // only consulted for generations that exist)
+    dataSchema.foreach { st =>
+      fs.mkdirs(root)
+      val out = fs.create(new Path(root, s"_schema_v=$next.json"), true)
+      try out.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
     next
+  }
+
+  /** The data schema (partition column excluded) recorded when
+    * generation `gen` was committed — the read schema a
+    * schema-evolving table needs: files written before a column was
+    * added lack it physically, and the scan fills nulls only when its
+    * requested schema is the EVOLVED one, not one inferred from
+    * whichever old file came first. Absent for generations written
+    * before schema recording (readers fall back to file inference). */
+  def generationSchema(spark: SparkSession, indexRoot: String,
+                       gen: Long): Option[StructType] = {
+    val p = new Path(indexRoot, s"_schema_v=$gen.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType])
+    }
   }
 
   /** The newest complete generation's relation — what every versioned
@@ -443,7 +477,12 @@ object StatsIndex extends org.apache.spark.internal.Logging {
         !isSpared && old
       }
       .map(_.getPath)
-    doomed.foreach(fs.delete(_, true))
+    doomed.foreach { p =>
+      fs.delete(p, true)
+      // the generation's schema sidecar shares its lifecycle
+      fs.delete(new Path(root,
+        s"_schema_v=${p.getName.stripPrefix("_v=")}.json"), false)
+    }
     doomed.map(_.toString).sorted
   }
 
