@@ -103,4 +103,96 @@ object Compaction {
       dataFiles(fs, new Path(root, p.partition)).length).sum
     Report(todo.size, todo.map(_.nFiles).sum, after, todo.map(_.bytes).sum)
   }
+
+  /** [[compact]] for a VERSIONED table
+    * ([[graft.operators.Upsert.mergeIntoVersioned]]): the rewrite
+    * commits as a new index generation instead of renaming directories,
+    * so readers keep full snapshot isolation — a reader pinned to the
+    * pre-compaction generation keeps reading the old small files
+    * (on disk until vacuum), and the change feed between the two
+    * generations is EMPTY by construction (same rows, new layout — the
+    * invariant the spec pins).
+    *
+    * Differences from the in-place flow, all forced by the manifest:
+    *  - the census reads the MANIFEST, not the directory — a partition
+    *    dir also holds replaced files from older generations, which are
+    *    not part of the table and must be neither counted nor rewritten;
+    *  - each candidate partition is read as its manifest FILE LIST under
+    *    the generation's recorded schema, so compaction also pays down
+    *    schema-evolution debt: pre-evolution files are rewritten WITH
+    *    the added columns (as nulls) and the null-fill read path retires
+    *    for those rows;
+    *  - nothing is deleted — old files leave the manifest and wait for
+    *    `StatsIndex.vacuum` like any replaced generation's files.
+    *
+    * Returns the committed generation, or None when every partition's
+    * layout is already good (re-running converges to None). */
+  def compactVersioned(spark: SparkSession, path: String, indexRoot: String,
+                       partitionCol: String, targetBytes: Long,
+                       minFiles: Int = 4, zorderBy: Seq[String] = Nil,
+                       statsColumns: Seq[String] = Nil): Option[Long] = {
+    require(targetBytes >= 1, s"targetBytes=$targetBytes must be >= 1")
+    import graft.sources.StatsIndex
+    val gens = StatsIndex.generations(spark, indexRoot)
+    require(gens.nonEmpty,
+      s"compactVersioned: no complete index generation under $indexRoot")
+    val current = StatsIndex.load(spark, s"$indexRoot/_v=${gens.last}")
+      .localCheckpoint()
+    val schema = StatsIndex.generationSchema(spark, indexRoot, gens.last)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    val seg = s"/${java.util.regex.Pattern.quote(partitionCol)}=([^/]+)/".r
+    val byPartition: Map[String, Seq[String]] = current
+      .select(org.apache.spark.sql.functions.col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+      .groupBy(f => seg.findFirstMatchIn(f).map(_.group(1)))
+      .collect { case (Some(v), fsq) => s"$partitionCol=$v" -> fsq }
+    val todo = byPartition.toSeq.sortBy(_._1).flatMap { case (dir, files) =>
+      val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > target && files.length >= minFiles)
+        Some((dir, files, target))
+      else None
+    }
+    if (todo.isEmpty) return None
+
+    val staging = new Path(root,
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      todo.foreach { case (dir, files, target) =>
+        val reader = schema.fold(spark.read)(spark.read.schema(_))
+        val df = reader.parquet(files: _*)
+        val out =
+          if (zorderBy.isEmpty) df.coalesce(target)
+          else ZOrder.clustered(df, zorderBy, target)
+        out.write.mode("overwrite").parquet(s"$staging/$dir")
+      }
+      // move in under fresh names, commit = next generation
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val movedIn = todo.flatMap { case (dir, _, _) =>
+        val target = new Path(root, dir)
+        fs.mkdirs(target)
+        fs.listStatus(new Path(staging, dir)).toSeq
+          .filter(f => !f.isDirectory &&
+            f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map { f =>
+            val in = new Path(target, s"compact-$runId-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, in)) throw new java.io.IOException(
+              s"compactVersioned: rename ${f.getPath} -> $in failed")
+            fs.makeQualified(in).toString
+          }
+      }
+      val replaced = todo.flatMap(_._2).map(f =>
+        fs.makeQualified(new Path(f)).toString).toSet
+      import org.apache.spark.sql.functions.{col, lit}
+      val survivorPred = replaced.toSeq
+        .map(f => col("file") === lit(f)).reduce(_ || _)
+      val fresh = StatsIndex.statsForFiles(spark, movedIn, statsColumns)
+      val nextGen = current.where(!survivorPred).unionByName(fresh)
+      Some(StatsIndex.saveGeneration(nextGen, indexRoot, schema))
+    } finally fs.delete(staging, true)
+  }
 }
