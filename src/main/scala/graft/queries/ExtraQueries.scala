@@ -942,6 +942,48 @@ object ExtraQueries {
     finally walked.close()
   }
 
+  /** Golden-record survivorship over the event stream
+    * ([[graft.operators.Survivorship]]): per user, each attribute's
+    * value from the LATEST record where that attribute was present —
+    * two attributes with different null patterns (`big_value` present
+    * only when value ≥ 20, `big_type` only when value ≥ 50), ties on
+    * `ts` broken by `event_id`. One hash aggregation (struct-max per
+    * attribute), no window; the oracle re-derives the survivors with
+    * per-attribute row_number windows. */
+  def survivorshipQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = StarQueries.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("value") >= 20.0, col("value")).as("big_value"),
+      when(col("value") >= 50.0, col("event_type")).as("big_type"))
+    Survivorship.golden(ev, Seq("user_id"), "ts", "event_id",
+        Seq("big_value", "big_type"))
+      .orderBy("user_id")
+  }
+
+  private val survivorshipOracle: String =
+    """WITH a AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN value >= 20.0 THEN value END AS big_value,
+      |    CASE WHEN value >= 50.0 THEN event_type END AS big_type
+      |  FROM events),
+      |sv AS (
+      |  SELECT user_id, big_value, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM a WHERE big_value IS NOT NULL),
+      |st AS (
+      |  SELECT user_id, big_type, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM a WHERE big_type IS NOT NULL),
+      |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_records
+      |      FROM a GROUP BY 1)
+      |SELECT n.user_id, sv.big_value, st.big_type, n.n_records
+      |FROM n
+      |LEFT JOIN (SELECT user_id, big_value FROM sv WHERE rn = 1) sv
+      |  USING (user_id)
+      |LEFT JOIN (SELECT user_id, big_type FROM st WHERE rn = 1) st
+      |  USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Schema evolution through the versioned merge: gen2 ADDS a `flag`
     * column (landed for the `%3` updates and `%41` inserts only); the
     * latest-generation read serves the EVOLVED schema — never-rewritten
@@ -1418,6 +1460,7 @@ object ExtraQueries {
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_sample_take" -> (sampleTakeQ _),
     "q_merge_evolve" -> (mergeEvolveQ _),
+    "q_survivorship" -> (survivorshipQ _),
     "stats_dfp" -> (statsDfpQ _),
     "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
@@ -1448,6 +1491,7 @@ object ExtraQueries {
     "q_sample_stratified" -> sampleStratifiedOracle,
     "q_sample_take" -> sampleTakeOracle,
     "q_merge_evolve" -> mergeEvolveOracle,
+    "q_survivorship" -> survivorshipOracle,
     "stats_dfp" -> statsDfpOracle,
     "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,
