@@ -96,19 +96,35 @@ object ExtraQueries {
           .cast("double").as("approx_median"))
       .collect() // bounded: one row per return flag
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val exact = li.groupBy(col("l_returnflag"))
+    // exact baselines as a RANK test, the corpusKll discipline: probe
+    // the approx median's exact rank interval instead of materializing
+    // exact percentiles (the percentile aggregate buffers every value;
+    // conditional counts ride plain two-phase aggregation)
+    import s.implicits._
+    val probe = approx.toSeq.map { case (f, (_, am)) => (f, am) }
+      .toDF("l_returnflag", "am")
+    val exact = li.join(broadcast(probe), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("nd"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.49)").as("p49"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.51)").as("p51"))
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("am"), 1L).otherwise(0L))
+          .as("lt"),
+        sum(when(col("l_extendedprice") <= col("am"), 1L).otherwise(0L))
+          .as("le"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
-    val perFlag = exact.toSeq.sortBy(_._1).flatMap { case (f, (nd, p49, p51)) =>
-      approx.get(f).toSeq.flatMap { case (ao, am) =>
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // approx_percentile accuracy 1000 → rank error ≤ 1e-3; ties widen
+    // the admissible interval via the lt/le split
+    val eps = 0.01
+    val perFlag = exact.toSeq.sortBy(_._1).flatMap { case (f, (nd, n, lt, le)) =>
+      approx.get(f).toSeq.flatMap { case (ao, _) =>
         val rel = math.abs(ao - nd).toDouble / math.max(1L, nd)
+        val (rLt, rLe) = (lt.toDouble / n, le.toDouble / n)
         Seq(
           (s"hll_rel_err($f)<=0.06", rel <= 0.06, ContractGate.obs(rel)),
-          (s"median_band($f)", am >= p49 - 0.01 && am <= p51 + 0.01,
-            f"observed=$am%.2f band=[$p49%.2f,$p51%.2f]"))
+          (s"median_rank($f)", 0.5 >= rLt - eps && 0.5 <= rLe + eps,
+            f"rank_lt=$rLt%.4f rank_le=$rLe%.4f"))
       }
     }
     ContractGate.verdicts(s, perFlag :+
@@ -118,7 +134,7 @@ object ExtraQueries {
 
   private val approxSketchesOracle: String = ContractGate.oracle(
     Seq("A", "N", "R").flatMap(f =>
-      Seq(s"hll_rel_err($f)<=0.06", s"median_band($f)")) :+ "flags_match")
+      Seq(s"hll_rel_err($f)<=0.06", s"median_rank($f)")) :+ "flags_match")
 
   /** One-pass numeric profile of lineitem — the data-quality census as a
     * gate query, fully oracled (counts/min/max exact, sum round(4)). */
