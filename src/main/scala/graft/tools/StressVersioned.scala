@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChangeFeed, Compaction, SnapshotDiff, Upsert}
+import graft.sources.{IndexedScan, StatsIndex}
+
+/** Deployment-shape stress for the versioned lakehouse stack (#42k-#42o):
+  * a 2M-row fact across 400 day partitions, maintained by
+  * `mergeIntoVersioned` — measures the quantities that matter at scale:
+  * one-day merge cost vs the bootstrap, CDF cost ∝ changed slice vs a
+  * full-table diff, snapshot isolation under load, compaction as a
+  * generation commit, and cursor-follower delivery. */
+object StressVersioned {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%7.1fs  $name")
+      r
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-sv").toString
+    val (path, idx) = (s"$root/fact", s"$root/fact/_stats_v")
+
+    // 2M rows, 400 days, 5k rows/day; day-clustered so the bootstrap
+    // write lands ~1 file per partition (the compacted steady state)
+    val fact = spark.range(2000000L).select(
+        col("id").as("order_id"),
+        concat(lit("d"), lpad((col("id") % 400).cast("string"), 3, "0"))
+          .as("day"),
+        (col("id") % 997).cast("double").as("amount"))
+      .repartition(col("day"))
+      .localCheckpoint()
+
+    val g1 = time("bootstrap merge: 2M rows -> 400 partitions, gen 1") {
+      Upsert.mergeIntoVersioned(path, fact, Seq("order_id"), "day", idx)
+    }
+    val filesG1 = StatsIndex.load(spark, s"$idx/_v=$g1")
+      .select("file").distinct().count()
+    println(s"   manifest files: $filesG1")
+
+    // the steady-state write: one day's 5k-row delta
+    val oneDay = fact.where(col("day") === "d007")
+      .withColumn("amount", col("amount") + 1.0)
+      .localCheckpoint()
+    val g2 = time("one-day merge: 5k rows, 1 of 400 partitions") {
+      Upsert.mergeIntoVersioned(path, oneDay, Seq("order_id"), "day", idx)
+    }
+
+    // CDF cost ∝ changed slice: the hop reads ONE partition's files on
+    // each side; the naive alternative diffs both full snapshots
+    val cdfRows = time("ChangeFeed.between(g1, g2) — manifest-pruned diff") {
+      ChangeFeed.between(spark, path, idx, g1, g2,
+        Seq("order_id"), "day").count()
+    }
+    val fullRows = time("full-table SnapshotDiff of the same two snapshots") {
+      SnapshotDiff.diff(
+        ChangeFeed.asOf(spark, path, idx, g1),
+        ChangeFeed.asOf(spark, path, idx, g2), Seq("order_id")).count()
+    }
+    assert(cdfRows == fullRows && cdfRows == 5000L,
+      s"pruned ($cdfRows) != full ($fullRows) != 5000")
+    val sa = StatsIndex.load(spark, s"$idx/_v=$g1")
+    val sb = StatsIndex.load(spark, s"$idx/_v=$g2")
+    println("   changed partitions: " +
+      ChangeFeed.changedPartitions(spark, sa, sb, "day").size + " of 400; " +
+      s"identical change rows: $cdfRows")
+
+    // snapshot isolation at scale: the pre-merge snapshot still answers
+    time("asOf(g1) full count under the post-merge manifest") {
+      val n = ChangeFeed.asOf(spark, path, idx, g1).count()
+      assert(n == 2000000L, s"old snapshot lost rows: $n")
+    }
+
+    // NOTE: point merges do not fragment a versioned table — every
+    // touched partition is wholly rewritten (and AQE coalesces the tiny
+    // write), so the merge path self-compacts. Fragmentation comes from
+    // WIDE ingest writes (many tasks per partition dir): model it with
+    // a 100k-row single-day bootstrap shuffled across 16 tasks.
+    val (fpath, fidx) = (s"$root/frag", s"$root/frag/_stats_v")
+    Upsert.mergeIntoVersioned(fpath,
+      spark.range(100000L).select(col("id").as("order_id"),
+        lit("d000").as("day"), (col("id") % 97).cast("double").as("amount"))
+        .repartition(16),
+      Seq("order_id"), "day", fidx)
+    val before = StatsIndex.loadLatest(spark, fidx)
+      .select("file").distinct().count()
+    val gc = time(s"compactVersioned: 100k-row partition at $before manifest files") {
+      Compaction.compactVersioned(spark, fpath, fidx, "day",
+        targetBytes = 1L << 30, minFiles = 2)
+    }
+    val after = StatsIndex.loadLatest(spark, fidx)
+      .select("file").distinct().count()
+    println(s"   files $before -> $after (gen ${gc.get}); CDF over the " +
+      "compaction hop: " + ChangeFeed.between(spark, fpath, fidx,
+        gc.get - 1, gc.get, Seq("order_id"), "day").count() + " rows")
+
+    // follower delivery: two more one-day merges, then drain both hops
+    Seq("d020", "d021").foreach { d =>
+      Upsert.mergeIntoVersioned(path,
+        fact.where(col("day") === d)
+          .withColumn("amount", col("amount") + 1.0),
+        Seq("order_id"), "day", idx)
+    }
+    val delivered = time("ChangeFeedStream.drainTo: 2 pending one-day hops") {
+      graft.streaming.ChangeFeedStream.drainTo(spark, path, idx,
+        Seq("order_id"), "day", s"$root/cursor", s"$root/feed",
+        startAt = Some(g2))
+    }
+    println(s"   hops delivered: $delivered; feed rows: " +
+      spark.read.parquet(s"$root/feed").count())
+    spark.stop()
+  }
+}
