@@ -136,4 +136,32 @@ class DfpRewriteSpec extends SparkSpec {
       assert(j.count() == 2)
     }
   }
+
+  test("auto-DFP composes with the versioned (time-travel) read") {
+    // a mergeIntoVersioned-maintained table reads through the same
+    // GraftFileIndex the rule matches — the lakehouse read path gets
+    // dynamic file pruning with zero call-site plumbing. Key-clustered
+    // partitions (ids 0-999 in d0, …) so min/max stats alone prune.
+    val r = Files.createTempDirectory("graft-dfpv").toString
+    val (path, idx) = (s"$r/t", s"$r/t/_stats_v")
+    graft.operators.Upsert.mergeIntoVersioned(path,
+      spark.range(4000).select(col("id").as("order_id"),
+        concat(lit("d"), (col("id") / 1000).cast("long")).as("day"),
+        (col("id") % 7).cast("double").as("amount"))
+        .repartition(col("day")),
+      Seq("order_id"), "day", idx)
+    val vfact = IndexedScan.readIndexedVersioned(spark, path, idx)
+    val vdim = Seq(1205L, 1400L).toDF("k")
+    withFlag(on = true) {
+      val j = vfact.join(vdim, col("order_id") === col("k"))
+      assert(j.count() == 2)
+      assert(scanFiles(j) == 1,
+        "dim keys land in one partition's id range — 1 of 4 files")
+    }
+    withFlag(on = false) {
+      val j = vfact.join(vdim, col("order_id") === col("k"))
+      assert(j.count() == 2)
+      assert(scanFiles(j) == 4, "flag off: unpruned")
+    }
+  }
 }
