@@ -29,35 +29,35 @@ import graft.sources.StatsIndex
   * hops (the [[ChangeFeed]] partition-manifest diff), never the table. */
 object ChangeFeedStream {
 
-  /** The delivered-through generation, if a cursor has been written. */
+  /** The delivered-through generation, if a cursor has been written.
+    * The cursor is a DIRECTORY of `gen-N` marker files and the cursor
+    * value is the max — advancing writes the new marker BEFORE deleting
+    * old ones, so no crash point can lose the cursor (a delete+rename
+    * or overwrite scheme has a window where the cursor is absent and a
+    * restarted follower would re-pin to latest, silently skipping
+    * hops); stale markers only make the max redundant, never wrong. */
   def readCursor(spark: SparkSession, cursorPath: String): Option[Long] = {
     val p = new Path(cursorPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      scala.util.Try(
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          .trim.toLong).toOption
-    }
+    else fs.listStatus(p).toSeq
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("gen-").toLong).toOption)
+      .reduceOption(_ max _)
   }
 
   private def writeCursor(spark: SparkSession, cursorPath: String,
                           gen: Long): Unit = {
     val p = new Path(cursorPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(p.getParent,
-      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-over is the atomic cursor flip (POSIX/HDFS)
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"cursor rename $tmp -> $p failed")
+    fs.mkdirs(p)
+    fs.create(new Path(p, s"gen-$gen"), true).close() // the advance
+    // best-effort sweep of superseded markers — failure is harmless
+    fs.listStatus(p).foreach { st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("gen-").toLong)
+        .toOption.filter(_ < gen)
+        .foreach(_ => scala.util.Try(fs.delete(st.getPath, false)))
+    }
   }
 
   /** Deliver every hop committed since the cursor, oldest first:
