@@ -185,13 +185,17 @@ object Compaction {
             fs.makeQualified(in).toString
           }
       }
-      val replaced = todo.flatMap(_._2).map(f =>
-        fs.makeQualified(new Path(f)).toString).toSet
-      import org.apache.spark.sql.functions.{col, lit}
-      val survivorPred = replaced.toSeq
-        .map(f => col("file") === lit(f)).reduce(_ || _)
+      // survivors by PARTITION PREFIX (the mergeIntoVersioned discipline)
+      // — bounded by compacted-partition count, never a per-file
+      // equality chain that grows with manifest size
+      import org.apache.spark.sql.functions.col
+      val prefixes = todo.map { case (dir, _, _) =>
+        val q = fs.makeQualified(new Path(root, dir)).toString
+        if (q.endsWith("/")) q else q + "/"
+      }
+      val under = prefixes.map(p => col("file").startsWith(p)).reduce(_ || _)
       val fresh = StatsIndex.statsForFiles(spark, movedIn, statsColumns)
-      val nextGen = current.where(!survivorPred).unionByName(fresh)
+      val nextGen = current.where(!under).unionByName(fresh)
       Some(StatsIndex.saveGeneration(nextGen, indexRoot, schema))
     } finally fs.delete(staging, true)
   }

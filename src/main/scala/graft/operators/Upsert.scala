@@ -290,6 +290,15 @@ object Upsert {
     require(keys.nonEmpty, "mergeIntoVersioned: empty key list")
     require(!keys.contains(partitionCol),
       s"mergeIntoVersioned: partitionCol '$partitionCol' cannot be a merge key")
+    // schema evolution lets updates OMIT non-key columns; the keys and
+    // the partition column are the contract and must never be fabricated
+    // as nulls by the alignment below
+    locally {
+      val missing = (keys :+ partitionCol).filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"mergeIntoVersioned: updates frame lacks key/partition " +
+          s"column(s) ${missing.mkString(", ")}")
+    }
     deletes.foreach { d =>
       val missing = (keys :+ partitionCol).filterNot(d.columns.contains)
       require(missing.isEmpty,
