@@ -270,9 +270,12 @@ object Upsert {
     *     pinned to N keeps reading the OLD files — still on disk —
     *     consistently; a reader arriving after sees exactly N+1.
     *
-    * Replaced files are reaped later by `vacuum(table, loadLatest(...))`
-    * past a grace window ≥ the longest reader, and old generations by
-    * `vacuumGenerations` — the retention contract. The trade: the TABLE
+    * Retention is ONE call — [[graft.sources.StatsIndex.retire]]: reap
+    * generations past the newest `keep`, then reap only data files no
+    * RETAINED generation still names (a bare `vacuum(table,
+    * loadLatest(...))` would destroy the older retained snapshots'
+    * files while their manifests still promise them — time travel
+    * would break before its generation was reaped). The trade: the TABLE
     * DIRECTORY now holds multiple generations of files, so plain
     * `spark.read.parquet(path)` sees duplicates — a versioned table must
     * be read through [[graft.sources.IndexedScan.readIndexedVersioned]]

@@ -486,6 +486,30 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     doomed.map(_.toString).sorted
   }
 
+  /** Retention for a VERSIONED table in one call, ordered so every
+    * RETAINED generation stays time-travel readable: first reap
+    * generations past the newest `keep` ([[vacuumGenerations]]), then
+    * reap data files that NO surviving generation names — the union of
+    * the retained manifests is the keep-set, so a file still promised
+    * by an older retained snapshot is never deleted (a bare
+    * `vacuum(table, loadLatest(...))` on a versioned table would —
+    * the manifests outliving their files is exactly the breakage
+    * ChangeFeedSpec pins). Returns (reaped generation dirs, reaped
+    * data files). */
+  def retire(spark: SparkSession, tablePath: String, indexRoot: String,
+             keep: Int = 2, graceMs: Long = 0L,
+             nowMs: Long = System.currentTimeMillis()): (Seq[String], Seq[String]) = {
+    val gens0 = generations(spark, indexRoot)
+    require(gens0.nonEmpty,
+      s"retire: no complete index generation under $indexRoot")
+    val reapedGens = vacuumGenerations(spark, indexRoot, keep, graceMs, nowMs)
+    val retained = generations(spark, indexRoot)
+    require(retained.nonEmpty, "retire: vacuumGenerations left no generation")
+    val keepSet = retained.map(g => load(spark, s"$indexRoot/_v=$g"))
+      .reduce(_.unionByName(_))
+    (reapedGens, vacuum(spark, tablePath, keepSet, graceMs, nowMs))
+  }
+
   /** Footer stats for an explicit file list, as one distributed pass —
     * the shared worker behind [[build]]/[[updateFiles]]/
     * [[replacePartitions]] and the versioned merge. */
