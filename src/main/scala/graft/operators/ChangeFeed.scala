@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.sources.{IndexedScan, StatsIndex}
 
@@ -17,11 +18,16 @@ import graft.sources.{IndexedScan, StatsIndex}
   *  - `between(from, to)` emits the keyed change rows
   *    (insert / delete / update with before/after values,
   *    [[SnapshotDiff]] semantics) WITHOUT diffing the whole table: the
-  *    two generations' manifests are first diffed on FILE NAMES
-  *    (driver-side, metadata scale), and only partitions whose file
+  *    two generations' manifests are diffed on FILE NAMES
+  *    (distributed — the driver sees one row per CHANGED partition,
+  *    never the manifests' file lists), and only partitions whose file
   *    sets changed enter the join — a merge that touched 3 of 10 000
-  *    partitions costs a 3-partition diff, not a table scan. That is
-  *    the CDF-at-100 TB shape: change cost ∝ changed slice.
+  *    partitions costs a 3-partition diff, not a table scan. A side
+  *    whose restricted slice is FILE-EMPTY (the append-only hop: every
+  *    touched partition is new on the other side — the most common
+  *    daily-ingest hop) reads as a correctly-schemed empty relation,
+  *    never as its full manifest. That is the CDF-at-100 TB shape:
+  *    change cost ∝ changed slice, including the pure-insert case.
   *
   * The partition-pruning step is CONSERVATIVE by construction:
   * [[Upsert.mergeIntoVersioned]] rewrites every touched partition's
@@ -35,31 +41,70 @@ object ChangeFeed {
 
   /** Read the table AS OF index generation `gen` (files named by that
     * generation's manifest — see [[graft.sources.IndexedScan
-    * .readIndexedFrom]]). Throws if the generation directory is gone
-    * (vacuumed past retention). */
+    * .readIndexedGeneration]]). A FILE-EMPTY manifest (a merge that
+    * legally deleted every remaining row) answers with the empty
+    * relation under the generation's recorded schema. Throws if the
+    * generation directory is gone (vacuumed past retention). */
   def asOf(spark: SparkSession, tablePath: String, indexRoot: String,
            gen: Long): DataFrame =
     IndexedScan.readIndexedGeneration(spark, tablePath, indexRoot, gen)
 
-  /** Hive-unescaped values of `partitionCol` whose FILE SETS differ
-    * between the two manifests (either direction). Driver-side over the
-    * manifests' distinct file names — metadata scale. */
+  /** Hive-unescaped value TUPLES of `partitionCols` whose FILE SETS
+    * differ between the two manifests (either direction). DISTRIBUTED:
+    * the symmetric set difference of the manifests' `file` columns and
+    * the per-file partition-value extraction both run executor-side,
+    * deduplicated BEFORE the collect — the driver receives one row per
+    * CHANGED partition, bounded by partition count, never a manifest's
+    * file list (a one-partition hop on a million-file table collects
+    * one row). */
+  private[graft] def changedPartitionValues(spark: SparkSession,
+                                            fromStats: DataFrame,
+                                            toStats: DataFrame,
+                                            partitionCols: Seq[String]): Seq[Seq[String]] = {
+    require(partitionCols.nonEmpty, "changedPartitionValues: no partition columns")
+    val a = fromStats.select(col("file")).distinct()
+    val b = toStats.select(col("file")).distinct()
+    val changed = a.exceptAll(b).unionByName(b.exceptAll(a))
+    // Pattern.quote: a partition column name containing regex
+    // metacharacters must match literally (the compactVersioned
+    // discipline — the two call sites must agree)
+    val extracted = partitionCols.zipWithIndex.map { case (c, i) =>
+      regexp_extract(col("file"),
+        "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1).as(s"_p$i")
+    }
+    changed.select(extracted: _*)
+      .where(partitionCols.indices.map(i => col(s"_p$i") =!= "")
+        .reduce(_ && _))
+      .distinct()
+      .collect()
+      .map(r => partitionCols.indices.map(i =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(r.getString(i))).toSeq)
+      .toSeq
+      .sortBy(_.mkString("/"))
+  }
+
+  /** Single-column face of [[changedPartitionValues]]. */
   private[graft] def changedPartitions(spark: SparkSession,
                                        fromStats: DataFrame, toStats: DataFrame,
-                                       partitionCol: String): Seq[String] = {
-    def files(s: DataFrame): Set[String] =
-      s.select(col("file")).distinct().collect().map(_.getString(0)).toSet
-    val a = files(fromStats)
-    val b = files(toStats)
-    val changed = (a diff b) union (b diff a)
-    val seg = s"/$partitionCol=([^/]+)/".r
-    changed.toSeq
-      .flatMap(f => seg.findFirstMatchIn(f).map(_.group(1)))
-      .distinct
-      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName)
-      .sorted
-  }
+                                       partitionCol: String): Seq[String] =
+    changedPartitionValues(spark, fromStats, toStats, Seq(partitionCol))
+      .map(_.head)
+
+  /** The manifest rows under the touched partitions' path prefixes
+    * (Hive-escaped, nested in `partitionCols` order — the layout
+    * `partitionBy` writes). Empty `touched` restricts to nothing. */
+  private[graft] def restrictToTouched(stats: DataFrame,
+                                       partitionCols: Seq[String],
+                                       touched: Seq[Seq[String]]): DataFrame =
+    if (touched.isEmpty) stats.where(lit(false))
+    else stats.where(touched.map { tuple =>
+      val seg = partitionCols.zip(tuple).map { case (c, v) =>
+        s"$c=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)
+      }.mkString("/", "/", "/")
+      col("file").contains(seg)
+    }.reduce(_ || _))
 
   /** Keyed change rows between generations `fromGen` → `toGen`:
     * [[SnapshotDiff.diff]] columns (`op`, keys, `b_*`/`a_*`), computed
@@ -68,42 +113,80 @@ object ChangeFeed {
     * are always included); default = full schema. */
   def between(spark: SparkSession, tablePath: String, indexRoot: String,
               fromGen: Long, toGen: Long, keys: Seq[String],
-              partitionCol: String, columns: Seq[String] = Nil): DataFrame = {
+              partitionCol: String, columns: Seq[String] = Nil): DataFrame =
+    betweenCols(spark, tablePath, indexRoot, fromGen, toGen, keys,
+      Seq(partitionCol), columns)
+
+  /** [[between]] for a MULTI-LEVEL partition layout (e.g. the landing
+    * grain `(order_date, _batch_id)`): a touched partition is a value
+    * TUPLE, matched as the nested `c1=v1/c2=v2` path segment. */
+  def betweenCols(spark: SparkSession, tablePath: String, indexRoot: String,
+                  fromGen: Long, toGen: Long, keys: Seq[String],
+                  partitionCols: Seq[String],
+                  columns: Seq[String] = Nil): DataFrame = {
     require(fromGen != toGen, s"between: fromGen == toGen == $fromGen")
+    require(partitionCols.nonEmpty, "between: no partition columns")
     val fromStats = StatsIndex.load(spark, s"$indexRoot/_v=$fromGen")
       .localCheckpoint()
     val toStats = StatsIndex.load(spark, s"$indexRoot/_v=$toGen")
       .localCheckpoint()
-    val touched = changedPartitions(spark, fromStats, toStats, partitionCol)
-    def restrict(stats: DataFrame): DataFrame = {
-      val hit = touched.map { v =>
-        val seg = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(v)
-        col("file").contains(s"/$partitionCol=$seg/")
-      }.reduce(_ || _)
-      stats.where(hit)
-    }
-    // Symmetry matters: the two sides must cover the SAME partition set
-    // or untouched rows on one side would read as phantom inserts/
-    // deletes. If either restricted slice is file-empty (all touched
-    // partitions are new on the other side — the scan needs ≥1 file to
-    // infer its schema) or no partition changed at all (empty diff, but
-    // a frame still needs a schema), both sides fall back to their full
-    // manifests; the extra untouched rows compare equal and vanish.
-    val (fromSlice, toSlice) =
-      if (touched.isEmpty) (fromStats, toStats)
-      else {
-        val (rf, rt) = (restrict(fromStats), restrict(toStats))
-        if (rf.isEmpty || rt.isEmpty) (fromStats, toStats) else (rf, rt)
-      }
-    def read(stats: DataFrame, gen: Long): DataFrame = {
-      val df = IndexedScan.readIndexedFrom(spark, tablePath, stats,
-        dataSchema = StatsIndex.generationSchema(spark, indexRoot, gen))
+    val touched = changedPartitionValues(spark, fromStats, toStats,
+      partitionCols)
+    def project(df: DataFrame): DataFrame =
       if (columns.isEmpty) df
-      else df.select((keys ++ Seq(partitionCol) ++ columns).distinct.map(col): _*)
+      else df.select((keys ++ partitionCols ++ columns).distinct.map(col): _*)
+    def readSlice(slice: DataFrame, gen: Long): DataFrame =
+      project(IndexedScan.readIndexedFrom(spark, tablePath, slice,
+        dataSchema = StatsIndex.generationSchema(spark, indexRoot, gen)))
+    def emptyLike(schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    // Each side reads ONLY its restricted slice. A side whose slice is
+    // file-empty (append-only hop: every touched partition is new on the
+    // other side; or a delete-all hop the other way) is the EMPTY
+    // relation — it contributes no rows to the diff, so it can safely
+    // borrow the other side's schema (alignment below fills columns
+    // either way). Reading the full manifests here — the old fallback —
+    // would make the commonest CDC hop cost a full-table diff.
+    val fromSlice = restrictToTouched(fromStats, partitionCols, touched)
+    val toSlice = restrictToTouched(toStats, partitionCols, touched)
+    def hasFiles(slice: DataFrame): Boolean =
+      !slice.select(col("file")).limit(1).isEmpty
+    val (from, to) = (hasFiles(fromSlice), hasFiles(toSlice)) match {
+      case (true, true) =>
+        (readSlice(fromSlice, fromGen), readSlice(toSlice, toGen))
+      case (true, false) =>
+        val f = readSlice(fromSlice, fromGen); (f, emptyLike(f.schema))
+      case (false, true) =>
+        val t = readSlice(toSlice, toGen); (emptyLike(t.schema), t)
+      case (false, false) =>
+        // no partition changed at all (or both generations are
+        // file-empty): the feed is provably empty — recover a schema
+        // from a recorded sidecar, else one manifest file's footer
+        def fileSchema(stats: DataFrame): Option[StructType] =
+          stats.select(col("file")).limit(1).collect().headOption
+            .map(r => spark.read.parquet(r.getString(0)).schema)
+        val ds = StatsIndex.generationSchema(spark, indexRoot, toGen)
+          .orElse(StatsIndex.generationSchema(spark, indexRoot, fromGen))
+          .orElse(fileSchema(toStats)).orElse(fileSchema(fromStats))
+          .getOrElse(throw new IllegalStateException(
+            s"between: generations $fromGen and $toGen of $indexRoot are " +
+              "both file-empty and record no schema sidecar — no schema " +
+              "recoverable"))
+        val e = project(emptyLike(StructType(ds.fields.toSeq
+          .filterNot(f => partitionCols.contains(f.name)) ++
+          partitionCols.map(StructField(_, StringType, nullable = true)))))
+        (e, e)
     }
-    val from = read(fromSlice, fromGen)
-    val to = read(toSlice, toGen)
+    // a shared column whose TYPE differs between generations cannot be
+    // aligned away — reject loudly rather than let the null-safe compare
+    // silently coerce (mergeIntoVersioned refuses type evolution, so
+    // this only fires on hand-built generations)
+    from.schema.fields.foreach { f =>
+      to.schema.fields.find(_.name == f.name).foreach(g =>
+        require(g.dataType == f.dataType,
+          s"between: column '${f.name}' type differs across generations " +
+            s"(${f.dataType.simpleString} vs ${g.dataType.simpleString})"))
+    }
     // schema evolution across the hop: align both sides to the union of
     // columns (from-side order first), missing columns as typed nulls —
     // a value landing in a NEW column is then an update (null <=> value
@@ -115,10 +198,6 @@ object ChangeFeed {
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
-    // a shared column whose TYPE differs between generations is not
-    // aligned away — SnapshotDiff's schema require rejects it loudly
-    // (mergeIntoVersioned refuses type evolution, so this only fires on
-    // hand-built generations)
     SnapshotDiff.diff(aligned(from), aligned(to), keys)
   }
 }

@@ -196,7 +196,9 @@ object Compaction {
       val under = prefixes.map(p => col("file").startsWith(p)).reduce(_ || _)
       val fresh = StatsIndex.statsForFiles(spark, movedIn, statsColumns)
       val nextGen = current.where(!under).unionByName(fresh)
-      Some(StatsIndex.saveGeneration(nextGen, indexRoot, schema))
+      val partCols = StatsIndex.generationPartitionCols(spark, indexRoot,
+        gens.last).getOrElse(Seq(partitionCol))
+      Some(StatsIndex.saveGeneration(nextGen, indexRoot, schema, partCols))
     } finally fs.delete(staging, true)
   }
 }

@@ -29,9 +29,12 @@ object SnapshotDiff {
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diff: empty key list")
     val cols = before.columns.toSeq
-    require(after.columns.toSeq == cols,
-      s"diff: schemas differ — before ${cols.mkString(",")} vs " +
-        s"after ${after.columns.mkString(",")} (align columns first)")
+    // names AND types: same-named columns of different types would pass a
+    // name-only check and then silently coerce through the null-safe compare
+    def shape(df: DataFrame) = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(after) == shape(before),
+      s"diff: schemas differ — before ${shape(before).mkString(",")} vs " +
+        s"after ${shape(after).mkString(",")} (align columns first)")
     val nonKeys = cols.filterNot(keys.contains)
     def tagged(df: DataFrame, side: String) = {
       val keyed = keys.foldLeft(df)((d, k) =>

@@ -414,7 +414,7 @@ object Upsert {
       val nextGen = current.map(_.where(!under).unionByName(fresh))
         .getOrElse(fresh)
       graft.sources.StatsIndex.saveGeneration(nextGen, indexRoot,
-        Some(dataSchema))
+        Some(dataSchema), Seq(partitionCol))
     } finally fs.delete(staging, true)
   }
 

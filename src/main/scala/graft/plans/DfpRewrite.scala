@@ -115,9 +115,18 @@ case class DfpRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       shape.flatMap { case (factLeft, factKey, dim, dimKey) =>
         val factSide = if (factLeft) left else right
         if (dim.isStreaming || alreadyPinned(factSide, factKey) ||
-            dim.stats.sizeInBytes > maxDimBytes) None
+            dim.stats.sizeInBytes > maxDimBytes ||
+            // non-atomic equi-join key types (struct keys are legal in
+            // equality joins) have no In-literal form — stand down, never
+            // fail a previously-working query during optimization
+            !atomicKey(factKey.dataType))
+          None
         else collectKeys(dim, dimKey).flatMap { keys =>
-          val lits = keys.map(Literal.apply).toIndexedSeq
+          // Literal.apply throws on external values it cannot type
+          // (belt-and-braces under the AtomicType guard above) — a failed
+          // construction stands the rule down instead of failing the query
+          scala.util.Try(keys.map(Literal.apply).toIndexedSeq).toOption
+        }.flatMap { lits =>
           // post-coercion plan: an In mixing literal types with the key
           // (e.g. external BigDecimal → decimal(38,18) vs a decimal(10,2)
           // column) must not be fabricated — stand down instead
@@ -136,6 +145,16 @@ case class DfpRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
   }
+
+  /** Only leaf (non-container) key types get In-literal pins — the
+    * types `Literal.apply` round-trips from collected external rows. */
+  private def atomicKey(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
 
   /** Distinct non-null dim keys, bounded — None past the cap (leave the
     * join unrewritten; correct, just not file-pruned). */

@@ -131,10 +131,37 @@ object IndexedScan extends Logging {
     * recorded schema fills nulls exactly as the write intended). */
   def readIndexedGeneration(spark: SparkSession, tablePath: String,
                             indexRoot: String, gen: Long,
-                            blooms: Option[DataFrame] = None): DataFrame =
-    readIndexedFrom(spark, tablePath,
-      StatsIndex.load(spark, s"$indexRoot/_v=$gen"), blooms,
-      StatsIndex.generationSchema(spark, indexRoot, gen))
+                            blooms: Option[DataFrame] = None): DataFrame = {
+    val stats = StatsIndex.load(spark, s"$indexRoot/_v=$gen")
+    val schema = StatsIndex.generationSchema(spark, indexRoot, gen)
+    if (stats.select("file").limit(1).isEmpty)
+      // a merge that deletes every remaining row legally commits a
+      // FILE-EMPTY manifest — the table at that generation is the empty
+      // relation under its recorded schema, not an error (partition
+      // columns surface as the strings an indexed read would return)
+      emptyGeneration(spark, indexRoot, gen, schema)
+    else readIndexedFrom(spark, tablePath, stats, blooms, schema)
+  }
+
+  /** The correctly-schemed empty relation of a file-empty generation:
+    * recorded data schema + recorded partition columns (as the STRING
+    * columns an index-served scan surfaces). Loud when no schema was
+    * recorded — there is nothing to recover one from. */
+  private[graft] def emptyGeneration(spark: SparkSession, indexRoot: String,
+                                     gen: Long,
+                                     schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val ds = schema.getOrElse(throw new IllegalStateException(
+      s"generation $gen under $indexRoot has an empty file manifest and " +
+        "no recorded schema sidecar — unrecoverable; re-commit through " +
+        "mergeIntoVersioned (which records schemas) or vacuum past it"))
+    val parts = StatsIndex.generationPartitionCols(spark, indexRoot, gen)
+      .getOrElse(Nil)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(ds.fields.toSeq ++
+        parts.map(StructField(_, StringType, nullable = true))))
+  }
 
   /** [[readIndexed]] fed already-loaded index relations — the in-memory
     * path (a freshly built, unsaved index works too). `dataSchema`

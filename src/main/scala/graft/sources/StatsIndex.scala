@@ -397,7 +397,8 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * fenced against a racing writer — same contract as every publish
     * path here). */
   def saveGeneration(stats: DataFrame, indexRoot: String,
-                     dataSchema: Option[StructType] = None): Long = {
+                     dataSchema: Option[StructType] = None,
+                     partitionCols: Seq[String] = Nil): Long = {
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(
       stats.sparkSession.sessionState.newHadoopConf())
@@ -408,16 +409,25 @@ object StatsIndex extends org.apache.spark.internal.Logging {
         .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("_v=").toLong).toOption)
     val next = (0L +: existing).max + 1L
-    // schema sidecar FIRST: once the parquet `_SUCCESS` commits the
+    // sidecars FIRST: once the parquet `_SUCCESS` commits the
     // generation, a racing reader must already find the schema (an
     // orphan sidecar from a crash here is inert — generationSchema is
     // only consulted for generations that exist)
-    dataSchema.foreach { st =>
+    def sidecar(name: String, body: String): Unit = {
       fs.mkdirs(root)
-      val out = fs.create(new Path(root, s"_schema_v=$next.json"), true)
-      try out.write(st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = fs.create(new Path(root, name), true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    dataSchema.foreach(st => sidecar(s"_schema_v=$next.json", st.json))
+    // partition columns recorded alongside: a FILE-EMPTY manifest (a
+    // merge that legally deletes every remaining row) carries no paths
+    // to parse them from, and an empty-table read still owes the caller
+    // the partition columns in its schema
+    if (partitionCols.nonEmpty)
+      sidecar(s"_partcols_v=$next.json",
+        StructType(partitionCols.map(org.apache.spark.sql.types.StructField(
+          _, org.apache.spark.sql.types.StringType))).json)
     stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
     next
   }
@@ -441,6 +451,25 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       Some(org.apache.spark.sql.types.DataType.fromJson(
           new String(buf, java.nio.charset.StandardCharsets.UTF_8))
         .asInstanceOf[StructType])
+    }
+  }
+
+  /** The partition column names recorded when generation `gen` was
+    * committed (ordered, outermost first) — what lets a FILE-EMPTY
+    * manifest still answer with a correctly-schemed empty relation.
+    * Absent for generations written before recording. */
+  def generationPartitionCols(spark: SparkSession, indexRoot: String,
+                              gen: Long): Option[Seq[String]] = {
+    val p = new Path(indexRoot, s"_partcols_v=$gen.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[StructType].fieldNames.toSeq)
     }
   }
 
@@ -479,9 +508,11 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       .map(_.getPath)
     doomed.foreach { p =>
       fs.delete(p, true)
-      // the generation's schema sidecar shares its lifecycle
+      // the generation's sidecars share its lifecycle
       fs.delete(new Path(root,
         s"_schema_v=${p.getName.stripPrefix("_v=")}.json"), false)
+      fs.delete(new Path(root,
+        s"_partcols_v=${p.getName.stripPrefix("_v=")}.json"), false)
     }
     doomed.map(_.toString).sorted
   }
@@ -507,7 +538,12 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     require(retained.nonEmpty, "retire: vacuumGenerations left no generation")
     val keepSet = retained.map(g => load(spark, s"$indexRoot/_v=$g"))
       .reduce(_.unionByName(_))
-    (reapedGens, vacuum(spark, tablePath, keepSet, graceMs, nowMs))
+    // every retained manifest FILE-EMPTY (a delete-all table): vacuum's
+    // empty-stats guard would refuse — stand down on the data sweep
+    // (conservative; replaced files wait for a later non-empty
+    // generation) rather than treat the guard as an error
+    if (keepSet.select("file").limit(1).isEmpty) (reapedGens, Nil)
+    else (reapedGens, vacuum(spark, tablePath, keepSet, graceMs, nowMs))
   }
 
   /** Footer stats for an explicit file list, as one distributed pass —

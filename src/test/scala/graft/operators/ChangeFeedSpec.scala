@@ -88,4 +88,96 @@ class ChangeFeedSpec extends SparkSpec {
       ChangeFeed.asOf(spark, path, idx, g1).collect())
     assert(e != null)
   }
+
+  test("append-only hop diffs only the new partition — the from side reads ZERO files") {
+    val root = Files.createTempDirectory("graft-cf-app").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val g1 = Upsert.mergeIntoVersioned(path,
+      base.toDF("order_id", "day", "amount"), Seq("order_id"), "day", idx)
+    // the daily-ingest hop: one brand-new partition, nothing else touched
+    val g2 = Upsert.mergeIntoVersioned(path,
+      Seq((7L, "2024-01-07", 70.0), (8L, "2024-01-07", 80.0))
+        .toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+
+    val sa = StatsIndex.load(spark, s"$idx/_v=$g1")
+    val sb = StatsIndex.load(spark, s"$idx/_v=$g2")
+    val touched = ChangeFeed.changedPartitionValues(spark, sa, sb, Seq("day"))
+    assert(touched == Seq(Seq("2024-01-07")))
+    // the restricted from-slice is FILE-EMPTY: the hop must not fall back
+    // to the full manifests
+    assert(ChangeFeed.restrictToTouched(sa, Seq("day"), touched)
+      .select("file").isEmpty)
+
+    // behavioral proof that no fallback reads the untouched partitions:
+    // delete every pre-hop data file from disk — a full-manifest read
+    // (the old fallback) would crash on the missing files; the
+    // slice-restricted diff never opens them
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    sa.select("file").collect().map(_.getString(0)).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val feed = ChangeFeed.between(spark, path, idx, g1, g2,
+        Seq("order_id"), "day")
+      .select(col("op"), col("order_id").cast("long"),
+        col("a_amount").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(feed == Set(("insert", 7L, 70.0), ("insert", 8L, 80.0)))
+  }
+
+  test("a delete-all merge commits a file-empty generation that stays readable and CDC-traversable") {
+    val root = Files.createTempDirectory("graft-cf-empty").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val two = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+    val g1 = Upsert.mergeIntoVersioned(path,
+      two.toDF("order_id", "day", "amount"), Seq("order_id"), "day", idx)
+    import org.apache.spark.sql.functions.lit
+    val g2 = Upsert.mergeIntoVersioned(path,
+      two.toDF("order_id", "day", "amount").where(lit(false)),
+      Seq("order_id"), "day", idx,
+      deletes = Some(two.toDF("order_id", "day", "amount")
+        .select("order_id", "day")))
+
+    // the empty generation answers as the empty relation under the
+    // recorded schema (+ partition column), not an error
+    val empty = ChangeFeed.asOf(spark, path, idx, g2)
+    assert(empty.columns.toSeq == Seq("order_id", "amount", "day"))
+    assert(empty.isEmpty)
+
+    // hop INTO the empty generation: every row a delete
+    val intoIt = ChangeFeed.between(spark, path, idx, g1, g2,
+        Seq("order_id"), "day")
+      .select(col("op"), col("order_id").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(intoIt == Set(("delete", 1L), ("delete", 2L)))
+
+    // hop OUT of it: re-inserts read as inserts — a follower never wedges
+    val g3 = Upsert.mergeIntoVersioned(path,
+      Seq((9L, "2024-01-09", 90.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    val outOf = ChangeFeed.between(spark, path, idx, g2, g3,
+        Seq("order_id"), "day")
+      .select(col("op"), col("order_id").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(outOf == Set(("insert", 9L)))
+  }
+
+  test("changedPartitionValues extracts multi-level tuples, quoted-metachar columns, and escaped values") {
+    import spark.implicits._
+    def stats(files: String*) = files.toSeq.toDF("file")
+    val a = stats(
+      "file:/t/d=2024-01-01/b.id=1/f1.parquet",
+      "file:/t/d=2024-01-02/b.id=1/f2.parquet")
+    val b = stats(
+      "file:/t/d=2024-01-01/b.id=1/f1.parquet", // shared: untouched
+      "file:/t/d=2024-01-02/b.id=1/f2b.parquet", // replaced
+      "file:/t/d=2024-01-03/b.id=2/f3.parquet") // new
+    // `b.id` contains a regex metachar — Pattern.quote keeps it literal
+    assert(ChangeFeed.changedPartitionValues(spark, a, b, Seq("d", "b.id")) ==
+      Seq(Seq("2024-01-02", "1"), Seq("2024-01-03", "2")))
+    // Hive-escaped partition values unescape on the way out
+    val esc = stats("file:/t/k=a%3Ab/f.parquet")
+    assert(ChangeFeed.changedPartitionValues(spark, esc, stats(), Seq("k")) ==
+      Seq(Seq("a:b")))
+  }
 }

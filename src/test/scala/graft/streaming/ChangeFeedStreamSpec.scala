@@ -77,4 +77,29 @@ class ChangeFeedStreamSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("retained") || e.getMessage.contains("retention"))
   }
+
+  test("a delete-all hop never wedges the follower: the empty generation drains and the cursor advances past it") {
+    val root = Files.createTempDirectory("graft-cfs-empty").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val cursor = s"$root/cursor"
+    val g1 = Upsert.mergeIntoVersioned(path,
+      Seq((1L, "d1", 10.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    // delete-all → a legal FILE-EMPTY generation, then a re-insert
+    Upsert.mergeIntoVersioned(path,
+      Seq((1L, "d1", 10.0)).toDF("order_id", "day", "amount").where(lit(false)),
+      Seq("order_id"), "day", idx,
+      deletes = Some(Seq((1L, "d1")).toDF("order_id", "day")))
+    val g3 = Upsert.mergeIntoVersioned(path,
+      Seq((2L, "d2", 20.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    assert(ChangeFeedStream.drain(spark, path, idx,
+      Seq("order_id"), "day", cursor, startAt = Some(g1)) { (_, _, ch) =>
+      seen ++= ch.select(col("op"), col("order_id").cast("long"))
+        .as[(String, Long)].collect()
+    } == 2)
+    assert(seen.toSet == Set(("delete", 1L), ("insert", 2L)))
+    assert(ChangeFeedStream.readCursor(spark, cursor).contains(g3))
+  }
 }
