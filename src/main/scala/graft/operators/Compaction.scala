@@ -142,12 +142,22 @@ object Compaction {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
 
-    val seg = s"/${java.util.regex.Pattern.quote(partitionCol)}=([^/]+)/".r
+    // group by each file's partition directory RELATIVE to the root —
+    // works for any nesting depth (a `(order_date, _batch_id)` landing
+    // grain compacts like a flat one); `partitionCol` is only the
+    // recorded-partition-columns fallback for pre-recording generations
+    val qroot = fs.makeQualified(root).toString
     val byPartition: Map[String, Seq[String]] = current
       .select(org.apache.spark.sql.functions.col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
-      .groupBy(f => seg.findFirstMatchIn(f).map(_.group(1)))
-      .collect { case (Some(v), fsq) => s"$partitionCol=$v" -> fsq }
+      .groupBy { f =>
+        val parent = new Path(f).getParent
+        parent.getFileSystem(spark.sessionState.newHadoopConf())
+          .makeQualified(parent).toString
+          .stripPrefix(qroot).stripPrefix("/")
+      }
+      .filter { case (rel, _) =>
+        rel.nonEmpty && rel.split('/').forall(_.contains("=")) }
     val todo = byPartition.toSeq.sortBy(_._1).flatMap { case (dir, files) =>
       val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
       val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

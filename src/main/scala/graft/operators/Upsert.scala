@@ -289,21 +289,46 @@ object Upsert {
   def mergeIntoVersioned(path: String, updates: DataFrame, keys: Seq[String],
                          partitionCol: String, indexRoot: String,
                          statsColumns: Seq[String] = Nil,
-                         deletes: Option[DataFrame] = None): Long = {
+                         deletes: Option[DataFrame] = None): Long =
+    mergeIntoVersionedCols(path, updates, keys, Seq(partitionCol), indexRoot,
+      statsColumns, deletes)
+
+  /** [[mergeIntoVersioned]] for a MULTI-LEVEL partition layout — the
+    * reference's own landing grain is `(order_date, _batch_id)`
+    * (two nested `col=value` levels), and the versioned manifest must
+    * version it like any other table. A touched partition is a value
+    * TUPLE over `partitionCols` (outermost first); the snapshot read,
+    * the survivor filter, and the generation's recorded partition
+    * columns all operate on the nested `c1=v1/c2=v2` path segment
+    * `partitionBy` writes. A partition emptied by deletes simply leaves
+    * the manifest — copy-on-write never removes directories; its files
+    * become vacuum's business like any replaced generation's. */
+  def mergeIntoVersionedCols(path: String, updates: DataFrame, keys: Seq[String],
+                             partitionCols: Seq[String], indexRoot: String,
+                             statsColumns: Seq[String] = Nil,
+                             deletes: Option[DataFrame] = None,
+                             bloomColumns: Seq[String] = Nil,
+                             maxBloomProbeKeys: Int = 100000,
+                             bloomItemsPerFile: Long = 1L << 20,
+                             bloomFpp: Double = 0.01): Long = {
     require(keys.nonEmpty, "mergeIntoVersioned: empty key list")
-    require(!keys.contains(partitionCol),
-      s"mergeIntoVersioned: partitionCol '$partitionCol' cannot be a merge key")
+    require(partitionCols.nonEmpty, "mergeIntoVersioned: no partition columns")
+    partitionCols.foreach(pc => require(!keys.contains(pc),
+      s"mergeIntoVersioned: partition column '$pc' cannot be a merge key"))
+    require(bloomColumns.isEmpty || bloomColumns.forall(keys.contains),
+      s"mergeIntoVersioned: bloomColumns must be a subset of the merge " +
+        s"keys; got ${bloomColumns.mkString(", ")}")
     // schema evolution lets updates OMIT non-key columns; the keys and
-    // the partition column are the contract and must never be fabricated
+    // the partition columns are the contract and must never be fabricated
     // as nulls by the alignment below
     locally {
-      val missing = (keys :+ partitionCol).filterNot(updates.columns.contains)
+      val missing = (keys ++ partitionCols).filterNot(updates.columns.contains)
       require(missing.isEmpty,
         s"mergeIntoVersioned: updates frame lacks key/partition " +
           s"column(s) ${missing.mkString(", ")}")
     }
     deletes.foreach { d =>
-      val missing = (keys :+ partitionCol).filterNot(d.columns.contains)
+      val missing = (keys ++ partitionCols).filterNot(d.columns.contains)
       require(missing.isEmpty,
         s"mergeIntoVersioned: deletes frame lacks column(s) ${missing.mkString(", ")}")
     }
@@ -320,25 +345,119 @@ object Upsert {
       if (gens.isEmpty) None
       else Some(graft.sources.StatsIndex.load(spark, s"$indexRoot/_v=${gens.last}"))
 
-    val touched = deletes.fold(updates.select(col(partitionCol)))(d =>
-        updates.select(col(partitionCol))
-          .unionByName(d.select(col(partitionCol))))
-      .distinct().collect().map(_.get(0)).toSeq
-    require(!touched.contains(null),
-      s"mergeIntoVersioned: updates/deletes carry a NULL $partitionCol")
+    val touched: Seq[Seq[Any]] =
+      deletes.fold(updates.select(partitionCols.map(col): _*))(d =>
+        updates.select(partitionCols.map(col): _*)
+          .unionByName(d.select(partitionCols.map(col): _*)))
+      .distinct().collect().map(_.toSeq).toSeq
+    require(!touched.exists(_.contains(null)),
+      s"mergeIntoVersioned: updates/deletes carry a NULL partition value " +
+        s"in ${partitionCols.mkString(", ")}")
     def applyDeletes(df: DataFrame): DataFrame = deletes.fold(df)(d =>
       df.join(d.select(keys.map(col): _*), keys, "left_anti"))
 
-    // SCHEMA EVOLUTION: updates may carry columns the table lacks (and
-    // vice versa — a delta feed rarely republishes every column). The
-    // table's data schema is the UNION: the previous generation's
-    // recorded schema (sidecar; else inferred from one manifest file)
-    // extended by updates' new columns, everything nullable. Old files
-    // are never rewritten — the evolved schema is RECORDED with the new
-    // generation, and index-served reads request it, so parquet fills
-    // the missing columns with nulls exactly where history had no
-    // value. Shared column names must agree on type (loudly).
-    val updDataFields = updates.schema.fields.filterNot(_.name == partitionCol)
+    val (dataSchema, align) = evolveVersioned(spark, indexRoot, gens,
+      current, updates, partitionCols)
+
+    // 1-2. snapshot read of the touched slice, merge, stage. With a
+    // bloom relation committed on the PREVIOUS generation, the touched
+    // slice SPLITS: files bloom-proven to hold none of the updates' or
+    // deletes' keys never enter the merge — and unlike the in-place
+    // flow they are not even REWRITTEN: copy-on-write lets a key-free
+    // file survive in the next manifest verbatim, so a point update's
+    // read AND write cost is |files actually holding the keys|, not
+    // |touched partitions| (the regime where every file of a day spans
+    // the full key range and min/max pruning is useless).
+    val sliceFiles = current.map(c =>
+      graft.sources.StatsIndex.partitionTupleFiles(c, partitionCols, touched))
+      .getOrElse(Nil)
+    val probeKeys = deletes.fold(updates.select(keys.map(col): _*))(d =>
+      updates.select(keys.map(col): _*)
+        .unionByName(d.select(keys.map(col): _*)))
+    val (mergeFiles, passFiles) =
+      if (bloomColumns.isEmpty || sliceFiles.isEmpty || gens.isEmpty)
+        (sliceFiles, Nil)
+      else splitByBlooms(spark, sliceFiles, probeKeys,
+        Some(graft.sources.StatsIndex.generationBloomsPath(indexRoot, gens.last)),
+        bloomColumns, maxBloomProbeKeys)
+    val merged = applyDeletes(
+      if (mergeFiles.isEmpty) align(updates)
+      else merge(
+        align(spark.read.option("basePath", path).parquet(mergeFiles: _*)),
+        align(updates), keys))
+    commitVersioned(spark, path, indexRoot, gens, current, merged,
+      partitionCols, touched, passFiles, dataSchema, statsColumns,
+      bloomColumns, bloomItemsPerFile, bloomFpp)
+  }
+
+  /** Dynamic partition overwrite as a GENERATION COMMIT — the versioned
+    * twin of `df.write.option("partitionOverwriteMode", "dynamic")`: the
+    * frame's partitions replace their manifest slices WHOLESALE,
+    * untouched partitions survive verbatim, nothing on disk is deleted,
+    * and a reader pinned to the previous generation keeps a consistent
+    * snapshot through the publish — the window the in-place overwrite
+    * leaves open. This is the landing shape of the continuous star
+    * ([[graft.streaming.SalesSummaryStream]]): replay-idempotent per
+    * batch, because re-landing a slice re-replaces exactly itself
+    * (a new generation with identical logical content). Schema
+    * evolution as in [[mergeIntoVersionedCols]]. Returns the committed
+    * generation. */
+  def replacePartitionsVersioned(path: String, df: DataFrame,
+                                 partitionCols: Seq[String], indexRoot: String,
+                                 statsColumns: Seq[String] = Nil): Long = {
+    require(partitionCols.nonEmpty,
+      "replacePartitionsVersioned: no partition columns")
+    locally {
+      val missing = partitionCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"replacePartitionsVersioned: frame lacks partition " +
+          s"column(s) ${missing.mkString(", ")}")
+    }
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val gens = graft.sources.StatsIndex.generations(spark, indexRoot)
+    if (gens.isEmpty)
+      require(!fs.exists(dest) ||
+          graft.sources.StatsIndex.listDataFiles(spark, path).isEmpty,
+        s"replacePartitionsVersioned: $path holds data but $indexRoot has " +
+          "no generation — adopt it first with saveGeneration(build(...))")
+    val current =
+      if (gens.isEmpty) None
+      else Some(graft.sources.StatsIndex.load(spark, s"$indexRoot/_v=${gens.last}"))
+    val touched: Seq[Seq[Any]] = df.select(partitionCols.map(col): _*)
+      .distinct().collect().map(_.toSeq).toSeq
+    require(touched.nonEmpty,
+      "replacePartitionsVersioned: empty frame — nothing to replace " +
+        "(an empty landing is the caller's no-op, not a generation)")
+    require(!touched.exists(_.contains(null)),
+      s"replacePartitionsVersioned: NULL partition value " +
+        s"in ${partitionCols.mkString(", ")}")
+    val (dataSchema, align) = evolveVersioned(spark, indexRoot, gens,
+      current, df, partitionCols)
+    commitVersioned(spark, path, indexRoot, gens, current, align(df),
+      partitionCols, touched, Nil, dataSchema, statsColumns, Nil,
+      1L << 20, 0.01)
+  }
+
+  /** SCHEMA EVOLUTION for the versioned writers: the incoming frame may
+    * carry columns the table lacks (and vice versa — a delta feed
+    * rarely republishes every column). The table's data schema is the
+    * UNION: the previous generation's recorded schema (sidecar; else
+    * inferred from one manifest file) extended by the frame's new
+    * columns, everything nullable. Old files are never rewritten — the
+    * evolved schema is RECORDED with the new generation, and
+    * index-served reads request it, so parquet fills the missing
+    * columns with nulls exactly where history had no value. Shared
+    * column names must agree on type (loudly). Returns the evolved data
+    * schema and the column-alignment projection. */
+  private def evolveVersioned(spark: org.apache.spark.sql.SparkSession,
+                              indexRoot: String, gens: Seq[Long],
+                              current: Option[DataFrame], incoming: DataFrame,
+                              partitionCols: Seq[String])
+      : (org.apache.spark.sql.types.StructType, DataFrame => DataFrame) = {
+    val newDataFields = incoming.schema.fields
+      .filterNot(f => partitionCols.contains(f.name))
     val oldDataFields: Seq[org.apache.spark.sql.types.StructField] =
       current.flatMap { c =>
         graft.sources.StatsIndex.generationSchema(spark, indexRoot, gens.last)
@@ -347,74 +466,112 @@ object Upsert {
             .map(r => spark.read.parquet(r.getString(0)).schema.fields.toSeq))
       }.getOrElse(Nil)
     oldDataFields.foreach { f =>
-      updDataFields.find(_.name == f.name).foreach(u =>
+      newDataFields.find(_.name == f.name).foreach(u =>
         require(u.dataType == f.dataType,
-          s"mergeIntoVersioned: column '${f.name}' type changed " +
+          s"versioned write: column '${f.name}' type changed " +
             s"(${f.dataType.simpleString} -> ${u.dataType.simpleString}) — " +
             "type evolution is not supported, rename the column"))
     }
     val dataFields = (oldDataFields ++
-        updDataFields.filterNot(u => oldDataFields.exists(_.name == u.name)))
+        newDataFields.filterNot(u => oldDataFields.exists(_.name == u.name)))
       .map(_.copy(nullable = true))
-    val dataSchema = org.apache.spark.sql.types.StructType(dataFields)
-    val partField = updates.schema(partitionCol)
-    def align(df: DataFrame): DataFrame =
-      df.select((dataFields :+ partField).map { f =>
+    val partFields = partitionCols.map(incoming.schema(_))
+    val align = (df: DataFrame) =>
+      df.select((dataFields ++ partFields).map { f =>
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    (org.apache.spark.sql.types.StructType(dataFields), align)
+  }
 
-    // 1-2. snapshot read of the touched slice, merge, stage
-    val mergeFiles = current.map(c =>
-      graft.sources.StatsIndex.partitionFiles(c, partitionCol, touched))
-      .getOrElse(Nil)
-    val merged = applyDeletes(
-      if (mergeFiles.isEmpty) align(updates)
-      else merge(
-        align(spark.read.option("basePath", path).parquet(mergeFiles: _*)),
-        align(updates), keys))
+  /** The shared commit tail of the versioned writers: stage `out`
+    * partitioned, move its files into the live tree under fresh `gen-`
+    * names (pure additions — a crash leaves vacuum-able garbage, never
+    * a corrupt table), and commit generation N+1 = survivors + fresh
+    * stats (+ carried/fresh blooms). `passFiles` are bloom-proven
+    * unchanged files that survive the manifest despite sitting in
+    * touched partitions. */
+  private def commitVersioned(spark: org.apache.spark.sql.SparkSession,
+                              path: String, indexRoot: String,
+                              gens: Seq[Long], current: Option[DataFrame],
+                              out: DataFrame, partitionCols: Seq[String],
+                              touched: Seq[Seq[Any]], passFiles: Seq[String],
+                              dataSchema: org.apache.spark.sql.types.StructType,
+                              statsColumns: Seq[String],
+                              bloomColumns: Seq[String],
+                              bloomItemsPerFile: Long,
+                              bloomFpp: Double): Long = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(dest,
       s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      merged.write.mode("overwrite").partitionBy(partitionCol)
+      out.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(staging.toString)
 
-      // 3. move staged files in under fresh names — pure additions
+      // move staged files in under fresh names — pure additions.
+      // Multi-level layouts nest `c=v` directories; walk them down to
+      // the leaf files, preserving each file's relative partition path.
       val runId = java.util.UUID.randomUUID().toString.take(8)
-      val movedIn = fs.listStatus(staging).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap { d =>
-          val target = new org.apache.hadoop.fs.Path(dest, d.getPath.getName)
-          fs.mkdirs(target)
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => !f.isDirectory &&
-              f.getPath.getName.endsWith(".parquet") &&
-              !f.getPath.getName.startsWith("_") &&
-              !f.getPath.getName.startsWith("."))
-            .map { f =>
-              val in = new org.apache.hadoop.fs.Path(target,
-                s"gen-$runId-${f.getPath.getName}")
-              if (!fs.rename(f.getPath, in)) throw new java.io.IOException(
-                s"mergeIntoVersioned: rename ${f.getPath} -> $in failed")
-              fs.makeQualified(in).toString
-            }
+      def staged(dir: org.apache.hadoop.fs.Path,
+                 rel: Seq[String]): Seq[(org.apache.hadoop.fs.Path, Seq[String])] =
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.contains("="))
+            staged(st.getPath, rel :+ n)
+          else if (!st.isDirectory && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith(".") && rel.nonEmpty)
+            Seq((st.getPath, rel))
+          else Nil
         }
+      val movedIn = staged(staging, Nil).map { case (f, rel) =>
+        val target = new org.apache.hadoop.fs.Path(dest, rel.mkString("/"))
+        fs.mkdirs(target)
+        val in = new org.apache.hadoop.fs.Path(target,
+          s"gen-$runId-${f.getName}")
+        if (!fs.rename(f, in)) throw new java.io.IOException(
+          s"versioned write: rename $f -> $in failed")
+        fs.makeQualified(in).toString
+      }
 
-      // 4. commit: generation N+1 = untouched survivors + the new files
+      // commit: generation N+1 = untouched survivors + the new files
       val hconf = spark.sessionState.newHadoopConf()
-      val prefixes = touched.map { v =>
-        val p = new org.apache.hadoop.fs.Path(dest, partDirName(partitionCol, v))
+      val prefixes = touched.map { t =>
+        val p = new org.apache.hadoop.fs.Path(dest, partDirName(partitionCols, t))
         val q = p.getFileSystem(hconf).makeQualified(p).toString
         if (q.endsWith("/")) q else q + "/"
       }
       val under = prefixes.map(p => col("file").startsWith(p))
         .reduceOption(_ || _).getOrElse(lit(false))
+      // bloom pass-through files SURVIVE the manifest despite sitting in
+      // touched partitions — their rows are provably unchanged
+      val keep =
+        if (passFiles.isEmpty) !under
+        else !under || col("file").isin(passFiles: _*)
       val fresh = graft.sources.StatsIndex.statsForFiles(
         spark, movedIn, statsColumns)
-      val nextGen = current.map(_.where(!under).unionByName(fresh))
+      val nextGen = current.map(_.where(keep).unionByName(fresh))
         .getOrElse(fresh)
+      // the generation's bloom relation: the previous generation's rows
+      // for files still in the manifest (semi-join — never a rebuild),
+      // plus fresh filters for the files this write landed. Maintained
+      // whenever bloomColumns is set OR a previous relation exists, so
+      // coverage survives a bloom-less call conservatively (new files
+      // simply stay unknown-kept until a covered merge or compaction).
+      val carried = gens.lastOption
+        .flatMap(g => graft.sources.StatsIndex.generationBlooms(spark, indexRoot, g))
+        .map(_.join(nextGen.select(col("file")).distinct(), Seq("file"),
+          "left_semi"))
+      val freshBlooms =
+        if (bloomColumns.isEmpty || movedIn.isEmpty) None
+        else Some(graft.sources.StatsIndex.bloomsForFiles(spark, movedIn,
+          bloomColumns, bloomItemsPerFile, bloomFpp))
+      val nextBlooms = (carried, freshBlooms) match {
+        case (Some(c), Some(f)) => Some(c.unionByName(f))
+        case (c, f) => c.orElse(f)
+      }
       graft.sources.StatsIndex.saveGeneration(nextGen, indexRoot,
-        Some(dataSchema), Seq(partitionCol))
+        Some(dataSchema), partitionCols, nextBlooms)
     } finally fs.delete(staging, true)
   }
 
@@ -424,6 +581,11 @@ object Upsert {
   private def partDirName(partitionCol: String, v: Any): String =
     s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(String.valueOf(v))
+
+  /** The nested directory path `partitionBy(cols…)` writes for one
+    * partition value tuple — `c1=v1/c2=v2`, each value Hive-escaped. */
+  private def partDirName(partitionCols: Seq[String], t: Seq[Any]): String =
+    partitionCols.zip(t).map { case (c, v) => partDirName(c, v) }.mkString("/")
 
   /** (files that must enter the merge, files bloom-PROVEN to hold none of
     * the updates' key values). No bloom index / oversized probe set /

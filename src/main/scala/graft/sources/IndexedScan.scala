@@ -140,7 +140,14 @@ object IndexedScan extends Logging {
       // relation under its recorded schema, not an error (partition
       // columns surface as the strings an indexed read would return)
       emptyGeneration(spark, indexRoot, gen, schema)
-    else readIndexedFrom(spark, tablePath, stats, blooms, schema)
+    else {
+      // the generation's own committed bloom relation rides along
+      // automatically — equality/IN predicates on bloom-indexed columns
+      // prune files with zero call-site plumbing
+      val gblooms = blooms.orElse(
+        StatsIndex.generationBlooms(spark, indexRoot, gen))
+      readIndexedFrom(spark, tablePath, stats, gblooms, schema)
+    }
   }
 
   /** The correctly-schemed empty relation of a file-empty generation:

@@ -398,7 +398,8 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * path here). */
   def saveGeneration(stats: DataFrame, indexRoot: String,
                      dataSchema: Option[StructType] = None,
-                     partitionCols: Seq[String] = Nil): Long = {
+                     partitionCols: Seq[String] = Nil,
+                     blooms: Option[DataFrame] = None): Long = {
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(
       stats.sparkSession.sessionState.newHadoopConf())
@@ -428,8 +429,27 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       sidecar(s"_partcols_v=$next.json",
         StructType(partitionCols.map(org.apache.spark.sql.types.StructField(
           _, org.apache.spark.sql.types.StringType))).json)
+    // bloom relation too: by the time the stats `_SUCCESS` flips the
+    // generation live, a reader pinning it must already find its blooms
+    // (a generation with no bloom dir reads unprobed — conservative)
+    blooms.foreach(b =>
+      b.write.mode("overwrite").parquet(generationBloomsPath(indexRoot, next)))
     stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
     next
+  }
+
+  /** Where generation `gen`'s per-file Bloom relation lives (when its
+    * committing merge maintained one). `_`-prefixed without being a
+    * `_v=` directory, so [[generations]] never mistakes it for one. */
+  def generationBloomsPath(indexRoot: String, gen: Long): String =
+    s"$indexRoot/_blooms_v=$gen"
+
+  /** Generation `gen`'s Bloom relation, if one was committed with it. */
+  def generationBlooms(spark: SparkSession, indexRoot: String,
+                       gen: Long): Option[DataFrame] = {
+    val p = new Path(generationBloomsPath(indexRoot, gen))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(loadBlooms(spark, p.toString)) else None
   }
 
   /** The data schema (partition column excluded) recorded when
@@ -513,6 +533,8 @@ object StatsIndex extends org.apache.spark.internal.Logging {
         s"_schema_v=${p.getName.stripPrefix("_v=")}.json"), false)
       fs.delete(new Path(root,
         s"_partcols_v=${p.getName.stripPrefix("_v=")}.json"), false)
+      fs.delete(new Path(root,
+        s"_blooms_v=${p.getName.stripPrefix("_v=")}"), true)
     }
     doomed.map(_.toString).sorted
   }
@@ -648,12 +670,24 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * Hive-escaped before the path-segment match, so they compare against
     * the directory names Spark actually writes. */
   def partitionFiles(stats: DataFrame, partitionCol: String,
-                     values: Seq[Any]): Seq[String] = {
-    require(values.nonEmpty, "partitionFiles: empty value list")
-    val hit = values.map { v =>
-      val seg = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(String.valueOf(v))
-      col("file").contains(s"/$partitionCol=$seg/")
+                     values: Seq[Any]): Seq[String] =
+    partitionTupleFiles(stats, Seq(partitionCol), values.map(Seq(_)))
+
+  /** [[partitionFiles]] for a MULTI-LEVEL layout: each wanted partition
+    * is a value TUPLE over `partitionCols` (outermost first), matched as
+    * the nested `c1=v1/c2=v2` path segment `partitionBy` writes. */
+  def partitionTupleFiles(stats: DataFrame, partitionCols: Seq[String],
+                          tuples: Seq[Seq[Any]]): Seq[String] = {
+    require(tuples.nonEmpty, "partitionTupleFiles: empty tuple list")
+    require(partitionCols.nonEmpty, "partitionTupleFiles: no partition columns")
+    val hit = tuples.map { t =>
+      require(t.size == partitionCols.size,
+        s"partitionTupleFiles: tuple $t does not match columns $partitionCols")
+      val seg = partitionCols.zip(t).map { case (c, v) =>
+        s"$c=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))
+      }.mkString("/", "/", "/")
+      col("file").contains(seg)
     }.reduce(_ || _)
     stats.where(hit).select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -864,9 +898,9 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       expectedItemsPerFile, fpp)
   }
 
-  private def bloomsForFiles(spark: SparkSession, files: Seq[String],
-                             columns: Seq[String], items: Long,
-                             fpp: Double): DataFrame = {
+  private[graft] def bloomsForFiles(spark: SparkSession, files: Seq[String],
+                                    columns: Seq[String], items: Long,
+                                    fpp: Double): DataFrame = {
     import spark.implicits._
     if (files.isEmpty) return spark.emptyDataset[FileBloom].toDF()
     val data = readFiles(spark, files, "buildBlooms")

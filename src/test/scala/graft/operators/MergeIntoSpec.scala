@@ -442,4 +442,73 @@ class MergeIntoSpec extends SparkSpec {
       Upsert.mergeInto(path, nullDay, Seq("order_id", "item_id"), "day")
     }
   }
+
+  test("versioned bloom merge: key-free files survive the manifest unrewritten; reads auto-probe the generation's blooms") {
+    import graft.sources.{IndexedScan, StatsIndex}
+    val root = Files.createTempDirectory("graft-vmerge-bloom").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    // ONE partition, 8 files of SCATTERED ids — min/max pruning useless,
+    // the bloom split's regime (the in-place twin test's fixture)
+    val base = (0L until 800L).map(i => (i, 1L, "2024-01-01", i * 1.0))
+      .toDF("order_id", "item_id", "day", "amount").repartition(8)
+    val g1 = Upsert.mergeIntoVersionedCols(path, base,
+      Seq("order_id", "item_id"), Seq("day"), idx,
+      bloomColumns = Seq("order_id"))
+    val g1Files = StatsIndex.load(spark, s"$idx/_v=$g1")
+      .select("file").distinct().as[String].collect().toSet
+    assert(g1Files.size == 8, s"fixture: want 8 files, got ${g1Files.size}")
+    assert(StatsIndex.generationBlooms(spark, idx, g1).isDefined)
+
+    // point update: ONE owning file (+ fpp-level false positives) is
+    // rewritten; every key-free file SURVIVES in the new manifest —
+    // copy-on-write means they are not even rewritten, unlike in-place
+    val updates = Seq((412L, 1L, "2024-01-01", 9999.0),
+        (801L, 1L, "2024-01-01", 8.0))
+      .toDF("order_id", "item_id", "day", "amount")
+    val g2 = Upsert.mergeIntoVersionedCols(path, updates,
+      Seq("order_id", "item_id"), Seq("day"), idx,
+      bloomColumns = Seq("order_id"))
+    val g2Files = StatsIndex.load(spark, s"$idx/_v=$g2")
+      .select("file").distinct().as[String].collect().toSet
+    val survived = (g1Files intersect g2Files).size
+    assert(survived >= 5, s"bloom pass-through ineffective: only " +
+      s"$survived of 8 pre-merge files survived the manifest")
+
+    // result identical to the latest-wins contract
+    val got = IndexedScan.readIndexedVersioned(spark, path, idx)
+      .select(col("order_id").cast("long"), col("amount").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 801 && got(412L) == 9999.0 && got(801L) == 8.0 &&
+      got(3L) == 3.0)
+
+    // the committed bloom relation covers the WHOLE manifest (carried
+    // survivors + fresh files) and rides reads automatically: a point
+    // lookup's scan opens ≤ 3 of the 9 manifest files
+    val blooms = StatsIndex.generationBlooms(spark, idx, g2).get
+    assert(blooms.select("file").distinct().as[String].collect().toSet
+      == g2Files, "bloom relation does not cover the manifest")
+    val probe = IndexedScan.readIndexedVersioned(spark, path, idx)
+      .where(col("order_id") === 13L)
+    probe.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val nFiles = scans(probe.queryExecution.executedPlan)
+      .head.metrics("numFiles").value
+    assert(nFiles <= 3, s"auto bloom probe ineffective: $nFiles files scanned")
+
+    // a bloom-LESS merge keeps coverage for surviving files (carried),
+    // new files stay unknown-kept — results stay exact either way
+    val g3 = Upsert.mergeIntoVersionedCols(path,
+      Seq((900L, 1L, "2024-01-02", 90.0))
+        .toDF("order_id", "item_id", "day", "amount"),
+      Seq("order_id", "item_id"), Seq("day"), idx)
+    val b3 = StatsIndex.generationBlooms(spark, idx, g3)
+    assert(b3.isDefined, "carried blooms dropped by a bloom-less merge")
+    assert(IndexedScan.readIndexedVersioned(spark, path, idx).count() == 802)
+  }
 }

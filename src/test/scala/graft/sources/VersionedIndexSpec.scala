@@ -136,4 +136,68 @@ class VersionedIndexSpec extends SparkSpec {
     assert(rows(IndexedScan.readIndexedVersioned(spark, path, idx)) ==
       base + ((7L, "2024-01-02", 7.0)))
   }
+
+  test("two-level partition layout (date × batch) versions end-to-end: merge, snapshot reads, tuple-pruned CDF, untouched bytes") {
+    val root = Files.createTempDirectory("graft-videx2").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    def df(rows: (Long, String, Long, Double)*) =
+      rows.toSeq.toDF("order_id", "day", "batch", "amount")
+    // gen1: two dates × two batches — the reference's landing grain
+    val g1 = Upsert.mergeIntoVersionedCols(path,
+      df((1L, "d1", 0L, 10.0), (2L, "d1", 1L, 20.0),
+         (3L, "d2", 0L, 30.0), (4L, "d2", 1L, 40.0)),
+      Seq("order_id"), Seq("day", "batch"), idx)
+    assert(g1 == 1L)
+    assert(StatsIndex.generationPartitionCols(spark, idx, g1)
+      .contains(Seq("day", "batch")))
+
+    // gen2 touches exactly ONE (day, batch) tuple: update key 2,
+    // delete key... none; plus a brand-new tuple (d3, 0)
+    val preBytes = StatsIndex.load(spark, s"$idx/_v=$g1")
+      .select("file").distinct().as[String].collect()
+      .filter(_.contains("/day=d2/")).sorted.toSeq
+    val g2 = Upsert.mergeIntoVersionedCols(path,
+      df((2L, "d1", 1L, 99.0), (9L, "d3", 0L, 90.0)),
+      Seq("order_id"), Seq("day", "batch"), idx)
+
+    def all(gen: Long) = IndexedScan
+      .readIndexedGeneration(spark, path, idx, gen)
+      .select(col("order_id").cast("long"), col("day"), col("batch"),
+        col("amount").cast("double"))
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(all(g1) == Set((1L, "d1", "0", 10.0), (2L, "d1", "1", 20.0),
+      (3L, "d2", "0", 30.0), (4L, "d2", "1", 40.0)))
+    assert(all(g2) == Set((1L, "d1", "0", 10.0), (2L, "d1", "1", 99.0),
+      (3L, "d2", "0", 30.0), (4L, "d2", "1", 40.0), (9L, "d3", "0", 90.0)))
+
+    // untouched tuples' manifest rows survive VERBATIM (same files)
+    val postBytes = StatsIndex.load(spark, s"$idx/_v=$g2")
+      .select("file").distinct().as[String].collect()
+      .filter(_.contains("/day=d2/")).sorted.toSeq
+    assert(postBytes == preBytes)
+
+    // CDF over the tuple layout: only (d1,1) and (d3,0) changed
+    val sa = StatsIndex.load(spark, s"$idx/_v=$g1")
+    val sb = StatsIndex.load(spark, s"$idx/_v=$g2")
+    assert(graft.operators.ChangeFeed.changedPartitionValues(
+      spark, sa, sb, Seq("day", "batch")) ==
+      Seq(Seq("d1", "1"), Seq("d3", "0")))
+    val feed = graft.operators.ChangeFeed.betweenCols(spark, path, idx,
+        g1, g2, Seq("order_id"), Seq("day", "batch"))
+      .select(col("op"), col("order_id").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(feed == Set(("update", 2L), ("insert", 9L)))
+
+    // a delete that empties one tuple: its rows leave the manifest,
+    // nothing else moves
+    val g3 = Upsert.mergeIntoVersionedCols(path,
+      df().where(lit(false)), Seq("order_id"), Seq("day", "batch"), idx,
+      deletes = Some(df((3L, "d2", 0L, 0.0)).select("order_id", "day", "batch")))
+    assert(all(g3) == all(g2) - ((3L, "d2", "0", 30.0)))
+    val feed23 = graft.operators.ChangeFeed.betweenCols(spark, path, idx,
+        g2, g3, Seq("order_id"), Seq("day", "batch"))
+      .select(col("op"), col("order_id").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(feed23 == Set(("delete", 3L)))
+  }
 }
