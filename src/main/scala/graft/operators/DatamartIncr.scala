@@ -153,6 +153,32 @@ object DatamartIncr {
   def readSalesSummary(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("date", col("date").cast("date"))
 
+  /** [[refreshSalesSummaryAt]] committed as a GENERATION
+    * ([[Upsert.replacePartitionsVersioned]]) instead of an in-place
+    * dynamic overwrite — a concurrent reader pinned to the previous
+    * generation reads a consistent snapshot THROUGH the refresh, the
+    * publish-window race the in-place flow leaves open. Returns the
+    * committed generation. */
+  def refreshSalesSummaryVersioned(summaryPath: String, indexRoot: String,
+                                   fullFact: DataFrame, dimPart: DataFrame,
+                                   dimDates: DataFrame,
+                                   touched: Seq[String]): Long = {
+    require(touched.nonEmpty, "refreshSalesSummaryVersioned: no touched dates")
+    val lits = touched.map(d => lit(d).cast("date"))
+    Upsert.replacePartitionsVersioned(summaryPath,
+      Datamart.salesSummary(
+        fullFact.where(col("order_date").isin(lits: _*)), dimPart, dimDates),
+      Seq("date"), indexRoot)
+  }
+
+  /** The VERSIONED summary, typed — must be read through its manifest
+    * (replaced generations' files stay on disk until retire; a plain
+    * `spark.read.parquet` would see duplicates — the Delta contract). */
+  def readSalesSummaryVersioned(spark: SparkSession, path: String,
+                                indexRoot: String): DataFrame =
+    graft.sources.IndexedScan.readIndexedVersioned(spark, path, indexRoot)
+      .withColumn("date", col("date").cast("date"))
+
   /** Key-hash bucket for persisted state layout — same discipline as
     * [[graft.streaming.Scd2Stream.bucketOf]]. */
   private def bucketOf(nBuckets: Int) =

@@ -83,14 +83,17 @@ object StarPipeline {
     *    only ([[dayFact]] — the date filter sits on orders BEFORE the
     *    joins AND the day's order keys broadcast as a semi-join prune on
     *    lineitem, so neither side of the fact join carries other days'
-    *    rows) and dynamic-overwrite that one `order_date` partition of
-    *    the date-partitioned fact — the reference's per-day MERGE
-    *    (`fact_orders.sql:59-77`) as a partition swap. Re-running the
-    *    date rewrites only its own partition: idempotent, the Airflow
-    *    retry contract.
-    *  - `datamart.sales_summary`: [[DatamartIncr.refreshSalesSummaryAt]]
-    *    for exactly this date — the reference's delete-one-date-and-
-    *    reinsert (`sales_summary.sql:5-10`) at partition grain.
+    *    rows) and replace that one `order_date` partition as a VERSIONED
+    *    generation commit ([[graft.operators.Upsert
+    *    .replacePartitionsVersioned]]) — the reference's per-day MERGE
+    *    (`fact_orders.sql:59-77`) as a snapshot-isolated partition swap.
+    *    Re-running the date rewrites only its own partition (idempotent,
+    *    the Airflow retry contract), and a reader holding yesterday's
+    *    manifest is never disturbed mid-republish.
+    *  - `datamart.sales_summary`: [[DatamartIncr
+    *    .refreshSalesSummaryVersioned]] for exactly this date — the
+    *    reference's delete-one-date-and-reinsert (`sales_summary
+    *    .sql:5-10`) at partition grain, committed as a generation.
     *  - `datamart.customer_analytics`: the day's order-grain state lands
     *    under its `_run_date=executionDate` partition (dynamic overwrite
     *    ⇒ a retried date REPLACES its own landing — the idempotency
@@ -115,42 +118,37 @@ object StarPipeline {
       .filter(_.id.startsWith("core.dim_"))
 
     val factPath = s"$warehouse/core/fact_orders"
-    val factStats = s"$factPath/_stats_index"
+    val factGens = s"$factPath/_stats_gens"
     val factDay = Dag.Task("core.fact_orders",
-        deps = Seq("core.dim_customers", "core.dim_parts", "core.dim_dates"))(() => {
-      dayFact(spark, srcDir, warehouse, executionDate)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("order_date")
-        .parquet(factPath)
-      // maintain the co-located stats index over exactly the republished
-      // partition (one footer read per new file; first run bootstraps the
-      // whole log) — the summary refresh below then reads the fact
-      // THROUGH the index and opens only its date's files
-      val fs = new org.apache.hadoop.fs.Path(factStats)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(new org.apache.hadoop.fs.Path(factStats)))
-        graft.sources.StatsIndex.replacePartitions(spark, factStats,
-          Seq(s"$factPath/order_date=$executionDate"))
-      else graft.sources.StatsIndex.save(
-        graft.sources.StatsIndex.build(spark, factPath), factStats)
-    })
+        deps = Seq("core.dim_customers", "core.dim_parts", "core.dim_dates"))(() =>
+      // the day's slice REPLACES its own `order_date` partition as a
+      // GENERATION COMMIT — the reference's per-day MERGE as a versioned
+      // partition swap: idempotent under Airflow retry, and a reader
+      // holding yesterday's manifest keeps a consistent snapshot through
+      // the republish (the publish-window race of the dynamic overwrite
+      // this replaces). The commit maintains the manifest incrementally
+      // (one footer read per new file); downstream tasks read the fact
+      // THROUGH it and open only their date's files.
+      graft.operators.Upsert.replacePartitionsVersioned(factPath,
+        dayFact(spark, srcDir, warehouse, executionDate),
+        Seq("order_date"), factGens): Unit)
 
+    def factRead(): DataFrame = graft.sources.IndexedScan
+      .readIndexedVersioned(spark, factPath, factGens)
+      .withColumn("order_date", col("order_date").cast("date"))
+
+    val summaryPath = s"$warehouse/datamart/sales_summary"
+    val summaryGens = s"$summaryPath/_stats_gens"
     val salesDay = Dag.Task("datamart.sales_summary",
         deps = Seq("core.fact_orders"))(() =>
-      DatamartIncr.refreshSalesSummaryAt(
-        s"$warehouse/datamart/sales_summary",
-        graft.sources.IndexedScan.readIndexed(spark, factPath, factStats)
-          .withColumn("order_date", col("order_date").cast("date")),
-        read("core/dim_parts"), read("core/dim_dates"),
-        Seq(executionDate)))
+      DatamartIncr.refreshSalesSummaryVersioned(summaryPath, summaryGens,
+        factRead(), read("core/dim_parts"), read("core/dim_dates"),
+        Seq(executionDate)): Unit)
 
     val custState = Dag.Task("datamart.customer_analytics_state",
         deps = Seq("core.fact_orders"))(() =>
       DatamartIncr.orderState(
-          graft.sources.IndexedScan.readIndexed(spark, factPath, factStats)
-            .withColumn("order_date", col("order_date").cast("date"))
-            .where(col("order_date") === day))
+          factRead().where(col("order_date") === day))
         .withColumn("_run_date", day)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

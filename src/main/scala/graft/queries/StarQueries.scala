@@ -207,27 +207,45 @@ object StarQueries {
   def starIndexedSales(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-star-idx").toString
-    val layout = graft.streaming.StarStream.Layout(root)
-    val fact = FactBuild.factOrders(
-        t(s, dir, "orders"), t(s, dir, "lineitem"),
-        dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
-      .where(col("order_date").between(
-        lit("1998-01-01").cast("date"), lit("1998-01-31").cast("date")))
-      .localCheckpoint() // two batch filters over one materialization
-    val dimP = dimPartsUnordered(s, dir)
-    val dates = DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")
-    graft.streaming.StarStream.applyFactBatch(
-      fact.where(pmod(col("order_id"), lit(2)) === 0), 0L, layout, dimP, dates)
-    graft.streaming.StarStream.applyFactBatch(
-      fact.where(pmod(col("order_id"), lit(2)) === 1), 1L, layout, dimP, dates)
-    graft.streaming.StarStream.factOrders(s, layout)
-      .where(col("order_date").between(
-        lit("1998-01-10").cast("date"), lit("1998-01-20").cast("date")))
-      .groupBy(col("order_date"))
-      .agg(count(lit(1)).as("n_rows"),
-        count_distinct(col("order_id")).as("n_orders"),
-        round(sum(col("net_amount")), 6).as("net"))
-      .orderBy("order_date")
+    try {
+      val layout = graft.streaming.StarStream.Layout(root)
+      val fact = FactBuild.factOrders(
+          t(s, dir, "orders"), t(s, dir, "lineitem"),
+          dimCustomersUnordered(s, dir), dimPartsUnordered(s, dir))
+        .where(col("order_date").between(
+          lit("1998-01-01").cast("date"), lit("1998-01-31").cast("date")))
+        .localCheckpoint() // two batch filters over one materialization
+      val dimP = dimPartsUnordered(s, dir)
+      val dates = DateDim.fromTableSpan(t(s, dir, "orders"), "o_orderdate")
+      graft.streaming.StarStream.applyFactBatch(
+        fact.where(pmod(col("order_id"), lit(2)) === 0), 0L, layout, dimP, dates)
+      graft.streaming.StarStream.applyFactBatch(
+        fact.where(pmod(col("order_id"), lit(2)) === 1), 1L, layout, dimP, dates)
+      // collect the bounded aggregate (≤ one row per date in the window)
+      // and rebuild a local frame, so the temp warehouse can be reaped
+      // before return instead of leaking a fact-log copy per gate run
+      val out = graft.streaming.StarStream.factOrders(s, layout)
+        .where(col("order_date").between(
+          lit("1998-01-10").cast("date"), lit("1998-01-20").cast("date")))
+        .groupBy(col("order_date"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("order_id")).as("n_orders"),
+          round(sum(col("net_amount")), 6).as("net"))
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      import s.implicits._
+      out.toSeq.toDF("od", "n_rows", "n_orders", "net")
+        .select(col("od").cast("date").as("order_date"), col("n_rows"),
+          col("n_orders"), col("net"))
+        .orderBy("order_date")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(java.nio.file.Path.of(root))
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walked.close()
+    }
   }
 
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {

@@ -76,6 +76,44 @@ object SalesSummaryStream {
     touched
   }
 
+  /** [[applyBatch]] on the VERSIONED manifest — each landing and each
+    * summary refresh commits as an index GENERATION
+    * ([[graft.operators.Upsert.replacePartitionsVersioned]]) instead of
+    * an in-place dynamic overwrite, closing the publish-window race the
+    * in-place flow leaves open: a reader that pinned the previous
+    * generation keeps reading its snapshot consistently THROUGH a
+    * concurrent day-republish (spec-pinned in StarStreamSpec), and a
+    * reader arriving after the commit sees exactly the new state. The
+    * same two layered idempotencies hold — the log is exactly-once per
+    * `(order_date, _batch_id)` slice (a replay re-replaces exactly
+    * itself), and the refresh is a deterministic function of the log.
+    * Retention is [[graft.sources.StatsIndex.retire]] on both tables,
+    * on the caller's schedule. */
+  def applyBatchVersioned(factBatch: DataFrame, batchId: Long,
+                          factLogPath: String, summaryPath: String,
+                          dimPart: DataFrame, dimDates: DataFrame,
+                          factGens: String, summaryGens: String): Seq[String] = {
+    val spark = factBatch.sparkSession
+    val touched = DatamartIncr.touchedDates(factBatch)
+    if (touched.isEmpty) return Nil
+    graft.operators.Upsert.replacePartitionsVersioned(factLogPath,
+      factBatch.withColumn("_batch_id", lit(batchId)),
+      Seq("order_date", "_batch_id"), factGens): Unit
+    DatamartIncr.refreshSalesSummaryVersioned(summaryPath, summaryGens,
+      readFactLogVersioned(spark, factLogPath, factGens),
+      dimPart, dimDates, touched): Unit
+    touched
+  }
+
+  /** The versioned fact log as a fact relation: the newest generation's
+    * manifest IS the file listing (snapshot-isolated; replaced files on
+    * disk are invisible), date filters prune at planning time. */
+  def readFactLogVersioned(spark: SparkSession, factLogPath: String,
+                           factGens: String): DataFrame =
+    graft.sources.IndexedScan.readIndexedVersioned(spark, factLogPath, factGens)
+      .drop("_batch_id")
+      .withColumn("order_date", col("order_date").cast("date"))
+
   /** The landed fact log as a fact relation — via [[graft.sources
     * .IndexedScan]] when a maintained stats index exists at
     * `statsPath`, the plain reader otherwise. (`order_date` comes back

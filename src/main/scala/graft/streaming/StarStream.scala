@@ -59,13 +59,22 @@ object StarStream {
     /** Fact landing log, partitioned `(order_date, _batch_id)` — the log
       * IS the fact table: drop `_batch_id` and you have `fact_orders`. */
     val factOrders: String = s"$warehouse/core/fact_orders"
-    /** Stats index over the fact log, maintained per landing (the
-      * co-located manifest — `_`-prefixed, so plain readers never see
-      * it); [[factOrders()]] reads THROUGH it. */
+    /** Legacy in-place stats index over the fact log ([[SalesSummaryStream
+      * .applyBatch]]); the versioned flow uses [[factGens]] instead. */
     val factStats: String = s"$warehouse/core/fact_orders/_stats_index"
+    /** VERSIONED manifest root over the fact log: every landing commits
+      * an index generation ([[graft.operators.Upsert
+      * .replacePartitionsVersioned]]), readers pin snapshots —
+      * [[factOrders()]] reads THROUGH the newest one. A versioned log
+      * must never be read with plain `spark.read.parquet` (replaced
+      * files stay on disk until [[StarStream.retire]]). */
+    val factGens: String = s"$warehouse/core/fact_orders/_stats_gens"
     val salesSummary: String = s"$warehouse/datamart/sales_summary"
-    /** Stats index over the maintained summary, same discipline. */
+    /** Legacy in-place stats index over the summary; versioned flow
+      * uses [[summaryGens]]. */
     val summaryStats: String = s"$warehouse/datamart/sales_summary/_stats_index"
+    /** Versioned manifest root over the maintained summary. */
+    val summaryGens: String = s"$warehouse/datamart/sales_summary/_stats_gens"
     /** Order-grain mergeable analytics state ([[DatamartStream]]). */
     val customerState: String = s"$warehouse/datamart/customer_state"
   }
@@ -100,21 +109,37 @@ object StarStream {
       cfg.nBuckets, cfg.scd2Compaction)
 
   /** One fact micro-batch: fact-log landing + touched-date summary
-    * refresh ([[SalesSummaryStream.applyBatch]]), order-grain state
-    * landing ([[DatamartStream.writeBatch]]), periodic state-log fold.
-    * Returns the touched dates. Exposed for direct replay testing. */
+    * refresh as VERSIONED generation commits ([[SalesSummaryStream
+    * .applyBatchVersioned]] — snapshot-isolated readers, no publish
+    * window), order-grain state landing ([[DatamartStream.writeBatch]]),
+    * periodic state-log fold. Returns the touched dates. Exposed for
+    * direct replay testing. */
   def applyFactBatch(batch: DataFrame, batchId: Long, layout: Layout,
                      dimPart: DataFrame, dimDates: DataFrame,
                      cfg: Config = Config()): Seq[String] = {
-    val touched = SalesSummaryStream.applyBatch(batch, batchId,
+    val touched = SalesSummaryStream.applyBatchVersioned(batch, batchId,
       layout.factOrders, layout.salesSummary, dimPart, dimDates,
-      Some(layout.factStats), Some(layout.summaryStats))
+      layout.factGens, layout.summaryGens)
     DatamartStream.writeBatch(batch, batchId, layout.customerState)
     if (cfg.stateCompactEvery > 0 && batchId > 0 &&
         batchId % cfg.stateCompactEvery == 0)
       DatamartStream.compact(batch.sparkSession, layout.customerState,
         cfg.stateKeepRecent): Unit
     touched
+  }
+
+  /** Retention for the versioned star tables in one call: reap
+    * generations past the newest `keep` and the data files no retained
+    * generation still names, fact log and summary alike
+    * ([[graft.sources.StatsIndex.retire]]). Run on a schedule sized to
+    * the longest reader you tolerate (graceMs spares pinned snapshots
+    * younger than it). */
+  def retire(spark: SparkSession, layout: Layout, keep: Int = 8,
+             graceMs: Long = 0L): Unit = {
+    graft.sources.StatsIndex.retire(spark, layout.factOrders,
+      layout.factGens, keep, graceMs): Unit
+    graft.sources.StatsIndex.retire(spark, layout.salesSummary,
+      layout.summaryGens, keep, graceMs): Unit
   }
 
   /** Start the always-on star: one application, two foreachBatch loops
@@ -166,25 +191,34 @@ object StarStream {
       .drop("sk")
 
   /** The maintained fact: the landing log minus its replay machinery,
-    * read THROUGH the pipeline-maintained stats index when present
-    * ([[graft.sources.IndexedScan]]) — a date- or measure-filtered
-    * query over the maintained fact prunes files at planning time with
-    * no call-site index plumbing. Falls back to the plain reader for a
-    * log landed without index maintenance. */
+    * read THROUGH the newest committed generation's manifest
+    * (snapshot-isolated — a concurrent landing never disturbs a
+    * constructed reader; date/measure filters prune files at planning
+    * time with no call-site plumbing). Falls back to the legacy
+    * in-place index, then the plain reader, for logs landed by the
+    * pre-versioned flow. */
   def factOrders(spark: SparkSession, layout: Layout): DataFrame =
-    SalesSummaryStream.readFactLog(spark, layout.factOrders,
+    if (graft.sources.StatsIndex.generations(spark, layout.factGens).nonEmpty)
+      SalesSummaryStream.readFactLogVersioned(spark, layout.factOrders,
+        layout.factGens)
+    else SalesSummaryStream.readFactLog(spark, layout.factOrders,
       Some(layout.factStats))
 
-  /** The maintained `sales_summary`, typed — same indexed-read
+  /** The maintained `sales_summary`, typed — same versioned-first read
     * discipline as [[factOrders()]]. */
   def salesSummary(spark: SparkSession, layout: Layout): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(layout.summaryStats)
-    val hasIdx = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-    if (hasIdx)
-      graft.sources.IndexedScan
-        .readIndexed(spark, layout.salesSummary, layout.summaryStats)
-        .withColumn("date", col("date").cast("date"))
-    else SalesSummaryStream.readSummary(spark, layout.salesSummary)
+    if (graft.sources.StatsIndex.generations(spark, layout.summaryGens).nonEmpty)
+      graft.operators.DatamartIncr.readSalesSummaryVersioned(spark,
+        layout.salesSummary, layout.summaryGens)
+    else {
+      val p = new org.apache.hadoop.fs.Path(layout.summaryStats)
+      val hasIdx = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      if (hasIdx)
+        graft.sources.IndexedScan
+          .readIndexed(spark, layout.salesSummary, layout.summaryStats)
+          .withColumn("date", col("date").cast("date"))
+      else SalesSummaryStream.readSummary(spark, layout.salesSummary)
+    }
   }
 
   /** Current `customer_analytics` — merged order-grain state joined to

@@ -435,8 +435,9 @@ class PipelineSpec extends SparkSpec {
         col("total_sales"), col("total_orders"), col("total_quantity"))
       .as[(String, String, Double, Long, Double)].collect().toSet
     val wantSS = ssRows(Datamart.salesSummary(factSlice, dimP, dates))
-    assert(ssRows(DatamartIncr.readSalesSummary(spark, s"$wh/datamart/sales_summary"))
-      == wantSS)
+    val ssGens = s"$wh/datamart/sales_summary/_stats_gens"
+    assert(ssRows(DatamartIncr.readSalesSummaryVersioned(spark,
+      s"$wh/datamart/sales_summary", ssGens)) == wantSS)
 
     def caRows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("customer_id"), col("total_orders"),
@@ -454,17 +455,17 @@ class PipelineSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(parts == days.toSet)
 
-    // the day loop maintains the fact's co-located stats index (bootstrap
-    // on day 1, replacePartitions after), and its summary/state tasks
-    // read the fact THROUGH it — a date-filtered indexed read must open
-    // only that day's files
-    val idxPath = s"$wh/core/fact_orders/_stats_index"
-    assert(Files.exists(java.nio.file.Path.of(idxPath)),
-      "incremental day loop must maintain the fact stats index")
+    // the day loop commits the fact as VERSIONED manifest generations
+    // (one per day), and its summary/state tasks read the fact THROUGH
+    // the newest one — a date-filtered read must open only that day's
+    // files
+    val factGens = s"$wh/core/fact_orders/_stats_gens"
+    assert(graft.sources.StatsIndex.generations(spark, factGens).size == 3,
+      "incremental day loop must commit one fact generation per day")
     val totalFactFiles =
       spark.read.parquet(s"$wh/core/fact_orders").inputFiles.length
     val oneDay = graft.sources.IndexedScan
-      .readIndexed(spark, s"$wh/core/fact_orders", idxPath)
+      .readIndexedVersioned(spark, s"$wh/core/fact_orders", factGens)
       .where(col("order_date") === days.head)
     oneDay.collect()
     def scans(p: org.apache.spark.sql.execution.SparkPlan):
@@ -498,11 +499,16 @@ class PipelineSpec extends SparkSpec {
     // the state landing replaced its own _run_date partition instead of
     // double-counting (the idempotency applyDelta alone does not give)
     val stateN = spark.read.parquet(s"$wh/datamart/customer_state").count()
+    // pin a reader across the retry: the republish must not disturb it
+    val pinned = DatamartIncr.readSalesSummaryVersioned(spark,
+      s"$wh/datamart/sales_summary", ssGens)
     val rerun = StarPipeline.runDay(spark, sf001, wh, days(1))
     assert(rerun.succeeded)
     assert(spark.read.parquet(s"$wh/datamart/customer_state").count() == stateN)
-    assert(ssRows(DatamartIncr.readSalesSummary(spark, s"$wh/datamart/sales_summary"))
-      == wantSS)
+    assert(ssRows(pinned) == wantSS,
+      "reader pinned before the day-retry was disturbed by the republish")
+    assert(ssRows(DatamartIncr.readSalesSummaryVersioned(spark,
+      s"$wh/datamart/sales_summary", ssGens)) == wantSS)
     // analytics re-derives with the RETRIED day's anchor; re-anchor to
     // the last day for comparison by rerunning its analytics task alone
     val relast = StarPipeline.runDay(spark, sf001, wh, days.last)

@@ -211,9 +211,9 @@ class StarStreamSpec extends SparkSpec {
       StarStream.applyFactBatch(factDf(ch), i.toLong, layout,
         dimPart, dimDates, cfg)
     }
-    assert(Files.exists(java.nio.file.Path.of(layout.factStats)) &&
-      Files.exists(java.nio.file.Path.of(layout.summaryStats)),
-      "applyFactBatch must maintain both co-located stats indexes")
+    assert(graft.sources.StatsIndex.generations(spark, layout.factGens).nonEmpty &&
+      graft.sources.StatsIndex.generations(spark, layout.summaryGens).nonEmpty,
+      "applyFactBatch must commit versioned manifests for both tables")
 
     val d = factChunks.head.head._2 // one date present in the log
     val total = spark.read.parquet(layout.factOrders).inputFiles.length
@@ -271,5 +271,41 @@ class StarStreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assertMatchesBatch(layout, cfg)
+  }
+
+  test("snapshot isolation: a pinned reader reads consistently THROUGH a concurrent day-republish; retire reaps replaced files") {
+    val layout = StarStream.Layout(
+      Files.createTempDirectory("graft-starstream-snap").toString)
+    StarStream.applyFactBatch(factDf(factChunks(0)), 0L, layout,
+      dimPart, dimDates, cfg)
+    // pin readers NOW (GraftFileIndex collects its manifest at construction)
+    val pinnedFact = StarStream.factOrders(spark, layout)
+    val pinnedSum = StarStream.salesSummary(spark, layout)
+    val factBefore = factRows(pinnedFact)
+    val sumBefore = sumRows(pinnedSum)
+
+    // concurrent republish of the SAME slice with modified content (the
+    // re-run-with-changed-upstream shape): the landing replaces the
+    // batch's (date, batch) partitions and refreshes its dates' summary
+    val doubled = factDf(factChunks(0))
+      .withColumn("net_amount", col("net_amount") * 2)
+    StarStream.applyFactBatch(doubled, 0L, layout, dimPart, dimDates, cfg)
+
+    // the pinned readers see their OLD generation, bit-identical
+    assert(factRows(pinnedFact) == factBefore,
+      "pinned fact reader disturbed by a concurrent day-republish")
+    assert(sumRows(pinnedSum) == sumBefore,
+      "pinned summary reader disturbed by a concurrent day-republish")
+    // a reader arriving after the commit sees exactly the new state
+    val factAfter = factRows(StarStream.factOrders(spark, layout))
+    assert(factAfter == factRows(doubled) && factAfter != factBefore)
+    assert(sumRows(StarStream.salesSummary(spark, layout)) ==
+      sumRows(Datamart.salesSummary(doubled, dimPart, dimDates)))
+
+    // retention: retire reaps the replaced generation's files; the
+    // retained snapshot keeps answering
+    StarStream.retire(spark, layout, keep = 1)
+    assert(factRows(StarStream.factOrders(spark, layout)) == factAfter)
+    assert(graft.sources.StatsIndex.generations(spark, layout.factGens).size == 1)
   }
 }
