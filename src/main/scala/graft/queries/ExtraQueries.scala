@@ -921,42 +921,106 @@ object ExtraQueries {
       |ORDER BY lang, doc_id""".stripMargin
 
   /** The deterministic 3-generation versioned-warehouse fixture both
-    * [[timeTravelQ]] and [[cdfQ]] build (per call, in a fresh temp dir,
-    * reaped before return): gen1 = the `%37` orders sample, gen2 =
-    * `%3`-keyed price bump (+1.0 — exactly +100 cents) plus the
+    * [[timeTravelQ]] and [[cdfQ]] read: gen1 = the `%37` orders sample,
+    * gen2 = `%3`-keyed price bump (+1.0 — exactly +100 cents) plus the
     * disjoint `%41` insert batch, gen3 = `%5`-keyed deletes. Every
     * branch derives from the orders table alone, so DuckDB re-derives
-    * each generation's state (and each hop's change rows) exactly. */
-  private def versionedFixture(s: SparkSession, dir: String): (String, String, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-vtt").toString
-    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
-    val orders = t(s, dir, "orders").select(
-      col("o_orderkey").cast("long").as("order_id"),
-      col("o_orderpriority").as("priority"),
-      col("o_totalprice").cast("double").as("price"))
-    val s0 = orders.where(col("order_id") % 37 === 0)
-    Upsert.mergeIntoVersioned(path, s0, Seq("order_id"), "priority", idx)
-    val upd = s0.where(col("order_id") % 3 === 0)
-      .withColumn("price", col("price") + lit(1.0))
-    val ins = orders.where(col("order_id") % 41 === 0 &&
-      col("order_id") % 37 =!= 0)
-    Upsert.mergeIntoVersioned(path, upd.unionByName(ins),
-      Seq("order_id"), "priority", idx)
-    Upsert.mergeIntoVersioned(path, s0.limit(0), Seq("order_id"), "priority",
-      idx, deletes = Some(
-        s0.unionByName(ins).where(col("order_id") % 5 === 0)
-          .select("order_id", "priority")))
-    (root, path, idx)
+    * each generation's state (and each hop's change rows) exactly.
+    *
+    * Built ONCE per (session, corpus) and cached (the `exactTopKCache`
+    * pattern): the sweep's versioned gates were independently
+    * rebuilding ~3 s of identical warehouses each — deployment
+    * amortizes a table's build across every query, and so does this.
+    * The temp dir lives for the session (one bounded fixture per
+    * corpus, reaped with the JVM's temp space); gates must NOT reap it. */
+  private val versionedFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private def versionedFixture(s: SparkSession, dir: String): (String, String) =
+    versionedFixtureCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft-vtt").toString
+      val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("order_id"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice").cast("double").as("price"))
+      val s0 = orders.where(col("order_id") % 37 === 0)
+      Upsert.mergeIntoVersioned(path, s0, Seq("order_id"), "priority", idx)
+      val upd = s0.where(col("order_id") % 3 === 0)
+        .withColumn("price", col("price") + lit(1.0))
+      val ins = orders.where(col("order_id") % 41 === 0 &&
+        col("order_id") % 37 =!= 0)
+      Upsert.mergeIntoVersioned(path, upd.unionByName(ins),
+        Seq("order_id"), "priority", idx)
+      Upsert.mergeIntoVersioned(path, s0.limit(0), Seq("order_id"), "priority",
+        idx, deletes = Some(
+          s0.unionByName(ins).where(col("order_id") % 5 === 0)
+            .select("order_id", "priority")))
+      (path, idx)
+    })
+
+  /** Entity resolution end to end — the pipeline [[graft.operators
+    * .FuzzyJoin]], [[graft.operators.Dedup.clustersFromEdges]] and
+    * [[graft.operators.Survivorship]] exist for, composed: near-duplicate
+    * customer names (Levenshtein ≤ 1, found by symmetric-deletion
+    * blocking, never all-pairs) become match EDGES; connected components
+    * over the edges become ENTITIES (cluster id = min member key); each
+    * entity collapses to one golden record by per-attribute
+    * best-non-null survivorship (highest account balance wins, ties by
+    * key). Two attributes with different null patterns prove the
+    * per-attribute rule: `big_bal` exists only when the balance ≥ 5000,
+    * `seg` only when it is non-negative. Hash-oracled: DuckDB re-derives
+    * the pairs with its own `levenshtein`, the components with a
+    * recursive CTE, and the survivors with per-attribute windows. */
+  def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val edges = graft.operators.FuzzyJoin
+      .selfJoin(c, "c_custkey", "c_name", maxDist = 1)
+      .select(col("a_id").as("i"), col("b_id").as("j"))
+    val clusters = Dedup.clustersFromEdges(c, edges, "c_custkey")
+    val recs = c
+      .join(clusters.select(col("c_custkey"), col("cluster_id")), Seq("c_custkey"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("c_acctbal"), col("c_custkey"),
+        when(col("c_acctbal") >= 5000.0,
+          round(col("c_acctbal") * 100).cast("long")).as("big_bal"),
+        when(col("c_acctbal") >= 0.0, col("c_mktsegment")).as("seg"))
+    Survivorship.golden(recs, Seq("cluster_id"), "c_acctbal", "c_custkey",
+        Seq("big_bal", "seg"))
+      .orderBy("cluster_id")
   }
 
-  private def reap(root: String): Unit = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    val walked = Files.walk(Path.of(root))
-    try walked.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally walked.close()
-  }
+  private val entityResolutionOracle: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.c_custkey AS i, b.c_custkey AS j
+      |  FROM customer a JOIN customer b
+      |    ON a.c_custkey < b.c_custkey
+      |   AND levenshtein(a.c_name, b.c_name) <= 1),
+      |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+      |reach AS (
+      |  SELECT c_custkey AS node, c_custkey AS lbl FROM customer
+      |  UNION
+      |  SELECT e.j AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.i),
+      |labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+      |recs AS (
+      |  SELECT l.cluster_id, c.c_acctbal, c.c_custkey,
+      |    CASE WHEN c.c_acctbal >= 5000 THEN CAST(round(c.c_acctbal * 100) AS BIGINT) END AS big_bal,
+      |    CASE WHEN c.c_acctbal >= 0 THEN c.c_mktsegment END AS seg
+      |  FROM customer c JOIN labels l ON c.c_custkey = l.node),
+      |sb AS (SELECT cluster_id, big_bal, row_number() OVER (PARTITION BY cluster_id
+      |         ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      |       FROM recs WHERE big_bal IS NOT NULL),
+      |sg AS (SELECT cluster_id, seg, row_number() OVER (PARTITION BY cluster_id
+      |         ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      |       FROM recs WHERE seg IS NOT NULL),
+      |n AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records
+      |      FROM recs GROUP BY 1)
+      |SELECT n.cluster_id, sb.big_bal, sg.seg, n.n_records
+      |FROM n
+      |LEFT JOIN (SELECT cluster_id, big_bal FROM sb WHERE rn = 1) sb USING (cluster_id)
+      |LEFT JOIN (SELECT cluster_id, seg FROM sg WHERE rn = 1) sg USING (cluster_id)
+      |ORDER BY cluster_id""".stripMargin
 
   /** Golden-record survivorship over the event stream
     * ([[graft.operators.Survivorship]]): per user, each attribute's
@@ -1011,35 +1075,41 @@ object ExtraQueries {
     * the hash. Old-generation schema pinning, omitted-column merges,
     * and type-change refusal are spec-pinned in SchemaEvolveSpec. */
   def mergeEvolveQ(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
-    try {
-      val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    // session-cached like [[versionedFixture]] (its gen2 differs — the
+    // evolved `flag` column — so it keeps its own warehouse)
+    val (path, idx) = evolveFixtureCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val (p, i) = (s"$root/t", s"$root/t/_stats_v")
       val orders = t(s, dir, "orders").select(
         col("o_orderkey").cast("long").as("order_id"),
         col("o_orderpriority").as("priority"),
         col("o_totalprice").cast("double").as("price"))
       val s0 = orders.where(col("order_id") % 37 === 0)
-      Upsert.mergeIntoVersioned(path, s0, Seq("order_id"), "priority", idx)
+      Upsert.mergeIntoVersioned(p, s0, Seq("order_id"), "priority", i)
       val flagged = s0.where(col("order_id") % 3 === 0)
         .withColumn("price", col("price") + lit(1.0))
         .unionByName(orders.where(col("order_id") % 41 === 0 &&
           col("order_id") % 37 =!= 0))
         .withColumn("flag", (col("order_id") % 2).cast("long"))
-      Upsert.mergeIntoVersioned(path, flagged, Seq("order_id"), "priority", idx)
-      val out = graft.sources.IndexedScan.readIndexedVersioned(s, path, idx)
-        .groupBy(col("priority"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("price") * 100).cast("long")).as("cents"),
-          sum(when(col("flag").isNull, 1L).otherwise(0L)).as("n_flag_null"),
-          coalesce(sum(col("flag")), lit(0L)).as("flag_sum"))
-        .collect() // bounded: one row per priority
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4)))
-      import s.implicits._
-      out.toSeq.toDF("priority", "n", "cents", "n_flag_null", "flag_sum")
-        .orderBy("priority")
-    } finally reap(root)
+      Upsert.mergeIntoVersioned(p, flagged, Seq("order_id"), "priority", i)
+      (p, i)
+    })
+    val out = graft.sources.IndexedScan.readIndexedVersioned(s, path, idx)
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("price") * 100).cast("long")).as("cents"),
+        sum(when(col("flag").isNull, 1L).otherwise(0L)).as("n_flag_null"),
+        coalesce(sum(col("flag")), lit(0L)).as("flag_sum"))
+      .collect() // bounded: one row per priority
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    import s.implicits._
+    out.toSeq.toDF("priority", "n", "cents", "n_flag_null", "flag_sum")
+      .orderBy("priority")
   }
+
+  private val evolveFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
 
   private val mergeEvolveOracle: String =
     """WITH s AS (
@@ -1072,22 +1142,20 @@ object ExtraQueries {
     * three states from `orders`; a snapshot leaking rows across
     * generations (or a vacuumed-too-early file) breaks the hash. */
   def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
-    val (root, path, idx) = versionedFixture(s, dir)
-    try {
-      val out = (1L to 3L).map { g =>
-        ChangeFeed.asOf(s, path, idx, g)
-          .groupBy(col("priority"))
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("price") * 100).cast("long")).as("cents"))
-          .withColumn("gen", lit(g))
-      }.reduce(_.unionByName(_))
-        .select(col("gen"), col("priority"), col("n"), col("cents"))
-        .collect() // bounded: generations × priorities ≤ 15 rows
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      import s.implicits._
-      out.toSeq.toDF("gen", "priority", "n", "cents")
-        .orderBy("gen", "priority")
-    } finally reap(root)
+    val (path, idx) = versionedFixture(s, dir)
+    val out = (1L to 3L).map { g =>
+      ChangeFeed.asOf(s, path, idx, g)
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("price") * 100).cast("long")).as("cents"))
+        .withColumn("gen", lit(g))
+    }.reduce(_.unionByName(_))
+      .select(col("gen"), col("priority"), col("n"), col("cents"))
+      .collect() // bounded: generations × priorities ≤ 15 rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    import s.implicits._
+    out.toSeq.toDF("gen", "priority", "n", "cents")
+      .orderBy("gen", "priority")
   }
 
   private val timeTravelOracle: String =
@@ -1126,27 +1194,25 @@ object ExtraQueries {
     * layout). Hash-oracled: DuckDB re-derives each hop's change set
     * from `orders`. */
   def cdfQ(s: SparkSession, dir: String): DataFrame = {
-    val (root, path, idx) = versionedFixture(s, dir)
-    try {
-      def hop(from: Long, to: Long): DataFrame =
-        ChangeFeed.between(s, path, idx, from, to, Seq("order_id"), "priority")
-          .select(lit(from).as("from_gen"), lit(to).as("to_gen"), col("op"),
-            col("order_id"),
-            coalesce(col("b_priority"), col("a_priority")).as("priority"),
-            round(col("b_price") * 100).cast("long").as("b_cents"),
-            round(col("a_price") * 100).cast("long").as("a_cents"))
-      val out = hop(1L, 2L).unionByName(hop(2L, 3L))
-        .collect() // bounded: delta-sized (≤ sample size)
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-          r.getString(4),
-          if (r.isNullAt(5)) None else Some(r.getLong(5)),
-          if (r.isNullAt(6)) None else Some(r.getLong(6))))
-      import s.implicits._
-      out.toSeq
-        .toDF("from_gen", "to_gen", "op", "order_id", "priority",
-          "b_cents", "a_cents")
-        .orderBy("from_gen", "op", "order_id")
-    } finally reap(root)
+    val (path, idx) = versionedFixture(s, dir)
+    def hop(from: Long, to: Long): DataFrame =
+      ChangeFeed.between(s, path, idx, from, to, Seq("order_id"), "priority")
+        .select(lit(from).as("from_gen"), lit(to).as("to_gen"), col("op"),
+          col("order_id"),
+          coalesce(col("b_priority"), col("a_priority")).as("priority"),
+          round(col("b_price") * 100).cast("long").as("b_cents"),
+          round(col("a_price") * 100).cast("long").as("a_cents"))
+    val out = hop(1L, 2L).unionByName(hop(2L, 3L))
+      .collect() // bounded: delta-sized (≤ sample size)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    import s.implicits._
+    out.toSeq
+      .toDF("from_gen", "to_gen", "op", "order_id", "priority",
+        "b_cents", "a_cents")
+      .orderBy("from_gen", "op", "order_id")
   }
 
   private val cdfOracle: String =
@@ -1477,6 +1543,7 @@ object ExtraQueries {
     "q_sample_take" -> (sampleTakeQ _),
     "q_merge_evolve" -> (mergeEvolveQ _),
     "q_survivorship" -> (survivorshipQ _),
+    "q_entity_resolution" -> (entityResolutionQ _),
     "stats_dfp" -> (statsDfpQ _),
     "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
@@ -1508,6 +1575,7 @@ object ExtraQueries {
     "q_sample_take" -> sampleTakeOracle,
     "q_merge_evolve" -> mergeEvolveOracle,
     "q_survivorship" -> survivorshipOracle,
+    "q_entity_resolution" -> entityResolutionOracle,
     "stats_dfp" -> statsDfpOracle,
     "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,

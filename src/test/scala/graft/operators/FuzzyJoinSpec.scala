@@ -103,6 +103,55 @@ class FuzzyJoinSpec extends SparkSpec {
       s"missing planted twins in $pairs")
   }
 
+  test("entity resolution composition: fuzzy edges -> connected components -> golden records (the q_entity_resolution chain)") {
+    // the 2020-key fixture again: 2000 singletons + 20 typo twins
+    val n = 2000
+    val base = (0 until n).map { i =>
+      (i.toLong, f"entity_${i % 37}%02d_${i}%04d_${"abcdefg" (i % 7)}")
+    }
+    // unique substitution char per twin: a shared 'X' would make twins of
+    // same-pattern bases dist-1 of EACH OTHER and chain their clusters
+    val twins = (0 until 20).map { i =>
+      (10000L + i, base(i * 100)._2.updated(8, ('A' + i).toChar))
+    }
+    val df = (base ++ twins).toDF("id", "s")
+    val edges = FuzzyJoin.selfJoin(df, "id", "s", 1)
+      .select(col("a_id").as("i"), col("b_id").as("j"))
+    val clustered = Dedup.clustersFromEdges(df, edges, "id")
+    val byId = clustered.select(col("id").cast("long"),
+        col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // every twin resolves into its base word's entity (min member = base)
+    (0 until 20).foreach { i =>
+      assert(byId(10000L + i) == i * 100L && byId(i * 100L) == i * 100L)
+    }
+    assert(byId.values.toSet.size == n, "expected 2000 entities")
+
+    // golden records: per entity, each attribute from the highest-`bal`
+    // record where present — the twin (higher id ⇒ higher bal) wins
+    // `name_len`, and only twin clusters have a non-null `src`
+    val recs = df
+      .join(clustered.select(col("id"), col("cluster_id")), Seq("id"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("id").cast("double").as("bal"), col("id"),
+        when(col("id") >= 10000L, lit("typo")).as("src"),
+        length(col("s")).cast("long").as("name_len"))
+    val golden = Survivorship.golden(recs, Seq("cluster_id"), "bal", "id",
+        Seq("src", "name_len"))
+      .select(col("cluster_id"), col("src"), col("name_len"), col("n_records"))
+      .as[(Long, Option[String], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(golden.size == n)
+    (0 until 20).foreach { i =>
+      val (src, len, cnt) = golden(i * 100L)
+      assert(src.contains("typo") && cnt == 2L &&
+        len == twins(i)._2.length.toLong,
+        s"twin cluster ${i * 100}: ($src, $len, $cnt)")
+    }
+    val single = golden(1L) // id 1 has no twin
+    assert(single._1.isEmpty && single._3 == 1L)
+  }
+
   test("deletionVariants: exact neighborhood, distinct, empty-string safe") {
     val v1 = spark.range(1).select(
         FuzzyJoin.deletionVariants(lit("abc"), 1).as("v"))
