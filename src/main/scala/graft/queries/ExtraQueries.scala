@@ -973,8 +973,15 @@ object ExtraQueries {
     * the pairs with its own `levenshtein`, the components with a
     * recursive CTE, and the survivors with per-attribute windows. */
   def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
-      col("c_acctbal"), col("c_mktsegment"))
+    // the `%7` subset keeps the match graph ER-shaped: TPC-H names are
+    // consecutive zero-padded integers, so the FULL key range is one
+    // giant single-digit-substitution component (every record "matches"
+    // transitively — a degenerate entity); sparse keys give a realistic
+    // mix of small clusters and singletons, and keep the oracle's
+    // recursive closure component-sized
+    val c = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
     val edges = graft.operators.FuzzyJoin
       .selfJoin(c, "c_custkey", "c_name", maxDist = 1)
       .select(col("a_id").as("i"), col("b_id").as("j"))
@@ -992,14 +999,17 @@ object ExtraQueries {
   }
 
   private val entityResolutionOracle: String =
-    """WITH RECURSIVE pairs AS (
+    """WITH RECURSIVE cust AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |pairs AS (
       |  SELECT a.c_custkey AS i, b.c_custkey AS j
-      |  FROM customer a JOIN customer b
+      |  FROM cust a JOIN cust b
       |    ON a.c_custkey < b.c_custkey
       |   AND levenshtein(a.c_name, b.c_name) <= 1),
       |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
       |reach AS (
-      |  SELECT c_custkey AS node, c_custkey AS lbl FROM customer
+      |  SELECT c_custkey AS node, c_custkey AS lbl FROM cust
       |  UNION
       |  SELECT e.j AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.i),
       |labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
@@ -1007,7 +1017,7 @@ object ExtraQueries {
       |  SELECT l.cluster_id, c.c_acctbal, c.c_custkey,
       |    CASE WHEN c.c_acctbal >= 5000 THEN CAST(round(c.c_acctbal * 100) AS BIGINT) END AS big_bal,
       |    CASE WHEN c.c_acctbal >= 0 THEN c.c_mktsegment END AS seg
-      |  FROM customer c JOIN labels l ON c.c_custkey = l.node),
+      |  FROM cust c JOIN labels l ON c.c_custkey = l.node),
       |sb AS (SELECT cluster_id, big_bal, row_number() OVER (PARTITION BY cluster_id
       |         ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
       |       FROM recs WHERE big_bal IS NOT NULL),

@@ -212,10 +212,21 @@ object StarQueries {
     * relation, date filter pruned at planning time — and aggregates.
     * Oracled by the fact SQL verbatim over the same window: the
     * landing + indexed-read machinery must be semantically invisible. */
-  def starIndexedSales(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-star-idx").toString
-    try {
+  /** The versioned star warehouse the gate reads — one month of the
+    * fact landed through [[graft.streaming.StarStream.applyFactBatch]]
+    * in two batches (generation-committed `(order_date, _batch_id)`
+    * landings + summary refreshes). Built ONCE per (session, corpus)
+    * and cached (the shared-fixture discipline, verdict r18 item 8):
+    * deployment amortizes the landing across every query, and the
+    * steady bench pass then measures the versioned READ path. The temp
+    * dir lives for the session — one bounded warehouse per corpus. */
+  private val starFixtureCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.streaming.StarStream.Layout]
+
+  private def starFixture(s: SparkSession, dir: String): graft.streaming.StarStream.Layout =
+    starFixtureCache.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-star-idx").toString
       val layout = graft.streaming.StarStream.Layout(root)
       val fact = FactBuild.factOrders(
           t(s, dir, "orders"), t(s, dir, "lineitem"),
@@ -229,31 +240,29 @@ object StarQueries {
         fact.where(pmod(col("order_id"), lit(2)) === 0), 0L, layout, dimP, dates)
       graft.streaming.StarStream.applyFactBatch(
         fact.where(pmod(col("order_id"), lit(2)) === 1), 1L, layout, dimP, dates)
-      // collect the bounded aggregate (≤ one row per date in the window)
-      // and rebuild a local frame, so the temp warehouse can be reaped
-      // before return instead of leaking a fact-log copy per gate run
-      val out = graft.streaming.StarStream.factOrders(s, layout)
-        .where(col("order_date").between(
-          lit("1998-01-10").cast("date"), lit("1998-01-20").cast("date")))
-        .groupBy(col("order_date"))
-        .agg(count(lit(1)).as("n_rows"),
-          count_distinct(col("order_id")).as("n_orders"),
-          round(sum(col("net_amount")), 6).as("net"))
-        .collect()
-        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
-          r.getDouble(3)))
-      import s.implicits._
-      out.toSeq.toDF("od", "n_rows", "n_orders", "net")
-        .select(col("od").cast("date").as("order_date"), col("n_rows"),
-          col("n_orders"), col("net"))
-        .orderBy("order_date")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walked = java.nio.file.Files.walk(java.nio.file.Path.of(root))
-      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walked.close()
-    }
+      layout
+    })
+
+  def starIndexedSales(s: SparkSession, dir: String): DataFrame = {
+    val layout = starFixture(s, dir)
+    // collect the bounded aggregate (≤ one row per date in the window)
+    // and rebuild a local frame — the gate's output must not retain a
+    // lazy dependency on the session-cached warehouse
+    val out = graft.streaming.StarStream.factOrders(s, layout)
+      .where(col("order_date").between(
+        lit("1998-01-10").cast("date"), lit("1998-01-20").cast("date")))
+      .groupBy(col("order_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("order_id")).as("n_orders"),
+        round(sum(col("net_amount")), 6).as("net"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    import s.implicits._
+    out.toSeq.toDF("od", "n_rows", "n_orders", "net")
+      .select(col("od").cast("date").as("order_date"), col("n_rows"),
+        col("n_orders"), col("net"))
+      .orderBy("order_date")
   }
 
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {

@@ -71,7 +71,17 @@ object ChangeFeedStream {
   def drain(spark: SparkSession, tablePath: String, indexRoot: String,
             keys: Seq[String], partitionCol: String, cursorPath: String,
             startAt: Option[Long] = None)
-           (process: (Long, Long, DataFrame) => Unit): Int = {
+           (process: (Long, Long, DataFrame) => Unit): Int =
+    drainCols(spark, tablePath, indexRoot, keys, Seq(partitionCol),
+      cursorPath, startAt)(process)
+
+  /** [[drain]] for a MULTI-LEVEL partition layout (the
+    * `(order_date, _batch_id)` landing grain) — hops diff on partition
+    * value TUPLES ([[ChangeFeed.betweenCols]]). */
+  def drainCols(spark: SparkSession, tablePath: String, indexRoot: String,
+                keys: Seq[String], partitionCols: Seq[String],
+                cursorPath: String, startAt: Option[Long] = None)
+               (process: (Long, Long, DataFrame) => Unit): Int = {
     val gens = StatsIndex.generations(spark, indexRoot)
     if (gens.isEmpty) return 0
     val cursor = readCursor(spark, cursorPath).orElse(startAt) match {
@@ -90,8 +100,8 @@ object ChangeFeedStream {
     var from = cursor
     var delivered = 0
     pending.foreach { to =>
-      process(from, to, ChangeFeed.between(spark, tablePath, indexRoot,
-        from, to, keys, partitionCol))
+      process(from, to, ChangeFeed.betweenCols(spark, tablePath, indexRoot,
+        from, to, keys, partitionCols))
       writeCursor(spark, cursorPath, to)
       from = to
       delivered += 1

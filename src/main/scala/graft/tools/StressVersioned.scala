@@ -102,6 +102,72 @@ object StressVersioned {
       "compaction hop: " + ChangeFeed.between(spark, fpath, fidx,
         gc.get - 1, gc.get, Seq("order_id"), "day").count() + " rows")
 
+    // R19: the APPEND-ONLY hop — a brand-new partition, the commonest
+    // daily-ingest change. Before R19 this fell back to a full-table
+    // diff (both 2M-row snapshots); now the from-slice is a schemed
+    // empty relation and the hop reads one partition's files
+    val newDay = spark.range(5000L).select(
+        (col("id") + 10000000L).as("order_id"), lit("d400").as("day"),
+        (col("id") % 997).cast("double").as("amount"))
+      .coalesce(1).localCheckpoint()
+    val gA = time("append-only merge: brand-new partition d400") {
+      Upsert.mergeIntoVersioned(path, newDay, Seq("order_id"), "day", idx)
+    }
+    val appendRows = time("ChangeFeed.between over the append-only hop " +
+        "(was a full-table diff before R19)") {
+      ChangeFeed.between(spark, path, idx, gA - 1, gA,
+        Seq("order_id"), "day").count()
+    }
+    assert(appendRows == 5000L, s"append hop: $appendRows rows")
+
+    // R19: bloom point-merge — ONE partition whose 16 files all span the
+    // full key range (min/max useless); the bloom split rewrites only
+    // the files that hold the probed keys, the rest SURVIVE the manifest
+    val (bpath, bidx) = (s"$root/bloomy", s"$root/bloomy/_stats_v")
+    Upsert.mergeIntoVersionedCols(bpath,
+      spark.range(1000000L).select(col("id").as("order_id"),
+        lit("d000").as("day"), (col("id") % 97).cast("double").as("amount"))
+        .repartition(16),
+      Seq("order_id"), Seq("day"), bidx, bloomColumns = Seq("order_id"))
+    val bFiles0 = StatsIndex.loadLatest(spark, bidx)
+      .select("file").distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    val gB = time("bloom point-merge: 3 keys into 1M rows / 16 scattered files") {
+      Upsert.mergeIntoVersionedCols(bpath,
+        spark.createDataFrame(Seq((5L, "d000", 9.9), (500000L, "d000", 9.9),
+          (999999L, "d000", 9.9))).toDF("order_id", "day", "amount"),
+        Seq("order_id"), Seq("day"), bidx, bloomColumns = Seq("order_id"))
+    }
+    val bFiles1 = StatsIndex.load(spark, s"$bidx/_v=$gB")
+      .select("file").distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    println(s"   files surviving unrewritten: ${(bFiles0 intersect bFiles1).size}" +
+      s" of ${bFiles0.size} (merge rewrote ${(bFiles0 diff bFiles1).size})")
+
+    // R19: two-level (day × batch) landing grain — the reference's own
+    // layout versions like any other
+    val (mpath, midx) = (s"$root/multi", s"$root/multi/_stats_v")
+    time("two-level bootstrap: 200k rows over 40 days x 4 batches") {
+      Upsert.mergeIntoVersionedCols(mpath,
+        spark.range(200000L).select(col("id").as("order_id"),
+          concat(lit("d"), (col("id") % 40).cast("string")).as("day"),
+          (col("id") % 4).as("batch"),
+          (col("id") % 97).cast("double").as("amount"))
+          .repartition(col("day"), col("batch")),
+        Seq("order_id"), Seq("day", "batch"), midx)
+    }
+    val gM = time("one-tuple replace: (d7, 2) re-landed") {
+      Upsert.replacePartitionsVersioned(mpath,
+        spark.range(200000L).select(col("id").as("order_id"),
+          concat(lit("d"), (col("id") % 40).cast("string")).as("day"),
+          (col("id") % 4).as("batch"),
+          (col("id") % 97 + 1).cast("double").as("amount"))
+          .where(col("day") === "d7" && col("batch") === 2),
+        Seq("day", "batch"), midx)
+    }
+    println("   changed tuples: " + ChangeFeed.betweenCols(spark, mpath, midx,
+      gM - 1, gM, Seq("order_id"), Seq("day", "batch")).count() + " change rows")
+
     // follower delivery: two more one-day merges, then drain both hops
     Seq("d020", "d021").foreach { d =>
       Upsert.mergeIntoVersioned(path,
