@@ -208,7 +208,10 @@ object Compaction {
       val nextGen = current.where(!under).unionByName(fresh)
       val partCols = StatsIndex.generationPartitionCols(spark, indexRoot,
         gens.last).getOrElse(Seq(partitionCol))
-      Some(StatsIndex.saveGeneration(nextGen, indexRoot, schema, partCols))
+      // optimistic commit: a merge racing this compaction wins or loses
+      // cleanly — never a lost update (ConcurrentWriteException = retry)
+      Some(StatsIndex.saveGeneration(nextGen, indexRoot, schema, partCols,
+        expectedBase = Some(gens.last)))
     } finally fs.delete(staging, true)
   }
 }

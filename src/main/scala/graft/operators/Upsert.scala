@@ -570,8 +570,15 @@ object Upsert {
         case (Some(c), Some(f)) => Some(c.unionByName(f))
         case (c, f) => c.orElse(f)
       }
+      // optimistic commit (the Delta slot protocol): this manifest was
+      // derived from `gens.last` — if any other writer committed past it
+      // meanwhile, publishing would lose their update, so the commit
+      // claims its slot exclusively and aborts with
+      // ConcurrentWriteException instead (nothing published; retry
+      // re-reads the new latest generation)
       graft.sources.StatsIndex.saveGeneration(nextGen, indexRoot,
-        Some(dataSchema), partitionCols, nextBlooms)
+        Some(dataSchema), partitionCols, nextBlooms,
+        expectedBase = Some(gens.lastOption.getOrElse(0L)))
     } finally fs.delete(staging, true)
   }
 

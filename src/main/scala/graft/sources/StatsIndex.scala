@@ -374,6 +374,12 @@ object StatsIndex extends org.apache.spark.internal.Logging {
   // the retention window. Writers stay single (generation numbering is
   // not fenced); READERS become freely concurrent.
 
+  /** A versioned commit lost the race to a concurrent writer — nothing
+    * was published; re-read the table and retry the whole operation
+    * (the merge must re-derive against the NEW latest generation). */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
   /** Complete (= `_SUCCESS`-marked) generation numbers under the root,
     * ascending. */
   def generations(spark: SparkSession, indexRoot: String): Seq[Long] = {
@@ -391,51 +397,100 @@ object StatsIndex extends org.apache.spark.internal.Logging {
   /** Write `stats` as the NEXT generation and return its number — the
     * write is the commit: readers see the generation only once its
     * `_SUCCESS` lands, and no existing generation is touched. Numbering
-    * skips past EVERY existing `_v=` directory, complete or not, so a
-    * crashed writer's carcass never collides (and stays reapable by
-    * [[vacuumGenerations]]). Single writer assumed (numbering is not
-    * fenced against a racing writer — same contract as every publish
-    * path here). */
+    * skips past EVERY existing `_v=` directory and `_claim_v=` marker,
+    * complete or not, so a crashed writer's carcass never collides
+    * (and stays reapable by [[vacuumGenerations]]).
+    *
+    * `expectedBase` = OPTIMISTIC CONCURRENCY (the Delta commit-slot
+    * protocol): the caller names the generation its output was DERIVED
+    * FROM (0 for bootstrap). The commit then (1) claims its slot with an
+    * exclusive `_claim_v=N` create — atomic on HDFS; the linearization
+    * point between racing writers — and (2) aborts with
+    * [[ConcurrentWriteException]] if ANY slot between the base and its
+    * own is held by someone else (a complete generation or another
+    * claim): that writer's changes would otherwise be silently lost,
+    * since this manifest was derived from the older base. Exactly one
+    * of two same-base racers wins (the one that claims base+1); the
+    * loser deletes its claim and throws — nothing published, retry from
+    * the new latest. A claim left by a CRASHED writer parks its slot
+    * until [[vacuumGenerations]] reaps it past grace (pick grace ≳ your
+    * longest write). Without `expectedBase` the legacy single-writer
+    * contract applies (no claim, no fence). */
   def saveGeneration(stats: DataFrame, indexRoot: String,
                      dataSchema: Option[StructType] = None,
                      partitionCols: Seq[String] = Nil,
-                     blooms: Option[DataFrame] = None): Long = {
+                     blooms: Option[DataFrame] = None,
+                     expectedBase: Option[Long] = None): Long = {
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(
       stats.sparkSession.sessionState.newHadoopConf())
-    val existing: Seq[Long] =
+    def slots(): Seq[Long] =
       if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_v="))
-        .flatMap(st => scala.util.Try(
-          st.getPath.getName.stripPrefix("_v=").toLong).toOption)
-    val next = (0L +: existing).max + 1L
-    // sidecars FIRST: once the parquet `_SUCCESS` commits the
-    // generation, a racing reader must already find the schema (an
-    // orphan sidecar from a crash here is inert — generationSchema is
-    // only consulted for generations that exist)
-    def sidecar(name: String, body: String): Unit = {
+      else fs.listStatus(root).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("_v="))
+          scala.util.Try(n.stripPrefix("_v=").toLong).toOption
+        else if (!st.isDirectory && n.startsWith("_claim_v="))
+          scala.util.Try(n.stripPrefix("_claim_v=").toLong).toOption
+        else None
+      }
+    val next = (0L +: slots()).max + 1L
+    val claim = new Path(root, s"_claim_v=$next")
+    expectedBase.foreach { base =>
       fs.mkdirs(root)
-      val out = fs.create(new Path(root, name), true)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // exclusive create: the slot is ours or someone else's, atomically
+      try fs.create(claim, false).close()
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentWriteException(
+            s"saveGeneration: slot $next under $indexRoot already claimed " +
+              s"by a concurrent writer ($e) — retry from the new latest")
+      }
+      // gap check: a slot strictly between our base and our claim means
+      // another writer committed (or is committing) work this manifest
+      // does not include — publishing would lose their update
+      val gap = slots().filter(n => n > base && n < next)
+      if (gap.nonEmpty) {
+        fs.delete(claim, false)
+        throw new ConcurrentWriteException(
+          s"saveGeneration: generation(s) ${gap.mkString(", ")} landed " +
+            s"after base $base under $indexRoot — this manifest is stale; " +
+            "re-read the table and retry")
+      }
     }
-    dataSchema.foreach(st => sidecar(s"_schema_v=$next.json", st.json))
-    // partition columns recorded alongside: a FILE-EMPTY manifest (a
-    // merge that legally deletes every remaining row) carries no paths
-    // to parse them from, and an empty-table read still owes the caller
-    // the partition columns in its schema
-    if (partitionCols.nonEmpty)
-      sidecar(s"_partcols_v=$next.json",
-        StructType(partitionCols.map(org.apache.spark.sql.types.StructField(
-          _, org.apache.spark.sql.types.StringType))).json)
-    // bloom relation too: by the time the stats `_SUCCESS` flips the
-    // generation live, a reader pinning it must already find its blooms
-    // (a generation with no bloom dir reads unprobed — conservative)
-    blooms.foreach(b =>
-      b.write.mode("overwrite").parquet(generationBloomsPath(indexRoot, next)))
-    stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
-    next
+    try {
+      // sidecars FIRST: once the parquet `_SUCCESS` commits the
+      // generation, a racing reader must already find the schema (an
+      // orphan sidecar from a crash here is inert — generationSchema is
+      // only consulted for generations that exist)
+      def sidecar(name: String, body: String): Unit = {
+        fs.mkdirs(root)
+        val out = fs.create(new Path(root, name), true)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      dataSchema.foreach(st => sidecar(s"_schema_v=$next.json", st.json))
+      // partition columns recorded alongside: a FILE-EMPTY manifest (a
+      // merge that legally deletes every remaining row) carries no paths
+      // to parse them from, and an empty-table read still owes the caller
+      // the partition columns in its schema
+      if (partitionCols.nonEmpty)
+        sidecar(s"_partcols_v=$next.json",
+          StructType(partitionCols.map(org.apache.spark.sql.types.StructField(
+            _, org.apache.spark.sql.types.StringType))).json)
+      // bloom relation too: by the time the stats `_SUCCESS` flips the
+      // generation live, a reader pinning it must already find its blooms
+      // (a generation with no bloom dir reads unprobed — conservative)
+      blooms.foreach(b =>
+        b.write.mode("overwrite").parquet(generationBloomsPath(indexRoot, next)))
+      stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
+      next
+    } finally {
+      // success: the committed `_v=N` dir occupies the slot; failure:
+      // the partial dir (if any) parks it until vacuum — either way the
+      // claim marker has served its purpose
+      if (expectedBase.nonEmpty) fs.delete(claim, false)
+    }
   }
 
   /** Where generation `gen`'s per-file Bloom relation lives (when its
@@ -536,6 +591,19 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       fs.delete(new Path(root,
         s"_blooms_v=${p.getName.stripPrefix("_v=")}"), true)
     }
+    // stale commit-slot claims (a CRASHED writer's — a live writer holds
+    // its claim only for the duration of one commit): a claim whose
+    // `_v=N` never completed parks the slot and, worse, aborts every
+    // later optimistic commit from an older base; reap past grace
+    fs.listStatus(root).toSeq
+      .filter(st => !st.isDirectory &&
+        st.getPath.getName.startsWith("_claim_v="))
+      .filter { st =>
+        val n = scala.util.Try(
+          st.getPath.getName.stripPrefix("_claim_v=").toLong).toOption
+        !n.exists(complete) && nowMs - st.getModificationTime >= graceMs
+      }
+      .foreach(st => fs.delete(st.getPath, false))
     doomed.map(_.toString).sorted
   }
 
@@ -656,7 +724,23 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     val doomed = onDisk.filterNot(indexed).filter { f =>
       nowMs - fs.getFileStatus(new Path(f)).getModificationTime >= graceMs
     }.sorted
-    if (!dryRun) doomed.foreach(f => fs.delete(new Path(f), false))
+    if (!dryRun) {
+      doomed.foreach(f => fs.delete(new Path(f), false))
+      // sweep partition directories the reap EMPTIED, bottom-up (stop at
+      // the table root; only `col=value` segments) — correctness never
+      // needs this (empty dirs hold no rows), but at object-store scale
+      // dead directories tax every listing a writer or walk still does
+      val rootQ = fs.makeQualified(new Path(tablePath))
+      doomed.map(f => new Path(f).getParent).distinct.foreach { p0 =>
+        var p = p0
+        while (p != null && fs.makeQualified(p) != rootQ &&
+            p.getName.contains("=") &&
+            scala.util.Try(fs.listStatus(p).isEmpty).getOrElse(false)) {
+          fs.delete(p, false)
+          p = p.getParent
+        }
+      }
+    }
     logInfo(s"vacuum($tablePath): ${onDisk.size} on disk, " +
       s"${indexed.size} indexed, ${doomed.size} " +
       (if (dryRun) "reapable (dry run)" else "deleted"))

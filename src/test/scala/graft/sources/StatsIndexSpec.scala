@@ -560,4 +560,25 @@ class StatsIndexSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(bytes))
     assert(bf.mightContainString("x") && !bf.mightContainString("absent"))
   }
+
+  test("vacuum sweeps partition directories it emptied; live and root dirs stay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vac-dir").toString
+    val t = s"$root/t"
+    Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
+      .write.partitionBy("day").parquet(t)
+    // index ONLY day=d1's files: day=d2 is unindexed garbage by the
+    // manifest discipline, so vacuum reaps its files AND its now-dead dir
+    val stats = StatsIndex.build(spark, t)
+      .where(org.apache.spark.sql.functions.col("file").contains("/day=d1/"))
+    val reaped = StatsIndex.vacuum(spark, t, stats, graceMs = 0L)
+    assert(reaped.nonEmpty && reaped.forall(_.contains("/day=d2/")))
+    val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/day=d2")),
+      "emptied partition dir must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/day=d1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(t)),
+      "live partition and table root must stay")
+  }
 }

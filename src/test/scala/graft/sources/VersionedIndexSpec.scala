@@ -200,4 +200,46 @@ class VersionedIndexSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(feed23 == Set(("delete", 3L)))
   }
+
+  test("optimistic concurrency: a stale-base commit aborts instead of losing the racer's update; stale claims park then reap") {
+    val root = Files.createTempDirectory("graft-videx-occ").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val g1 = Upsert.mergeIntoVersioned(path,
+      Seq((1L, "d1", 10.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    val g2 = Upsert.mergeIntoVersioned(path,
+      Seq((2L, "d2", 20.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx) // the racer that won
+    // a writer whose manifest was DERIVED FROM g1 must abort — its
+    // commit would silently drop g2's rows from the lineage
+    val stale = StatsIndex.load(spark, s"$idx/_v=$g1").localCheckpoint()
+    intercept[StatsIndex.ConcurrentWriteException] {
+      StatsIndex.saveGeneration(stale, idx, expectedBase = Some(g1))
+    }
+    assert(StatsIndex.generations(spark, idx) == Seq(g1, g2),
+      "the aborted commit must publish nothing")
+
+    // a CRASHED same-base racer's claim parks the slot: the next commit
+    // sees the gap and aborts rather than jumping past unfinished work
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(idx, s"_claim_v=${g2 + 1}"),
+      false).close()
+    intercept[StatsIndex.ConcurrentWriteException] {
+      StatsIndex.saveGeneration(stale, idx, expectedBase = Some(g2))
+    }
+    // vacuum reaps the stale claim (no complete _v behind it), after
+    // which the same commit goes through and releases its own claim
+    StatsIndex.vacuumGenerations(spark, idx, keep = 2, graceMs = 0L)
+    val g3 = StatsIndex.saveGeneration(stale, idx, expectedBase = Some(g2))
+    assert(g3 == g2 + 1)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx)).exists(
+      _.getPath.getName.startsWith("_claim_v=")),
+      "a successful commit must release its claim")
+    // and merges keep working on top
+    val g4 = Upsert.mergeIntoVersioned(path,
+      Seq((3L, "d3", 30.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    assert(g4 == g3 + 1)
+  }
 }
