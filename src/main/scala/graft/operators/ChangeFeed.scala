@@ -200,4 +200,39 @@ object ChangeFeed {
       }.toIndexedSeq: _*)
     SnapshotDiff.diff(aligned(from), aligned(to), keys)
   }
+
+  /** Apply one hop's change rows to a DOWNSTREAM table — the
+    * replication consumer that completes the CDC loop: the after-image
+    * of inserts/updates upserts ([[Upsert.mergeInto]] latest-wins), the
+    * before-image keys of deletes delete. Because `mergeInto` is
+    * idempotent per batch, re-applying the same hop converges — which
+    * is exactly what [[graft.streaming.ChangeFeedStream]]'s
+    * at-least-once delivery needs: crash between apply and cursor
+    * advance, re-apply, same downstream table. The downstream needs
+    * none of the versioned machinery (it can be a plain partitioned
+    * table, a different layout, or another versioned table fed through
+    * its own merge). */
+  def applyChanges(changes: DataFrame, downstreamPath: String,
+                   keys: Seq[String], partitionCol: String,
+                   statsIndexPath: Option[String] = None): Unit = {
+    val afterCols = changes.columns.filter(_.startsWith("a_"))
+      .map(_.stripPrefix("a_")).toSeq
+    require(afterCols.contains(partitionCol),
+      s"applyChanges: change rows carry no a_$partitionCol — feed the " +
+        "partition column through between()'s projection")
+    val upserts = changes.where(col("op").isin("insert", "update"))
+      .select(keys.map(col) ++
+        afterCols.map(c => col(s"a_$c").as(c)): _*)
+    val dels = changes.where(col("op") === "delete")
+      .select(keys.map(col) :+ col(s"b_$partitionCol").as(partitionCol): _*)
+    // bounded driver checks — a hop is delta-sized by construction
+    val hasUpserts = !upserts.isEmpty
+    val hasDels = !dels.isEmpty
+    if (!hasUpserts && !hasDels) return
+    Upsert.mergeInto(downstreamPath,
+      if (hasUpserts) upserts else upserts.limit(0),
+      keys, partitionCol,
+      statsIndexPath = statsIndexPath,
+      deletes = if (hasDels) Some(dels) else None)
+  }
 }

@@ -1032,6 +1032,61 @@ object ExtraQueries {
       |LEFT JOIN (SELECT cluster_id, seg FROM sg WHERE rn = 1) sg USING (cluster_id)
       |ORDER BY cluster_id""".stripMargin
 
+  /** CDC replication end to end ([[graft.streaming.ChangeFeedStream
+    * .replicateTo]] — the consumer loop that completes the change feed):
+    * the replica seeds from the [[versionedFixture]] warehouse's FIRST
+    * snapshot, then FOLLOWS the manifest — both committed hops (updates
+    * + inserts, then deletes) drain in order and apply as idempotent
+    * keyed merges. The gate aggregates the REPLICA; the oracle
+    * re-derives the SOURCE's final state from `orders` — a replica that
+    * missed a hop, double-applied one, or resurrected a deleted row
+    * breaks the hash. */
+  def cdcReplicateQ(s: SparkSession, dir: String): DataFrame = {
+    val (path, idx) = versionedFixture(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    try {
+      val downstream = s"$root/replica"
+      ChangeFeed.asOf(s, path, idx, 1L)
+        .write.partitionBy("priority").parquet(downstream)
+      graft.streaming.ChangeFeedStream.replicateTo(s, path, idx,
+        Seq("order_id"), "priority", s"$root/cursor", downstream,
+        startAt = Some(1L))
+      val out = s.read.parquet(downstream)
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("price") * 100).cast("long")).as("cents"))
+        .collect() // bounded: one row per priority
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      import s.implicits._
+      out.toSeq.toDF("priority", "n", "cents").orderBy("priority")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walked = java.nio.file.Files.walk(java.nio.file.Path.of(root))
+      try walked.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walked.close()
+    }
+  }
+
+  private val cdcReplicateOracle: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |ins AS (
+      |  SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 41 = 0 AND o_orderkey % 37 <> 0),
+      |g2 AS (
+      |  SELECT order_id, priority,
+      |         CASE WHEN order_id % 3 = 0 THEN cents + 100 ELSE cents END AS cents
+      |  FROM s
+      |  UNION ALL SELECT * FROM ins),
+      |g3 AS (SELECT * FROM g2 WHERE order_id % 5 <> 0)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM g3 GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** Golden-record survivorship over the event stream
     * ([[graft.operators.Survivorship]]): per user, each attribute's
     * value from the LATEST record where that attribute was present —
@@ -1554,6 +1609,7 @@ object ExtraQueries {
     "q_merge_evolve" -> (mergeEvolveQ _),
     "q_survivorship" -> (survivorshipQ _),
     "q_entity_resolution" -> (entityResolutionQ _),
+    "q_cdc_replicate" -> (cdcReplicateQ _),
     "stats_dfp" -> (statsDfpQ _),
     "stats_auto_dfp" -> (statsAutoDfpQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
@@ -1586,6 +1642,7 @@ object ExtraQueries {
     "q_merge_evolve" -> mergeEvolveOracle,
     "q_survivorship" -> survivorshipOracle,
     "q_entity_resolution" -> entityResolutionOracle,
+    "q_cdc_replicate" -> cdcReplicateOracle,
     "stats_dfp" -> statsDfpOracle,
     "stats_auto_dfp" -> statsDfpOracle,
     "q_fuzzy_join" -> fuzzyJoinOracle,

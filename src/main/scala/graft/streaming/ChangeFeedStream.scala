@@ -109,6 +109,27 @@ object ChangeFeedStream {
     delivered
   }
 
+  /** [[drain]] composed with [[ChangeFeed.applyChanges]]: follow a
+    * versioned table and MATERIALIZE it into a downstream table — the
+    * replication loop (lakehouse → serving copy, cross-region replica,
+    * a differently-partitioned projection). Each hop applies as an
+    * idempotent keyed merge + deletes, so the at-least-once delivery
+    * (crash between apply and cursor advance re-delivers the hop)
+    * still converges the downstream exactly. Bootstrap: seed the
+    * downstream with `ChangeFeed.asOf(<start>)` once, then follow with
+    * `startAt = Some(<start>)` — a cursor-less first call would pin
+    * "now" and the base state would never flow. Returns hops applied. */
+  def replicateTo(spark: SparkSession, tablePath: String, indexRoot: String,
+                  keys: Seq[String], partitionCol: String,
+                  cursorPath: String, downstreamPath: String,
+                  startAt: Option[Long] = None,
+                  downstreamStatsPath: Option[String] = None): Int =
+    drain(spark, tablePath, indexRoot, keys, partitionCol, cursorPath,
+        startAt) { (_, _, changes) =>
+      ChangeFeed.applyChanges(changes, downstreamPath, keys, partitionCol,
+        downstreamStatsPath)
+    }
+
   /** [[drain]] landed as parquet: each hop's change rows under
     * `_from_gen=N/` with dynamic partition overwrite — replays rewrite
     * exactly their own partition, so downstream readers see each hop
