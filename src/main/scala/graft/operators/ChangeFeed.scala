@@ -215,8 +215,11 @@ object ChangeFeed {
   def applyChanges(changes: DataFrame, downstreamPath: String,
                    keys: Seq[String], partitionCol: String,
                    statsIndexPath: Option[String] = None): Unit = {
-    val afterCols = changes.columns.filter(_.startsWith("a_"))
-      .map(_.stripPrefix("a_")).toSeq
+    // keys pass through diff output under their BARE names — exclude
+    // them before the prefix scan, or a key itself named `a_…` would
+    // masquerade as an after-image column and corrupt the extraction
+    val afterCols = changes.columns.filterNot(keys.contains)
+      .filter(_.startsWith("a_")).map(_.stripPrefix("a_")).toSeq
     require(afterCols.contains(partitionCol),
       s"applyChanges: change rows carry no a_$partitionCol — feed the " +
         "partition column through between()'s projection")
