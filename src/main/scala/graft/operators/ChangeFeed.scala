@@ -72,9 +72,23 @@ object ChangeFeed {
       regexp_extract(col("file"),
         "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1).as(s"_p$i")
     }
-    changed.select(extracted: _*)
-      .where(partitionCols.indices.map(i => col(s"_p$i") =!= "")
-        .reduce(_ && _))
+    // LOUD invariant (ADVICE r19): a changed file whose path does not
+    // yield EVERY partition column means the caller's partitionCols do
+    // not describe this table's layout — silently dropping it would
+    // make a CDC follower apply nothing and still advance its cursor
+    // (unrecoverable replica loss). One pass: aggregate parse failures
+    // and the distinct parsed tuples together.
+    val parsed = changed.select(extracted: _*)
+    val bad = parsed
+      .where(partitionCols.indices.map(i => col(s"_p$i") === "")
+        .reduce(_ || _))
+      .limit(1).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"changedPartitionValues: changed file(s) whose paths do not carry " +
+          s"partition column(s) ${partitionCols.mkString(", ")} — the given " +
+          "partition columns do not match the table's on-disk layout")
+    parsed
       .distinct()
       .collect()
       .map(r => partitionCols.indices.map(i =>
@@ -91,13 +105,29 @@ object ChangeFeed {
     changedPartitionValues(spark, fromStats, toStats, Seq(partitionCol))
       .map(_.head)
 
+  /** Past this many touched partitions the OR-of-prefix-tests
+    * restriction stops being "a bounded expression" and starts being a
+    * driver/Catalyst problem (a full-table rewrite or compaction-heavy
+    * hop touches 10⁴–10⁶ partitions; an expression tree that size kills
+    * planning before any data is read) — switch to the distributed
+    * tuple join. 64 keeps the common small hop on the zero-shuffle
+    * filter path. */
+  private[graft] val wideTouchedThreshold: Int =
+    StatsIndex.wideTupleThreshold
+
   /** The manifest rows under the touched partitions' path prefixes
     * (Hive-escaped, nested in `partitionCols` order — the layout
-    * `partitionBy` writes). Empty `touched` restricts to nothing. */
+    * `partitionBy` writes). Empty `touched` restricts to nothing.
+    * Small `touched` compiles to an OR of segment tests (pure filter,
+    * no shuffle); past [[wideTouchedThreshold]] it becomes a broadcast
+    * SEMI-JOIN on executor-extracted partition tuples — same result,
+    * O(1) expression tree. */
   private[graft] def restrictToTouched(stats: DataFrame,
                                        partitionCols: Seq[String],
                                        touched: Seq[Seq[String]]): DataFrame =
     if (touched.isEmpty) stats.where(lit(false))
+    else if (touched.size > wideTouchedThreshold)
+      restrictByTupleJoin(stats, partitionCols, touched, anti = false)
     else stats.where(touched.map { tuple =>
       val seg = partitionCols.zip(tuple).map { case (c, v) =>
         s"$c=" + org.apache.spark.sql.catalyst.catalog
@@ -105,6 +135,20 @@ object ChangeFeed {
       }.mkString("/", "/", "/")
       col("file").contains(seg)
     }.reduce(_ || _))
+
+  /** Join-based touched-partition restriction — the WIDE-hop shape:
+    * extract each manifest row's Hive-escaped partition values from its
+    * file path EXECUTOR-side (the [[changedPartitionValues]] regexes),
+    * then semi-join (`anti = false`: keep touched) or anti-join
+    * (`anti = true`: keep untouched) against the broadcast touched-tuple
+    * relation. Values compare ESCAPED-to-escaped, so no unescape runs on
+    * the data path. Cost ∝ manifest size with a broadcast hash probe per
+    * row; the expression tree stays O(columns) however wide the hop. */
+  private[graft] def restrictByTupleJoin(stats: DataFrame,
+                                         partitionCols: Seq[String],
+                                         touched: Seq[Seq[Any]],
+                                         anti: Boolean): DataFrame =
+    StatsIndex.restrictByTupleJoin(stats, partitionCols, touched, anti)
 
   /** Keyed change rows between generations `fromGen` → `toGen`:
     * [[SnapshotDiff.diff]] columns (`op`, keys, `b_*`/`a_*`), computed
@@ -159,6 +203,19 @@ object ChangeFeed {
       case (false, true) =>
         val t = readSlice(toSlice, toGen); (emptyLike(t.schema), t)
       case (false, false) =>
+        // LOUD invariant (ADVICE r19): partitions DID change but neither
+        // restricted slice has files — the restriction missed (e.g.
+        // partitionCols ordered differently from the on-disk nesting, so
+        // the `c1=v1/c2=v2` segment never matches). Returning an empty
+        // feed here would let a replication follower apply nothing and
+        // still advance its cursor.
+        if (touched.nonEmpty)
+          throw new IllegalStateException(
+            s"between: ${touched.size} partition(s) changed between " +
+              s"generations $fromGen and $toGen but the touched-partition " +
+              s"restriction matched no files — partitionCols " +
+              s"(${partitionCols.mkString(", ")}) are likely not in the " +
+              "table's on-disk nesting order")
         // no partition changed at all (or both generations are
         // file-empty): the feed is provably empty — recover a schema
         // from a recorded sidecar, else one manifest file's footer

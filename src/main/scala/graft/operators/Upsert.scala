@@ -529,8 +529,14 @@ object Upsert {
         fs.mkdirs(target)
         val in = new org.apache.hadoop.fs.Path(target,
           s"gen-$runId-${f.getName}")
-        if (!fs.rename(f, in)) throw new java.io.IOException(
-          s"versioned write: rename $f -> $in failed")
+        // one retry after re-mkdirs: a concurrent vacuum's empty-dir
+        // sweep can delete `target` between the mkdirs and the rename
+        // (the sweep is best-effort; the WRITER owns recovery)
+        if (!fs.rename(f, in)) {
+          fs.mkdirs(target)
+          if (!fs.rename(f, in)) throw new java.io.IOException(
+            s"versioned write: rename $f -> $in failed")
+        }
         fs.makeQualified(in).toString
       }
 
@@ -541,17 +547,32 @@ object Upsert {
         val q = p.getFileSystem(hconf).makeQualified(p).toString
         if (q.endsWith("/")) q else q + "/"
       }
-      val under = prefixes.map(p => col("file").startsWith(p))
-        .reduceOption(_ || _).getOrElse(lit(false))
-      // bloom pass-through files SURVIVE the manifest despite sitting in
-      // touched partitions — their rows are provably unchanged
-      val keep =
-        if (passFiles.isEmpty) !under
-        else !under || col("file").isin(passFiles: _*)
+      // survivor filter: manifest rows NOT under a touched partition
+      // prefix. Small touched sets compile to a bounded OR of prefix
+      // tests; a WIDE commit (full-table rewrite, compaction-heavy
+      // generation — 10⁴+ partitions) would make that OR an
+      // expression-tree the driver/Catalyst chokes on before any data
+      // moves, so past the threshold the restriction becomes a
+      // distributed ANTI-JOIN: partition values extracted from the file
+      // paths executor-side, joined against the (broadcast) touched
+      // tuples — cost ∝ manifest size, expression tree O(1).
       val fresh = graft.sources.StatsIndex.statsForFiles(
         spark, movedIn, statsColumns)
-      val nextGen = current.map(_.where(keep).unionByName(fresh))
-        .getOrElse(fresh)
+      val nextGen = current.map { c =>
+        val untouchedRows =
+          if (touched.size <= wideTouchedThreshold) {
+            val under = prefixes.map(p => col("file").startsWith(p))
+              .reduceOption(_ || _).getOrElse(lit(false))
+            c.where(!under)
+          } else untouchedByAntiJoin(spark, c, partitionCols, touched)
+        // bloom pass-through files SURVIVE the manifest despite sitting
+        // in touched partitions — their rows are provably unchanged
+        val survivors =
+          if (passFiles.isEmpty) untouchedRows
+          else untouchedRows.unionByName(
+            c.where(col("file").isin(passFiles: _*)))
+        survivors.unionByName(fresh)
+      }.getOrElse(fresh)
       // the generation's bloom relation: the previous generation's rows
       // for files still in the manifest (semi-join — never a rebuild),
       // plus fresh filters for the files this write landed. Maintained
@@ -580,6 +601,46 @@ object Upsert {
         Some(dataSchema), partitionCols, nextBlooms,
         expectedBase = Some(gens.lastOption.getOrElse(0L)))
     } finally fs.delete(staging, true)
+  }
+
+  /** Shared width threshold with the CDF reader — one policy for "when
+    * does an OR of partition-prefix tests stop being an expression and
+    * start being a planning problem". */
+  private def wideTouchedThreshold: Int = ChangeFeed.wideTouchedThreshold
+
+  /** Manifest rows NOT under any touched partition — the wide-commit
+    * survivor filter as a distributed anti-join
+    * ([[ChangeFeed.restrictByTupleJoin]]). */
+  private def untouchedByAntiJoin(spark: org.apache.spark.sql.SparkSession,
+                                  stats: DataFrame, partitionCols: Seq[String],
+                                  touched: Seq[Seq[Any]]): DataFrame =
+    ChangeFeed.restrictByTupleJoin(stats, partitionCols, touched, anti = true)
+
+  /** Bounded retry loop around a VERSIONED commit — the Delta-style
+    * optimistic loop completed: [[mergeIntoVersioned]]/
+    * [[mergeIntoVersionedCols]]/[[replacePartitionsVersioned]] re-read
+    * the latest generation at ENTRY, so a retry after
+    * [[graft.sources.StatsIndex.ConcurrentWriteException]] is exactly
+    * "re-derive against the new latest and try again" — the loser's
+    * changes are re-merged on top of the winner's, nothing lost.
+    * `body` MUST be the whole read-derive-commit operation (a bare
+    * `saveGeneration` retried without re-deriving would republish the
+    * stale manifest). Linear backoff de-synchronizes herds; throws the
+    * last ConcurrentWriteException once `attempts` is exhausted. */
+  def retryingCommit[T](attempts: Int = 5, backoffMs: Long = 50L)
+                       (body: () => T): T = {
+    require(attempts >= 1, s"retryingCommit: attempts=$attempts must be >= 1")
+    var tries = 0
+    while (true) {
+      try return body()
+      catch {
+        case e: graft.sources.StatsIndex.ConcurrentWriteException =>
+          tries += 1
+          if (tries >= attempts) throw e
+          if (backoffMs > 0) Thread.sleep(backoffMs * tries)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The directory name Spark actually writes for `col=value` — the

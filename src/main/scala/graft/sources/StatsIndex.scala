@@ -380,6 +380,24 @@ object StatsIndex extends org.apache.spark.internal.Logging {
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
 
+  /** Filesystem schemes whose `create(path, overwrite=false)` is an
+    * atomic exclusive create — the primitive the optimistic claim's
+    * linearization point requires. HDFS/ViewFS guarantee it in the
+    * NameNode; `file:` is check-then-create inside one kernel on one
+    * host, which suffices for the single-host deployments (and tests)
+    * that use it. Bare object stores (s3a/gs/wasb/abfs/oss) do NOT
+    * guarantee it — two writers can both believe they created the
+    * claim — so [[saveGeneration]] refuses them loudly rather than
+    * letting the fence silently not fence. Extend deliberately via
+    * `-Dgraft.claim.extraSchemes=scheme1,scheme2` AFTER fronting the
+    * store with a coordination layer (the Delta LogStore pattern). */
+  private val atomicClaimSchemes = Set("hdfs", "viewfs", "file", "local")
+
+  private[graft] def claimSchemeSupported(scheme: String): Boolean =
+    atomicClaimSchemes.contains(scheme) ||
+      sys.props.get("graft.claim.extraSchemes").toSeq
+        .flatMap(_.split(",")).map(_.trim).contains(scheme)
+
   /** Complete (= `_SUCCESS`-marked) generation numbers under the root,
     * ascending. */
   def generations(spark: SparkSession, indexRoot: String): Seq[Long] = {
@@ -415,7 +433,30 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * the new latest. A claim left by a CRASHED writer parks its slot
     * until [[vacuumGenerations]] reaps it past grace (pick grace ≳ your
     * longest write). Without `expectedBase` the legacy single-writer
-    * contract applies (no claim, no fence). */
+    * contract applies (no claim, no fence).
+    *
+    * TOCTOU closed (ADVICE r19): `next` is computed BEFORE the claim, so
+    * a racer that claims the same slot, fully commits `_v=next`, and
+    * releases its claim inside that window would slip past a
+    * between-base-and-next gap check — the committed generation IS
+    * `next`, not strictly below it. The post-claim validation therefore
+    * re-lists and aborts on ANY slot above `base` that is not this
+    * writer's own claim (a committed `_v=next`, a parked higher claim, a
+    * crashed dir — all mean this manifest's base is stale). Sidecar and
+    * bloom writes inside a claimed slot are exclusive creates
+    * (overwrite=false / errorifexists): a collision with a committed
+    * generation's metadata fails loudly instead of clobbering it.
+    *
+    * FILESYSTEM CONTRACT: the claim's linearization point is
+    * `fs.create(path, overwrite=false)` being ATOMIC — true on HDFS,
+    * ViewFS and POSIX-rename filesystems; NOT true on bare object
+    * stores (S3A without a metadata layer, GCS connector in its default
+    * mode): there, check-then-create races and two writers can both
+    * "win" the slot. `expectedBase` therefore REFUSES schemes outside
+    * [[atomicClaimSchemes]] — on an object store, front the commit with
+    * a coordination layer (DynamoDB-style lock, Delta's LogStore
+    * pattern) or extend the allow-list deliberately via
+    * `graft.claim.extraSchemes`. */
   def saveGeneration(stats: DataFrame, indexRoot: String,
                      dataSchema: Option[StructType] = None,
                      partitionCols: Seq[String] = Nil,
@@ -437,6 +478,12 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     val next = (0L +: slots()).max + 1L
     val claim = new Path(root, s"_claim_v=$next")
     expectedBase.foreach { base =>
+      require(claimSchemeSupported(fs.getScheme),
+        s"saveGeneration: filesystem scheme '${fs.getScheme}' does not " +
+          "guarantee an atomic exclusive create — the optimistic claim " +
+          "would silently race on it. Use an HDFS-semantics filesystem, " +
+          "or extend -Dgraft.claim.extraSchemes after fronting commits " +
+          "with an external lock (the Delta LogStore pattern)")
       fs.mkdirs(root)
       // exclusive create: the slot is ours or someone else's, atomically
       try fs.create(claim, false).close()
@@ -446,26 +493,43 @@ object StatsIndex extends org.apache.spark.internal.Logging {
             s"saveGeneration: slot $next under $indexRoot already claimed " +
               s"by a concurrent writer ($e) — retry from the new latest")
       }
-      // gap check: a slot strictly between our base and our claim means
-      // another writer committed (or is committing) work this manifest
-      // does not include — publishing would lose their update
-      val gap = slots().filter(n => n > base && n < next)
-      if (gap.nonEmpty) {
+      // post-claim validation (re-listed AFTER the linearization point):
+      // ANY slot above our base that is not our own claim means another
+      // writer committed — or is committing — work this manifest does not
+      // include; publishing would lose their update. This covers the
+      // strict gap (base, next) AND the TOCTOU window where a racer
+      // claimed, committed `_v=next` itself, and released before our
+      // claim create.
+      val foreign = slots().filter(_ > base).filterNot(_ == next) ++
+        (if (fs.exists(new Path(root, s"_v=$next"))) Seq(next) else Nil)
+      if (foreign.nonEmpty) {
         fs.delete(claim, false)
         throw new ConcurrentWriteException(
-          s"saveGeneration: generation(s) ${gap.mkString(", ")} landed " +
-            s"after base $base under $indexRoot — this manifest is stale; " +
-            "re-read the table and retry")
+          s"saveGeneration: slot(s) ${foreign.distinct.sorted.mkString(", ")} " +
+            s"landed after base $base under $indexRoot — this manifest is " +
+            "stale; re-read the table and retry")
       }
     }
     try {
       // sidecars FIRST: once the parquet `_SUCCESS` commits the
       // generation, a racing reader must already find the schema (an
       // orphan sidecar from a crash here is inert — generationSchema is
-      // only consulted for generations that exist)
+      // only consulted for generations that exist). Inside a CLAIMED
+      // slot the writes are exclusive — a collision means a committed
+      // generation's metadata was about to be clobbered (the ADVICE r19
+      // TOCTOU tail) and must fail loudly; the legacy single-writer path
+      // keeps overwrite semantics (a crashed own attempt may be re-run).
+      val exclusive = expectedBase.nonEmpty
       def sidecar(name: String, body: String): Unit = {
         fs.mkdirs(root)
-        val out = fs.create(new Path(root, name), true)
+        val out =
+          try fs.create(new Path(root, name), !exclusive)
+          catch {
+            case e: java.io.IOException if exclusive =>
+              throw new ConcurrentWriteException(
+                s"saveGeneration: sidecar $name already exists under " +
+                  s"$indexRoot — a concurrent writer owns slot $next ($e)")
+          }
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
@@ -482,7 +546,8 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       // generation live, a reader pinning it must already find its blooms
       // (a generation with no bloom dir reads unprobed — conservative)
       blooms.foreach(b =>
-        b.write.mode("overwrite").parquet(generationBloomsPath(indexRoot, next)))
+        b.write.mode(if (exclusive) "errorifexists" else "overwrite")
+          .parquet(generationBloomsPath(indexRoot, next)))
       stats.write.mode("errorifexists").parquet(s"$indexRoot/_v=$next")
       next
     } finally {
@@ -561,10 +626,24 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * `keep`, and incomplete (crashed-write) generation dirs, both only
     * once older than `graceMs` — a reader that pinned a generation
     * within the grace window is never pulled out from under.
+    *
+    * CLAIMS get their own floor: an incomplete slot's `_claim_v=` marker
+    * is reaped only past `max(graceMs, claimGraceMs)` — a retention pass
+    * with a small `graceMs` (0 is the common spec/test value) running
+    * concurrently with an IN-FLIGHT optimistic commit would otherwise
+    * delete the live writer's claim immediately, re-opening exactly the
+    * lost-update race the claim exists to prevent (ADVICE r19). Size
+    * `claimGraceMs` ≳ your longest commit; pass 0 only when no writer
+    * can be live (tests, decommissioned tables). A claim whose `_v=N`
+    * DID complete is inert litter (writer crashed between commit and
+    * claim release — the committed dir occupies the slot) and reaps past
+    * plain `graceMs`, as do orphan metadata sidecars/bloom dirs whose
+    * slot has neither a generation nor a claim.
     * Returns the deleted generation directories. */
   def vacuumGenerations(spark: SparkSession, indexRoot: String,
                         keep: Int = 2, graceMs: Long = 0L,
-                        nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+                        nowMs: Long = System.currentTimeMillis(),
+                        claimGraceMs: Long = 600000L): Seq[String] = {
     require(keep >= 1, s"vacuumGenerations: keep=$keep must be >= 1")
     val root = new Path(indexRoot)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -594,16 +673,51 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     // stale commit-slot claims (a CRASHED writer's — a live writer holds
     // its claim only for the duration of one commit): a claim whose
     // `_v=N` never completed parks the slot and, worse, aborts every
-    // later optimistic commit from an older base; reap past grace
+    // later optimistic commit from an older base — reap it, but only
+    // past the CLAIM floor (a live commit's claim must never be pulled
+    // mid-flight; see the Scaladoc). A claim whose `_v=N` is complete is
+    // inert (the committed dir occupies the slot) and reaps past plain
+    // grace.
+    val claimFloorMs = math.max(graceMs, claimGraceMs)
     fs.listStatus(root).toSeq
       .filter(st => !st.isDirectory &&
         st.getPath.getName.startsWith("_claim_v="))
       .filter { st =>
         val n = scala.util.Try(
           st.getPath.getName.stripPrefix("_claim_v=").toLong).toOption
-        !n.exists(complete) && nowMs - st.getModificationTime >= graceMs
+        val age = nowMs - st.getModificationTime
+        if (n.exists(complete)) age >= graceMs else age >= claimFloorMs
       }
       .foreach(st => fs.delete(st.getPath, false))
+    // orphan slot metadata: sidecars / bloom dirs for a slot that has
+    // neither a `_v=` directory nor a claim (a writer crashed between
+    // sidecar and stats write, then its claim was reaped). Left behind
+    // they would make the slot's eventual re-claimer fail its exclusive
+    // sidecar writes forever. The claim floor applies — an IN-FLIGHT
+    // commit writes sidecars before its stats land and must not have
+    // them swept.
+    val live = fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      scala.util.Try {
+        if (st.isDirectory && n.startsWith("_v=")) Some(n.stripPrefix("_v=").toLong)
+        else if (!st.isDirectory && n.startsWith("_claim_v="))
+          Some(n.stripPrefix("_claim_v=").toLong)
+        else None
+      }.toOption.flatten
+    }.toSet
+    def orphanSlot(name: String, prefix: String, suffix: String): Option[Long] =
+      if (!name.startsWith(prefix) || !name.endsWith(suffix)) None
+      else scala.util.Try(name.stripPrefix(prefix)
+        .stripSuffix(suffix).toLong).toOption.filterNot(live)
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        (orphanSlot(n, "_schema_v=", ".json").nonEmpty ||
+          orphanSlot(n, "_partcols_v=", ".json").nonEmpty ||
+          (st.isDirectory && orphanSlot(n, "_blooms_v=", "").nonEmpty)) &&
+          nowMs - st.getModificationTime >= claimFloorMs
+      }
+      .foreach(st => scala.util.Try(fs.delete(st.getPath, true)))
     doomed.map(_.toString).sorted
   }
 
@@ -619,11 +733,13 @@ object StatsIndex extends org.apache.spark.internal.Logging {
     * data files). */
   def retire(spark: SparkSession, tablePath: String, indexRoot: String,
              keep: Int = 2, graceMs: Long = 0L,
-             nowMs: Long = System.currentTimeMillis()): (Seq[String], Seq[String]) = {
+             nowMs: Long = System.currentTimeMillis(),
+             claimGraceMs: Long = 600000L): (Seq[String], Seq[String]) = {
     val gens0 = generations(spark, indexRoot)
     require(gens0.nonEmpty,
       s"retire: no complete index generation under $indexRoot")
-    val reapedGens = vacuumGenerations(spark, indexRoot, keep, graceMs, nowMs)
+    val reapedGens = vacuumGenerations(spark, indexRoot, keep, graceMs, nowMs,
+      claimGraceMs)
     val retained = generations(spark, indexRoot)
     require(retained.nonEmpty, "retire: vacuumGenerations left no generation")
     val keepSet = retained.map(g => load(spark, s"$indexRoot/_v=$g"))
@@ -733,10 +849,15 @@ object StatsIndex extends org.apache.spark.internal.Logging {
       val rootQ = fs.makeQualified(new Path(tablePath))
       doomed.map(f => new Path(f).getParent).distinct.foreach { p0 =>
         var p = p0
+        // best-effort sweep, Try on BOTH list and delete: a concurrent
+        // writer repopulating the dir between them makes the
+        // non-recursive delete throw on HDFS — that is the writer
+        // winning, not a vacuum failure (correctness never needs the
+        // sweep; empty dirs hold no rows)
         while (p != null && fs.makeQualified(p) != rootQ &&
             p.getName.contains("=") &&
-            scala.util.Try(fs.listStatus(p).isEmpty).getOrElse(false)) {
-          fs.delete(p, false)
+            scala.util.Try(fs.listStatus(p).isEmpty).getOrElse(false) &&
+            scala.util.Try(fs.delete(p, false)).getOrElse(false)) {
           p = p.getParent
         }
       }
@@ -757,23 +878,74 @@ object StatsIndex extends org.apache.spark.internal.Logging {
                      values: Seq[Any]): Seq[String] =
     partitionTupleFiles(stats, Seq(partitionCol), values.map(Seq(_)))
 
+  /** Past this many partition tuples, an OR-of-segment-tests filter
+    * stops being "a bounded expression" and starts being a
+    * driver/Catalyst planning problem (a full-table rewrite or
+    * compaction-heavy commit touches 10⁴–10⁶ partitions; an expression
+    * tree that size kills planning before any data is read) — the
+    * restriction switches to [[restrictByTupleJoin]]. 64 keeps the
+    * common small hop/merge on the zero-shuffle filter path. One policy
+    * shared by [[partitionTupleFiles]], the versioned commit's survivor
+    * filter, and [[graft.operators.ChangeFeed]]'s slice restriction. */
+  private[graft] val wideTupleThreshold: Int = 64
+
+  /** Tuple restriction as a distributed join — the WIDE shape: each
+    * manifest row's Hive-escaped partition values are extracted from its
+    * file path EXECUTOR-side, then semi-joined (`anti = false`: keep
+    * matching) or anti-joined (`anti = true`: keep the rest) against the
+    * broadcast tuple relation. Values compare ESCAPED-to-escaped (the
+    * tuples re-escape through the same catalyst utility `partitionBy`
+    * used to write the paths), so no unescape runs on the data path.
+    * Cost ∝ manifest size with a broadcast hash probe per row; the
+    * expression tree stays O(columns) however many tuples. */
+  private[graft] def restrictByTupleJoin(stats: DataFrame,
+                                         partitionCols: Seq[String],
+                                         tuples: Seq[Seq[Any]],
+                                         anti: Boolean): DataFrame = {
+    val spark = stats.sparkSession
+    val tcols = partitionCols.indices.map(i => s"_tp$i")
+    val schema = StructType(tcols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val escaped = tuples.map(t => org.apache.spark.sql.Row.fromSeq(t.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(v)))))
+    val tuplesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(escaped,
+        math.max(1, math.min(tuples.size / 50000 + 1, 32))), schema)
+      .distinct()
+    val extracted = partitionCols.zipWithIndex.map { case (c, i) =>
+      regexp_extract(col("file"),
+        "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1).as(s"_tp$i")
+    }
+    stats.select(col("*") +: extracted: _*)
+      .join(broadcast(tuplesDf), tcols,
+        if (anti) "left_anti" else "left_semi")
+      .drop(tcols: _*)
+  }
+
   /** [[partitionFiles]] for a MULTI-LEVEL layout: each wanted partition
     * is a value TUPLE over `partitionCols` (outermost first), matched as
-    * the nested `c1=v1/c2=v2` path segment `partitionBy` writes. */
+    * the nested `c1=v1/c2=v2` path segment `partitionBy` writes. Past
+    * [[wideTupleThreshold]] tuples the match runs as the distributed
+    * tuple join instead of an N-term OR. */
   def partitionTupleFiles(stats: DataFrame, partitionCols: Seq[String],
                           tuples: Seq[Seq[Any]]): Seq[String] = {
     require(tuples.nonEmpty, "partitionTupleFiles: empty tuple list")
     require(partitionCols.nonEmpty, "partitionTupleFiles: no partition columns")
-    val hit = tuples.map { t =>
-      require(t.size == partitionCols.size,
-        s"partitionTupleFiles: tuple $t does not match columns $partitionCols")
-      val seg = partitionCols.zip(t).map { case (c, v) =>
-        s"$c=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(String.valueOf(v))
-      }.mkString("/", "/", "/")
-      col("file").contains(seg)
-    }.reduce(_ || _)
-    stats.where(hit).select(col("file")).distinct()
+    tuples.foreach(t => require(t.size == partitionCols.size,
+      s"partitionTupleFiles: tuple $t does not match columns $partitionCols"))
+    val hits =
+      if (tuples.size > wideTupleThreshold)
+        restrictByTupleJoin(stats, partitionCols, tuples, anti = false)
+      else stats.where(tuples.map { t =>
+        val seg = partitionCols.zip(t).map { case (c, v) =>
+          s"$c=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(v))
+        }.mkString("/", "/", "/")
+        col("file").contains(seg)
+      }.reduce(_ || _))
+    hits.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
   }
 

@@ -80,7 +80,17 @@ object StarStream {
   }
 
   /** Stream tuning. `tracked` is the SCD2 change column; `stateCompactEvery`
-    * folds the analytics state log every N fact batches (0 disables). */
+    * folds the analytics state log every N fact batches (0 disables).
+    *
+    * `retireEvery` schedules RETENTION inside the fact loop: every N
+    * fact batches, [[retire]] reaps manifest generations past the
+    * newest `retireKeep` and the data files no retained generation
+    * still names — without it a long-running continuous star
+    * accumulates one generation per landing, unboundedly.
+    * `retireGraceMs` spares generations (and their files) younger than
+    * it, so size it ≳ your longest reader; a reader pinned within the
+    * newest `retireKeep` generations is never broken regardless. 0
+    * disables (the caller owns retention, e.g. an external cron). */
   final case class Config(
       key: String = "customer_id",
       ts: String = "ts",
@@ -89,7 +99,10 @@ object StarStream {
       nBuckets: Int = 64,
       scd2Compaction: Option[Scd2Stream.CompactionPolicy] = None,
       stateKeepRecent: Int = 8,
-      stateCompactEvery: Long = 16)
+      stateCompactEvery: Long = 16,
+      retireEvery: Long = 0,
+      retireKeep: Int = 8,
+      retireGraceMs: Long = 0L)
 
   /** The application's two coordinated micro-batch queries. */
   final case class Queries(dims: StreamingQuery, facts: StreamingQuery) {
@@ -125,6 +138,11 @@ object StarStream {
         batchId % cfg.stateCompactEvery == 0)
       DatamartStream.compact(batch.sparkSession, layout.customerState,
         cfg.stateKeepRecent): Unit
+    // scheduled retention (cfg.retireEvery): generations accumulate one
+    // per landing — reap past the newest retireKeep on a cadence so the
+    // always-on star is bounded without an external cron
+    if (cfg.retireEvery > 0 && batchId > 0 && batchId % cfg.retireEvery == 0)
+      retire(batch.sparkSession, layout, cfg.retireKeep, cfg.retireGraceMs)
     touched
   }
 

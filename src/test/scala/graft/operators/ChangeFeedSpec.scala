@@ -180,4 +180,89 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.changedPartitionValues(spark, esc, stats(), Seq("k")) ==
       Seq(Seq("a:b")))
   }
+
+  test("wrong partition columns fail LOUDLY instead of returning an empty feed (ADVICE r19)") {
+    import spark.implicits._
+    def stats(files: String*) = files.toSeq.toDF("file")
+    // a changed file whose path carries none of the claimed partition
+    // columns → changedPartitionValues throws (silently dropping it
+    // would let a CDC follower apply nothing and advance its cursor)
+    val a = stats("file:/t/day=d1/f1.parquet")
+    val b = stats("file:/t/day=d1/f1.parquet", "file:/t/day=d2/f2.parquet")
+    intercept[IllegalStateException] {
+      ChangeFeed.changedPartitionValues(spark, a, b, Seq("not_a_col"))
+    }
+    // and end-to-end: partitionCols passed in the WRONG NESTING ORDER —
+    // extraction parses (per-column regexes are order-independent) but
+    // the nested-segment restriction matches nothing; pre-R20 this
+    // returned an EMPTY feed, now it throws
+    val root = Files.createTempDirectory("graft-cf-loud").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    def df(rows: (Long, String, Long, Double)*) =
+      rows.toSeq.toDF("order_id", "day", "batch", "amount")
+    val g1 = Upsert.mergeIntoVersionedCols(path,
+      df((1L, "d1", 0L, 10.0), (2L, "d2", 0L, 20.0)),
+      Seq("order_id"), Seq("day", "batch"), idx)
+    val g2 = Upsert.mergeIntoVersionedCols(path,
+      df((1L, "d1", 0L, 99.0)), Seq("order_id"), Seq("day", "batch"), idx)
+    val boom = intercept[IllegalStateException] {
+      ChangeFeed.betweenCols(spark, path, idx, g1, g2,
+        Seq("order_id"), Seq("batch", "day")).count()
+    }
+    assert(boom.getMessage.contains("nesting order"))
+    // the correctly-ordered call still answers
+    val ok = ChangeFeed.betweenCols(spark, path, idx, g1, g2,
+        Seq("order_id"), Seq("day", "batch"))
+      .select(col("op"), col("order_id").cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(ok == Set(("update", 1L)))
+  }
+
+  test("wide hop (1000+ touched partitions): restriction is a broadcast tuple join, never an N-term OR; answers unchanged") {
+    import spark.implicits._
+    // plan-shape guarantee first, on synthetic manifests (cheap): past
+    // the threshold the restricted slice's plan must carry a join and
+    // ZERO Contains tests
+    val manyFiles = (0 until 1200).map(i => s"file:/t/day=d$i/f$i.parquet")
+    val manifest = manyFiles.toDF("file")
+    val touched = (0 until 1100).map(i => Seq(s"d$i"))
+    val restricted = ChangeFeed.restrictToTouched(manifest, Seq("day"), touched)
+    val plan = restricted.queryExecution.analyzed.toString
+    assert(!plan.contains("Contains("),
+      s"wide restriction still compiles Contains tests:\n${plan.take(2000)}")
+    assert(plan.contains("Join LeftSemi"),
+      s"wide restriction is not a semi-join:\n${plan.take(2000)}")
+    assert(restricted.count() == 1100)
+    // the small-hop path is unchanged (pure filter, no join)
+    val narrow = ChangeFeed.restrictToTouched(manifest, Seq("day"),
+      Seq(Seq("d1"), Seq("d2")))
+    assert(!narrow.queryExecution.analyzed.toString.contains("Join"))
+    assert(narrow.count() == 2)
+
+    // then end-to-end over a REAL versioned table whose hop touches
+    // every one of 1000+ partitions (the full-rewrite shape): merge,
+    // survivor filter, slice read, and CDF all cross the threshold
+    val root = Files.createTempDirectory("graft-cf-wide").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val n = 1100
+    val g1rows = (0 until n).map(i => (i.toLong, f"d$i%04d", i.toDouble))
+    val g1 = Upsert.mergeIntoVersioned(path,
+      g1rows.toDF("order_id", "day", "amount"), Seq("order_id"), "day", idx)
+    // touch EVERY partition: bump every amount
+    val g2 = Upsert.mergeIntoVersioned(path,
+      g1rows.map { case (id, d, a) => (id, d, a + 0.5) }
+        .toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    val feed = ChangeFeed.between(spark, path, idx, g1, g2,
+      Seq("order_id"), "day")
+    assert(feed.where(col("op") === "update").count() == n)
+    assert(feed.where(col("op") =!= "update").count() == 0)
+    // and the snapshot reads stay exact on both rims of the hop
+    assert(ChangeFeed.asOf(spark, path, idx, g1)
+      .agg(sum("amount")).as[Double].head() ==
+      g1rows.map(_._3).sum)
+    assert(ChangeFeed.asOf(spark, path, idx, g2)
+      .agg(sum("amount")).as[Double].head() ==
+      g1rows.map(_._3 + 0.5).sum)
+  }
 }

@@ -228,9 +228,17 @@ class VersionedIndexSpec extends SparkSpec {
     intercept[StatsIndex.ConcurrentWriteException] {
       StatsIndex.saveGeneration(stale, idx, expectedBase = Some(g2))
     }
-    // vacuum reaps the stale claim (no complete _v behind it), after
-    // which the same commit goes through and releases its own claim
+    // vacuum reaps the stale claim (no complete _v behind it) — but ONLY
+    // when the claim floor is explicitly waived (claimGraceMs defaults
+    // to 10 min precisely so a retention pass can never pull a LIVE
+    // writer's claim; ADVICE r19): with the default floor the claim
+    // survives and the commit still aborts
     StatsIndex.vacuumGenerations(spark, idx, keep = 2, graceMs = 0L)
+    intercept[StatsIndex.ConcurrentWriteException] {
+      StatsIndex.saveGeneration(stale, idx, expectedBase = Some(g2))
+    }
+    StatsIndex.vacuumGenerations(spark, idx, keep = 2, graceMs = 0L,
+      claimGraceMs = 0L)
     val g3 = StatsIndex.saveGeneration(stale, idx, expectedBase = Some(g2))
     assert(g3 == g2 + 1)
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx)).exists(
@@ -241,5 +249,120 @@ class VersionedIndexSpec extends SparkSpec {
       Seq((3L, "d3", 30.0)).toDF("order_id", "day", "amount"),
       Seq("order_id"), "day", idx)
     assert(g4 == g3 + 1)
+  }
+
+  test("claimed-slot metadata writes are EXCLUSIVE: a carcass sidecar aborts the commit, orphan reaping clears it (ADVICE r19 TOCTOU tail)") {
+    val root = Files.createTempDirectory("graft-videx-toctou").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val g1 = Upsert.mergeIntoVersioned(path,
+      Seq((1L, "d1", 10.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // a crashed writer's orphan: slot 2's schema sidecar exists, but no
+    // `_v=2` and no claim (its claim was already reaped). Pre-R20 the
+    // next OCC commit would silently OVERWRITE it — if the slot had in
+    // fact been committed by a racer in the claim window, readers of
+    // that generation would resolve the WRONG schema. Now the exclusive
+    // create fails loudly and nothing publishes.
+    val orphan = new org.apache.hadoop.fs.Path(idx, s"_schema_v=${g1 + 1}.json")
+    val out = fs.create(orphan, false)
+    out.write("{}".getBytes); out.close()
+    val manifest = StatsIndex.loadLatest(spark, idx).localCheckpoint()
+    intercept[StatsIndex.ConcurrentWriteException] {
+      StatsIndex.saveGeneration(manifest, idx,
+        dataSchema = Some(manifest.schema), expectedBase = Some(g1))
+    }
+    assert(StatsIndex.generations(spark, idx) == Seq(g1),
+      "the aborted commit must publish nothing")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx)).exists(
+      _.getPath.getName.startsWith("_claim_v=")),
+      "the aborted commit must release its claim")
+    // vacuum's orphan-metadata sweep clears the carcass (claim floor
+    // waived — no writer is live here), after which the commit lands
+    StatsIndex.vacuumGenerations(spark, idx, keep = 2, graceMs = 0L,
+      claimGraceMs = 0L)
+    assert(!fs.exists(orphan), "orphan sidecar must be reaped")
+    val g2 = StatsIndex.saveGeneration(manifest, idx,
+      dataSchema = Some(manifest.schema), expectedBase = Some(g1))
+    assert(g2 == g1 + 1)
+  }
+
+  test("a claim whose generation COMPLETED is inert litter and reaps past plain grace") {
+    val root = Files.createTempDirectory("graft-videx-litter").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val g1 = Upsert.mergeIntoVersioned(path,
+      Seq((1L, "d1", 10.0)).toDF("order_id", "day", "amount"),
+      Seq("order_id"), "day", idx)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // emulate a writer that crashed between its `_v=N` commit and the
+    // finally-block claim delete: the claim survives, the slot is taken
+    fs.create(new org.apache.hadoop.fs.Path(idx, s"_claim_v=$g1"),
+      false).close()
+    // plain grace reaps it even under the DEFAULT claim floor — the
+    // committed directory already occupies the slot, nothing can race
+    StatsIndex.vacuumGenerations(spark, idx, keep = 2, graceMs = 0L)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(idx)).exists(
+      _.getPath.getName.startsWith("_claim_v=")),
+      "completed-generation claim litter must reap past plain grace")
+    // and the table still works
+    assert(StatsIndex.generations(spark, idx) == Seq(g1))
+  }
+
+  test("optimistic claims refuse filesystems without atomic exclusive create") {
+    assert(StatsIndex.claimSchemeSupported("hdfs"))
+    assert(StatsIndex.claimSchemeSupported("viewfs"))
+    assert(StatsIndex.claimSchemeSupported("file"))
+    assert(!StatsIndex.claimSchemeSupported("s3a"),
+      "bare S3A check-then-create is NOT an atomic claim")
+    assert(!StatsIndex.claimSchemeSupported("gs"))
+    assert(!StatsIndex.claimSchemeSupported("wasb"))
+    // deliberate extension for stores fronted by a coordination layer
+    sys.props("graft.claim.extraSchemes") = "s3a, dbfs"
+    try {
+      assert(StatsIndex.claimSchemeSupported("s3a"))
+      assert(StatsIndex.claimSchemeSupported("dbfs"))
+      assert(!StatsIndex.claimSchemeSupported("gs"))
+    } finally sys.props -= "graft.claim.extraSchemes"
+  }
+
+  test("retryingCommit: racing versioned merges BOTH land — the loser re-derives against the winner's generation") {
+    val root = Files.createTempDirectory("graft-videx-retry").toString
+    val (path, idx) = (s"$root/t", s"$root/t/_stats_v")
+    val g1 = Upsert.mergeIntoVersioned(path,
+      base.toSeq.toDF("order_id", "day", "amount"), Seq("order_id"), "day", idx)
+    // deterministic race: writer B's first attempt is interleaved with
+    // writer A committing from the same base — B's stale commit aborts
+    // (the fence), and the helper's retry re-runs B's WHOLE
+    // read-derive-commit, which re-reads the latest generation at entry
+    // and so re-derives on top of A. Both land; nothing lost.
+    val staleB = StatsIndex.load(spark, s"$idx/_v=$g1").localCheckpoint()
+    var attempts = 0
+    Upsert.retryingCommit(attempts = 3, backoffMs = 0L) { () =>
+      attempts += 1
+      if (attempts == 1) {
+        // racer A wins the slot mid-flight...
+        Upsert.mergeIntoVersioned(path,
+          Seq((100L, "2024-01-01", 1.0)).toDF("order_id", "day", "amount"),
+          Seq("order_id"), "day", idx): Unit
+        // ...so B's commit, derived from g1, is stale and must abort
+        StatsIndex.saveGeneration(staleB, idx, expectedBase = Some(g1))
+      } else
+        // the retry IS the re-derivation: merge re-reads the new latest
+        Upsert.mergeIntoVersioned(path,
+          Seq((200L, "2024-01-01", 2.0)).toDF("order_id", "day", "amount"),
+          Seq("order_id"), "day", idx)
+    }: Unit
+    assert(attempts == 2, "exactly one conflict, one successful retry")
+    val got = rows(IndexedScan.readIndexedVersioned(spark, path, idx))
+    assert(got == base + ((100L, "2024-01-01", 1.0)) + ((200L, "2024-01-01", 2.0)),
+      s"both racers' updates must survive, got $got")
+    // an exhausted retry budget surfaces the conflict instead of looping
+    intercept[StatsIndex.ConcurrentWriteException] {
+      Upsert.retryingCommit(attempts = 1) { () =>
+        throw new StatsIndex.ConcurrentWriteException("synthetic")
+      }
+    }
   }
 }

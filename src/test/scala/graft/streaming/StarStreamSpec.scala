@@ -308,4 +308,39 @@ class StarStreamSpec extends SparkSpec {
     assert(factRows(StarStream.factOrders(spark, layout)) == factAfter)
     assert(graft.sources.StatsIndex.generations(spark, layout.factGens).size == 1)
   }
+
+  test("scheduled retention: retireEvery bounds the generation count inside the fact loop; a reader pinned within keep is never broken") {
+    val layout = StarStream.Layout(
+      Files.createTempDirectory("graft-starstream-ret").toString)
+    val retCfg = cfg.copy(retireEvery = 2, retireKeep = 2)
+    // batches 0 and 1 land (generations accumulate)...
+    StarStream.applyFactBatch(factDf(factChunks(0)), 0L, layout,
+      dimPart, dimDates, retCfg)
+    StarStream.applyFactBatch(factDf(factChunks(1)), 1L, layout,
+      dimPart, dimDates, retCfg)
+    // ...pin a reader on the CURRENT (newest) generation — within keep,
+    // so the scheduled retire fired by batch 2 must never break it
+    val pinned = StarStream.factOrders(spark, layout)
+    val pinnedBefore = factRows(pinned)
+    StarStream.applyFactBatch(factDf(factChunks(2)), 2L, layout,
+      dimPart, dimDates, retCfg)
+    // batch 2 (id % retireEvery == 0) ran retire: generation count is
+    // bounded at retireKeep + the one the batch itself just committed
+    val factGens = graft.sources.StatsIndex.generations(spark, layout.factGens)
+    assert(factGens.size <= retCfg.retireKeep + 1,
+      s"scheduled retire did not bound the fact manifest: $factGens")
+    assert(graft.sources.StatsIndex
+      .generations(spark, layout.summaryGens).size <= retCfg.retireKeep + 1)
+    // the pinned reader (newest-at-pin ⇒ within keep) still answers
+    // its exact snapshot, and the live read reflects all three batches
+    // (only the fact feed ran here, so compare fact + summary directly)
+    assert(factRows(pinned) == pinnedBefore,
+      "a reader pinned within retireKeep was broken by scheduled retention")
+    assert(factRows(StarStream.factOrders(spark, layout)) ==
+      factRows(spark.read.parquet(s"$wb/core/fact_orders")),
+      "fact_orders diverged from the batch fact after scheduled retention")
+    assert(sumRows(StarStream.salesSummary(spark, layout)) ==
+      sumRows(spark.read.parquet(s"$wb/datamart/sales_summary")),
+      "sales_summary diverged from the batch datamart after scheduled retention")
+  }
 }
