@@ -92,10 +92,25 @@ object Bench {
     // mechanism). Timed too — its sum (cold_total) keeps cold-start
     // regressions (codegen compile blow-ups) visible, which pure
     // steady-state timing would hide.
+    // Per-query block hygiene (r19 driver-sweep mechanism): every
+    // cross-query fixture is DISK-backed (graft.queries.Fixtures), so
+    // any RDD still persisted at a query boundary is that query's
+    // transient garbage (lazy localCheckpoints) waiting on a GC-driven
+    // ContextCleaner pass that may not come for many queries. Reaped
+    // eagerly, storage memory is near-empty at every query start —
+    // checkpoint-heavy queries stop paying eviction/spill I/O for their
+    // predecessors' leftovers, which is exactly what inflated the c/d
+    // alphabetic cluster 4-10x under the contended r19 driver sweep.
+    // SPARK_GRAFT_NO_REAP=1 disables (A/B isolation of the hygiene cost)
+    val doReap = !sys.env.contains("SPARK_GRAFT_NO_REAP")
+    def reap(): Unit =
+      if (doReap) graft.queries.Fixtures.reapTransients(spark)
     val colds = sorted.map { case (name, fn) =>
       val c0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      name -> (System.nanoTime() - c0) / 1e9
+      val c = (System.nanoTime() - c0) / 1e9
+      reap()
+      name -> c
     }.toMap
     // PASS 2 — steady-state timing over the identically-ordered set.
     val pass2 = sorted.map { case (name, fn) =>
@@ -107,7 +122,9 @@ object Bench {
             errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
             false
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, colds(name))
+      val t = (System.nanoTime() - t0) / 1e9
+      reap()
+      (name, if (ok) t else -1.0, colds(name))
     }
     // PASS 3 — contention self-defense. This host is shared: a co-tenant
     // burst during one query's timed window has published ≥2× "regressions"
@@ -148,6 +165,7 @@ object Bench {
         val again =
           try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => steady } // pass 2 already succeeded; keep it
+        reap()
         (name, math.min(steady, again), cold)
       }
     }
@@ -185,6 +203,9 @@ object Bench {
     }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    // bounded-lifetime contract: drop every session fixture cache and
+    // its temp dirs (a resident service would do this between corpora)
+    graft.queries.Fixtures.clear()
     spark.stop()
     // fail loudly: a bench with errored queries must not read as healthy to
     // anything keying on the exit code (the JSON artifacts above are already

@@ -76,21 +76,20 @@ object ChangeFeed {
     // yield EVERY partition column means the caller's partitionCols do
     // not describe this table's layout — silently dropping it would
     // make a CDC follower apply nothing and still advance its cursor
-    // (unrecoverable replica loss). One pass: aggregate parse failures
-    // and the distinct parsed tuples together.
-    val parsed = changed.select(extracted: _*)
-    val bad = parsed
-      .where(partitionCols.indices.map(i => col(s"_p$i") === "")
-        .reduce(_ || _))
-      .limit(1).count()
-    if (bad > 0)
+    // (unrecoverable replica loss). ONE distributed pass: the distinct
+    // collect below already runs over the extracted tuples, and a
+    // parse failure is a function of the tuple (an empty component), so
+    // the same collected rows answer both questions — no second job
+    // over the (possibly expensive) manifest diff.
+    val rows = changed.select(extracted: _*)
+      .distinct()
+      .collect()
+    if (rows.exists(r => partitionCols.indices.exists(r.getString(_).isEmpty)))
       throw new IllegalStateException(
         s"changedPartitionValues: changed file(s) whose paths do not carry " +
           s"partition column(s) ${partitionCols.mkString(", ")} — the given " +
           "partition columns do not match the table's on-disk layout")
-    parsed
-      .distinct()
-      .collect()
+    rows
       .map(r => partitionCols.indices.map(i =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(r.getString(i))).toSeq)

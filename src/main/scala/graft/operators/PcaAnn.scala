@@ -70,6 +70,34 @@ object PcaAnn {
       queries, qIdCol, qVecCol, k)
   }
 
+  /** Persist a built index: the reduced-space IVF relation through
+    * [[Ivf.save]] (cell-partitioned parquet — probes prune partitions),
+    * the PCA model as one tiny row alongside. The cross-session form of
+    * [[build]]'s in-memory artifact, same contract as its siblings'
+    * save/load (`Ivf`/`IvfPq`/`Opq`). */
+  def save(index: Index, spark: org.apache.spark.sql.SparkSession,
+           path: String): Unit = {
+    Ivf.save(index.ivf, spark, s"$path/ivf")
+    import spark.implicits._
+    Seq((index.pca.mean.toSeq, index.pca.components.map(_.toSeq).toSeq,
+        index.pca.varianceShare.toSeq))
+      .toDF("mean", "components", "variance_share")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pca")
+  }
+
+  /** Load a [[save]]d index. The IVF relation stays disk-resident; the
+    * PCA model is tiny and collected. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+           idCol: String): Index = {
+    val r = spark.read.parquet(s"$path/pca").head()
+    val model = Pca.Model(
+      r.getSeq[Double](r.fieldIndex("mean")).toArray,
+      r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("components"))
+        .map(_.toArray).toArray,
+      r.getSeq[Double](r.fieldIndex("variance_share")).toArray)
+    Index(model, Ivf.load(spark, s"$path/ivf", idCol))
+  }
+
   /** One-shot fit + build + probe (the cold `ann_pca` gate shape;
     * deployments [[build]] once and [[probe]] per query batch). */
   def topK(corpus: DataFrame, queries: DataFrame,

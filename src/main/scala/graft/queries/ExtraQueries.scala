@@ -1834,4 +1834,9 @@ object ExtraQueries {
         |FROM sized JOIN cs ON cohort_week = cw
         |ORDER BY cohort_week, week_offset""".stripMargin
   )
+
+  // bounded-lifetime contract (VERDICT r19 #4)
+  Fixtures.onClear { () =>
+    versionedFixtureCache.clear(); evolveFixtureCache.clear()
+  }
 }

@@ -192,10 +192,19 @@ object SimilarityQueries {
   /** The session's built IVF index for `dir` — training + assignment +
     * materialization run on FIRST access only ([[Bench]] prewarms this
     * outside its timed region, the way a serving deployment builds the
-    * index before opening the query path). */
+    * index before opening the query path). DISK-BACKED ([[Fixtures]]):
+    * the served relation is the saved cell-partitioned parquet, not
+    * executor blocks — probe latency no longer depends on block
+    * residency across a long sweep, and partition pruning on `cell` is
+    * exactly the deployment read path. */
   def ivfIndex(s: SparkSession, dir: String): Ivf.Index =
-    ivfIndexes.getOrElseUpdate((s, dir),
-      Ivf.build(emb(s, dir), "vec_id", "embedding", IvfCells, IvfSeed))
+    ivfIndexes.getOrElseUpdate((s, dir), {
+      val built = Ivf.build(emb(s, dir), "vec_id", "embedding", IvfCells, IvfSeed)
+      val p = Fixtures.tempDir("ivf")
+      Ivf.save(built, s, p)
+      built.unpersist()
+      Ivf.load(s, p, "vec_id")
+    })
 
   /** IVF ANN, probe-only — the build-once/probe-many half of [[annIvf]]:
     * same results (same quantizer seed), but the plan is a broadcast
@@ -311,10 +320,12 @@ object SimilarityQueries {
     pqIndexes.getOrElseUpdate((s, dir), {
       val e = emb(s, dir)
       val cb = Pq.fit(e, "embedding", PqM, PqKsub, seed = 42L)
-      val codes = Pq.encode(e, "vec_id", "embedding", cb)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codes.count() // materialize — probes must never re-trigger training
-      (cb, codes)
+      // disk-backed ([[Fixtures]] discipline): the code relation is
+      // written once and served from parquet — probes never re-trigger
+      // training AND never depend on executor-block residency
+      val codesPath = Fixtures.tempDir("pq") + "/codes"
+      Pq.encode(e, "vec_id", "embedding", cb).write.parquet(codesPath)
+      (cb, s.read.parquet(codesPath))
     })
 
   /** IVF-PQ (contract-verdict gate like its two parents): coarse cells bound the
@@ -335,9 +346,14 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfPq.Index]
 
   def ivfPqIndex(s: SparkSession, dir: String): IvfPq.Index =
-    ivfPqIndexes.getOrElseUpdate((s, dir),
-      IvfPq.build(emb(s, dir), "vec_id", "embedding",
-        nCells = IvfCells, m = PqM, ksub = PqKsub, seed = 42L))
+    ivfPqIndexes.getOrElseUpdate((s, dir), {
+      val built = IvfPq.build(emb(s, dir), "vec_id", "embedding",
+        nCells = IvfCells, m = PqM, ksub = PqKsub, seed = 42L)
+      val p = Fixtures.tempDir("ivfpq")
+      IvfPq.save(built, s, p)
+      built.unpersist()
+      IvfPq.load(s, p, "vec_id")
+    })
 
   /** IVF-PQ, probe-only — the build-once/probe-many half of [[annIvfPq]]:
     * identical results (same quantizer seeds), no training jobs in the
@@ -385,10 +401,13 @@ object SimilarityQueries {
     opqIndexes.getOrElseUpdate((s, dir), {
       val e = emb(s, dir)
       val model = Opq.fit(e, "embedding", PqM, PqKsub)
-      val codes = Opq.encode(e, "vec_id", "embedding", model)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codes.count() // materialize — probes must never re-trigger training
-      (model, codes)
+      // disk-backed via the operator's own save/load (id-clustered
+      // codes; probes never re-trigger training, never depend on
+      // executor-block residency)
+      val p = Fixtures.tempDir("opq")
+      Opq.save(model, Opq.encode(e, "vec_id", "embedding", model),
+        "vec_id", s, p)
+      Opq.load(s, p)
     })
 
   /** OPQ, probe-only — the build-once/probe-many half of [[annOpq]]:
@@ -414,9 +433,14 @@ object SimilarityQueries {
     * k-means + assignment run on FIRST access only (the [[ivfIndex]]
     * build-once/probe-many convention). */
   def pcaAnnIndex(s: SparkSession, dir: String): PcaAnn.Index =
-    pcaAnnIndexes.getOrElseUpdate((s, dir),
-      PcaAnn.build(emb(s, dir), "vec_id", "embedding",
-        PcaDim, IvfCells, IvfSeed))
+    pcaAnnIndexes.getOrElseUpdate((s, dir), {
+      val built = PcaAnn.build(emb(s, dir), "vec_id", "embedding",
+        PcaDim, IvfCells, IvfSeed)
+      val p = Fixtures.tempDir("pcaann")
+      PcaAnn.save(built, s, p)
+      built.unpersist()
+      PcaAnn.load(s, p, "vec_id")
+    })
 
   /** PCA-reduced IVF ANN, probe-only — the reduce-then-index deployment
     * [[graft.operators.Pca]]'s spectrum report exists for: shortlist in
@@ -589,4 +613,11 @@ object SimilarityQueries {
 
     "emb_neardup_lsh" -> embNeardupLshOracle
   )
+
+  // bounded-lifetime contract (VERDICT r19 #4): every session cache here
+  // is evictable through the central registry
+  Fixtures.onClear { () =>
+    exactTopKCache.clear(); ivfIndexes.clear(); pqIndexes.clear()
+    ivfPqIndexes.clear(); opqIndexes.clear(); pcaAnnIndexes.clear()
+  }
 }

@@ -1783,4 +1783,9 @@ object TextQueries {
          |LEFT JOIN ka ON d.doc_id = ka.doc_id
          |ORDER BY d.doc_id""".stripMargin
   )
+
+  // bounded-lifetime contract (VERDICT r19 #4)
+  Fixtures.onClear { () =>
+    fpStores.clear(); fpBlooms.clear()
+  }
 }

@@ -182,6 +182,74 @@ object StressVersioned {
     }
     println(s"   hops delivered: $delivered; feed rows: " +
       spark.read.parquet(s"$root/feed").count())
+
+    // -----------------------------------------------------------------
+    // `big`: the 10x datapoint — 20M rows / 400 days, the slope check
+    // behind the 100x extrapolation (SCALING.md §versioned). Every cost
+    // that should be O(delta) is ASSERTED to touch only the delta's
+    // files, so a slope regression fails loudly instead of just reading
+    // slower.
+    // -----------------------------------------------------------------
+    if (args.contains("big")) {
+      val (bigPath, bigIdx) = (s"$root/big", s"$root/big/_stats_v")
+      val bigFact = spark.range(20000000L).select(
+          col("id").as("order_id"),
+          concat(lit("d"), lpad((col("id") % 400).cast("string"), 3, "0"))
+            .as("day"),
+          (col("id") % 997).cast("double").as("amount"))
+        .repartition(col("day"))
+        .localCheckpoint()
+      val bg1 = time("BIG bootstrap merge: 20M rows -> 400 partitions") {
+        Upsert.mergeIntoVersioned(bigPath, bigFact, Seq("order_id"), "day", bigIdx)
+      }
+      val bman1 = StatsIndex.load(spark, s"${bigIdx}/_v=$bg1").localCheckpoint()
+      val bFiles = bman1.select("file").distinct().count()
+      println(s"   manifest files: $bFiles")
+
+      val bDelta = bigFact.where(col("day") === "d007")
+        .withColumn("amount", col("amount") + 1.0)
+        .localCheckpoint()
+      val bg2 = time("BIG one-day merge: 50k rows, 1 of 400 partitions") {
+        Upsert.mergeIntoVersioned(bigPath, bDelta, Seq("order_id"), "day", bigIdx)
+      }
+      val bman2 = StatsIndex.load(spark, s"${bigIdx}/_v=$bg2").localCheckpoint()
+
+      // scan-metric assertion: the hop's two restricted slices together
+      // name exactly the changed day's files — never the table
+      val touched = ChangeFeed.changedPartitions(spark, bman1, bman2, "day")
+      assert(touched == Seq("d007"), s"touched: $touched")
+      val fromFiles = StatsIndex.partitionFiles(bman1, "day", Seq("d007")).size
+      val toFiles = StatsIndex.partitionFiles(bman2, "day", Seq("d007")).size
+      val dayFiles = math.max(1L, bFiles / 400)
+      assert(fromFiles <= 4 * dayFiles && toFiles <= 4 * dayFiles,
+        s"CDF slice not delta-sized: from=$fromFiles to=$toFiles " +
+          s"(~$dayFiles files/day)")
+      val bCdf = time(s"BIG CDF hop (reads $fromFiles+$toFiles of $bFiles files)") {
+        ChangeFeed.between(spark, bigPath, bigIdx, bg1, bg2,
+          Seq("order_id"), "day").count()
+      }
+      assert(bCdf == 50000L, s"big hop rows: $bCdf")
+
+      time("BIG asOf(gen 1) full count under the post-merge manifest") {
+        val n = ChangeFeed.asOf(spark, bigPath, bigIdx, bg1).count()
+        assert(n == 20000000L, s"old snapshot lost rows: $n")
+      }
+
+      // replica chain at 10x: bootstrap hop + delta hop, applied by the
+      // at-least-once consumer; replica == latest snapshot
+      val nRep = time("BIG replicateTo: bootstrap + one-day hops applied downstream") {
+        graft.streaming.ChangeFeedStream.replicateTo(spark, bigPath, bigIdx,
+          Seq("order_id"), "day", s"$root/big-cursor", s"$root/big-replica")
+      }
+      time(s"BIG replica verification after $nRep hops") {
+        val rep = spark.read.parquet(s"$root/big-replica")
+        assert(rep.count() == 20000000L, "replica row count")
+        val repSum = rep.agg(sum("amount")).head().getDouble(0)
+        val liveSum = ChangeFeed.asOf(spark, bigPath, bigIdx, bg2)
+          .agg(sum("amount")).head().getDouble(0)
+        assert(repSum == liveSum, s"replica drifted: $repSum vs $liveSum")
+      }
+    }
     spark.stop()
   }
 }
