@@ -156,13 +156,16 @@ object StressVersioned {
           .repartition(col("day"), col("batch")),
         Seq("order_id"), Seq("day", "batch"), midx)
     }
-    val gM = time("one-tuple replace: (d7, 2) re-landed") {
+    // (d6, 2) — a REACHABLE tuple: 40 ≡ 0 (mod 4), so id%40 pins id%4
+    // (day d7 only ever lands batch 3; the empty-landing guard rightly
+    // refuses an empty replace)
+    val gM = time("one-tuple replace: (d6, 2) re-landed") {
       Upsert.replacePartitionsVersioned(mpath,
         spark.range(200000L).select(col("id").as("order_id"),
           concat(lit("d"), (col("id") % 40).cast("string")).as("day"),
           (col("id") % 4).as("batch"),
           (col("id") % 97 + 1).cast("double").as("amount"))
-          .where(col("day") === "d7" && col("batch") === 2),
+          .where(col("day") === "d6" && col("batch") === 2),
         Seq("day", "batch"), midx)
     }
     println("   changed tuples: " + ChangeFeed.betweenCols(spark, mpath, midx,
@@ -235,11 +238,17 @@ object StressVersioned {
         assert(n == 20000000L, s"old snapshot lost rows: $n")
       }
 
-      // replica chain at 10x: bootstrap hop + delta hop, applied by the
-      // at-least-once consumer; replica == latest snapshot
-      val nRep = time("BIG replicateTo: bootstrap + one-day hops applied downstream") {
+      // replica chain at 10x — the documented follower lifecycle: SEED
+      // the downstream with asOf(firstGen), then follow from startAt;
+      // the delta hop applies through the at-least-once consumer
+      time("BIG replica seed: asOf(gen 1) written downstream") {
+        ChangeFeed.asOf(spark, bigPath, bigIdx, bg1)
+          .write.partitionBy("day").parquet(s"$root/big-replica")
+      }
+      val nRep = time("BIG replicateTo: one-day hop applied downstream") {
         graft.streaming.ChangeFeedStream.replicateTo(spark, bigPath, bigIdx,
-          Seq("order_id"), "day", s"$root/big-cursor", s"$root/big-replica")
+          Seq("order_id"), "day", s"$root/big-cursor", s"$root/big-replica",
+          startAt = Some(bg1))
       }
       time(s"BIG replica verification after $nRep hops") {
         val rep = spark.read.parquet(s"$root/big-replica")
