@@ -45,6 +45,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // bounded-lifetime contract (mirrors Bench): drop every session
+    // fixture cache and delete its temp dirs — without this each verify
+    // run leaked its disk-backed fixtures (fact lattice, ANN indexes,
+    // star warehouse) under java.io.tmpdir (ADVICE r20)
+    graft.queries.Fixtures.clear()
     spark.stop()
   }
 }

@@ -62,9 +62,19 @@ object ChangeFeed {
                                             toStats: DataFrame,
                                             partitionCols: Seq[String]): Seq[Seq[String]] = {
     require(partitionCols.nonEmpty, "changedPartitionValues: no partition columns")
-    val a = fromStats.select(col("file")).distinct()
-    val b = toStats.select(col("file")).distinct()
-    val changed = a.exceptAll(b).unionByName(b.exceptAll(a))
+    // Symmetric set difference in ONE shuffle: tag each side, group by
+    // file, keep files seen on exactly one side. The former
+    // `a.exceptAll(b) ∪ b.exceptAll(a)` formulation planned THREE
+    // exchanges (two except-alls + the downstream distinct); file paths
+    // are compared as whole strings either way, so the changed set is
+    // identical — untouched partitions' files appear verbatim in both
+    // manifests and drop out, rewritten files appear once and survive.
+    val changed = fromStats.select(col("file"), lit(1).as("_side"))
+      .unionByName(toStats.select(col("file"), lit(2).as("_side")))
+      .groupBy(col("file"))
+      .agg(min(col("_side")).as("_mn"), max(col("_side")).as("_mx"))
+      .where(col("_mn") === col("_mx"))
+      .select(col("file"))
     // Pattern.quote: a partition column name containing regex
     // metacharacters must match literally (the compactVersioned
     // discipline — the two call sites must agree)
@@ -169,10 +179,13 @@ object ChangeFeed {
                   columns: Seq[String] = Nil): DataFrame = {
     require(fromGen != toGen, s"between: fromGen == toGen == $fromGen")
     require(partitionCols.nonEmpty, "between: no partition columns")
+    // Plain manifest scans, NOT checkpointed: each side is read a handful
+    // of times (diff, restriction, file-list collect) and a manifest scan
+    // is one small columnar read — the former eager localCheckpoints cost
+    // a materialization job each and pinned executor blocks for data the
+    // page cache already serves. Plans stay O(1) (no iteration here).
     val fromStats = StatsIndex.load(spark, s"$indexRoot/_v=$fromGen")
-      .localCheckpoint()
     val toStats = StatsIndex.load(spark, s"$indexRoot/_v=$toGen")
-      .localCheckpoint()
     val touched = changedPartitionValues(spark, fromStats, toStats,
       partitionCols)
     def project(df: DataFrame): DataFrame =
@@ -192,9 +205,13 @@ object ChangeFeed {
     // would make the commonest CDC hop cost a full-table diff.
     val fromSlice = restrictToTouched(fromStats, partitionCols, touched)
     val toSlice = restrictToTouched(toStats, partitionCols, touched)
-    def hasFiles(slice: DataFrame): Boolean =
-      !slice.select(col("file")).limit(1).isEmpty
-    val (from, to) = (hasFiles(fromSlice), hasFiles(toSlice)) match {
+    // BOTH sides' emptiness probed in ONE job (limit(1) per branch under
+    // a union) — was two separate isEmpty actions
+    val sides = fromSlice.select(lit("f").as("_side")).limit(1)
+      .unionByName(toSlice.select(lit("t").as("_side")).limit(1))
+      .collect().map(_.getString(0)).toSet
+    val (fromHas, toHas) = (sides("f"), sides("t"))
+    val (from, to) = (fromHas, toHas) match {
       case (true, true) =>
         (readSlice(fromSlice, fromGen), readSlice(toSlice, toGen))
       case (true, false) =>
@@ -279,10 +296,17 @@ object ChangeFeed {
     require(afterCols.contains(partitionCol),
       s"applyChanges: change rows carry no a_$partitionCol — feed the " +
         "partition column through between()'s projection")
-    val upserts = changes.where(col("op").isin("insert", "update"))
+    // Materialize the hop ONCE: it is delta-sized by construction, but
+    // callers ([[graft.streaming.ChangeFeedStream.drain]]) hand a LAZY
+    // manifest-diff plan — without this checkpoint the two emptiness
+    // probes below, the merge's touched-partition collect, and the merge
+    // scan each re-ran the whole diff pipeline (4-5 executions per hop,
+    // measured at sf0.1). Blocks release with the plan (transient reap).
+    val ch = changes.localCheckpoint()
+    val upserts = ch.where(col("op").isin("insert", "update"))
       .select(keys.map(col) ++
         afterCols.map(c => col(s"a_$c").as(c)): _*)
-    val dels = changes.where(col("op") === "delete")
+    val dels = ch.where(col("op") === "delete")
       .select(keys.map(col) :+ col(s"b_$partitionCol").as(partitionCol): _*)
     // bounded driver checks — a hop is delta-sized by construction
     val hasUpserts = !upserts.isEmpty

@@ -264,8 +264,14 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "j").withColumnRenamed("lbl", "nlbl"),
               Seq("j"))
         .groupBy(col("i").as("node")).agg(min(col("nlbl")).as("nmin"))
+      // The previous label RIDES ALONG as `_old` so the convergence check
+      // below is a filter-count over the iteration's own checkpointed
+      // blocks — the former formulation re-joined `next` against `labels`
+      // (one extra shuffle join + scan per iteration) to recover exactly
+      // this column. Label values are unchanged.
       val stepped = labels.join(neighborMin, Seq("node"), "left_outer")
-        .select(col("node"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("node"), col("lbl").as("_old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // Pointer jumping: also adopt the label OF the current label, halving
       // the remaining distance to the component minimum every iteration —
       // convergence in O(log diameter) instead of O(diameter), which is what
@@ -274,10 +280,10 @@ object Dedup {
       val next = cp(stepped
         .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")),
               Seq("lbl"), "left_outer")
-        .select(col("node"), least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .where(col("lbl") =!= col("old")).count()
-      labels = next
+        .select(col("node"), col("_old"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
+      val changed = next.where(col("lbl") =!= col("_old")).count()
+      labels = next.select(col("node"), col("lbl"))
       converged = changed == 0
       iter += 1
     }

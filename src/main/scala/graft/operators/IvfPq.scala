@@ -224,12 +224,18 @@ object IvfPq {
     * codebooks alongside. The whole artifact is code-narrow: at 100 TB of
     * vectors the on-disk index is ~the codes (32 B/row) plus two tiny
     * tables. */
-  def save(index: Index, spark: SparkSession, path: String): Unit = {
-    // sort by (cell, id) inside each cell partition: every file then
-    // carries a tight id min-max range, so point-fetches of codes by id
-    // (incremental probes, diagnostics) prune row groups instead of
-    // scanning the whole cell directory
+  def save(index: Index, spark: SparkSession, path: String,
+           nFiles: Int = 32): Unit = {
+    require(nFiles >= 1, s"nFiles=$nFiles")
+    // RANGE-cluster by (cell, id) before the partitioned write: each cell
+    // directory then splits into files covering tight DISJOINT id ranges,
+    // so point-fetches of codes by id (incremental probes, diagnostics)
+    // prune files/row groups instead of scanning the whole cell
+    // directory. The former sort-within-hash-partitions layout only
+    // delivered that when cell boundaries happened to correlate with id
+    // ranges — a quantizer accident, not a contract (R21).
     index.assigned
+      .repartitionByRange(nFiles, col("cell"), col(index.idCol))
       .sortWithinPartitions(col("cell"), col(index.idCol))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")

@@ -94,69 +94,14 @@ object Opq {
     Pq.decode(
       PqKernels.encode(new GenericArrayData(row), cb.centers).toSeq, cb)
 
-  /** Per-subspace codebooks via seeded local Lloyd on the sample slices. */
+  /** Per-subspace codebooks via seeded local Lloyd on the sample slices —
+    * now the SHARED driver-local trainer ([[Pq.localCodebooks]], hoisted
+    * verbatim in R21 so [[Pq.fitVecs]] and [[Ivf.assign]] train the same
+    * way; per-subspace seeds and arithmetic unchanged ⇒ identical
+    * codebooks). */
   private def localPq(pts: Array[Array[Double]], m: Int, ksub: Int,
-                      seed: Long): Pq.Codebooks = {
-    val d = pts(0).length
-    val dsub = d / m
-    Pq.Codebooks(Array.tabulate(m) { j =>
-      val slice = pts.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
-      lloyd(slice, ksub, iters = 8, seed + j)
-    })
-  }
-
-  /** Deterministic k-means: seeded distinct-index init (partial
-    * Fisher-Yates), strict-< assignment (ties to the lowest centroid),
-    * empty clusters keep their previous center. */
-  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
-                    seed: Long): Array[Array[Float]] = {
-    val n = pts.length
-    val d = pts(0).length
-    val kk = math.min(k, n)
-    val rng = new java.util.Random(seed)
-    val idx = Array.tabulate(n)(identity)
-    val centers = Array.tabulate(kk) { i =>
-      val j = i + rng.nextInt(n - i)
-      val t = idx(i); idx(i) = idx(j); idx(j) = t
-      pts(idx(i)).clone()
-    }
-    val assign = new Array[Int](n)
-    for (_ <- 0 until iters) {
-      var i = 0
-      while (i < n) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < kk) {
-          var dist = 0.0; var t = 0
-          while (t < d) {
-            val diff = pts(i)(t) - centers(c)(t); dist += diff * diff; t += 1
-          }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        assign(i) = best
-        i += 1
-      }
-      val sums = Array.ofDim[Double](kk, d)
-      val counts = new Array[Long](kk)
-      i = 0
-      while (i < n) {
-        val c = assign(i); counts(c) += 1
-        var t = 0
-        while (t < d) { sums(c)(t) += pts(i)(t); t += 1 }
-        i += 1
-      }
-      var c = 0
-      while (c < kk) {
-        if (counts(c) > 0) {
-          var t = 0
-          while (t < d) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
-        }
-        c += 1
-      }
-    }
-    centers.map(_.map(_.toFloat))
-  }
+                      seed: Long): Pq.Codebooks =
+    Pq.localCodebooks(pts, m, ksub, seed)
 
   /** Encode the corpus in rotated space: one fused map pass
     * (normalize → rotate → PQ-encode in a single codegen projection). */

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -66,7 +64,18 @@ object Pq {
 
   /** [[fit]] over an ALREADY-PREPARED double-array column `_vn` — the
     * entry point for residual codebooks ([[IvfPq]]), where normalizing
-    * would destroy the residual geometry. */
+    * would destroy the residual geometry.
+    *
+    * The fit is DRIVER-LOCAL over the collected bounded sample (R21):
+    * the sample is hard-capped at `maxFitRows` rows by contract — the
+    * stated memory bound — so m seeded Lloyd runs over its column slices
+    * are megabytes and milliseconds in-process, where the previous m
+    * Spark-ML KMeans estimators each paid tens of tiny distributed jobs
+    * (init + per-iteration aggregates; measured 3.5 s steady at sf0.1
+    * for m=16 over 2 000 vectors — virtually the whole cold `ann_pq`
+    * gate). Same trainer as [[Opq]]'s published-recipe fit (localPq),
+    * which already clears STRICTER recall floors; corpus-side encode and
+    * probe stay distributed and fused, unchanged. */
   private[operators] def fitVecs(vecs: DataFrame, m: Int, ksub: Int,
                                  seed: Long, maxFitRows: Long): Codebooks = {
     require(m >= 1, s"m=$m")
@@ -74,50 +83,177 @@ object Pq {
     require(maxFitRows >= ksub, s"maxFitRows=$maxFitRows < ksub=$ksub")
     require(maxFitRows <= Int.MaxValue,
       s"maxFitRows=$maxFitRows exceeds Int.MaxValue (limit() takes an Int)")
-    val dim = vecs.select(size(col("_vn"))).head(1).headOption
-      .getOrElse(throw new IllegalArgumentException(
-        "pq fit: empty corpus — no vectors to train codebooks on"))
-      .getInt(0)
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    val dsub = dim / m
     val n = vecs.count()
     val fitInput =
       if (n <= maxFitRows) vecs
       else vecs.sample(withReplacement = false,
           math.min(1.0, 1.2 * maxFitRows.toDouble / n), seed)
         .limit(maxFitRows.toInt)
-    val pinned = fitInput.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts: Array[Array[Double]] =
+      fitInput.collect().map(_.getSeq[Double](0).toArray) // ≤ maxFitRows rows
+    require(pts.nonEmpty,
+      "pq fit: empty corpus — no vectors to train codebooks on")
+    val dim = pts(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    localCodebooks(pts, m, ksub, seed)
+  }
+
+  /** Per-subspace codebooks via seeded local Lloyd on the sample's column
+    * slices — the shared driver-local PQ trainer ([[Opq]]'s fit inner
+    * loop and [[fitVecs]]'s whole fit). Subspaces are independent; they
+    * train concurrently on a bounded pool. */
+  private[operators] def localCodebooks(pts: Array[Array[Double]], m: Int,
+                                        ksub: Int, seed: Long): Codebooks = {
+    val d = pts(0).length
+    val dsub = d / m
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, FitPoolSize),
+      r => { val t = new Thread(r, "graft-pq-fit"); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      pinned.count()
-      // the m fits are independent dsub-dim jobs over the SAME pinned
-      // sample — submit them concurrently (Spark schedules driver-side
-      // concurrent jobs fine) so codebook training costs ~one k-means of
-      // wall-clock, not m; each estimator instance is thread-private.
-      // A dedicated bounded pool (not the global ForkJoin EC): a large-m
-      // fit must not starve other driver work, and the pool dies with the
-      // fit instead of lingering as daemon ForkJoin threads
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(m, FitPoolSize),
-        r => { val t = new Thread(r, "graft-pq-fit"); t.setDaemon(true); t })
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try {
-        val centers = Await.result(
-          Future.sequence((0 until m).map { j => Future {
-            // slice is 1-based; each subspace trains on its own dsub-dim slice
-            val sub = pinned.select(
-              array_to_vector(slice(col("_vn"), j * dsub + 1, dsub)).as("_feat"))
-            val model = new KMeans()
-              .setK(ksub).setSeed(seed + j)
-              .setMaxIter(5)
-              .setFeaturesCol("_feat").setPredictionCol("_c")
-              .fit(sub)
-            model.clusterCenters.map(_.toArray.map(_.toFloat))
-          }}), Duration.Inf).toArray
-        Codebooks(centers)
-      } finally pool.shutdown()
-    } finally pinned.unpersist(blocking = false)
+      Codebooks(Await.result(
+        Future.sequence((0 until m).map { j => Future {
+          val slice = pts.map(p =>
+            java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
+          localLloyd(slice, ksub, iters = 8, seed + j)
+        }}), Duration.Inf).toArray)
+    } finally pool.shutdown()
+  }
+
+  /** Deterministic k-means: seeded K-MEANS++ init (Arthur &
+    * Vassilvitskii 2007 — first center uniform, each next sampled ∝ D²
+    * to the chosen set; spreads centers across the data's actual modes
+    * where plain random indices can stack inside one dense cluster and
+    * strand empty cells), strict-< assignment (ties to the lowest
+    * centroid — the [[graft.functions.PqKernels.encode]] convention),
+    * empty clusters keep their previous center. Init stops early when
+    * every remaining point duplicates a chosen center (D²-mass zero) —
+    * extra centers would be dead weight; callers tolerate < k centers
+    * ([[Codebooks.ksub]]). Shared by every quantizer fit
+    * ([[localCodebooks]], [[Ivf.assign]], [[Opq]]). */
+  private[operators] def localLloyd(pts: Array[Array[Double]], k: Int,
+                                    iters: Int, seed: Long,
+                                    restarts: Int = 1): Array[Array[Float]] = {
+    require(restarts >= 1, s"restarts=$restarts")
+    if (restarts == 1) localLloydOnce(pts, k, iters, seed)
+    else {
+      // seeded restarts, lowest within-cluster sum of squares wins —
+      // deterministic (fixed seed derivation, strict-< comparison keeps
+      // the earliest seed on ties). The coarse IVF quantizer uses this:
+      // one k-means++ draw can still land a poor local optimum on a
+      // small corpus, and cell quality directly bounds probe recall.
+      (0 until restarts).map { r =>
+        val c = localLloydOnce(pts, k, iters, seed + r * 1000003L)
+        (wcss(pts, c), r, c)
+      }.minBy(t => (t._1, t._2))._3
+    }
+  }
+
+  /** Within-cluster sum of squares of `pts` against `centers` — the
+    * k-means objective, used to pick among [[localLloyd]] restarts. */
+  private def wcss(pts: Array[Array[Double]], centers: Array[Array[Float]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      var best = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        val ctr = centers(c)
+        var dist = 0.0; var t = 0
+        while (t < p.length) {
+          val diff = p(t) - ctr(t); dist += diff * diff; t += 1
+        }
+        if (dist < best) best = dist
+        c += 1
+      }
+      s += best
+      i += 1
+    }
+    s
+  }
+
+  private def localLloydOnce(pts: Array[Array[Double]], k: Int,
+                             iters: Int, seed: Long): Array[Array[Float]] = {
+    val n = pts.length
+    val d = pts(0).length
+    val rng = new java.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var t = 0
+      while (t < d) { val diff = a(t) - b(t); s += diff * diff; t += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val minD2 = new Array[Double](n)
+    chosen += pts(rng.nextInt(n)).clone()
+    var i = 0
+    while (i < n) { minD2(i) = d2(pts(i), chosen(0)); i += 1 }
+    var exhausted = false
+    while (chosen.size < math.min(k, n) && !exhausted) {
+      var total = 0.0
+      i = 0
+      while (i < n) { total += minD2(i); i += 1 }
+      if (total <= 0.0) exhausted = true // all points duplicate a center
+      else {
+        val r = rng.nextDouble() * total
+        var acc = 0.0; var pick = -1
+        i = 0
+        while (i < n && pick < 0) {
+          acc += minD2(i)
+          if (acc >= r) pick = i
+          i += 1
+        }
+        if (pick < 0) pick = n - 1 // FP slack: cumulative sum undershot
+        val c = pts(pick).clone()
+        chosen += c
+        i = 0
+        while (i < n) {
+          val dd = d2(pts(i), c)
+          if (dd < minD2(i)) minD2(i) = dd
+          i += 1
+        }
+      }
+    }
+    val kk = chosen.size
+    val centers = chosen.toArray
+    val assign = new Array[Int](n)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0; var t = 0
+          while (t < d) {
+            val diff = pts(i)(t) - centers(c)(t); dist += diff * diff; t += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, d)
+      val counts = new Array[Long](kk)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var t = 0
+        while (t < d) { sums(c)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < d) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        }
+        c += 1
+      }
+    }
+    centers.map(_.map(_.toFloat))
   }
 
   /** Encode the corpus: one map pass, `(id, pq_code array<smallint>)`.

@@ -83,8 +83,13 @@ object Fixtures {
     * host contention is around (the r19 driver-sweep mechanism).
     * Dropping them eagerly keeps storage near-empty at every boundary.
     * MUST NOT run mid-query (a live query's checkpointed RDDs have
-    * truncated lineage — dropping their blocks kills it). */
+    * truncated lineage — dropping their blocks kills it).
+    *
+    * BLOCKING by default (ADVICE r20): an async unpersist can overlap
+    * the NEXT query's timed window — reintroducing a small version of
+    * the eviction noise the reap exists to kill. The reap runs outside
+    * every timed region, so the synchronous wait is free. */
   def reapTransients(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
 }

@@ -241,8 +241,19 @@ object SimilarityQueries {
     val verdictRows = Similarity.semanticDedupIndexed(idx, threshold = 0.45)
       .localCheckpoint() // read 6× by the contract aggregates below
     val n = emb(s, dir).count()
-    val total = verdictRows.count()
-    val nIds = verdictRows.select("vec_id").distinct().count()
+    // ONE aggregation job answers every row-local contract quantity —
+    // total rows, distinct ids, canonical>member violations, dup count —
+    // over the checkpointed verdict relation (was four separate count
+    // jobs; the quantities and verdicts are unchanged)
+    val vAgg = verdictRows.agg(
+      count(lit(1)).as("_total"),
+      count_distinct(col("vec_id")).as("_nids"),
+      coalesce(sum(when(col("canonical_id") > col("vec_id"), 1L)
+        .otherwise(0L)), lit(0L)).as("_cam"),
+      coalesce(sum(when(col("is_dup"), 1L).otherwise(0L)), lit(0L)).as("_dups"))
+      .head()
+    val total = vAgg.getLong(0)
+    val nIds = vAgg.getLong(1)
     // the operator's OWN edge definition, recomputed with the same fused
     // kernel + round-6 threshold — bit-identical edge set by construction
     val a = idx.assigned.select(col("cell"), col(idx.idCol).as("i"), col("_vn").as("va"))
@@ -255,8 +266,7 @@ object SimilarityQueries {
       .join(canon.toDF("i", "ci"), Seq("i"))
       .join(canon.toDF("j", "cj"), Seq("j"))
       .where(col("ci") =!= col("cj")).count()
-    val canonAboveMember = verdictRows
-      .where(col("canonical_id") > col("vec_id")).count()
+    val canonAboveMember = vAgg.getLong(2)
     val canonNotKept = verdictRows.select(col("canonical_id").as("vec_id")).distinct()
       .join(verdictRows.where(!col("is_dup")).select("vec_id"), Seq("vec_id"), "left_anti")
       .count()
@@ -264,7 +274,7 @@ object SimilarityQueries {
       .union(edges.select(col("j").as("vec_id"))).distinct()
     val causeless = verdictRows.where(col("is_dup"))
       .join(endpoints, Seq("vec_id"), "left_anti").count()
-    val dups = verdictRows.where(col("is_dup")).count()
+    val dups = vAgg.getLong(3)
     val edgeCount = edges.count()
     ContractGate.verdicts(s, Seq(
       ("partition_exact", total == n && nIds == n, s"rows=$total ids=$nIds corpus=$n"),
